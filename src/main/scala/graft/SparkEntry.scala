@@ -1,13 +1,135 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator from SURVEY.md §2
+  * (and the beyond-reference LLM-pipeline operators) to a Spark plan over
+  * the driver's parquet tables; `oracleSql` holds the DuckDB-equivalent
+  * SQL for the correctness gate. Column names are aliased identically on
+  * both sides (the driver hash-compares after sorting columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (Relational.q1Agg _),
+    "q2_filter_project" -> (Relational.q2FilterProject _),
+    "q3_join_broadcast" -> (Relational.q3JoinBroadcast _),
+    "q4_join_chain"     -> (Relational.q4JoinChain _),
+    "q5_topk"           -> (Relational.q5TopK _),
+    "q6_window_rank"    -> (Relational.q6WindowRank _),
+    "q7_setops"         -> (Relational.q7SetOps _),
+    "q8_distinct_agg"   -> (Relational.q8DistinctAgg _),
+    "q9_rollup"         -> (Relational.q9Rollup _),
+    "q10_semi_anti"     -> (Relational.q10SemiAnti _),
+    "q11_tumbling_window" -> (Relational.q11TumblingWindow _),
+    "q12_fold_count"    -> (Relational.q12FoldCount _),
+    "q13_limit"         -> (Relational.q13Limit _),
+    "q14_merge_ordered" -> (Relational.q14MergeOrdered _),
+    "q15_roundrobin"    -> (Relational.q15RoundRobin _),
+    "q16_avg_subquery"  -> (Relational.q16AvgSubquery _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * l_discount, 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_join_chain" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q5_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q6_window_rank" ->
+      """SELECT c_nationkey, rnk, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) WHERE rnk <= 3
+        |ORDER BY c_nationkey, rnk""".stripMargin,
+    "q7_setops" ->
+      """SELECT nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+        |) ORDER BY nationkey""".stripMargin,
+    "q8_distinct_agg" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q9_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q10_semi_anti" ->
+      """WITH w AS (
+        |  SELECT c_nationkey, count(*) AS with_orders FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  GROUP BY c_nationkey),
+        |wo AS (
+        |  SELECT c_nationkey, count(*) AS without_orders FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |  GROUP BY c_nationkey)
+        |SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+        |  coalesce(with_orders, 0) AS with_orders,
+        |  coalesce(without_orders, 0) AS without_orders
+        |FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+    "q11_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q12_fold_count" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS total_qty,
+        |  round(max(l_extendedprice), 2) AS max_price FROM lineitem""".stripMargin,
+    "q13_limit" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q14_merge_ordered" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id LIMIT 500""".stripMargin,
+    "q15_roundrobin" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_discount > 0.05""".stripMargin,
+    "q16_avg_subquery" ->
+      """SELECT count(*) AS n_below, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey AS ak, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.ak
+        |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin,
+  )
 }

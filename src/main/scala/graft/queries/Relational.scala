@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator corpus over the driver's TPC-H-ish tables.
+  *
+  * Each query is the Spark-first expression of one operator family from
+  * SURVEY.md §2 (plus the beyond-reference relational surface of §2.7):
+  * declarative DataFrame plans so Catalyst gets pushdown/pruning/reorder
+  * for free, broadcast hints on dimension tables, and map-side partial
+  * aggregation on every groupBy.
+  *
+  * Scale notes (100 TB design point) are on each query.
+  */
+object Relational {
+
+  /** TPC-H Q1-style keyed aggregation (ref: goconnect fold, fn.go:154-169,
+    * generalized to keyed agg per SURVEY §2.7).
+    * Scale: hash aggregate with map-side combine; shuffle carries only
+    * (flag,status) partials — 6 groups regardless of input size. Filter and
+    * 7-column projection push into the parquet scan.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection (ref: UserFilterFn fn.go:129-152 + UserMapFn
+    * fn.go:97-127). Scale: both the range predicate and the 4-column
+    * ReadSchema reach the scan (verified via explain PushedFilters). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Broadcast hash join of fact→dim (SURVEY §2.7 joins). Scale: customer
+    * is the small side at any SF ratio (15k vs 1.5M rows per unit SF);
+    * broadcast() avoids shuffling orders entirely — the plan is a single
+    * scan + BroadcastHashJoin + partial agg. */
+  def q3JoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Multi-way join chain region→nation→customer→orders→lineitem (TPC-H
+    * Q5 shape). Scale: the three dims broadcast; only
+    * orders⋈lineitem is a shuffle join on the natural key l_orderkey, so
+    * the single big shuffle is on the join key both sides already share.
+    * AQE can convert to skew-join if orderkeys skew. */
+  def q4JoinChain(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Top-k by global order (SURVEY §2.5 NetMergeOrdered generalized).
+    * Scale: orderBy+limit compiles to TakeOrderedAndProject — each
+    * partition keeps only its local top-10, the driver merges 10×P rows;
+    * no global sort materializes. */
+  def q5TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Window function: rank customers by balance within nation (§2.7).
+    * Scale: single shuffle on the partition key; rank is computed
+    * streaming within each sorted partition. */
+  def q6WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(spark, dir).customer
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("c_nationkey", "rnk", "c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_nationkey", "rnk")
+  }
+
+  /** Set operations (§2.7): nations having customers INTERSECT nations
+    * having suppliers, minus nations with a high-balance supplier.
+    * Scale: each leg is a pre-aggregated distinct (tiny), set ops on keys. */
+  def q7SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val custNations = t.customer.select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = t.supplier.select(col("s_nationkey").as("nationkey")).distinct()
+    val rich = t.supplier.filter(col("s_acctbal") > 9000)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    custNations.intersect(suppNations).except(rich).orderBy("nationkey")
+  }
+
+  /** Distinct aggregation (§2.7). Scale: count(distinct) expands to a
+    * two-stage partial/final aggregate; per-status distinct customer sets
+    * shuffle only once on (status, custkey). */
+  def q8DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct("o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** ROLLUP grouping sets (§2.7). Scale: Expand + single hash aggregate;
+    * output cardinality is groups+subtotals, never rows. */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Semi + anti join (§2.7): per-nation counts of customers with and
+    * without orders. Scale: semi/anti joins shuffle only the key column of
+    * the probe side; orders side reduces to distinct custkeys first. */
+  def q10SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val withO = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("with_orders"))
+    val withoutO = t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("without_orders"))
+    withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+      .select(
+        col("c_nationkey"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Event-time tumbling window aggregation over the events table
+    * (SURVEY §2.3 TriggerEvery ≙ processing cadence; the window itself is
+    * the §7.2-M4 event-time surface; same plan batch or streaming).
+    * Scale: pre-aggregated per (hour, type); shuffle carries partials. */
+  def q11TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Global bounded fold (ref: UserFoldFn fn.go:154-193 + .Count()
+    * def.go:61-65): single running accumulator over all elements.
+    * Scale: partial aggregation per partition then one 1-row merge —
+    * exactly goconnect's fold but distributed. */
+  def q12FoldCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("total_qty"),
+        round(max("l_extendedprice"), 2).as("max_price"))
+
+  /** Bounded limit (ref: .Limit def.go:88-91 — "makes any pipeline
+    * bounded"). Deterministic via order key. Scale: CollectLimit stops
+    * source consumption early — at 100 TB a limit(100) reads ~1 split. */
+  def q13Limit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .orderBy("o_orderkey")
+      .limit(100)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  /** Ordered gather (ref: NetMergeOrdered net_mergeordered.go:27-61 —
+    * all nodes send to one node which restores Stamp order). Spark-first:
+    * a global orderBy is a range-partitioned sort — strictly more scalable
+    * than the reference's single-node gather; we take the merged prefix. */
+  def q14MergeOrdered(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .orderBy("event_id")
+      .limit(500)
+      .select("event_id", "user_id", "event_type")
+
+  /** Scatter round-robin (ref: NetRoundRobin net_roundrobin.go:27-55) —
+    * repartition() IS RoundRobinPartitioning. The result is
+    * partition-invariant (a global agg) so the oracle can check it.
+    * Scale: demonstrates explicit rebalancing before a wide stage; at
+    * 100 TB you do this after a skewed filter. */
+  def q15RoundRobin(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .repartition(32)
+      .filter(col("l_discount") > 0.05)
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+
+  /** Correlated scalar-subquery shape via join+agg (TPC-H Q17-style):
+    * parts whose lineitems are below 20% of that part's avg quantity.
+    * Scale: the per-key avg is a broadcast-able aggregate at dim size. */
+  def q16AvgSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val avgQ = t.lineitem.groupBy(col("l_partkey").as("ak"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    t.lineitem
+      .join(avgQ, col("l_partkey") === col("ak"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(count(lit(1)).as("n_below"), round(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+}
