@@ -1,0 +1,126 @@
+package graft.coders
+
+import graft.core.{Coder, CoderRegistry}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The standard coder catalog, mirroring the reference's
+  * `coder.Registry()` (amient/goconnect `coder/registry.go:11-24`), as
+  * codegen-friendly column expressions (SURVEY §2.4).
+  */
+object Coders {
+
+  /** KVBinary ≙ goconnect `types.go:37-41` (Kafka record shape). */
+  val kvBinaryType: StructType = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType)))
+
+  /** KVMBinary ≙ goconnect `types.go:43-48`. */
+  val kvmBinaryType: StructType = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType),
+    StructField("headers", MapType(StringType, BinaryType))))
+
+  /** Url ≙ goconnect `coder/url/url.go:29-34`. */
+  val urlType: StructType = StructType(Seq(
+    StructField("proto", StringType), StructField("path", StringType),
+    StructField("name", StringType), StructField("mod", LongType)))
+
+  /** bytes→string (ref `coder/str/decoder.go:27-41`). */
+  val strDecoder: Coder = Coder("str.Decoder", BinaryType, StringType)(
+    c => decode(c, "UTF-8"))
+
+  /** string→bytes (ref `coder/str/encoder.go:27-41`). */
+  val strEncoder: Coder = Coder("str.Encoder", StringType, BinaryType)(
+    c => encode(c, "UTF-8"))
+
+  /** bytes→KVBinary with nil key (ref `coder/kv/encoder.go:27-44`). */
+  val nilKeyEncoder: Coder = Coder("kv.NilKeyEncoder", BinaryType, kvBinaryType)(
+    c => struct(lit(null).cast(BinaryType).as("key"), c.as("value")))
+
+  /** KVBinary→bytes dropping the key (ref `coder/kv/decoder.go:27-41`). */
+  val ignoreKeyDecoder: Coder = Coder("kv.IgnoreKeyDecoder", kvBinaryType, BinaryType)(
+    c => c.getField("value"))
+
+  /** KVBinary→KVMBinary with empty headers (ref `coder/kv/encoder.go:46-64`). */
+  val noMetaEncoder: Coder = Coder("kv.NoMetaEncoder", kvBinaryType, kvmBinaryType)(
+    c => struct(
+      c.getField("key").as("key"), c.getField("value").as("value"),
+      map().cast(MapType(StringType, BinaryType)).as("headers")))
+
+  /** KVMBinary→KVBinary dropping headers (ref `coder/kv/decoder.go:43-57`). */
+  val noMetaDecoder: Coder = Coder("kv.NoMetaDecoder", kvmBinaryType, kvBinaryType)(
+    c => struct(c.getField("key").as("key"), c.getField("value").as("value")))
+
+  private val gzipUdf = udf { (b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close()
+      bos.toByteArray
+    }
+  }
+
+  private val gunzipUdf = udf { (b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    }
+  }
+
+  /** gzip-compress bytes (ref `coder/gzip/encoder.go:10-33`). Registered
+    * under a distinct logical type so injection can target it explicitly.
+    * Scale: per-row deflate is CPU-bound and embarrassingly parallel; for
+    * file-level compression prefer parquet/zstd codecs (native). */
+  def gzip(c: Column): Column = gzipUdf(c)
+
+  /** gunzip bytes (ref `coder/gzip/decoder.go:10-33`). */
+  def gunzip(c: Column): Column = gunzipUdf(c)
+
+  /** string path → Url struct (ref `coder/url/decoder.go:30-59`, semantic
+    * equivalent — the reference's length-prefixed wire layout has no Spark
+    * meaning; the Url row is what flows). */
+  val urlDecoder: Coder = Coder("url.Decoder", StringType, urlType) { c =>
+    val noProto = regexp_replace(c, "^[a-z]+://", "")
+    struct(
+      when(c.rlike("^[a-z]+://"), regexp_extract(c, "^([a-z]+)://", 1))
+        .otherwise(lit("file")).as("proto"),
+      regexp_extract(noProto, "^(.*/)?[^/]*$", 1).as("path"),
+      regexp_extract(noProto, "([^/]*)$", 1).as("name"),
+      lit(0L).as("mod"))
+  }
+
+  /** Url struct → canonical string (ref `coder/url/encoder.go:30-50`). */
+  val urlEncoder: Coder = Coder("url.Encoder", urlType, StringType)(
+    c => concat(c.getField("proto"), lit("://"), c.getField("path"), c.getField("name")))
+
+  /** The default registry ≙ `coder.Registry()`. XML and Avro coders are
+    * schema-parameterized and constructed via [[XmlCoder]] / [[AvroSerde]]. */
+  def registry: CoderRegistry = CoderRegistry(Seq(
+    strDecoder, strEncoder, nilKeyEncoder, ignoreKeyDecoder,
+    noMetaEncoder, noMetaDecoder, urlDecoder, urlEncoder))
+}
+
+/** Schema-parameterized XML coders over Spark 4's native from_xml/to_xml
+  * (ref `coder/xml/decoder.go:28-46`, `encoder.go:29-51`; SURVEY §2.4 —
+  * the schema-less `xml.Node` tree maps to a per-fixture StructType).
+  */
+object XmlCoder {
+  def decoder(schema: StructType): Coder =
+    Coder("xml.Decoder", StringType, schema)(c =>
+      from_xml(c, schema, Map.empty[String, String].asJava))
+  def encoder(schema: StructType): Coder =
+    Coder("xml.Encoder", schema, StringType)(c => to_xml(c))
+  private implicit class MapOps(m: Map[String, String]) {
+    def asJava: java.util.Map[String, String] = {
+      val j = new java.util.HashMap[String, String]()
+      m.foreach { case (k, v) => j.put(k, v) }
+      j
+    }
+  }
+}

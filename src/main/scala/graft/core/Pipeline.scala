@@ -1,0 +1,151 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The pipeline builder — goconnect's capability shape
+  * (`Pipeline.Root(...).Map(...).Filter(...).Fold(...).Apply(sink)`,
+  * ref `pipeline.go:60-136`) re-expressed as a thin veneer over a
+  * DataFrame plan, so every combinator is declarative and Catalyst
+  * optimizes the whole chain (SURVEY §7.1).
+  *
+  * Frame convention: `value` (the element payload), `uniq` (≙ Stamp.Uniq),
+  * `ts` (≙ Stamp.Unix event time).
+  */
+object Pipeline {
+  def apply(spark: SparkSession): Pipeline =
+    Pipeline(spark, graft.coders.Coders.registry)
+
+  final case class Pipeline(spark: SparkSession, registry: CoderRegistry) {
+    def withCoders(extra: Coder*): Pipeline = copy(registry = registry ++ extra)
+    /** ≙ `pipeline.Root(source)` (`pipeline.go:60-62`). */
+    def root(source: Source): Flow = Flow(spark, source.read(spark), registry, source.isBounded)
+  }
+}
+
+/** One pipeline stage chain (≙ the `*Def` linked list, `def.go:27-39`;
+  * here: a LogicalPlan under construction).
+  */
+final case class Flow(spark: SparkSession, df: DataFrame,
+                      registry: CoderRegistry, bounded: Boolean) {
+
+  def valueType: DataType = df.schema("value").dataType
+  private def keep(extra: Column*): Seq[Column] =
+    df.columns.filter(c => c == "uniq" || c == "ts").map(col).toSeq
+
+  private def withValue(v: Column): DataFrame =
+    df.select((v.as("value") +: keep()): _*)
+
+  /** 1→1 map (ref `UserMapFn`, `fn.go:97-127`). The out type is declared,
+    * mirroring the reference's reflection-derived stage type. */
+  def map(out: DataType)(f: Column => Column): Flow =
+    copy(df = withValue(f(col("value")).cast(out)))
+
+  /** Map into a struct/typed column without a cast. */
+  def mapRaw(f: Column => Column): Flow = copy(df = withValue(f(col("value"))))
+
+  /** Filter (ref `UserFilterFn`, `fn.go:129-152`). */
+  def filter(pred: Column => Column): Flow = copy(df = df.filter(pred(col("value"))))
+
+  /** 1→N flatMap (ref `UserFlatMapFn`, `fn.go:195-236`): `f` returns an
+    * array column; elements explode in order. `uniq` is re-derived so
+    * output order (parent uniq, position) matches the reference's
+    * order-preserving fan-out (`processor.go:203-270`). */
+  def flatMap(f: Column => Column): Flow = {
+    val exploded = df
+      .select(posexplode(f(col("value"))).as(Seq("pos", "value")), col("uniq"))
+      .select(col("value"), (col("uniq") * 1000000 + col("pos")).as("uniq"))
+    copy(df = Source.stamp(exploded))
+  }
+
+  /** String split flatMap (ref `str.Split`, `coder/str/splitter.go:28-50`). */
+  def split(sep: String): Flow = flatMap(v => split_string(v, sep))
+  private def split_string(v: Column, sep: String): Column =
+    org.apache.spark.sql.functions.split(v, java.util.regex.Pattern.quote(sep))
+
+  /** Apply one coder explicitly (≙ a registered coder stage). */
+  def via(coder: Coder): Flow = {
+    require(coder.inType == valueType,
+      s"coder ${coder.name} expects ${coder.inType}, flow has $valueType")
+    copy(df = withValue(coder(col("value")).cast(coder.outType)))
+  }
+
+  /** Coder auto-injection (ref `injectCoder`, `pipeline.go:168-197`):
+    * greedy ≤5-deep chain search from the current value type to `to`. */
+  def adapt(to: DataType): Flow =
+    if (valueType == to) this
+    else copy(df = withValue(registry.convert(col("value"), valueType, to).cast(to)))
+
+  /** Global running fold (ref `UserFoldFn` + trigger, `fn.go:154-193`,
+    * `context.go:332-455`): emits the running accumulator every
+    * `triggerEach` inputs and once at end-of-input (the bounded-sink
+    * flush, `context.go:305-310`).
+    *
+    * Spark-first: for associative `merge` this is a cumulative window
+    * aggregate over `uniq` order. The unbounded-window sort is the price
+    * of the reference's *sequential* emission semantic — it is inherently
+    * a total order; for pure final-value folds use [[foldFinal]] which is
+    * a fully parallel partial aggregate. */
+  def foldTriggered(triggerEach: Long)(acc: Column => Column): Flow = {
+    val w = Window.orderBy("uniq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = count(lit(1)).over(Window.orderBy("uniq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val total = df.count()
+    val emitted = df
+      .withColumn("__acc", acc(col("value")).over(w))
+      .withColumn("__n", n)
+      .filter(col("__n") % triggerEach === 0 || col("__n") === total)
+      .select(col("__acc").as("value"), col("__n").as("uniq"))
+    copy(df = Source.stamp(emitted))
+  }
+
+  /** Final-value-only fold — the scalable path: partial agg per partition
+    * + 1-row merge (what goconnect's fold becomes when only the last
+    * emission is observed). */
+  def foldFinal(agg: Column => Column): Flow =
+    copy(df = Source.stamp(df.agg(agg(col("value")).as("value"))))
+
+  /** ≙ `.Count()` (`def.go:61-65`). */
+  def countAll(): Flow = foldFinal(_ => count(lit(1)))
+
+  /** ≙ `.Limit(n)` (`def.go:88-91`) — "makes any pipeline bounded".
+    * Deterministic: takes the first n in stamp order. Scale:
+    * TakeOrderedAndProject keeps n rows per partition then merges. */
+  def limit(n: Int): Flow =
+    copy(df = df.orderBy("uniq").limit(n), bounded = true)
+
+  /** ≙ `.Par(n)` (`def.go:69-72`): vertical parallelism. Spark-first this
+    * is RoundRobinPartitioning; goconnect's order guarantee is restored
+    * downstream by sorting on `uniq` where a consumer requires it
+    * (SURVEY §3.4 documented divergence). */
+  def par(n: Int): Flow = copy(df = df.repartition(n))
+
+  /** ≙ NetRoundRobin (`network/net_roundrobin.go:27-55`). */
+  def scatter(n: Int): Flow = par(n)
+
+  /** ≙ NetMergeOrdered (`network/net_mergeordered.go:27-61`): restore
+    * global stamp order. Spark-first: a range-partitioned global sort —
+    * strictly more scalable than the reference's gather-to-one-node. */
+  def mergeOrdered(): Flow = copy(df = df.orderBy("uniq"))
+
+  /** ≙ `.Buffer(n)` (`def.go:74-77`) — backpressure capacity. Spark's
+    * micro-batch admission control subsumes it; retained as an explicit
+    * no-op so reference pipelines translate 1:1. */
+  def buffer(n: Int): Flow = this
+
+  /** ≙ `.Throttle(count, period)` (`def.go:93-96`). For streaming flows
+    * this is the source rate option / maxOffsetsPerTrigger; for bounded
+    * flows a no-op (documented — there is nothing to rate-limit in a
+    * batch plan). */
+  def throttle(countPerSec: Int): Flow = this
+
+  /** Terminal: apply a sink (≙ `.Apply(sink)`, `pipeline.go:96-110`),
+    * auto-injecting coders to the sink's declared input type
+    * (AnyType sink ⇒ no adaptation, ref `types.go:27`). */
+  def to(sink: Sink): Sink.Result = {
+    val adapted = sink.inType.map(adapt).getOrElse(this)
+    sink.write(adapted)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.DataType
+
+import scala.collection.mutable.ArrayBuffer
+
+/** A sink (ref SURVEY §2.6). `inType = None` ≙ goconnect's AnyType sink
+  * (`types.go:27`) — accepts any schema; `Some(t)` triggers coder
+  * auto-injection in `Flow.to`.
+  *
+  * Flush semantics (ref `context.go:283-330`): bounded input ⇒ one flush
+  * at end; streaming ⇒ per-micro-batch via foreachBatch, with
+  * `Trigger.ProcessingTime` ≙ `.TriggerEvery`.
+  */
+trait Sink extends Serializable {
+  def inType: Option[DataType] = None
+  def write(flow: Flow): Sink.Result
+}
+
+object Sink {
+  sealed trait Result
+  /** Bounded flush completed. */
+  final case class Done(rows: Long) extends Result
+  /** Streaming query handle. */
+  final case class Streaming(query: org.apache.spark.sql.streaming.StreamingQuery) extends Result
+}
+
+/** ≙ `std.Out` (`io/std/out.go:29-60`): console printer. */
+final case class ConsoleSink(numRows: Int = 20) extends Sink {
+  def write(flow: Flow): Sink.Result =
+    if (flow.bounded) { flow.df.show(numRows, truncate = false); Sink.Done(flow.df.count()) }
+    else Sink.Streaming(
+      flow.df.writeStream.format("console").start())
+}
+
+/** Parquet sink — the batch/file sink of our engine (beyond-reference;
+  * scale path: partitioned columnar output). */
+final case class ParquetSink(path: String) extends Sink {
+  def write(flow: Flow): Sink.Result = {
+    flow.df.write.mode("overwrite").parquet(path)
+    Sink.Done(flow.spark.read.parquet(path).count())
+  }
+}
+
+/** Test sink collecting values driver-side (≙ the examples' stdout
+  * golden checks; small data only — documented non-scale path). */
+final class MemorySink extends Sink {
+  val rows = ArrayBuffer.empty[org.apache.spark.sql.Row]
+  def write(flow: Flow): Sink.Result = {
+    val collected = flow.df.orderBy("uniq").collect()
+    rows ++= collected
+    Sink.Done(collected.length.toLong)
+  }
+  def values: Seq[Any] = rows.map(_.getAs[Any]("value")).toSeq
+}
+
+/** Kafka-record sink contract (ref `kafka1.Sink`, `io/kafka1/sink.go:30-136`):
+  * requires the KVMBinary shape — exactly the column contract of
+  * `writeStream.format("kafka")`, so the real connector drops in where
+  * this writes parquet. Delivery-report acking ≙ the streaming commit log. */
+final case class KafkaLikeSink(path: String) extends Sink {
+  override def inType: Option[DataType] = Some(graft.coders.Coders.kvmBinaryType)
+  def write(flow: Flow): Sink.Result = {
+    val kv = flow.df.select(
+      flow.df.col("value").getField("key").as("key"),
+      flow.df.col("value").getField("value").as("value"),
+      flow.df.col("value").getField("headers").as("headers"))
+    kv.write.mode("overwrite").parquet(path)
+    Sink.Done(flow.spark.read.parquet(path).count())
+  }
+}

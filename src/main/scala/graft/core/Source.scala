@@ -1,0 +1,127 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A root transform (ref: goconnect `RootFn`, SURVEY §2.1). Produces the
+  * canonical flow frame: a `value` column plus the element envelope —
+  * `uniq` (≙ `Stamp.Uniq`, ordering/identity) and `ts` (≙ `Stamp.Unix`,
+  * event time).
+  *
+  * Boundedness is a property of the source, not the pipeline — the same
+  * downstream plan runs batch or streaming (ref `README.md:29`; SURVEY
+  * §1.2 "streams vs tables").
+  */
+trait Source extends Serializable {
+  def read(spark: SparkSession): DataFrame
+  def isBounded: Boolean = true
+}
+
+object Source {
+  /** Stamp a raw frame with the element envelope. `uniq` uses
+    * monotonically_increasing_id: unique + ascending within a partition —
+    * the distributed analogue of the reference's atomic counter
+    * (`context.go:469-474`); global order is restorable by sorting on it
+    * (SURVEY §3.4 divergence note). */
+  def stamp(df: DataFrame): DataFrame = {
+    val withUniq =
+      if (df.columns.contains("uniq")) df
+      else df.withColumn("uniq", monotonically_increasing_id())
+    if (withUniq.columns.contains("ts")) withUniq
+    else withUniq.withColumn("ts", current_timestamp())
+  }
+}
+
+/** Bounded in-memory list source (ref `io.From`, `io/list.go:27-29`). */
+final case class ListSource[T](values: Seq[T], toValue: T => Any = identity[T] _,
+                               valueType: DataType = StringType) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val rows = values.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(toValue(v), i.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("value", valueType), StructField("uniq", LongType)))
+    Source.stamp(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.min(values.size max 1, 32)), schema))
+  }
+}
+
+/** Emits `n` elements cycling over `values` (ref `io.RoundRobin`,
+  * `io/list.go:31-39`: `element i = values(i % len)`).
+  *
+  * Scale: `spark.range(n)` partitions the index space across executors —
+  * a 10M-element root (ref example `list-avro-sr-kafka/main.go:116`) is
+  * 32 parallel splits, not one goroutine. */
+final case class RoundRobinSource(n: Long, values: Seq[String]) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val arr = array(values.map(lit): _*)
+    Source.stamp(spark.range(n)
+      .select(
+        element_at(arr, (col("id") % values.size).cast("int") + 1).as("value"),
+        col("id").as("uniq")))
+  }
+}
+
+/** Directory listing source (ref `file.Source`, `io/file/source.go:29-64`
+  * — one Url row per file). Built on Spark's binaryFile source so listing
+  * scales through the driver's parallel file index, not a single node. */
+final case class FileListSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame = {
+    val files = spark.read.format("binaryFile").load(path)
+    Source.stamp(files.select(
+      struct(
+        lit("file").as("proto"),
+        regexp_extract(col("path"), "^(?:file:)?(.*/)[^/]*$", 1).as("path"),
+        regexp_extract(col("path"), "([^/]*)$", 1).as("name"),
+        unix_timestamp(col("modificationTime")).as("mod")).as("value"),
+      col("modificationTime").as("ts")))
+  }
+}
+
+/** Whole-file contents source (ref `file.Reader`, `io/file/reader.go:30-74`
+  * — Url → ByteStream; Spark's binaryFile gives the content column
+  * directly, no laziness needed at the API). */
+final case class BinaryFileSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    Source.stamp(spark.read.format("binaryFile").load(path)
+      .select(col("content").as("value"), col("modificationTime").as("ts")))
+}
+
+/** Line-oriented text source (ref `file.Text`, `io/file/text.go:28-60`). */
+final case class TextFileSource(path: String) extends Source {
+  def read(spark: SparkSession): DataFrame =
+    Source.stamp(spark.read.text(path).select(col("value")))
+}
+
+/** Unbounded rate source — the zero-egress stand-in for the Kafka/AMQP
+  * roots (SURVEY §2.1: connector jars absent; design so format("kafka")
+  * drops in — same KVMBinary column contract, see [[KafkaLikeSource]]). */
+final case class RateSource(rowsPerSecond: Int) extends Source {
+  override def isBounded: Boolean = false
+  def read(spark: SparkSession): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(col("value").cast(StringType).as("value"),
+        col("value").as("uniq"), col("timestamp").as("ts"))
+}
+
+/** Kafka-record-shaped source (ref `kafka1.Source`,
+  * `io/kafka1/source.go:39-162`): emits KVMBinary{key,value,headers} with
+  * event-time `ts` from the record timestamp — exactly Spark's Kafka
+  * source column contract, so swapping `delegate` for
+  * `spark.readStream.format("kafka")` changes nothing downstream.
+  * Offset/commit machinery (`source.go:80-135`) ≙ the streaming
+  * checkpoint log; nothing to build. */
+final case class KafkaLikeSource(delegate: Source) extends Source {
+  override def isBounded: Boolean = delegate.isBounded
+  def read(spark: SparkSession): DataFrame = {
+    val df = delegate.read(spark)
+    df.select(
+      struct(
+        lit(null).cast(BinaryType).as("key"),
+        encode(col("value").cast(StringType), "UTF-8").as("value"),
+        map().cast(MapType(StringType, BinaryType)).as("headers")).as("value"),
+      col("uniq"), col("ts"))
+  }
+}

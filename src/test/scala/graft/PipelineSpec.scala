@@ -1,0 +1,132 @@
+package graft
+
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline semantics vs the reference's manual checklist
+  * (`README.md:90-104`, SURVEY §5) + the M2 end-to-end slice.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("bounded list root terminates with exact result (checklist: bounded termination)") {
+    val sink = new MemorySink
+    Pipeline(spark).root(ListSource((1 to 100).map(_.toString)))
+      .map(IntegerType)(v => v.cast(IntegerType) * 2)
+      .to(sink)
+    assert(sink.values == (1 to 100).map(_ * 2))
+  }
+
+  test("filter drops non-matching (checklist) and preserves order") {
+    val sink = new MemorySink
+    Pipeline(spark).root(ListSource((1 to 50).map(_.toString)))
+      .map(IntegerType)(_.cast(IntegerType))
+      .filter(_ % 2 === 0)
+      .to(sink)
+    assert(sink.values == (2 to 50 by 2))
+  }
+
+  test("flatMap/split preserves per-element order (ref str.Split fixture, FIXTURES §1.6)") {
+    val sink = new MemorySink
+    Pipeline(spark)
+      .root(ListSource(Seq("aaa\tbbb\tccc", "ddd", "eee", "fff", "ggg\thhh")))
+      .split("\t")
+      .map(StringType)(upper)
+      .mergeOrdered()
+      .to(sink)
+    assert(sink.values == Seq("AAA", "BBB", "CCC", "DDD", "EEE", "FFF", "GGG", "HHH"))
+  }
+
+  test("scatter then ordered gather restores stamp order (ref scatter/gather example)") {
+    val sink = new MemorySink
+    Pipeline(spark).root(ListSource((1 to 1000).map(_.toString)))
+      .scatter(8)
+      .map(StringType)(v => concat(lit("x"), v))
+      .mergeOrdered()
+      .to(sink)
+    assert(sink.values == (1 to 1000).map("x" + _))
+  }
+
+  test("limit makes pipeline bounded with precise result (checklist: Limit correctness)") {
+    val sink = new MemorySink
+    Pipeline(spark).root(RoundRobinSource(10000, Seq("a", "b", "c")))
+      .limit(7)
+      .to(sink)
+    assert(sink.values == Seq("a", "b", "c", "a", "b", "c", "a"))
+  }
+
+  test("count fold (ref .Count def.go:61-65)") {
+    val sink = new MemorySink
+    Pipeline(spark).root(RoundRobinSource(12345, Seq("x")))
+      .countAll()
+      .to(sink)
+    assert(sink.values == Seq(12345L))
+  }
+
+  test("stacked folds (checklist: multiple folds)") {
+    val sink = new MemorySink
+    Pipeline(spark).root(ListSource((1 to 10).map(_.toString)))
+      .map(IntegerType)(_.cast(IntegerType))
+      .foldTriggered(3)(sum)   // running sums emitted every 3 + at end
+      .countAll()              // count of emissions
+    .to(sink)
+    assert(sink.values == Seq(4L)) // emissions at n=3,6,9,10
+  }
+
+  test("coder auto-injection: string flow into kafka-shaped sink (ref pipeline.go:168-197)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-kafka").toString
+    val res = Pipeline(spark).root(ListSource(Seq("hello", "world")))
+      .to(KafkaLikeSink(out)) // string → binary → KVBinary → KVMBinary chain
+    assert(res == Sink.Done(2))
+    val rows = spark.read.parquet(out).orderBy("value").collect()
+    assert(rows.map(r => new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSeq
+      == Seq("hello", "world"))
+    assert(rows.forall(_.isNullAt(0))) // nil key
+  }
+
+  test("coder chain search finds multi-step chains and rejects impossible ones") {
+    val reg = graft.coders.Coders.registry
+    val chain = reg.chain(StringType, graft.coders.Coders.kvmBinaryType)
+    assert(chain.isDefined && chain.get.map(_.name) ==
+      List("str.Encoder", "kv.NilKeyEncoder", "kv.NoMetaEncoder"))
+    assert(reg.chain(DoubleType, graft.coders.Coders.urlType).isEmpty)
+  }
+
+  /** M2: the reference's flagship e2e pipeline
+    * (`examples/list-xml-filter-stdout/main.go:42-50`): 500k XML strings
+    * → extract name → filter !contains("B") → running fold sum(length)
+    * emitted every 50k fold inputs → keep emissions > 210000. Golden is
+    * an independent plain-Scala reimplementation (≙ compare.go). */
+  test("M2 e2e: list-xml-filter-stdout parity at 500k elements") {
+    val names = Seq("Adam", "Albert", "Alice", "Alex", "Bart", "Bob",
+      "Brittney", "Brenda", "Cecilia", "Chad", "Elliot", "Wojtek")
+    val xmls = names.map(n => s"<name>$n</name>")
+    val n = 500000L
+
+    // independent oracle (plain scala, mirrors compare.go:10-87)
+    val expected = {
+      val kept = (0L until n).iterator
+        .map(i => names((i % names.size).toInt))
+        .filter(!_.contains("B"))
+        .toVector
+      val emissions = Vector.newBuilder[Long]
+      var acc = 0L
+      kept.zipWithIndex.foreach { case (nm, idx) =>
+        acc += nm.length
+        if ((idx + 1) % 50000 == 0 || idx + 1 == kept.size) emissions += acc
+      }
+      emissions.result().filter(_ > 210000)
+    }
+
+    val sink = new MemorySink
+    val xmlSchema = StructType(Seq(StructField("_VALUE", StringType)))
+    Pipeline(spark).root(RoundRobinSource(n, xmls))
+      .mapRaw(v => from_xml(v, xmlSchema).getField("_VALUE"))
+      .filter(v => !v.contains("B"))
+      .map(LongType)(length(_).cast(LongType))
+      .foldTriggered(50000)(sum)
+      .filter(_ > 210000)
+      .to(sink)
+    assert(sink.values == expected)
+  }
+}
