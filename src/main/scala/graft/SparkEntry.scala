@@ -34,9 +34,23 @@ object SparkEntry {
     "q14_merge_ordered" -> (Relational.q14MergeOrdered _),
     "q15_roundrobin"    -> (Relational.q15RoundRobin _),
     "q16_avg_subquery"  -> (Relational.q16AvgSubquery _),
+    "q17_sessionize"    -> (LlmOps.q17Sessionize _),
+    "t_tokens"          -> (LlmOps.tTokens _),
+    "t_quality"         -> (LlmOps.tQuality _),
+    "t_langid"          -> (LlmOps.tLangId _),
+    "t_fingerprint"     -> (LlmOps.tFingerprint _),
+    "d_exact"           -> (LlmOps.dExact _),
+    "d_ngram_jaccard"   -> (LlmOps.dNgramJaccard _),
+    "d_minhash_lsh"     -> (LlmOps.dMinhashLsh _),
+    "d_simhash"         -> (LlmOps.dSimhash _),
+    "d_simhash_pairs"   -> (LlmOps.dSimhashPairs _),
+    "d_embed_neardup"   -> (LlmOps.dEmbedNearDup _),
+    "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
+    "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
+    "mm_meta"           -> (LlmOps.mmMeta _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = LlmOracles.sql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -26,9 +26,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * session's micros timestamp (values are micro-aligned; lossless). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, NOT `/`: int64 nanos exceed double's 53-bit mantissa,
+    // so float division rounds the microsecond off by ±1.
     t("events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

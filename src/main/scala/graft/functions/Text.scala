@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines (project north star; beyond the reference surface —
+  * SURVEY §2.7 / §7.2-M6).
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs) so the whole stage stays inside WholeStageCodegen and the
+  * formulas are expressible 1:1 in the DuckDB oracle.
+  */
+object Text {
+
+  /** Whitespace tokenizer (the shared primitive; deterministic and
+    * oracle-portable: split(trim(x), '\s+')). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count estimate: words + extra splits at
+    * letter/digit/punct boundaries (regex segmentation, no vocab —
+    * a deterministic stand-in for a tokenizer's length estimate). */
+  def subwordCount(c: Column): Column =
+    size(split(trim(c), "[\\s]+|(?<=[a-z])(?=[A-Z0-9])|(?<=[0-9])(?=[A-Za-z])"))
+
+  /** Word n-gram shingles (distinct), the dedup primitive. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Canonical whitespace/case normalization used before hashing. */
+  def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Document fingerprint: md5 of the normalized text — the exact-dedup
+    * and cache key (rolling-hash role of the reference-era fingerprint;
+    * md5 chosen because it is identical in Spark and DuckDB). */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Ratio of alphabetic characters (quality signal). */
+  def alphaRatio(c: Column): Column =
+    round(length(regexp_replace(c, "[^A-Za-z]", "")) / length(c), 4)
+
+  /** Count of sentence punctuation. */
+  def punctCount(c: Column): Column = length(regexp_replace(c, "[^.,;:!?]", ""))
+
+  private val enStop = Seq("the", "a", "an", "and", "of", "to", "in", "is", "that", "it")
+  private val deStop = Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit")
+  private val frStop = Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour")
+
+  private def stopRatio(c: Column, stops: Seq[String]): Column = {
+    val toks = tokens(lower(c))
+    round(size(filter(toks, t => t.isin(stops.map(lit(_)): _*))) / size(toks), 4)
+  }
+
+  /** English stopword ratio (quality + language signal). */
+  def enStopRatio(c: Column): Column = stopRatio(c, enStop)
+
+  /** N-gram/stopword language-ID heuristic: argmax of per-language
+    * stopword-hit ratios with deterministic tie-break (en > de > fr >
+    * unk). Scale: pure column expressions — language ID over 100 TB is
+    * a single codegen'd projection, no shuffle. */
+  def langId(c: Column): Column = {
+    val en = stopRatio(c, enStop)
+    val de = stopRatio(c, deStop)
+    val fr = stopRatio(c, frStop)
+    when(en > de && en > fr && en > 0, "en")
+      .when(de > fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unk")
+  }
+
+  /** Composite quality score in [0,1]: alphabetic density, low
+    * punctuation noise, adequate length. Same closed formula in the
+    * oracle. */
+  def qualityScore(c: Column): Column =
+    round(
+      alphaRatio(c) * 0.4
+        + (lit(1.0) - least(punctCount(c) / tokenCount(c), lit(1.0))) * 0.3
+        + least(tokenCount(c) / lit(50.0), lit(1.0)) * 0.3,
+      4)
+}

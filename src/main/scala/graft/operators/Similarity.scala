@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators (north star; SURVEY §7.2-M6).
+  * Vectors are `ARRAY<FLOAT>` columns; all math is done in double via
+  * codegen'd higher-order functions (zip_with/aggregate) — no UDFs.
+  */
+object Similarity {
+
+  /** Dot product of two vector columns (double accumulation, index
+    * order — bit-identical to the oracle's sequential sum). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query against every candidate.
+    *
+    * Scale: broadcast the (small) query set against the full corpus —
+    * one scan, no shuffle of the corpus; per-partition partial top-k via
+    * the window rank is handled by TakeOrdered when k is small. This is
+    * the exact baseline an ANN index is validated against. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
+  }
+
+  /** IVF-style bucketed ANN: the corpus is partitioned into cells (here
+    * the pretrained assignment in `cellCol`; in production the cell id
+    * comes from a k-means quantizer) and each query probes only its own
+    * cell.
+    *
+    * Scale: THE point of IVF — at 100 TB the cell column is the
+    * partition key of the parquet layout, so probing nprobe=1 cell is
+    * partition pruning: the scan reads |corpus|/cells bytes. The join
+    * below is an equi-join on the cell, never a cross join. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              cellCol: String = "label",
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), col(cellCol).as("cell"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col(cellCol).as("cell"))
+    val scored = broadcast(q).join(c,
+        q("cell") === c("cell") && col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs ≥ threshold, blocked by cell
+    * to avoid the corpus×corpus cross join (same IVF partition-pruning
+    * argument; near-dups land in the same or adjacent cells by
+    * construction of any reasonable quantizer). */
+  def cosineNearDup(corpus: DataFrame, threshold: Double,
+                    cellCol: String = "label",
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c1 = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"), col(cellCol).as("cell"))
+    val c2 = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col(cellCol).as("cell"))
+    c1.join(c2, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

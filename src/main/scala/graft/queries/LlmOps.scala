@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, MultiModal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * tables (north star: dedup, similarity search, text analysis,
+  * multimodal at 100 TB).
+  */
+object LlmOps {
+
+  /** Token counting (whitespace tokenizer). */
+  def tTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: alphabetic density, punctuation noise, length. */
+  def tQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        Text.alphaRatio(col("text")).as("alpha_ratio"),
+        Text.punctCount(col("text")).as("n_punct"),
+        Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language ID via stopword-hit heuristic. */
+  def tLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        Text.enStopRatio(col("text")).as("en_ratio"),
+        Text.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting (md5 of normalized text). */
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Exact dedup: canonical id per content-hash group. */
+  def dExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables(spark, dir).documents).orderBy("doc_id")
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5). */
+  def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables(spark, dir).documents, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash+LSH near-dup pairs (16 perms × 4 bands, verify ≥ 0.5). */
+  def dMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables(spark, dir).documents, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash signatures (32-bit, per-doc). */
+  def dSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables(spark, dir).documents)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs via byte-banding, hamming ≤ 6. */
+  def dSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBandedPairs(Dedup.simhash(Tables(spark, dir).documents), maxDist = 6)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-dup pairs (blocked by cell, ≥ 0.45). */
+  def dEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(Tables(spark, dir).embeddings, threshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  def sCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** IVF-bucketed ANN top-3 (probe own cell only) for vec_id < 10. */
+  def sAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Multimodal metadata extraction over binary blobs (stub decode —
+    * deterministic dims; real partition-batched plumbing). */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    MultiModal.extractMeta(blobs).orderBy("doc_id")
+  }
+
+  /** Event sessionization (30-min inactivity gap) via watermark-free
+    * batch windowing: lag + cumulative sum — the batch twin of the
+    * streaming flatMapGroupsWithState sessionizer (SURVEY §7.2-M4).
+    * Scale: one shuffle on user_id; per-user state is O(1). */
+  def q17Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    Tables(spark, dir).events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+/** DuckDB oracle SQL mirroring every LlmOps formula exactly (same
+  * tokenizer, same md5-based hashes, same rounding) — see tools/check.py
+  * for the verification harness.
+  */
+object LlmOracles {
+
+  private val toks = """string_split_regex(trim(text), '\s+')"""
+
+  /** Shared shingle CTE: distinct 3-gram word shingles per doc. */
+  private val shingleCte =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(list_transform(range(greatest(len($toks) - 2, 1)),
+       |      i -> array_to_string(($toks)[(i+1):(i+3)], ' '))) AS sh
+       |    FROM documents)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "t_tokens" ->
+      s"""SELECT doc_id, len($toks) AS n_tokens FROM documents ORDER BY doc_id""",
+
+    "t_quality" ->
+      s"""SELECT doc_id,
+         |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 4) AS alpha_ratio,
+         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         |  round(
+         |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 4) * 0.4
+         |    + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / len($toks), 1.0)) * 0.3
+         |    + least(len($toks) / 50.0, 1.0) * 0.3, 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_langid" -> {
+      def ratio(stops: String) =
+        s"""round(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+           |  t -> t IN ($stops))) / len($toks), 4)""".stripMargin
+      val en = ratio("'the','a','an','and','of','to','in','is','that','it'")
+      val de = ratio("'der','die','das','und','ist','ein','zu','den','von','mit'")
+      val fr = ratio("'le','la','les','et','de','un','une','est','que','pour'")
+      s"""SELECT doc_id, en_ratio,
+         |  CASE WHEN en_ratio > de_ratio AND en_ratio > fr_ratio AND en_ratio > 0 THEN 'en'
+         |       WHEN de_ratio > fr_ratio AND de_ratio > 0 THEN 'de'
+         |       WHEN fr_ratio > 0 THEN 'fr' ELSE 'unk' END AS pred_lang
+         |FROM (SELECT doc_id, $en AS en_ratio, $de AS de_ratio, $fr AS fr_ratio
+         |      FROM documents) ORDER BY doc_id""".stripMargin
+    },
+
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+        |      FROM h GROUP BY fp)
+        |SELECT doc_id, canonical_id, group_size FROM h JOIN g USING (fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT id_a, id_b, round(i / (na.n + nb.n - i), 4) AS jaccard
+         |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "d_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |h AS (
+         |  SELECT doc_id, i, min(md5(i::varchar || '|' || sh)) AS mh
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+         |sig AS (
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bsig
+         |  FROM h GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.bsig = b.bsig
+         |    AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT id_a, id_b, count(*) AS i FROM cand
+         |  JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b AND sa.sh = sb.sh
+         |  GROUP BY id_a, id_b)
+         |SELECT * FROM (
+         |  SELECT id_a, id_b, round(i / (na.n + nb.n - i), 4) AS jaccard
+         |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "d_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::bigint AS h
+         |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents)),
+         |votes AS (
+         |  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS vote
+         |  FROM tok CROSS JOIN range(32) r(b) GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  sum(CASE WHEN vote > 0 THEN (1::bigint << b) ELSE 0 END)::bigint AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::bigint AS h
+         |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents)),
+         |votes AS (
+         |  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS vote
+         |  FROM tok CROSS JOIN range(32) r(b) GROUP BY doc_id, b),
+         |sig AS (
+         |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::bigint << b) ELSE 0 END)::bigint AS s
+         |  FROM votes GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, s, band, (s >> (band * 8)) & 255 AS byte
+         |  FROM sig CROSS JOIN range(4) r(band))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.s, b.s)) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::double[] AS v, label FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_inner_product(a.v, b.v) /
+        |      (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "s_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_inner_product(q.v, c.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, rnk, cand_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "s_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::double[] AS v, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    round(list_inner_product(q.v, c.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 6) AS cos
+        |  FROM e q JOIN e c ON q.label = c.label AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT query_id, rnk, cand_id, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
+        |  (octet_length(encode(text)) % 640 + 1)::int AS width,
+        |  ((octet_length(encode(text)) * 7) % 480 + 1)::int AS height,
+        |  (doc_id % 24 + 1)::int AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+  )
+}
