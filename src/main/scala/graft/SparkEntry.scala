@@ -48,9 +48,55 @@ object SparkEntry {
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "mm_meta"           -> (LlmOps.mmMeta _),
+    "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
+    "c_gzip_roundtrip"  -> (CoderQueries.cGzipRoundtrip _),
+    "c_kv_roundtrip"    -> (CoderQueries.cKvRoundtrip _),
+    "c_url_parse"       -> (CoderQueries.cUrlParse _),
+    "c_xml_roundtrip"   -> (CoderQueries.cXmlRoundtrip _),
+    "c_avro_roundtrip"  -> (CoderQueries.cAvroRoundtrip _),
+    "c_json_roundtrip"  -> (CoderQueries.cJsonRoundtrip _),
+    "q18_scalar_funcs"  -> (CoderQueries.q18ScalarFuncs _),
+    "q19_asof"          -> (CoderQueries.q19Asof _),
   )
 
-  def oracleSql: Map[String, String] = LlmOracles.sql ++ Map(
+  private val coderOracles: Map[String, String] = Map(
+    "c_str_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "c_gzip_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "c_kv_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "c_url_parse" ->
+      """SELECT doc_id, 'file' AS proto,
+        |  '/corpus/' || source || '/' AS path,
+        |  doc_id || '.txt' AS name
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c_xml_roundtrip" ->
+      "SELECT doc_id AS id, source AS name FROM documents ORDER BY id",
+    "c_avro_roundtrip" ->
+      "SELECT doc_id AS id, text FROM documents ORDER BY id",
+    "c_json_roundtrip" ->
+      "SELECT doc_id AS id, lang FROM documents ORDER BY id",
+    "q18_scalar_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  round(sqrt(o_totalprice), 4) AS sq, round(ln(o_totalprice), 4) AS lg,
+        |  round(abs(o_totalprice - 100000.5), 4) AS ab,
+        |  ceil(o_totalprice)::bigint AS cl, floor(o_totalprice)::bigint AS fl,
+        |  upper(substr(o_orderpriority, 1, 4)) AS up,
+        |  replace(o_orderstatus, 'O', 'X') AS rp,
+        |  lpad(o_orderkey::varchar, 8, '0') AS pad,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS cw
+        |FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey""".stripMargin,
+    "q19_asof" ->
+      """SELECT c.event_id, c.user_id, v.event_id AS view_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+  )
+
+  def oracleSql: Map[String, String] = LlmOracles.sql ++ coderOracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

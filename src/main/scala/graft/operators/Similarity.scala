@@ -35,7 +35,7 @@ object Similarity {
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
   }
@@ -61,7 +61,7 @@ object Similarity {
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
   }

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.coders.{AvroSerde, Coders}
+import graft.core.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Coder/serde round-trip queries (SURVEY §2.4) wired into the
+  * correctness gate: each runs encode∘decode through the real coder
+  * stack and must reproduce the source columns exactly — the oracle
+  * asserts the identity. Plus the scalar-function surface and the as-of
+  * join operator.
+  */
+object CoderQueries {
+
+  /** str.Encoder ∘ str.Decoder identity. */
+  def cStrRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        Coders.strDecoder(Coders.strEncoder(col("text"))).as("text"))
+      .orderBy("doc_id")
+
+  /** gzip.Encoder ∘ gzip.Decoder identity (plus the str pair). */
+  def cGzipRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        Coders.strDecoder(Coders.gunzip(Coders.gzip(Coders.strEncoder(col("text"))))).as("text"))
+      .orderBy("doc_id")
+
+  /** Full auto-injected chain string→KVMBinary→string (the coder
+    * planner's work, ref pipeline.go:168-197). */
+  def cKvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Coders.registry
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        reg.convert(
+          reg.convert(col("text"), StringType, Coders.kvmBinaryType),
+          Coders.kvmBinaryType, StringType).as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** url.Decoder field extraction on synthesized file paths. */
+  def cUrlParse(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        Coders.urlDecoder(
+          concat(lit("file:///corpus/"), col("source"), lit("/"),
+            col("doc_id").cast(StringType), lit(".txt"))).as("u"))
+      .select(col("doc_id"), col("u.proto").as("proto"),
+        col("u.path").as("path"), col("u.name").as("name"))
+      .orderBy("doc_id")
+
+  /** xml.Encoder ∘ xml.Decoder identity via native to_xml/from_xml. */
+  def cXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    Tables(spark, dir).documents
+      .select(to_xml(struct(col("doc_id").as("id"), col("source").as("name"))).as("x"))
+      .select(from_xml(col("x"), schema).as("v"))
+      .select(col("v.id").as("id"), col("v.name").as("name"))
+      .orderBy("id")
+  }
+
+  private val docSchema =
+    """{"type":"record","name":"Doc","fields":[
+      |{"name":"id","type":"long"},{"name":"text","type":"string"}]}""".stripMargin
+
+  /** Confluent Avro encode ∘ decode identity over the documents table
+    * (SchemaRegistryEncoder → SchemaRegistryDecoder ∘ GenericDecoder). */
+  def cAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val reg = new AvroSerde.InMemoryRegistry
+    Tables(spark, dir).documents
+      .select(AvroSerde.encodeConfluent(
+        struct(col("doc_id").as("id"), col("text")), reg, "docs", docSchema).as("b"))
+      .select(AvroSerde.decodeConfluent(col("b"), reg, docSchema).as("v"))
+      .select(col("v.id").as("id"), col("v.text").as("text"))
+      .orderBy("id")
+  }
+
+  /** JSON encode ∘ decode identity (serde.JsonEncoder ≙ to_json). */
+  def cJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType)))
+    Tables(spark, dir).documents
+      .select(to_json(struct(col("doc_id").as("id"), col("lang"))).as("j"))
+      .select(from_json(col("j"), schema).as("v"))
+      .select(col("v.id").as("id"), col("v.lang").as("lang"))
+      .orderBy("id")
+  }
+
+  /** Scalar function surface: date/math/string functions (§2.7 — all
+    * native, codegen'd; dtypes aligned with the oracle's bigint
+    * defaults). */
+  def q18ScalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(col("o_orderkey") <= 400)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+        round(sqrt(col("o_totalprice")), 4).as("sq"),
+        round(log(col("o_totalprice")), 4).as("lg"),
+        round(abs(col("o_totalprice") - 100000.5), 4).as("ab"),
+        ceil(col("o_totalprice")).as("cl"),
+        floor(col("o_totalprice")).as("fl"),
+        upper(substring(col("o_orderpriority"), 1, 4)).as("up"),
+        regexp_replace(col("o_orderstatus"), "O", "X").as("rp"),
+        lpad(col("o_orderkey").cast(StringType), 8, "0").as("pad"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("cw"))
+      .orderBy("o_orderkey")
+
+  /** As-of join: each click event matched to the latest view event of
+    * the same user at or before its timestamp. */
+  def q19Asof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_event_id"))
+    AsOfJoin.backward(clicks, views, key = "user_id",
+        leftTime = "ts", rightTime = "view_ts",
+        rightPayload = Seq("view_event_id"))
+      .select("event_id", "user_id", "view_event_id")
+      .orderBy("event_id")
+  }
+}

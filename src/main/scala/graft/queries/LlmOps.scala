@@ -15,7 +15,7 @@ object LlmOps {
   /** Token counting (whitespace tokenizer). */
   def tTokens(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
-      .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
   /** Quality scoring: alphabetic density, punctuation noise, length. */
@@ -23,7 +23,7 @@ object LlmOps {
     Tables(spark, dir).documents
       .select(col("doc_id"),
         Text.alphaRatio(col("text")).as("alpha_ratio"),
-        Text.punctCount(col("text")).as("n_punct"),
+        Text.punctCount(col("text")).cast("long").as("n_punct"),
         Text.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 

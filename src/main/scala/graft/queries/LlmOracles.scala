@@ -117,7 +117,7 @@ object LlmOracles {
          |  SELECT doc_id, s, band, (s >> (band * 8)) & 255 AS byte
          |  FROM sig CROSS JOIN range(4) r(band))
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  bit_count(xor(a.s, b.s)) AS hamming
+         |  bit_count(xor(a.s, b.s))::int AS hamming
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.s, b.s)) <= 6

@@ -100,7 +100,7 @@ object Relational {
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal").desc, col("c_custkey"))
     Tables(spark, dir).customer
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .select("c_nationkey", "rnk", "c_custkey", "c_name", "c_acctbal")
       .orderBy("c_nationkey", "rnk")
