@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Structured-Streaming surface (SURVEY §7.2-M4): the reference's
+  * unbounded semantics — `TriggerEvery` ≙ `Trigger.ProcessingTime`,
+  * `TriggerEach` ≙ per-batch fold emission, `Limit` on unbounded ≙
+  * `Trigger.AvailableNow` bounding, `Stamp.Unix` ≙ event-time column +
+  * watermark — plus the windows/late-data handling the reference lacks
+  * (`README.md:70-88` planned items; Spark native).
+  *
+  * Scale: all stateful ops below are keyed state in the state store —
+  * per-key state is O(1) and partitioned by the grouping key, so state
+  * scales horizontally with executors; watermarks bound state size.
+  */
+object Streams {
+
+  /** Event-time tumbling window aggregation with watermark-based
+    * late-data expiry. */
+  def tumblingCounts(df: DataFrame, tsCol: String, width: String,
+                     watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Sliding window counts. */
+  def slidingCounts(df: DataFrame, tsCol: String, width: String, slide: String,
+                    watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Native session windows (gap-based). */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String, gap: String,
+                    watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("session_window.start").as("session_start"), col("n"))
+
+  /** Custom keyed state — the `mapGroupsWithState` path for state Spark's
+    * native windows can't express (running per-key accumulator with
+    * goconnect fold semantics: emit the running value on every trigger,
+    * ref `context.go:344-369`). */
+  def runningSumPerKey(ds: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (key: String, values: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val acc = state.getOption.getOrElse(0L) + values.map(_._2).sum
+          state.update(acc)
+          (key, acc)
+      }
+  }
+
+  /** Run an unbounded flow to completion of available data
+    * (≙ `.Limit` semantics: "makes any pipeline bounded",
+    * `def.go:88-91`): AvailableNow processes everything queued then
+    * stops — the streaming twin of a bounded run. */
+  def runAvailableNow(df: DataFrame, outputMode: OutputMode = OutputMode.Append())
+                     (onBatch: DataFrame => Unit): Unit = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) => { onBatch(batch.toDF()); () })
+      .start()
+    q.awaitTermination()
+  }
+
+  /** goconnect `TriggerEach(n)` sink-flush semantics on a stream
+    * (`README.md:32,97`): flush downstream every n elements, regardless
+    * of micro-batch boundaries. Implemented as foreachBatch bookkeeping:
+    * rows accumulate in a pending buffer flushed in n-sized chunks
+    * (SURVEY §7.3 "TriggerEach — foreachBatch bookkeeping"). */
+  final class CountTriggeredFlush(n: Int, flush: Seq[org.apache.spark.sql.Row] => Unit)
+    extends Serializable {
+    private val pending = ArrayBuffer.empty[org.apache.spark.sql.Row]
+    def onBatch(batch: DataFrame): Unit = {
+      pending ++= batch.collect()
+      while (pending.size >= n) {
+        flush(pending.take(n).toSeq)
+        pending.remove(0, n)
+      }
+    }
+    /** End-of-stream flush (bounded-input contract: remaining rows flush
+      * once at termination, ref `context.go:305-310`). */
+    def close(): Unit = { if (pending.nonEmpty) flush(pending.toSeq); pending.clear() }
+  }
+
+  /** `TriggerEvery(d)` ≙ `Trigger.ProcessingTime(d)` on any streaming
+    * write (ref `def.go:84-87`). */
+  def triggerEvery(df: DataFrame, interval: String, outputMode: OutputMode)
+                  (onBatch: DataFrame => Unit): StreamingQuery =
+    df.writeStream
+      .outputMode(outputMode)
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) => { onBatch(batch.toDF()); () })
+      .start()
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming semantics (SURVEY §7.2-M4): the reference's unbounded
+  * contracts on Structured Streaming + the windows/watermarks it lacks.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("unbounded source runs bounded via AvailableNow (≙ .Limit bounding, README.md:92)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Int]
+    mem.addData(1 to 100: _*)
+    val out = ArrayBuffer.empty[Long]
+    Streams.runAvailableNow(mem.toDF().agg(sum("value").as("s")),
+      OutputMode.Complete()) { b => out ++= b.collect().map(_.getLong(0)) }
+    assert(out.last == 5050)
+  }
+
+  test("event-time tumbling window with watermark drops late data (beyond-reference M4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val win = Streams.tumblingCounts(mem.toDF().toDF("ts", "v"), "ts", "10 minutes", "5 minutes")
+    val collected = ArrayBuffer.empty[(Timestamp, Long)]
+    val q = win.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { collected ++= b.collect().map(r => (r.getTimestamp(0), r.getLong(1))); () })
+      .start()
+    mem.addData((ts(1), "a"), (ts(4), "b"), (ts(12), "c"))
+    q.processAllAvailable()
+    mem.addData((ts(40), "d"))  // advances watermark to 10:35 → closes 10:00 & 10:10 windows
+    q.processAllAvailable()
+    mem.addData((ts(2), "late")) // behind watermark → dropped
+    q.processAllAvailable()
+    mem.addData((ts(59), "e"))   // closes the 10:40 window
+    q.processAllAvailable()
+    q.stop()
+    val byWindow = collected.toMap
+    assert(byWindow(ts(0)) == 2)   // 10:00 window: a,b — late arrival NOT counted
+    assert(byWindow(ts(10)) == 1)  // 10:10 window: c
+    assert(byWindow(ts(40)) == 1)  // 10:40 window: d
+  }
+
+  test("native session windows close after gap (beyond-reference M4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sess = Streams.sessionCounts(mem.toDF().toDF("ts", "k"), "ts", "k",
+      gap = "5 minutes", watermark = "0 seconds")
+    val collected = ArrayBuffer.empty[(String, Timestamp, Long)]
+    val q = sess.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { collected ++= b.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))); () })
+      .start()
+    mem.addData((ts(1), "u1"), (ts(3), "u1"), (ts(2), "u2"))
+    q.processAllAvailable()
+    mem.addData((ts(30), "u1")) // gap > 5min → earlier sessions close
+    q.processAllAvailable()
+    mem.addData((ts(59), "u1"))
+    q.processAllAvailable()
+    q.stop()
+    assert(collected.contains(("u1", ts(1), 2L)))  // u1 session 10:01-10:03, 2 events
+    assert(collected.contains(("u2", ts(2), 1L)))
+    assert(collected.contains(("u1", ts(30), 1L)))
+  }
+
+  test("mapGroupsWithState running fold emits per trigger (≙ fold TriggerEvery, context.go:344-369)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val folded = Streams.runningSumPerKey(mem.toDS())
+    val collected = ArrayBuffer.empty[(String, Long)]
+    val q = folded.writeStream.outputMode("update")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+        { collected ++= b.collect(); () })
+      .start()
+    mem.addData(("a", 1L), ("a", 2L), ("b", 10L))
+    q.processAllAvailable()
+    mem.addData(("a", 4L))
+    q.processAllAvailable()
+    q.stop()
+    // running accumulator visible at each trigger: a→3 then a→7
+    assert(collected.toSeq.filter(_._1 == "a") == Seq(("a", 3L), ("a", 7L)))
+    assert(collected.contains(("b", 10L)))
+  }
+
+  test("TriggerEach(n) flush cadence with end-of-stream flush (README.md:96-97)") {
+    val flushes = ArrayBuffer.empty[Int]
+    val t = new Streams.CountTriggeredFlush(3, rows => flushes += rows.size)
+    val df1 = (1 to 4).toDF("v")
+    val df2 = (5 to 7).toDF("v")
+    t.onBatch(df1)   // 4 pending → one flush of 3, 1 left
+    t.onBatch(df2)   // 4 pending → one flush of 3, 1 left
+    t.close()        // final flush of 1
+    assert(flushes.toSeq == Seq(3, 3, 1))
+  }
+
+  test("streaming KafkaLikeSource keeps the KVM column contract on an unbounded root") {
+    import graft.core._
+    val src = KafkaLikeSource(RateSource(100))
+    val df = src.read(spark)
+    assert(df.isStreaming)
+    val vt = df.schema("value").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(vt.fieldNames.toSeq == Seq("key", "value", "headers"))
+  }
+}
