@@ -50,13 +50,18 @@ final case class Flow(spark: SparkSession, df: DataFrame,
   def filter(pred: Column => Column): Flow = copy(df = df.filter(pred(col("value"))))
 
   /** 1→N flatMap (ref `UserFlatMapFn`, `fn.go:195-236`): `f` returns an
-    * array column; elements explode in order. `uniq` is re-derived so
-    * output order (parent uniq, position) matches the reference's
-    * order-preserving fan-out (`processor.go:203-270`). */
+    * array column; elements explode in order. The new `uniq` is the
+    * STRUCT (parent uniq, position) — structs sort lexicographically, so
+    * every order-sensitive downstream op keeps the reference's
+    * order-preserving fan-out (`processor.go:203-270`) without any
+    * arithmetic encoding that could overflow 64-bit ids (stamped ids put
+    * the partition id in the high bits). Nested flatMaps nest structs;
+    * the total order still holds. */
   def flatMap(f: Column => Column): Flow = {
     val exploded = df
       .select(posexplode(f(col("value"))).as(Seq("pos", "value")), col("uniq"))
-      .select(col("value"), (col("uniq") * 1000000 + col("pos")).as("uniq"))
+      .select(col("value"),
+        struct(col("uniq").as("major"), col("pos").as("minor")).as("uniq"))
     copy(df = Source.stamp(exploded))
   }
 
@@ -89,15 +94,39 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     * a total order; for pure final-value folds use [[foldFinal]] which is
     * a fully parallel partial aggregate. */
   def foldTriggered(triggerEach: Long)(acc: Column => Column): Flow = {
-    val w = Window.orderBy("uniq").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = count(lit(1)).over(Window.orderBy("uniq")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val total = df.count()
-    val emitted = df
+    // Two-phase distributed prefix aggregation (NOT a single-partition
+    // global window): range-partition by uniq (parallel sort), compute
+    // per-partition running values, then shift each partition by the
+    // total of its predecessors (a P-row driver-side prefix — P is the
+    // partition count, never the data size). Requires an associative,
+    // "+"-combinable accumulator (sum/count — the reference's folds).
+    val parts = df.repartitionByRange(col("uniq"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy("uniq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts
       .withColumn("__acc", acc(col("value")).over(w))
-      .withColumn("__n", n)
+      .withColumn("__rn", count(lit(1)).over(w))
+    val stats = parts.groupBy("__pid")
+      .agg(count(lit(1)).as("cnt"), acc(col("value")).as("tot"))
+      .orderBy("__pid").collect()
+    var rowOff = 0L
+    var accOff = 0.0
+    val offsets = stats.map { r =>
+      val o = (r.getInt(0), rowOff, accOff)
+      rowOff += r.getLong(1)
+      accOff += Option(r.get(2)).map(_.toString.toDouble).getOrElse(0.0)
+      o
+    }.toSeq
+    val total = rowOff
+    val offDf = spark.createDataFrame(offsets.map(o => (o._1, o._2, o._3)))
+      .toDF("__pid", "__rowOff", "__accOff")
+    val accType = local.schema("__acc").dataType
+    val emitted = local.join(broadcast(offDf), "__pid")
+      .withColumn("__n", col("__rn") + col("__rowOff"))
       .filter(col("__n") % triggerEach === 0 || col("__n") === total)
-      .select(col("__acc").as("value"), col("__n").as("uniq"))
+      .select((col("__acc") + col("__accOff")).cast(accType).as("value"),
+        col("__n").as("uniq"))
     copy(df = Source.stamp(emitted))
   }
 

@@ -130,7 +130,8 @@ object Dedup {
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist. Scale note:
     * all-pairs hamming is quadratic; production path is banding the
     * 32-bit signature into 4 bytes and bucket-joining on each byte
-    * (Manku et al., WWW'07) — provided here as bandedHamming. */
+    * (Manku et al., WWW'07) — see simhashBandedPairs, which is complete
+    * only for maxDist < 4 (pigeonhole over 4 bands). */
   def simhashPairs(sig: DataFrame, maxDist: Int): DataFrame =
     sig.as("a").join(sig.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -138,9 +139,12 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
 
   /** Scale path for simhash pair generation: byte-band the signature; a
-    * pair within hamming ≤ 3 of a 32-bit hash must agree on ≥1 of 4
-    * bytes (pigeonhole) — bucket-join per byte, then verify. */
+    * pair within hamming ≤ maxDist < 4 of a 32-bit hash must agree on
+    * ≥1 of the 4 bytes (pigeonhole: 3 diffs cannot touch 4 bands) —
+    * bucket-join per byte, then verify. Requires maxDist ≤ 3 for
+    * completeness. */
   def simhashBandedPairs(sig: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist < 4, "byte-banding a 32-bit simhash is complete only for maxDist < 4")
     val banded = sig.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

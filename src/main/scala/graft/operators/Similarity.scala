@@ -10,8 +10,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two vector columns (double accumulation, index
-    * order — bit-identical to the oracle's sequential sum). */
-  def dot(a: Column, b: Column): Column =
+    * order — bit-identical to the oracle's sequential sum). Uses the
+    * codegen'd [[graft.expressions.DotProduct]] native expression;
+    * registration is idempotent and works on any session. */
+  def dot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.expressions.GraftFunctions.register)
+    call_function("graft_dot", a, b)
+  }
+
+  /** The higher-order-function formulation (same math; interpreted
+    * lambda per element) — kept for comparison and as the fallback when
+    * no function registry is writable. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 

@@ -61,9 +61,9 @@ object LlmOps {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
-  /** SimHash near-dup pairs via byte-banding, hamming ≤ 6. */
+  /** SimHash near-dup pairs via byte-banding, hamming ≤ 3 (banding-complete). */
   def dSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashBandedPairs(Dedup.simhash(Tables(spark, dir).documents), maxDist = 6)
+    Dedup.simhashBandedPairs(Dedup.simhash(Tables(spark, dir).documents), maxDist = 3)
       .orderBy("id_a", "id_b")
 
   /** Embedding-cosine near-dup pairs (blocked by cell, ≥ 0.45). */

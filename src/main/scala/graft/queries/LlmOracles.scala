@@ -120,7 +120,7 @@ object LlmOracles {
          |  bit_count(xor(a.s, b.s))::int AS hamming
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.s, b.s)) <= 6
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "d_embed_neardup" ->

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Operator-level edge cases on crafted fixtures (complement to the
+  * sf0.01 oracle gate, which covers the happy path at table scale).
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asof backward: picks latest at-or-before, inclusive ties, inner drops unmatched") {
+    val left = Seq(
+      (1L, "k1", t("2024-01-01 10:00:00")),  // after both rights → r2
+      (2L, "k1", t("2024-01-01 09:00:00")),  // exactly at r2 → inclusive
+      (3L, "k1", t("2024-01-01 07:00:00")),  // before all rights → dropped
+      (4L, "k2", t("2024-01-01 10:00:00"))   // no k2 rights → dropped
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      ("k1", t("2024-01-01 08:00:00"), 100L),
+      ("k1", t("2024-01-01 09:00:00"), 200L)
+    ).toDF("k", "rts", "payload")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("payload"))
+      .select("id", "payload").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 200L, 2L -> 200L))
+  }
+
+  test("asof backward outer keeps unmatched lefts with null payload") {
+    val left = Seq((1L, "k", t("2024-01-01 07:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(("k", t("2024-01-01 08:00:00"), 5L)).toDF("k", "rts", "p")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("p"), inner = false)
+    assert(out.count() == 1 && out.filter(col("p").isNull).count() == 1)
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val docs = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "different doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("ngram jaccard finds the overlapping pair only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),   // shares most 3-grams with 1
+      (3L, "q w e r t y u i")    // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH catches near-identical docs and skips disjoint ones") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and once"),
+      (3L, "completely unrelated content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs get identical signatures; disjoint docs differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "zzz yyy xxx www")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("banded simhash pairs equals all-pairs result (pigeonhole completeness)") {
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) s"shared common text block number ${i / 10}"
+          else s"unique content item $i with extra words")).toDF("doc_id", "text")
+    val sig = Dedup.simhash(docs)
+    val banded = Dedup.simhashBandedPairs(sig, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = Dedup.simhashPairs(sig, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("cosine is 1 for parallel vectors, 0 for orthogonal") {
+    val df = Seq(
+      (Array(1f, 0f), Array(2f, 0f)),
+      (Array(1f, 0f), Array(0f, 3f))
+    ).toDF("a", "b")
+    val cs = df.select(round(Similarity.cosine(col("a"), col("b")), 6).as("c"))
+      .as[Double].collect().toSeq
+    assert(cs == Seq(1.0, 0.0))
+  }
+
+  test("brute-force topk returns k best, excludes self, deterministic tie-break") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(1f, 0.02f)),
+      (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 2)
+      .select("rnk", "cand_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("ivf probes only the query's cell") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0.1f), 0),
+      (2L, Array(1f, 0.001f), 1)  // closer, but different cell → invisible
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(vecs.filter(col("vec_id") === 0), vecs, k = 5)
+      .select("cand_id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+}
