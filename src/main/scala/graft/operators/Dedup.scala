@@ -40,7 +40,10 @@ object Dedup {
     * (drop shingles appearing in >X% of docs, standard practice). */
   def ngramJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val s = shingleSet(docs, textCol, idCol, n)
+    // persist: the shingle set feeds three plan branches (sizes + both
+    // sides of the self-join); without it Catalyst recomputes the
+    // tokenize/shingle lineage per branch.
+    val s = shingleSet(docs, textCol, idCol, n).persist()
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -59,11 +62,21 @@ object Dedup {
     * deterministic and engine-portable (same hex string min in the
     * oracle). */
   def minhashSignatures(docs: DataFrame, perms: Int, n: Int = 3,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val s = shingleSet(docs, textCol, idCol, n)
-    val mins = (0 until perms).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"h$i"))
-    s.groupBy("id").agg(mins.head, mins.tail: _*)
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    signaturesFrom(shingleSet(docs, textCol, idCol, n), perms)
+
+  /** Signatures from a (id, sh) long-form shingle set. The `perms`
+    * md5 hashes are computed once per DISTINCT shingle (the shingle
+    * vocabulary is far smaller than the occurrence list — natural-text
+    * trigrams repeat heavily), then joined back — at 100 TB this turns
+    * the dominant hash cost from O(occurrences × perms) into
+    * O(vocabulary × perms). */
+  private def signaturesFrom(s: DataFrame, perms: Int): DataFrame = {
+    val vocab = s.select("sh").distinct()
+      .select(col("sh") +: (0 until perms).map(i =>
+        md5(concat(lit(s"$i|"), col("sh"))).as(s"x$i")): _*)
+    val mins = (0 until perms).map(i => min(col(s"x$i")).as(s"h$i"))
+    s.join(vocab, "sh").groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH near-dup candidates, verified by exact Jaccard.
@@ -79,19 +92,24 @@ object Dedup {
                  n: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    val sig = minhashSignatures(docs, perms, n, textCol, idCol)
+    // one persisted shingle set feeds signatures AND the jaccard verify
+    val s = shingleSet(docs, textCol, idCol, n).persist()
+    val sig = signaturesFrom(s, perms)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("sig"))
     }
+    // persist: the banded signatures are both sides of the bucket
+    // self-join — without this the whole shingle→vocab→min-agg lineage
+    // runs twice.
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // verify candidates with exact jaccard (join back to shingle sets)
-    val s = shingleSet(docs, textCol, idCol, n)
+    // verify candidates with exact jaccard (reusing the persisted set)
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(s.as("sa"), col("id_a") === col("sa.id"))
