@@ -57,6 +57,9 @@ object SparkEntry {
     "c_json_roundtrip"  -> (CoderQueries.cJsonRoundtrip _),
     "q18_scalar_funcs"  -> (CoderQueries.q18ScalarFuncs _),
     "q19_asof"          -> (CoderQueries.q19Asof _),
+    "q20_outer_join"    -> (Relational.q20OuterJoin _),
+    "q21_cube"          -> (Relational.q21Cube _),
+    "q22_sliding_window" -> (Relational.q22SlidingWindow _),
   )
 
   private val coderOracles: Map[String, String] = Map(
@@ -94,6 +97,30 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q20_outer_join" ->
+      """WITH heavy AS (
+        |  SELECT l_orderkey AS hk, count(*) AS n_heavy FROM lineitem
+        |  WHERE l_quantity > 45 GROUP BY l_orderkey)
+        |SELECT coalesce(o_orderkey, hk) AS k,
+        |  coalesce(n_heavy, 0) AS n_heavy,
+        |  o_totalprice IS NULL AS no_order
+        |FROM (SELECT * FROM orders WHERE o_orderkey <= 2000) o
+        |FULL OUTER JOIN heavy ON o_orderkey = hk
+        |WHERE coalesce(o_orderkey, hk) <= 3000
+        |ORDER BY k""".stripMargin,
+    "q21_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q22_sliding_window" ->
+      """SELECT window_start, event_type, count(*) AS n FROM (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+        |         event_type
+        |  FROM events)
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = LlmOracles.sql ++ coderOracles ++ Map(

@@ -70,3 +70,24 @@ final case class KafkaLikeSink(path: String) extends Sink {
     Sink.Done(flow.spark.read.parquet(path).count())
   }
 }
+
+/** AMQP-publisher-shaped sink (ref `amqp09.Sink`,
+  * `io/amqp09/sink.go:30-115`): consumes `BINARY` bodies row-by-row via
+  * a ForeachWriter — the Spark-idiomatic shape for a
+  * confirm-per-message queue publisher. `publish` stands in for
+  * `channel.Publish`; per-row open/process/close mirrors the
+  * connection lifecycle. */
+final case class AmqpLikeSink(publish: Array[Byte] => Unit)
+  extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] with Sink {
+  override def inType: Option[DataType] = Some(org.apache.spark.sql.types.BinaryType)
+  override def open(partitionId: Long, epochId: Long): Boolean = true
+  override def process(row: org.apache.spark.sql.Row): Unit =
+    publish(row.getAs[Array[Byte]]("value"))
+  override def close(errorOrNull: Throwable): Unit = ()
+  def write(flow: Flow): Sink.Result =
+    if (flow.bounded) {
+      val n = flow.df.count()
+      flow.df.orderBy("uniq").collect().foreach(process)
+      Sink.Done(n)
+    } else Sink.Streaming(flow.df.writeStream.foreach(this).start())
+}

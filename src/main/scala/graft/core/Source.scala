@@ -125,3 +125,21 @@ final case class KafkaLikeSource(delegate: Source) extends Source {
       col("uniq"), col("ts"))
   }
 }
+
+/** AMQP-queue-shaped source (ref `amqp09.Source`,
+  * `io/amqp09/source.go:31-143`): emits raw `BINARY` message bodies with
+  * at-least-once semantics. The zero-egress image has no AMQP client —
+  * `delegate` stands in for the broker exactly as [[KafkaLikeSource]]
+  * does for Kafka; cumulative-ack/prefetch machinery
+  * (`source.go:96-143`) ≙ the streaming checkpoint + admission control.
+  * A real connector implements the same contract as a DataSource V2
+  * `SimpleDataSourceStreamReader` (SURVEY §2.1). */
+final case class AmqpLikeSource(delegate: Source) extends Source {
+  override def isBounded: Boolean = delegate.isBounded
+  def read(spark: SparkSession): DataFrame = {
+    val df = delegate.read(spark)
+    df.select(
+      encode(col("value").cast(StringType), "UTF-8").as("value"),
+      col("uniq"), col("ts"))
+  }
+}

@@ -219,4 +219,42 @@ object Relational {
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
       .agg(count(lit(1)).as("n_below"), round(sum("l_extendedprice"), 2).as("sum_price"))
   }
+
+  /** Outer joins (§2.7): orders LEFT-joined to heavy lineitems, plus a
+    * FULL-outer leg forcing nulls on both sides. Scale: both joins are
+    * key-equi shuffles; the pre-aggregated right side shrinks before
+    * joining. */
+  def q20OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val heavy = t.lineitem.filter(col("l_quantity") > 45)
+      .groupBy(col("l_orderkey").as("hk"))
+      .agg(count(lit(1)).as("n_heavy"))
+    t.orders.filter(col("o_orderkey") <= 2000)
+      .join(heavy, col("o_orderkey") === col("hk"), "full_outer")
+      .select(
+        coalesce(col("o_orderkey"), col("hk")).as("k"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+        col("o_totalprice").isNull.as("no_order"))
+      .filter(col("k") <= 3000)
+      .orderBy("k")
+  }
+
+  /** CUBE grouping sets (§2.7). */
+  def q21Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Sliding event-time windows (2h width, 1h slide) — Spark's native
+    * window() generator; same plan batch or streaming (§7.2-M4).
+    * Scale: each row expands to width/slide window instances, then a
+    * keyed partial agg — the canonical streaming-window plan. */
+  def q22SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** File-connector parity (ref `examples/localfs-subflow-localfs` and
+  * the `io/file` sources): list a directory, read contents/lines,
+  * transform, write — plus the AMQP-shaped source/sink stubs.
+  */
+class FilePipelineSpec extends SparkSpec {
+
+  private def tmpDirWithFiles(): String = {
+    val d = Files.createTempDirectory("graft-files")
+    Files.writeString(d.resolve("a.txt"), "line one\nline two\n")
+    Files.writeString(d.resolve("b.txt"), "line three\n")
+    d.toString
+  }
+
+  test("FileListSource emits one Url row per file (ref file.Source)") {
+    val dir = tmpDirWithFiles()
+    val sink = new MemorySink
+    Pipeline(spark).root(FileListSource(dir)).mergeOrdered().to(sink)
+    val names = sink.rows.map(_.getAs[org.apache.spark.sql.Row]("value").getAs[String]("name"))
+    assert(names.toSet == Set("a.txt", "b.txt"))
+    val protos = sink.rows.map(_.getAs[org.apache.spark.sql.Row]("value").getAs[String]("proto"))
+    assert(protos.forall(_ == "file"))
+  }
+
+  test("TextFileSource → map(upper) → ParquetSink (ref localfs-subflow-localfs)") {
+    val dir = tmpDirWithFiles()
+    val out = Files.createTempDirectory("graft-out").toString
+    val res = Pipeline(spark).root(TextFileSource(dir))
+      .map(StringType)(upper)
+      .to(ParquetSink(out))
+    assert(res == Sink.Done(3))
+    val lines = spark.read.parquet(out).select("value")
+      .collect().map(_.getString(0)).toSet
+    assert(lines == Set("LINE ONE", "LINE TWO", "LINE THREE"))
+  }
+
+  test("BinaryFileSource reads whole-file bytes (ref file.Reader ByteStream)") {
+    val dir = tmpDirWithFiles()
+    val sink = new MemorySink
+    Pipeline(spark).root(BinaryFileSource(dir))
+      .adapt(StringType)   // injected str.Decoder
+      .to(sink)
+    assert(sink.values.map(_.toString).toSet ==
+      Set("line one\nline two\n", "line three\n"))
+  }
+
+  test("AmqpLikeSource emits binary bodies; AmqpLikeSink publishes per row in order") {
+    val published = scala.collection.mutable.ArrayBuffer.empty[String]
+    val res = Pipeline(spark)
+      .root(AmqpLikeSource(ListSource(Seq("m1", "m2", "m3"))))
+      .to(AmqpLikeSink(b => published.synchronized { published += new String(b, "UTF-8") }))
+    assert(res == Sink.Done(3))
+    assert(published.toSeq == Seq("m1", "m2", "m3"))
+  }
+
+  test("string flow auto-adapts into AmqpLikeSink via coder injection") {
+    val published = scala.collection.mutable.ArrayBuffer.empty[String]
+    Pipeline(spark).root(ListSource(Seq("x")))
+      .to(AmqpLikeSink(b => published.synchronized { published += new String(b, "UTF-8") }))
+    assert(published.toSeq == Seq("x"))
+  }
+}

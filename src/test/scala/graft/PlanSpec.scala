@@ -1,0 +1,60 @@
+package graft
+
+/** Plan-quality gate: the corpus must produce the plans a 100 TB run
+  * needs — filters and projections pushed into the parquet scan,
+  * dimension joins broadcast, top-k as TakeOrdered, and no accidental
+  * cartesian products anywhere.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q2 filter and projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"))
+    // pruned read schema: only the 6 needed columns, not all 11
+    assert(!p.contains("l_returnflag"))
+  }
+
+  test("q3/q4 dimension joins are broadcast, not shuffle") {
+    assert(plan("q3_join_broadcast").contains("BroadcastHashJoin"))
+    val p4 = plan("q4_join_chain")
+    assert(p4.contains("BroadcastHashJoin"))
+  }
+
+  test("q5 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q5_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1 aggregation is partial+final (map-side combine)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("no accidental CartesianProduct in the whole corpus") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline of q2") {
+    // AQE hides codegen spans until execution: run the query, then
+    // inspect the final adaptive plan for WholeStageCodegen operators.
+    val df = SparkEntry.queries("q2_filter_project")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // QueryStageExec wraps materialized stages, so walk the rendered
+    // tree: "*(n)" prefixes mark WholeStageCodegen spans.
+    val rendered = finalPlan.toString
+    assert(rendered.contains("*("), s"no WholeStageCodegen span in:\n$rendered")
+  }
+}
