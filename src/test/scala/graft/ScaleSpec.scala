@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Sketches, SkewJoin}
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern specs: bucketed co-located joins (zero-shuffle), salted
+  * skew joins (equal results), sketches (bounded error).
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without any shuffle exchange (co-located join)") {
+    spark.sql("DROP TABLE IF EXISTS bleft")
+    spark.sql("DROP TABLE IF EXISTS bright")
+    (1 to 10000).map(i => (i.toLong % 500, s"l$i")).toDF("k", "lv")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("bleft")
+    (1 to 10000).map(i => (i.toLong % 500, i * 2)).toDF("k", "rv")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("bright")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bleft").join(spark.table("bright"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 10000L * 20)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted skew join equals the plain join result on a hot-key distribution") {
+    // 90% of probe rows share one key — the classic skew shape
+    val probe = (1 to 5000).map(i =>
+      (if (i % 10 != 0) 1L else (i % 97).toLong, s"p$i")).toDF("k", "pv")
+    val build = (0L until 97L).map(k => (k, s"b$k")).toDF("k", "bv")
+    val plain = probe.join(build, "k").select("pv", "bv")
+      .as[(String, String)].collect().toSet
+    val salted = SkewJoin.saltedInner(probe, build, "k", salts = 8)
+      .select("pv", "bv").as[(String, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("HLL distinct count within rsd bound of exact") {
+    val df = (1 to 50000).map(i => i % 7321).toDF("v")
+    val exact = df.select(countDistinct("v")).as[Long].head()
+    val approx = Sketches.approxDistinct(df, "v", rsd = 0.02)
+      .as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.06)
+  }
+
+  test("approx percentiles bracket the exact median") {
+    val df = (1 to 10001).map(_.toDouble).toDF("v")
+    val ps = Sketches.approxPercentiles(df, "v", Seq(0.25, 0.5, 0.75))
+      .as[Seq[Double]].head()
+    assert(math.abs(ps(1) - 5001.0) < 50)
+    assert(ps(0) < ps(1) && ps(1) < ps(2))
+  }
+
+  test("frequent items finds the heavy hitter") {
+    val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"cold$i")).toDF("v")
+    val freq = Sketches.frequentItems(df, Seq("v"), support = 0.4)
+      .as[Seq[String]].head()
+    assert(freq.contains("hot"))
+  }
+}
