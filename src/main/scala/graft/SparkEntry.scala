@@ -60,6 +60,7 @@ object SparkEntry {
     "q20_outer_join"    -> (Relational.q20OuterJoin _),
     "q21_cube"          -> (Relational.q21Cube _),
     "q22_sliding_window" -> (Relational.q22SlidingWindow _),
+    "q23_stats"         -> (Relational.q23Stats _),
   )
 
   private val coderOracles: Map[String, String] = Map(
@@ -121,6 +122,14 @@ object SparkEntry {
         |  FROM events)
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    "q23_stats" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = LlmOracles.sql ++ coderOracles ++ Map(

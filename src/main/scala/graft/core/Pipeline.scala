@@ -107,21 +107,17 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     val local = parts
       .withColumn("__acc", acc(col("value")).over(w))
       .withColumn("__rn", count(lit(1)).over(w))
-    val stats = parts.groupBy("__pid")
-      .agg(count(lit(1)).as("cnt"), acc(col("value")).as("tot"))
-      .orderBy("__pid").collect()
-    var rowOff = 0L
-    var accOff = 0.0
-    val offsets = stats.map { r =>
-      val o = (r.getInt(0), rowOff, accOff)
-      rowOff += r.getLong(1)
-      accOff += Option(r.get(2)).map(_.toString.toDouble).getOrElse(0.0)
-      o
-    }.toSeq
-    val total = rowOff
-    val offDf = spark.createDataFrame(offsets.map(o => (o._1, o._2, o._3)))
-      .toDF("__pid", "__rowOff", "__accOff")
     val accType = local.schema("__acc").dataType
+    // per-partition totals → exclusive prefix offsets, computed in the
+    // accumulator's own type (a window over P rows — P = partition
+    // count, never data size — so the single-partition sort is trivial)
+    val stats = parts.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"), acc(col("value")).as("__tot"))
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = stats.select(col("__pid"),
+      coalesce(sum("__cnt").over(wOff), lit(0L)).as("__rowOff"),
+      coalesce(sum("__tot").over(wOff), lit(0).cast(accType)).cast(accType).as("__accOff"))
+    val total = parts.count()
     val emitted = local.join(broadcast(offDf), "__pid")
       .withColumn("__n", col("__rn") + col("__rowOff"))
       .filter(col("__n") % triggerEach === 0 || col("__n") === total)

@@ -257,4 +257,20 @@ object Relational {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+
+  /** Exact ordered-set statistics (§2.7): percentiles (interpolated),
+    * stddev, correlation per group. Scale: percentile is the one
+    * genuinely sort-heavy agg here — at 100 TB switch to
+    * percentile_approx (operators.Sketches) and keep this exact form
+    * for validation samples. */
+  def q23Stats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
+      .orderBy("l_returnflag")
 }

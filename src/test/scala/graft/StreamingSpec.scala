@@ -111,4 +111,38 @@ class StreamingSpec extends SparkSpec {
     val vt = df.schema("value").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(vt.fieldNames.toSeq == Seq("key", "value", "headers"))
   }
+
+  /** The core goconnect thesis (README.md:29): the same declarative
+    * plan runs bounded or unbounded. Here the driver's events table is
+    * replayed as a file STREAM and the windowed aggregation must equal
+    * the batch run of q11_tumbling_window. */
+  test("batch/stream parity: streaming tumbling agg over events == batch result") {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file stream sources consume directories: stage the table file
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val got = ArrayBuffer.empty[(Timestamp, String, Long)]
+    Streams.runAvailableNow(streamed.toDF(), OutputMode.Complete()) { b =>
+      got.clear()
+      got ++= b.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    }
+    val expected = graft.core.Tables(spark, "/root/testdata/sf0.001").events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == expected.toSet)
+    assert(got.nonEmpty)
+  }
 }
