@@ -61,6 +61,8 @@ object SparkEntry {
     "q21_cube"          -> (Relational.q21Cube _),
     "q22_sliding_window" -> (Relational.q22SlidingWindow _),
     "q23_stats"         -> (Relational.q23Stats _),
+    "q24_string_agg"    -> (Relational.q24StringAgg _),
+    "q25_pivot"         -> (Relational.q25Pivot _),
   )
 
   private val coderOracles: Map[String, String] = Map(
@@ -130,6 +132,17 @@ object SparkEntry {
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q24_string_agg" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+        |  count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q25_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 
   def oracleSql: Map[String, String] = LlmOracles.sql ++ coderOracles ++ Map(

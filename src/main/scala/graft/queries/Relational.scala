@@ -273,4 +273,24 @@ object Relational {
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
       .orderBy("l_returnflag")
+
+  /** Sorted collect/string aggregation (§2.7): deterministic list agg
+    * via sort_array(collect_set). Scale: collect_set state is bounded by
+    * per-group distinct cardinality — fine for enum-like columns, use
+    * sketches for unbounded ones. */
+  def q24StringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer
+      .groupBy("c_nationkey")
+      .agg(concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segs"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+
+  /** Pivot (§2.7): status columns per priority — compiles to a single
+    * conditional aggregate pass (no per-status scans). */
+  def q25Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .orderBy("o_orderpriority")
 }

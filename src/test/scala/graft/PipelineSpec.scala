@@ -129,4 +129,23 @@ class PipelineSpec extends SparkSpec {
       .to(sink)
     assert(sink.values == expected)
   }
+
+  test("user-defined coder extends the injection catalog (ref kafka-custom-avro-stdout)") {
+    import graft.coders.Coders
+    val versionedType = StructType(Seq(
+      StructField("version", IntegerType), StructField("payload", BinaryType)))
+    val enc = Coder("user.VersionedEncoder", BinaryType, versionedType)(c =>
+      struct(lit(1).as("version"), c.as("payload")))
+    val chain = (Coders.registry ++ Seq(enc)).chain(StringType, versionedType)
+    assert(chain.isDefined &&
+      chain.get.map(_.name) == List("str.Encoder", "user.VersionedEncoder"))
+    val sink = new MemorySink
+    Pipeline(spark).withCoders(enc)
+      .root(ListSource(Seq("x")))
+      .adapt(versionedType)
+      .to(sink)
+    val row = sink.rows.head.getAs[org.apache.spark.sql.Row]("value")
+    assert(row.getInt(0) == 1)
+    assert(new String(row.getAs[Array[Byte]](1), "UTF-8") == "x")
+  }
 }
