@@ -100,8 +100,11 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     // total of its predecessors (a P-row driver-side prefix — P is the
     // partition count, never the data size). Requires an associative,
     // "+"-combinable accumulator (sum/count — the reference's folds).
+    // persist: three consumers (running window, partition stats, total
+    // count) would otherwise each recompute the upstream lineage
     val parts = df.repartitionByRange(col("uniq"))
       .withColumn("__pid", spark_partition_id())
+      .persist()
     val w = Window.partitionBy("__pid").orderBy("uniq")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts

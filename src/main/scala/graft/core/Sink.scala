@@ -29,8 +29,16 @@ object Sink {
 /** ≙ `std.Out` (`io/std/out.go:29-60`): console printer. */
 final case class ConsoleSink(numRows: Int = 20) extends Sink {
   def write(flow: Flow): Sink.Result =
-    if (flow.bounded) { flow.df.show(numRows, truncate = false); Sink.Done(flow.df.count()) }
-    else Sink.Streaming(
+    if (flow.bounded) {
+      // single execution: take numRows+1 for display, count via agg job
+      // only when the preview is truncated
+      val preview = flow.df.limit(numRows + 1).collect()
+      flow.df.sparkSession.createDataFrame(
+        flow.df.sparkSession.sparkContext.parallelize(preview.take(numRows).toSeq),
+        flow.df.schema).show(numRows, truncate = false)
+      val n = if (preview.length <= numRows) preview.length.toLong else flow.df.count()
+      Sink.Done(n)
+    } else Sink.Streaming(
       flow.df.writeStream.format("console").start())
 }
 
