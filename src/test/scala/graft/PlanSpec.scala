@@ -57,4 +57,18 @@ class PlanSpec extends SparkSpec {
     val rendered = finalPlan.toString
     assert(rendered.contains("*("), s"no WholeStageCodegen span in:\n$rendered")
   }
+
+  test("partitioned parquet layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.core.Tables(spark, dir).events
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val q = spark.read.parquet(out).filter(col("event_type") === "click")
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("event_type"))
+    // the pruned scan must read only the one partition directory
+    val files = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("event_type=click")))
+  }
 }
