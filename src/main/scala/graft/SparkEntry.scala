@@ -48,6 +48,7 @@ object SparkEntry {
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "mm_meta"           -> (LlmOps.mmMeta _),
+    "mm_frames"         -> (LlmOps.mmFrames _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
     "c_gzip_roundtrip"  -> (CoderQueries.cGzipRoundtrip _),
     "c_kv_roundtrip"    -> (CoderQueries.cKvRoundtrip _),

@@ -58,9 +58,9 @@ object Dedup {
   }
 
   /** MinHash signature columns h0..h{perms-1}: h_i = min over shingles of
-    * md5(i || '|' || shingle). md5-as-permutation keeps the signature
-    * deterministic and engine-portable (same hex string min in the
-    * oracle). */
+    * the 60-bit prefix of md5(i || '|' || shingle). md5-as-permutation
+    * keeps the signature deterministic and engine-portable (the oracle
+    * computes the identical bigint). */
   def minhashSignatures(docs: DataFrame, perms: Int, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     signaturesFrom(shingleSet(docs, textCol, idCol, n), perms)
@@ -70,11 +70,17 @@ object Dedup {
     * vocabulary is far smaller than the occurrence list — natural-text
     * trigrams repeat heavily), then joined back — at 100 TB this turns
     * the dominant hash cost from O(occurrences × perms) into
-    * O(vocabulary × perms). */
+    * O(vocabulary × perms).
+    *
+    * Hash values are 60-bit bigints (15 hex chars of the md5 — positive,
+    * fits int64): min(long) aggregation state is 8 bytes/perm instead of
+    * a 32-char string, and numeric min over equal-width hex prefixes
+    * equals the lexicographic min the oracle computes. */
   private def signaturesFrom(s: DataFrame, perms: Int): DataFrame = {
     val vocab = s.select("sh").distinct()
       .select(col("sh") +: (0 until perms).map(i =>
-        md5(concat(lit(s"$i|"), col("sh"))).as(s"x$i")): _*)
+        conv(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 15), 16, 10)
+          .cast("long").as(s"x$i")): _*)
     val mins = (0 until perms).map(i => min(col(s"x$i")).as(s"h$i"))
     s.join(vocab, "sh").groupBy("id").agg(mins.head, mins.tail: _*)
   }
@@ -97,7 +103,8 @@ object Dedup {
     val sig = signaturesFrom(s, perms)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)).as("sig"))
+        md5(concat_ws("|", (0 until rows).map(r =>
+          col(s"h${b * rows + r}").cast("string")): _*)).as("sig"))
     }
     // persist: the banded signatures are both sides of the bucket
     // self-join — without this the whole shingle→vocab→min-agg lineage

@@ -111,4 +111,23 @@ object LlmOps {
         min("ts").as("session_start"), max("ts").as("session_end"))
       .orderBy("user_id", "session_id")
   }
+
+  /** Multimodal frame sampling: each blob expands to its n_frames
+    * deterministic frame signatures (stub decode; real explode-shaped
+    * plumbing — the video-pipeline batch shape). Scale: explode is a
+    * generator inside codegen; output is frames, never buffered per
+    * doc. */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    blobs
+      .select(col("doc_id"), md5(col("content")).as("cmd5"),
+        (col("doc_id") % 24 + 1).cast("int").as("n_frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("cmd5"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("cmd5"), lit(":"), col("frame_idx").cast("string"))).as("frame_sig"))
+      .orderBy("doc_id", "frame_idx")
+  }
 }

@@ -73,10 +73,11 @@ object LlmOracles {
     "d_minhash_lsh" ->
       s"""WITH $shingleCte,
          |h AS (
-         |  SELECT doc_id, i, min(md5(i::varchar || '|' || sh)) AS mh
+         |  SELECT doc_id, i,
+         |    min(('0x' || substr(md5(i::varchar || '|' || sh), 1, 15))::bigint) AS mh
          |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
          |sig AS (
-         |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bsig
+         |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh::varchar, '|' ORDER BY i)) AS bsig
          |  FROM h GROUP BY doc_id, i // 4),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -162,6 +163,13 @@ object LlmOracles {
         |  ((octet_length(encode(text)) * 7) % 480 + 1)::int AS height,
         |  (doc_id % 24 + 1)::int AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id, frame_idx::int AS frame_idx,
+        |  md5(md5(text) || ':' || frame_idx::varchar) AS frame_sig
+        |FROM (SELECT doc_id, text, unnest(range((doc_id % 24 + 1)::int)) AS frame_idx
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q17_sessionize" ->
       """WITH lagged AS (
