@@ -134,22 +134,23 @@ object Dedup {
     * 32-bit hash; each bit votes ±1 weighted by token frequency; the
     * signature sets bits with positive vote.
     *
-    * Scale: explode(tokens × 32 bits) looks wide but is a pure map +
-    * one keyed agg on (id, bit); at 100 TB prefer the fused form
-    * (aggregate() over the token array — same formula, zero explode) —
-    * both are provided; the exploded form is what the oracle mirrors. */
+    * Scale: the 32 bit-votes are 32 aggregate COLUMNS over the token
+    * stream (one keyed agg, no tokens×32 row explosion) — agg state is
+    * 32 longs per doc; the signature assembles from the votes in a
+    * single projection. The oracle computes the identical math in its
+    * exploded formulation. */
   def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(Text.tokens(col(textCol))).as("t"))
     val hashed = tok.select(col("id"),
       conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
-    val bits = hashed.select(col("id"), explode(sequence(lit(0), lit(31))).as("b"),
-        col("h"))
-      .groupBy("id", "b")
-      .agg(sum(expr("(shiftright(h, b) & 1) * 2 - 1")).as("vote"))
-    bits.groupBy("id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 until 32).map(b =>
+      sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"v$b"))
+    hashed.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxDist. Scale note:
