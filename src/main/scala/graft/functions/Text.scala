@@ -83,4 +83,59 @@ object Text {
         + (lit(1.0) - least(punctCount(c) / tokenCount(c), lit(1.0))) * 0.3
         + least(tokenCount(c) / lit(50.0), lit(1.0)) * 0.3,
       4)
+
+  /** Character-n-gram language profiles: score = fraction of the doc's
+    * char trigrams found in a per-language profile set (the classic
+    * Cavnar-Trenkle shape, profile lists kept small and inline).
+    * Complement to the stopword heuristic in [[langId]]. */
+  def charNgramScore(c: Column, profile: Seq[String]): Column = {
+    val grams = charTrigrams(c)
+    round(size(filter(grams, g => g.isin(profile.map(lit(_)): _*))) / size(grams), 4)
+  }
+
+  /** Distinct character trigrams of the normalized text. */
+  def charTrigrams(c: Column): Column = {
+    val t = normalize(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - 2, lit(1))),
+      i => t.substr(i, lit(3))))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    * rolling k-gram hashes, minimum per sliding window — the
+    * local-similarity fingerprint used for plagiarism/near-dup detection
+    * at passage granularity (vs the whole-doc [[fingerprint]]).
+    * UDF by necessity (stateful rolling loop); per-row cost is linear
+    * and partition-parallel. */
+  def winnow(c: Column, k: Int = 8, window: Int = 4): Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.length < k) Array.empty[Long]
+      else {
+        val n = s.length - k + 1
+        val hs = new Array[Long](n)
+        var h = 0L
+        val B = 257L
+        var pow = 1L
+        var i = 0
+        while (i < k - 1) { pow *= B; i += 1 }
+        i = 0
+        while (i < s.length) {
+          if (i < k) h = h * B + s.charAt(i)
+          else h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+          if (i >= k - 1) hs(i - k + 1) = h
+          i += 1
+        }
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var w = 0
+        while (w + window <= n) {
+          var m = hs(w); var j = 1
+          while (j < window) { if (hs(w + j) < m) m = hs(w + j); j += 1 }
+          out += m
+          w += 1
+        }
+        out.toArray.sorted
+      }
+    }
+    f(normalize(c))
+  }
 }

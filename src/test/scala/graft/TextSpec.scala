@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.Text
+import org.apache.spark.sql.functions._
+
+/** Text-analysis function contracts on crafted fixtures. */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount and subwordCount (BPE-ish regex segmentation)") {
+    val df = Seq("hello world", "camelCase99x  spaced").toDF("t")
+    val out = df.select(
+      Text.tokenCount(col("t")).as("w"),
+      Text.subwordCount(col("t")).as("sw")).as[(Int, Int)].collect().toSeq
+    assert(out.head == ((2, 2)))
+    // camelCase99x → camel|Case99|x boundaries + 'spaced' = 4 subwords, 2 words
+    assert(out(1)._1 == 2 && out(1)._2 > 2)
+  }
+
+  test("charTrigrams are distinct sliding 3-grams of the normalized text") {
+    val grams = Seq("a  B").toDF("t")
+      .select(Text.charTrigrams(col("t")).as("g")).as[Seq[String]].head()
+    assert(grams == Seq("a b"))   // normalized to "a b" → one trigram
+    val g2 = Seq("abcd").toDF("t")
+      .select(Text.charTrigrams(col("t")).as("g")).as[Seq[String]].head()
+    assert(g2 == Seq("abc", "bcd"))
+  }
+
+  test("charNgramScore is 1.0 when every trigram is in the profile, 0.0 when none") {
+    val df = Seq("abcd").toDF("t")
+    val hit = df.select(Text.charNgramScore(col("t"), Seq("abc", "bcd")).as("s"))
+      .as[Double].head()
+    val miss = df.select(Text.charNgramScore(col("t"), Seq("zzz")).as("s"))
+      .as[Double].head()
+    assert(hit == 1.0 && miss == 0.0)
+  }
+
+  test("winnowing fingerprints: identical text → identical prints; shared passage overlaps") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val variant = "INTRO TEXT " + base + " AND A DIFFERENT TAIL SECTION HERE"
+    val other = "completely different content with nothing in common at all whatsoever"
+    val df = Seq((1L, base), (2L, base), (3L, variant), (4L, other)).toDF("id", "t")
+      .select(col("id"), Text.winnow(col("t")).as("fp"))
+    val fps = df.as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) == fps(2L))
+    val overlap13 = fps(1L).toSet.intersect(fps(3L).toSet).size.toDouble / fps(1L).size
+    val overlap14 = fps(1L).toSet.intersect(fps(4L).toSet).size.toDouble / fps(1L).size
+    assert(overlap13 > 0.5, s"shared passage should overlap, got $overlap13")
+    assert(overlap14 < 0.1, s"unrelated docs should not overlap, got $overlap14")
+  }
+
+  test("winnow handles short and null inputs") {
+    val out = Seq(Some("ab"), None).toDF("t")
+      .select(Text.winnow(col("t")).as("fp")).as[Seq[Long]].collect().toSeq
+    assert(out.forall(_.isEmpty))
+  }
+}
