@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+
+/** A complete DataSource V2 connector (batch + micro-batch streaming)
+  * for deterministic synthetic records — the skeleton a production
+  * queue connector (the reference's `amqp09.Source`/`kafka1.Source`,
+  * SURVEY §2.1) drops its client code into:
+  *
+  *   - `TableProvider → Table → ScanBuilder → Batch` is the bounded
+  *     path: `planInputPartitions` splits the id range so every
+  *     executor reads its own slice (≙ consuming a partitioned topic).
+  *   - `MicroBatchStream` is the unbounded path: `latestOffset`
+  *     advances by `rowsPerBatch` per trigger (≙ broker poll), the
+  *     engine persists offsets in the checkpoint log, and `commit`
+  *     is the at-least-once source commit (≙ cumulative ack,
+  *     `io/amqp09/source.go:96-143`).
+  *
+  * Usage: `spark.read.format("graft.sources.RecordsDataSource")
+  * .option("rows", 1000).option("partitions", 8).load()` — and the
+  * same format string on `readStream`.
+  *
+  * Scale: partition count is the parallelism contract; readers are
+  * pure per-partition iterators with no driver involvement after
+  * planning.
+  */
+class RecordsDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RecordsDataSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new RecordsTable(properties.getOrDefault("rows", "100").toLong,
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsperbatch", "10").toLong)
+}
+
+object RecordsDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("body", BinaryType),
+    StructField("ts", TimestampType)))
+  /** Deterministic record payload for id i. */
+  def bodyFor(i: Long): Array[Byte] = s"record-$i".getBytes("UTF-8")
+  def tsFor(i: Long): Long = 1704067200000000L + i * 1000000L // 2024-01-01 + i sec, micros
+}
+
+private class RecordsTable(rows: Long, partitions: Int, rowsPerBatch: Long)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-records($rows)"
+  override def schema(): StructType = RecordsDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new RecordsScan(rows, partitions, rowsPerBatch)
+}
+
+private class RecordsScan(rows: Long, partitions: Int, rowsPerBatch: Long) extends Scan {
+  override def readSchema(): StructType = RecordsDataSource.schema
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val per = math.max(1L, (rows + partitions - 1) / partitions)
+      (0L until rows by per).map(s => RecordsRange(s, math.min(s + per, rows))
+        .asInstanceOf[InputPartition]).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory = new RecordsReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      private var polled = 0L
+      private var committed = 0L
+      override def latestOffset(): Offset = {
+        // broker-poll analogue: each poll surfaces up to rowsPerBatch
+        // new records; the cursor advances independently of commits
+        // (commits only bound replay on restart, like a consumer group)
+        polled = math.min(polled + rowsPerBatch, rows)
+        RecordsOffset(polled)
+      }
+      override def initialOffset(): Offset = RecordsOffset(0L)
+      override def deserializeOffset(json: String): Offset = RecordsOffset(json.toLong)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        Array(RecordsRange(start.asInstanceOf[RecordsOffset].pos,
+          end.asInstanceOf[RecordsOffset].pos))
+      override def createReaderFactory(): PartitionReaderFactory = new RecordsReaderFactory
+      override def commit(end: Offset): Unit = {
+        // at-least-once source commit ≙ cumulative ack
+        committed = math.max(committed, end.asInstanceOf[RecordsOffset].pos)
+      }
+      override def stop(): Unit = ()
+    }
+}
+
+private case class RecordsOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+private case class RecordsRange(start: Long, end: Long) extends InputPartition
+
+private class RecordsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val r = partition.asInstanceOf[RecordsRange]
+    new PartitionReader[InternalRow] {
+      private var i = r.start - 1
+      override def next(): Boolean = { i += 1; i < r.end }
+      override def get(): InternalRow =
+        InternalRow(i, RecordsDataSource.bodyFor(i), RecordsDataSource.tsFor(i))
+      override def close(): Unit = ()
+    }
+  }
+}

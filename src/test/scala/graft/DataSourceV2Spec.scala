@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The DataSource V2 connector skeleton: bounded scan partitioning and
+  * micro-batch streaming with offset commits (the production connector
+  * contract for the reference's queue sources).
+  */
+class DataSourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val fmt = "graft.sources.RecordsDataSource"
+
+  test("batch read: full range, split across partitions, deterministic bodies") {
+    val df = spark.read.format(fmt)
+      .option("rows", "1000").option("partitions", "8").load()
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 1000)
+    val r = df.filter(col("id") === 7)
+      .select(decode(col("body"), "UTF-8")).as[String].head()
+    assert(r == "record-7")
+    assert(df.select(countDistinct("id")).as[Long].head() == 1000)
+  }
+
+  test("micro-batch stream: consumes in rowsPerBatch chunks to completion") {
+    val df = spark.readStream.format(fmt)
+      .option("rows", "100").option("rowsperbatch", "30").load()
+    assert(df.isStreaming)
+    val seen = ArrayBuffer.empty[Long]
+    val batchSizes = ArrayBuffer.empty[Int]
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val ids = b.select("id").collect().map(_.getLong(0))
+        seen.synchronized { seen ++= ids; batchSizes += ids.length }
+        ()
+      })
+      .start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (seen.synchronized(seen.size) < 100 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+    }
+    q.stop()
+    assert(seen.sorted.toSeq == (0L until 100L))
+    // poll-sized batches: no batch exceeds rowsPerBatch
+    assert(batchSizes.forall(_ <= 30))
+  }
+}
