@@ -143,3 +143,22 @@ final case class AmqpLikeSource(delegate: Source) extends Source {
       col("uniq"), col("ts"))
   }
 }
+
+/** Pipeline root over any DataSource V2 format (e.g. the bundled
+  * [[graft.sources.RecordsDataSource]]): boundedness picks read vs
+  * readStream — the same format string serves both, which is exactly
+  * the reference's unified-boundedness contract (`README.md:29`). */
+final case class DataSourceV2Source(format: String, options: Map[String, String],
+                                    bounded: Boolean = true,
+                                    valueCol: String = "body",
+                                    tsCol: Option[String] = None) extends Source {
+  override def isBounded: Boolean = bounded
+  def read(spark: SparkSession): DataFrame = {
+    val reader =
+      if (bounded) options.foldLeft(spark.read.format(format)) { case (r, (k, v)) => r.option(k, v) }.load()
+      else options.foldLeft(spark.readStream.format(format)) { case (r, (k, v)) => r.option(k, v) }.load()
+    val base = reader.select(
+      (col(valueCol).as("value") +: tsCol.map(c => col(c).as("ts")).toSeq): _*)
+    Source.stamp(base)
+  }
+}

@@ -46,4 +46,16 @@ class DataSourceV2Spec extends SparkSpec {
     // poll-sized batches: no batch exceeds rowsPerBatch
     assert(batchSizes.forall(_ <= 30))
   }
+
+  test("DataSourceV2Source roots a pipeline (bounded) with coder injection to a sink") {
+    import graft.core._
+    val sink = new MemorySink
+    Pipeline(spark)
+      .root(DataSourceV2Source(fmt, Map("rows" -> "50", "partitions" -> "4")))
+      .adapt(org.apache.spark.sql.types.StringType)  // bytes → string via str.Decoder
+      .filter(v => v.endsWith("7"))
+      .mergeOrdered()
+      .to(sink)
+    assert(sink.values == Seq("record-7", "record-17", "record-27", "record-37", "record-47"))
+  }
 }
