@@ -64,6 +64,7 @@ object SparkEntry {
     "q23_stats"         -> (Relational.q23Stats _),
     "q24_string_agg"    -> (Relational.q24StringAgg _),
     "q25_pivot"         -> (Relational.q25Pivot _),
+    "q26_json_extract"  -> (LlmOps.q26JsonExtract _),
   )
 
   private val coderOracles: Map[String, String] = Map(

@@ -130,4 +130,17 @@ object LlmOps {
         md5(concat(col("cmd5"), lit(":"), col("frame_idx").cast("string"))).as("frame_sig"))
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Semi-structured JSON column processing (§2.7 / serde surface):
+    * extract + aggregate a JSON field from the events props column.
+    * Scale: get_json_object is a codegen'd path expression — no full
+    * JSON parse, no UDF. */
+  def q26JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
 }

@@ -171,6 +171,12 @@ object LlmOracles {
         |      FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    "q26_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(json_extract_string(props, '$.k')::int), 4) AS avg_k,
+        |  max(json_extract_string(props, '$.k')::int) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q17_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, ts,

@@ -66,4 +66,26 @@ class FilePipelineSpec extends SparkSpec {
       .to(AmqpLikeSink(b => published.synchronized { published += new String(b, "UTF-8") }))
     assert(published.toSeq == Seq("x"))
   }
+
+  test("CSV write/read round-trip preserves values and schema (format coverage)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val df = Seq((1L, "a,b\"quoted\"", 1.5), (2L, "plain", -0.25)).toDF("id", "s", "v")
+    df.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.option("header", "true")
+      .schema(df.schema).csv(out).orderBy("id")
+    assert(back.as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a,b\"quoted\"", 1.5), (2L, "plain", -0.25)))
+  }
+
+  test("JSON-lines write/read round-trip (format coverage)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val df = Seq((1L, Seq("x", "y"), Map("a" -> 1)), (2L, Seq.empty[String], Map.empty[String, Int]))
+      .toDF("id", "tags", "m")
+    df.write.mode("overwrite").json(out)
+    val back = spark.read.schema(df.schema).json(out).orderBy("id")
+    assert(back.count() == 2)
+    assert(back.select("tags").as[Seq[String]].collect().toSeq == Seq(Seq("x", "y"), Seq()))
+  }
 }
