@@ -77,6 +77,63 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
   }
 
+  /** Deterministic Rademacher (±1) hyperplanes from a seed — the plane
+    * set is tiny (bits × dim doubles) and ships in the plan as
+    * literals; no driver↔executor state. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Random-hyperplane (SimHash-for-cosine) signature: bit b is the
+    * sign of the dot product with plane b (Charikar, STOC'02). Vectors
+    * with high cosine agree on most bits. */
+  def rhpSignature(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Cosine-LSH top-k: queries probe only the corpus bucket sharing
+    * their full signature band(s). `bands` splits the signature so a
+    * pair collides if ANY band agrees (same banding logic as MinHash).
+    *
+    * Scale: candidate generation is a band-bucket equi-join — the
+    * corpus×query cross product never materializes; recall/cost is
+    * tuned by (bits, bands). The brute-force operator above is the
+    * recall oracle. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bits: Int = 16, bands: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bits % bands == 0)
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(bits, dim, seed)
+    val rowsPer = bits / bands
+    def banded(df: DataFrame, id: String, v: String): DataFrame = {
+      val sig = rhpSignature(col(v), planes)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(sig, b * rowsPer).bitwiseAND((1L << rowsPer) - 1).as("bsig"))
+      }
+      df.select(col(id), col(v), explode(array(bandCols: _*)).as("bb"))
+        .select(col(id), col(v), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    }
+    val q = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val c = banded(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), "cand_id", "cv")
+    val cand = broadcast(q).join(c,
+        q("band") === c("band") && q("bsig") === c("bsig") &&
+          col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    cand.select(col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold, blocked by cell
     * to avoid the corpus×corpus cross join (same IVF partition-pruning
     * argument; near-dups land in the same or adjacent cells by

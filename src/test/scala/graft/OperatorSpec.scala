@@ -118,4 +118,36 @@ class OperatorSpec extends SparkSpec {
       .select("cand_id").as[Long].collect().toSeq
     assert(out == Seq(1L))
   }
+
+  test("cosine LSH finds the true nearest neighbor on clustered vectors (recall vs brute force)") {
+    val rnd = new scala.util.Random(7)
+    val centroids = Seq(Array.fill(32)(rnd.nextFloat() * 2 - 1),
+      Array.fill(32)(rnd.nextFloat() * 2 - 1), Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    // 90 corpus vectors: small perturbations of the 3 centroids
+    val vecs = (0 until 90).map { i =>
+      val c = centroids(i % 3)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 6)
+    val lsh = Similarity.lshTopK(queries, vecs, k = 1, bits = 16, bands = 8)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity.bruteForceTopK(queries, vecs, k = 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val recall = brute.count { case (q, c) => lsh.get(q).contains(c) }.toDouble / brute.size
+    assert(recall >= 0.5, s"top-1 recall $recall too low (lsh=$lsh brute=$brute)")
+    // every LSH result is at least cluster-consistent (same centroid)
+    assert(lsh.forall { case (q, c) => q % 3 == c % 3 })
+  }
+
+  test("operators tolerate empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccard(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.simhash(emptyDocs).count() == 0)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(emptyVecs, emptyVecs, 3).count() == 0)
+    val e1 = Seq.empty[(Long, String, java.sql.Timestamp)].toDF("id", "k", "ts")
+    val e2 = Seq.empty[(String, java.sql.Timestamp, Long)].toDF("k", "rts", "p")
+    assert(AsOfJoin.backward(e1, e2, "k", "ts", "rts", Seq("p")).count() == 0)
+  }
 }
