@@ -39,11 +39,15 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // norms precomputed per side: the pair loop then does ONE dot per
+    // pair instead of three (values identical — same ops, same inputs)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -64,12 +68,14 @@ object Similarity {
               cellCol: String = "label",
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), col(cellCol).as("cell"))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col(cellCol).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(cellCol).as("cell"), norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      col(cellCol).as("cell"), norm(col(vecCol)).as("cn"))
     val scored = broadcast(q).join(c,
         q("cell") === c("cell") && col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -128,7 +134,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("cand_id"))
     cand.select(col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+        round(dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))), 6).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
@@ -141,12 +147,14 @@ object Similarity {
   def cosineNearDup(corpus: DataFrame, threshold: Double,
                     cellCol: String = "label",
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c1 = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"), col(cellCol).as("cell"))
-    val c2 = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col(cellCol).as("cell"))
+    val c1 = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col(cellCol).as("cell"), norm(col(vecCol)).as("na"))
+    val c2 = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col(cellCol).as("cell"), norm(col(vecCol)).as("nb"))
     c1.join(c2, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
