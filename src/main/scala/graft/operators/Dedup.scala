@@ -39,11 +39,25 @@ object Dedup {
     * at 100 TB add a document-frequency cap on shingles before the join
     * (drop shingles appearing in >X% of docs, standard practice). */
   def ngramJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxDocFreq: Option[Long] = None): DataFrame = {
     // persist: the shingle set feeds three plan branches (sizes + both
     // sides of the self-join); without it Catalyst recomputes the
     // tokenize/shingle lineage per branch.
-    val s = shingleSet(docs, textCol, idCol, n).persist()
+    val s0 = shingleSet(docs, textCol, idCol, n).persist()
+    // skew mitigation at scale: drop shingles present in more than
+    // maxDocFreq docs from CANDIDATE GENERATION only (a stopword
+    // trigram shared by half the corpus creates quadratic join output
+    // while contributing nothing to discrimination). Set sizes and the
+    // intersection counts still use the capped set consistently, so
+    // jaccard stays a true similarity over the retained shingles.
+    val s = maxDocFreq match {
+      case None => s0
+      case Some(cap) =>
+        val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        s0.join(broadcast(hot), Seq("sh"), "left_anti").persist()
+    }
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -150,4 +150,25 @@ class OperatorSpec extends SparkSpec {
     val e2 = Seq.empty[(String, java.sql.Timestamp, Long)].toDF("k", "rts", "p")
     assert(AsOfJoin.backward(e1, e2, "k", "ts", "rts", Seq("p")).count() == 0)
   }
+
+  test("ngram jaccard doc-frequency cap drops hot shingles from candidate generation") {
+    // one ubiquitous phrase ("the common prefix") + per-doc unique tails
+    val docs = (0L until 20L).map(i =>
+      (i, s"the common prefix words tail$i unique$i content$i here$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, threshold = 0.05)
+    val capped = Dedup.ngramJaccard(docs, threshold = 0.05, maxDocFreq = Some(5L))
+    // ubiquitous shingles connect every pair without the cap...
+    assert(uncapped.count() == 20L * 19 / 2)
+    // ...and none survive with it (only the shared prefix overlapped)
+    assert(capped.count() == 0)
+  }
+
+  test("streaming pipeline terminal returns a query handle") {
+    import graft.core._
+    val res = Pipeline(spark).root(RateSource(10)).to(ConsoleSink())
+    res match {
+      case Sink.Streaming(q) => assert(q.isActive); q.stop()
+      case other => fail(s"expected streaming handle, got $other")
+    }
+  }
 }
