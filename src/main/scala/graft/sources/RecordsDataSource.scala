@@ -86,7 +86,15 @@ private class RecordsScan(rows: Long, partitions: Int, rowsPerBatch: Long) exten
         RecordsOffset(polled)
       }
       override def initialOffset(): Offset = RecordsOffset(0L)
-      override def deserializeOffset(json: String): Offset = RecordsOffset(json.toLong)
+      override def deserializeOffset(json: String): Offset = {
+        // restart path: the engine replays the checkpointed offset —
+        // resume the poll cursor there so latestOffset never regresses
+        // behind what the checkpoint already committed
+        val pos = json.toLong
+        polled = math.max(polled, pos)
+        committed = math.max(committed, pos)
+        RecordsOffset(pos)
+      }
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
         Array(RecordsRange(start.asInstanceOf[RecordsOffset].pos,
           end.asInstanceOf[RecordsOffset].pos))

@@ -58,4 +58,35 @@ class DataSourceV2Spec extends SparkSpec {
       .to(sink)
     assert(sink.values == Seq("record-7", "record-17", "record-27", "record-37", "record-47"))
   }
+
+  test("checkpointed stream restarts from committed offsets (≙ source commit machinery)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val seen = ArrayBuffer.empty[Long]
+    def run(distinctTarget: Int): Unit = {
+      val df = spark.readStream.format(fmt)
+        .option("rows", "100").option("rowsperbatch", "20").load()
+      val q = df.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          seen.synchronized { seen ++= b.select("id").collect().map(_.getLong(0)) }
+          ()
+        })
+        .start()
+      val deadline = System.currentTimeMillis() + 60000
+      while (seen.synchronized(seen.distinct.size) < distinctTarget &&
+        System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+      }
+      q.stop()
+    }
+    run(distinctTarget = 40)   // consume part of the range, then "crash"
+    val afterFirst = seen.synchronized(seen.distinct.size)
+    assert(afterFirst >= 40 && afterFirst < 100)
+    run(distinctTarget = 100)  // resume to completion
+    val ids = seen.synchronized(seen.toSeq)
+    // at-least-once: complete coverage, duplicates only from the one
+    // uncommitted batch replayed across the restart
+    assert(ids.distinct.sorted == (0L until 100L))
+    assert(ids.size - ids.distinct.size <= 20)
+  }
 }
