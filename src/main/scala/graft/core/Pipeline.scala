@@ -58,10 +58,16 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     * the partition id in the high bits). Nested flatMaps nest structs;
     * the total order still holds. */
   def flatMap(f: Column => Column): Flow = {
+    // ts is carried through the explode: fan-out children inherit the
+    // PARENT element's event time (ref processor.go:203-270 — stamps
+    // propagate), so event-time windowing downstream of a flatMap keeps
+    // working; Source.stamp only re-stamps when ts is absent.
     val exploded = df
-      .select(posexplode(f(col("value"))).as(Seq("pos", "value")), col("uniq"))
+      .select(posexplode(f(col("value"))).as(Seq("pos", "value")),
+        col("uniq"), col("ts"))
       .select(col("value"),
-        struct(col("uniq").as("major"), col("pos").as("minor")).as("uniq"))
+        struct(col("uniq").as("major"), col("pos").as("minor")).as("uniq"),
+        col("ts"))
     copy(df = Source.stamp(exploded))
   }
 

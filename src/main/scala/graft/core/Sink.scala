@@ -84,8 +84,16 @@ final case class KafkaLikeSink(path: String) extends Sink {
   * a ForeachWriter — the Spark-idiomatic shape for a
   * confirm-per-message queue publisher. `publish` stands in for
   * `channel.Publish`; per-row open/process/close mirrors the
-  * connection lifecycle. */
-final case class AmqpLikeSink(publish: Array[Byte] => Unit)
+  * connection lifecycle.
+  *
+  * Scale: the default bounded path publishes from the EXECUTORS
+  * (foreachPartition, stamp order within each partition — one
+  * channel per task, like one goroutine per input partition in the
+  * reference). `ordered = true` opts into the reference's global
+  * publish order at the documented cost of a driver-side collect —
+  * a single AMQP channel is inherently serial, so global order and
+  * horizontal scale are mutually exclusive by construction. */
+final case class AmqpLikeSink(publish: Array[Byte] => Unit, ordered: Boolean = false)
   extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] with Sink {
   override def inType: Option[DataType] = Some(org.apache.spark.sql.types.BinaryType)
   override def open(partitionId: Long, epochId: Long): Boolean = true
@@ -94,8 +102,19 @@ final case class AmqpLikeSink(publish: Array[Byte] => Unit)
   override def close(errorOrNull: Throwable): Unit = ()
   def write(flow: Flow): Sink.Result =
     if (flow.bounded) {
-      val n = flow.df.count()
-      flow.df.orderBy("uniq").collect().foreach(process)
-      Sink.Done(n)
+      if (ordered) {
+        // one plan execution: the collected length IS the row count
+        val rows = flow.df.orderBy("uniq").collect()
+        rows.foreach(process)
+        Sink.Done(rows.length.toLong)
+      } else {
+        val pub = publish
+        val sent = flow.spark.sparkContext.longAccumulator("amqp_published")
+        flow.df.sortWithinPartitions("uniq")
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            it.foreach { r => pub(r.getAs[Array[Byte]]("value")); sent.add(1L) }
+          }
+        Sink.Done(sent.value)
+      }
     } else Sink.Streaming(flow.df.writeStream.foreach(this).start())
 }

@@ -87,12 +87,16 @@ object GraftFunctions {
     "graft_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))))
 
   /** Idempotent imperative registration into the session's function
-    * registry. */
+    * registry. Registers each function at most once per session — a
+    * createOrReplace on every call would emit a 'replaced a previously
+    * registered function' WARN per invocation, flooding logs that share
+    * stdout with machine-readable output (e.g. the bench JSON line). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     functions.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }

@@ -45,9 +45,15 @@ object LlmOps {
   def dExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(spark, dir).documents).orderBy("doc_id")
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5). */
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5), with the
+    * hot-shingle document-frequency cap ON — the 100 TB-safe default: a
+    * stopword trigram shared by k docs would otherwise contribute O(k²)
+    * join output while adding no discrimination. The oracle mirrors the
+    * identical capped semantics (shingles with df > 100 dropped from
+    * sizes AND intersections). */
   def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(Tables(spark, dir).documents, threshold = 0.5)
+    Dedup.ngramJaccard(Tables(spark, dir).documents, threshold = 0.5,
+        maxDocFreq = Some(100L))
       .orderBy("id_a", "id_b")
 
   /** MinHash+LSH near-dup pairs (16 perms × 4 bands, verify ≥ 0.5). */

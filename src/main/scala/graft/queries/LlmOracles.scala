@@ -59,8 +59,20 @@ object LlmOracles {
         |SELECT doc_id, canonical_id, group_size FROM h JOIN g USING (fp)
         |ORDER BY doc_id""".stripMargin,
 
+    // capped semantics (mirrors Dedup.ngramJaccard maxDocFreq=100):
+    // shingles present in more than 100 docs are dropped BEFORE both the
+    // set sizes and the intersection counts, so jaccard is a true
+    // similarity over the retained (discriminative) shingles.
     "d_ngram_jaccard" ->
-      s"""WITH $shingleCte,
+      s"""WITH sh0 AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(greatest(len($toks) - 2, 1)),
+         |      i -> array_to_string(($toks)[(i+1):(i+3)], ' '))) AS sh
+         |    FROM documents)),
+         |sh AS (
+         |  SELECT * FROM sh0 WHERE sh NOT IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 100)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
          |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

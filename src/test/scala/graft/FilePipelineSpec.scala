@@ -51,19 +51,34 @@ class FilePipelineSpec extends SparkSpec {
       Set("line one\nline two\n", "line three\n"))
   }
 
-  test("AmqpLikeSource emits binary bodies; AmqpLikeSink publishes per row in order") {
+  test("AmqpLikeSource emits binary bodies; AmqpLikeSink(ordered) publishes per row in order") {
     val published = scala.collection.mutable.ArrayBuffer.empty[String]
     val res = Pipeline(spark)
       .root(AmqpLikeSource(ListSource(Seq("m1", "m2", "m3"))))
-      .to(AmqpLikeSink(b => published.synchronized { published += new String(b, "UTF-8") }))
+      .to(AmqpLikeSink(b => published.synchronized { published += new String(b, "UTF-8") },
+        ordered = true))
     assert(res == Sink.Done(3))
     assert(published.toSeq == Seq("m1", "m2", "m3"))
+  }
+
+  test("AmqpLikeSink default path publishes executor-side (no driver collect)") {
+    FilePipelineSpec.amqpPublished.clear()
+    val res = Pipeline(spark)
+      .root(AmqpLikeSource(ListSource((1 to 20).map(i => s"m$i"))))
+      .to(AmqpLikeSink(FilePipelineSpec.amqpPublish))
+    assert(res == Sink.Done(20))
+    // per-partition publish: all messages delivered exactly once; global
+    // order is not guaranteed (documented relaxation)
+    val seen = FilePipelineSpec.amqpPublished.synchronized {
+      FilePipelineSpec.amqpPublished.toSeq }
+    assert(seen.sortBy(_.drop(1).toInt) == (1 to 20).map(i => s"m$i"))
   }
 
   test("string flow auto-adapts into AmqpLikeSink via coder injection") {
     val published = scala.collection.mutable.ArrayBuffer.empty[String]
     Pipeline(spark).root(ListSource(Seq("x")))
-      .to(AmqpLikeSink(b => published.synchronized { published += new String(b, "UTF-8") }))
+      .to(AmqpLikeSink(b => published.synchronized { published += new String(b, "UTF-8") },
+        ordered = true))
     assert(published.toSeq == Seq("x"))
   }
 
@@ -88,4 +103,14 @@ class FilePipelineSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.select("tags").as[Seq[String]].collect().toSeq == Seq(Seq("x", "y"), Seq()))
   }
+}
+
+/** Static landing buffer for the executor-side publish test: task
+  * closures are serialized even on local[n], so a captured ArrayBuffer
+  * would receive appends only on its deserialized copy — a companion
+  * object field resolves statically in the shared test JVM. */
+object FilePipelineSpec {
+  val amqpPublished = scala.collection.mutable.ArrayBuffer.empty[String]
+  val amqpPublish: Array[Byte] => Unit =
+    b => amqpPublished.synchronized { amqpPublished += new String(b, "UTF-8") }
 }

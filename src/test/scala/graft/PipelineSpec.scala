@@ -37,6 +37,18 @@ class PipelineSpec extends SparkSpec {
     assert(sink.values == Seq("AAA", "BBB", "CCC", "DDD", "EEE", "FFF", "GGG", "HHH"))
   }
 
+  test("flatMap children inherit the parent element's event time (ref: stamps propagate through fan-out)") {
+    // stamp a fixed event time on the root, fan out, and check every
+    // child carries the PARENT ts — not a fresh processing-time stamp
+    val flow = Pipeline(spark).root(ListSource(Seq("a\tb", "c")))
+    val fixed = flow.copy(df = flow.df.withColumn("ts",
+      to_timestamp(lit("2024-01-01 00:00:00"))))
+    val children = fixed.split("\t").df
+      .select(col("value"), col("ts").cast(StringType)).collect()
+    assert(children.length == 3)
+    assert(children.forall(_.getString(1) == "2024-01-01 00:00:00"))
+  }
+
   test("scatter then ordered gather restores stamp order (ref scatter/gather example)") {
     val sink = new MemorySink
     Pipeline(spark).root(ListSource((1 to 1000).map(_.toString)))
