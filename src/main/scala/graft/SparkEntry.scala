@@ -65,6 +65,7 @@ object SparkEntry {
     "q24_string_agg"    -> (Relational.q24StringAgg _),
     "q25_pivot"         -> (Relational.q25Pivot _),
     "q26_json_extract"  -> (LlmOps.q26JsonExtract _),
+    "q27_stream_e2e"    -> (StreamQueries.q27StreamE2e _),
   )
 
   private val coderOracles: Map[String, String] = Map(
@@ -139,6 +140,10 @@ object SparkEntry {
         |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
         |  count(*) AS n_cust
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q27_stream_e2e" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(length(text))::bigint AS n_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q25_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

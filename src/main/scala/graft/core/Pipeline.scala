@@ -21,33 +21,46 @@ object Pipeline {
   final case class Pipeline(spark: SparkSession, registry: CoderRegistry) {
     def withCoders(extra: Coder*): Pipeline = copy(registry = registry ++ extra)
     /** ≙ `pipeline.Root(source)` (`pipeline.go:60-62`). */
-    def root(source: Source): Flow = Flow(spark, source.read(spark), registry, source.isBounded)
+    def root(source: Source): Flow =
+      Flow(spark, source.read(spark), registry, source.isBounded, Some(source))
   }
 }
 
 /** One pipeline stage chain (≙ the `*Def` linked list, `def.go:27-39`;
   * here: a LogicalPlan under construction).
+  *
+  * `root`/`xform` record where the plan came from and how to rebuild it:
+  * combinators compose `xform` alongside `df`, so source-level knobs
+  * that must be set at read time (throttling ≙ admission control) can
+  * re-read the root with new options and replay the declarative chain —
+  * the Spark-idiomatic place for rate limits is the SOURCE, not a
+  * mid-plan operator.
   */
 final case class Flow(spark: SparkSession, df: DataFrame,
-                      registry: CoderRegistry, bounded: Boolean) {
+                      registry: CoderRegistry, bounded: Boolean,
+                      root: Option[Source] = None,
+                      xform: DataFrame => DataFrame = identity) {
+
+  /** Advance the chain: apply `f` now AND remember it for rebuilds. */
+  private def next(f: DataFrame => DataFrame): Flow =
+    copy(df = f(df), xform = xform andThen f)
 
   def valueType: DataType = df.schema("value").dataType
-  private def keep(extra: Column*): Seq[Column] =
-    df.columns.filter(c => c == "uniq" || c == "ts").map(col).toSeq
 
-  private def withValue(v: Column): DataFrame =
-    df.select((v.as("value") +: keep()): _*)
+  private def withValue(d: DataFrame, v: Column): DataFrame =
+    d.select((v.as("value") +:
+      d.columns.filter(c => c == "uniq" || c == "ts").map(col).toSeq): _*)
 
   /** 1→1 map (ref `UserMapFn`, `fn.go:97-127`). The out type is declared,
     * mirroring the reference's reflection-derived stage type. */
   def map(out: DataType)(f: Column => Column): Flow =
-    copy(df = withValue(f(col("value")).cast(out)))
+    next(d => withValue(d, f(col("value")).cast(out)))
 
   /** Map into a struct/typed column without a cast. */
-  def mapRaw(f: Column => Column): Flow = copy(df = withValue(f(col("value"))))
+  def mapRaw(f: Column => Column): Flow = next(d => withValue(d, f(col("value"))))
 
   /** Filter (ref `UserFilterFn`, `fn.go:129-152`). */
-  def filter(pred: Column => Column): Flow = copy(df = df.filter(pred(col("value"))))
+  def filter(pred: Column => Column): Flow = next(_.filter(pred(col("value"))))
 
   /** 1→N flatMap (ref `UserFlatMapFn`, `fn.go:195-236`): `f` returns an
     * array column; elements explode in order. The new `uniq` is the
@@ -57,18 +70,17 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     * arithmetic encoding that could overflow 64-bit ids (stamped ids put
     * the partition id in the high bits). Nested flatMaps nest structs;
     * the total order still holds. */
-  def flatMap(f: Column => Column): Flow = {
+  def flatMap(f: Column => Column): Flow = next { d =>
     // ts is carried through the explode: fan-out children inherit the
     // PARENT element's event time (ref processor.go:203-270 — stamps
     // propagate), so event-time windowing downstream of a flatMap keeps
     // working; Source.stamp only re-stamps when ts is absent.
-    val exploded = df
+    Source.stamp(d
       .select(posexplode(f(col("value"))).as(Seq("pos", "value")),
         col("uniq"), col("ts"))
       .select(col("value"),
         struct(col("uniq").as("major"), col("pos").as("minor")).as("uniq"),
-        col("ts"))
-    copy(df = Source.stamp(exploded))
+        col("ts")))
   }
 
   /** String split flatMap (ref `str.Split`, `coder/str/splitter.go:28-50`). */
@@ -80,14 +92,19 @@ final case class Flow(spark: SparkSession, df: DataFrame,
   def via(coder: Coder): Flow = {
     require(coder.inType == valueType,
       s"coder ${coder.name} expects ${coder.inType}, flow has $valueType")
-    copy(df = withValue(coder(col("value")).cast(coder.outType)))
+    next(d => withValue(d, coder(col("value")).cast(coder.outType)))
   }
 
   /** Coder auto-injection (ref `injectCoder`, `pipeline.go:168-197`):
     * greedy ≤5-deep chain search from the current value type to `to`. */
   def adapt(to: DataType): Flow =
     if (valueType == to) this
-    else copy(df = withValue(registry.convert(col("value"), valueType, to).cast(to)))
+    else {
+      // resolve the chain against the CURRENT value type, outside the
+      // replayable closure (the rebuilt frame has the same schema)
+      val conv = registry.convert(col("value"), valueType, to).cast(to)
+      next(d => withValue(d, conv))
+    }
 
   /** Global running fold (ref `UserFoldFn` + trigger, `fn.go:154-193`,
     * `context.go:332-455`): emits the running accumulator every
@@ -99,7 +116,7 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     * of the reference's *sequential* emission semantic — it is inherently
     * a total order; for pure final-value folds use [[foldFinal]] which is
     * a fully parallel partial aggregate. */
-  def foldTriggered(triggerEach: Long)(acc: Column => Column): Flow = {
+  def foldTriggered(triggerEach: Long)(acc: Column => Column): Flow = next { d =>
     // Two-phase distributed prefix aggregation (NOT a single-partition
     // global window): range-partition by uniq (parallel sort), compute
     // per-partition running values, then shift each partition by the
@@ -108,7 +125,7 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     // "+"-combinable accumulator (sum/count — the reference's folds).
     // persist: three consumers (running window, partition stats, total
     // count) would otherwise each recompute the upstream lineage
-    val parts = df.repartitionByRange(col("uniq"))
+    val parts = d.repartitionByRange(col("uniq"))
       .withColumn("__pid", spark_partition_id())
       .persist()
     val w = Window.partitionBy("__pid").orderBy("uniq")
@@ -132,14 +149,14 @@ final case class Flow(spark: SparkSession, df: DataFrame,
       .filter(col("__n") % triggerEach === 0 || col("__n") === total)
       .select((col("__acc") + col("__accOff")).cast(accType).as("value"),
         col("__n").as("uniq"))
-    copy(df = Source.stamp(emitted))
+    Source.stamp(emitted)
   }
 
   /** Final-value-only fold — the scalable path: partial agg per partition
     * + 1-row merge (what goconnect's fold becomes when only the last
     * emission is observed). */
   def foldFinal(agg: Column => Column): Flow =
-    copy(df = Source.stamp(df.agg(agg(col("value")).as("value"))))
+    next(d => Source.stamp(d.agg(agg(col("value")).as("value"))))
 
   /** ≙ `.Count()` (`def.go:61-65`). */
   def countAll(): Flow = foldFinal(_ => count(lit(1)))
@@ -148,13 +165,13 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     * Deterministic: takes the first n in stamp order. Scale:
     * TakeOrderedAndProject keeps n rows per partition then merges. */
   def limit(n: Int): Flow =
-    copy(df = df.orderBy("uniq").limit(n), bounded = true)
+    next(_.orderBy("uniq").limit(n)).copy(bounded = true)
 
   /** ≙ `.Par(n)` (`def.go:69-72`): vertical parallelism. Spark-first this
     * is RoundRobinPartitioning; goconnect's order guarantee is restored
     * downstream by sorting on `uniq` where a consumer requires it
     * (SURVEY §3.4 documented divergence). */
-  def par(n: Int): Flow = copy(df = df.repartition(n))
+  def par(n: Int): Flow = next(_.repartition(n))
 
   /** ≙ NetRoundRobin (`network/net_roundrobin.go:27-55`). */
   def scatter(n: Int): Flow = par(n)
@@ -162,18 +179,29 @@ final case class Flow(spark: SparkSession, df: DataFrame,
   /** ≙ NetMergeOrdered (`network/net_mergeordered.go:27-61`): restore
     * global stamp order. Spark-first: a range-partitioned global sort —
     * strictly more scalable than the reference's gather-to-one-node. */
-  def mergeOrdered(): Flow = copy(df = df.orderBy("uniq"))
+  def mergeOrdered(): Flow = next(_.orderBy("uniq"))
 
   /** ≙ `.Buffer(n)` (`def.go:74-77`) — backpressure capacity. Spark's
     * micro-batch admission control subsumes it; retained as an explicit
     * no-op so reference pipelines translate 1:1. */
   def buffer(n: Int): Flow = this
 
-  /** ≙ `.Throttle(count, period)` (`def.go:93-96`). For streaming flows
-    * this is the source rate option / maxOffsetsPerTrigger; for bounded
-    * flows a no-op (documented — there is nothing to rate-limit in a
-    * batch plan). */
-  def throttle(countPerSec: Int): Flow = this
+  /** ≙ `.Throttle(count, period)` (`def.go:93-96`, rate limiter
+    * `util/throttler.go:7-17`). Spark-first, rate limiting is SOURCE
+    * admission control, not a mid-plan operator: for an unbounded flow
+    * whose root is [[Throttleable]], re-read the root with its admission
+    * knob set to `count` (rate-source rows/sec, or the connector's
+    * per-trigger record cap ≙ Kafka's maxOffsetsPerTrigger) and replay
+    * the declarative chain — downstream stages are unchanged. Bounded
+    * flows: no-op (a batch plan has no arrival rate to limit). */
+  def throttle(count: Int): Flow =
+    if (bounded) this
+    else root match {
+      case Some(t: Throttleable) =>
+        val src = t.throttled(count)
+        copy(df = xform(src.read(spark)), root = Some(src))
+      case _ => this // root has no admission knob — documented no-op
+    }
 
   /** Terminal: apply a sink (≙ `.Apply(sink)`, `pipeline.go:96-110`),
     * auto-injecting coders to the sink's declared input type

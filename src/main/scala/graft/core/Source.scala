@@ -18,6 +18,18 @@ trait Source extends Serializable {
   def isBounded: Boolean = true
 }
 
+/** A source with an admission-control knob (ref `.Throttle`,
+  * `def.go:93-96` / `util/throttler.go:7-17`). In Spark the idiomatic
+  * rate limit lives at the SOURCE (rate-source rows/sec, Kafka
+  * `maxOffsetsPerTrigger`, file-source `maxFilesPerTrigger`) — the
+  * engine's backpressure then bounds every downstream stage, which is
+  * exactly what the reference's per-stage throttler achieves serially. */
+trait Throttleable { this: Source =>
+  /** A copy of this source admitting at most `count` elements per
+    * second (rate sources) or per trigger (micro-batch sources). */
+  def throttled(count: Int): Source
+}
+
 object Source {
   /** Stamp a raw frame with the element envelope. `uniq` uses
     * monotonically_increasing_id: unique + ascending within a partition —
@@ -97,8 +109,9 @@ final case class TextFileSource(path: String) extends Source {
 /** Unbounded rate source — the zero-egress stand-in for the Kafka/AMQP
   * roots (SURVEY §2.1: connector jars absent; design so format("kafka")
   * drops in — same KVMBinary column contract, see [[KafkaLikeSource]]). */
-final case class RateSource(rowsPerSecond: Int) extends Source {
+final case class RateSource(rowsPerSecond: Int) extends Source with Throttleable {
   override def isBounded: Boolean = false
+  override def throttled(count: Int): Source = copy(rowsPerSecond = count)
   def read(spark: SparkSession): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString).load()
@@ -113,8 +126,13 @@ final case class RateSource(rowsPerSecond: Int) extends Source {
   * `spark.readStream.format("kafka")` changes nothing downstream.
   * Offset/commit machinery (`source.go:80-135`) ≙ the streaming
   * checkpoint log; nothing to build. */
-final case class KafkaLikeSource(delegate: Source) extends Source {
+final case class KafkaLikeSource(delegate: Source) extends Source with Throttleable {
   override def isBounded: Boolean = delegate.isBounded
+  /** ≙ setting `maxOffsetsPerTrigger` on the real Kafka source. */
+  override def throttled(count: Int): Source = delegate match {
+    case t: Throttleable => copy(delegate = t.throttled(count))
+    case _ => this
+  }
   def read(spark: SparkSession): DataFrame = {
     val df = delegate.read(spark)
     df.select(
@@ -134,8 +152,13 @@ final case class KafkaLikeSource(delegate: Source) extends Source {
   * (`source.go:96-143`) ≙ the streaming checkpoint + admission control.
   * A real connector implements the same contract as a DataSource V2
   * `SimpleDataSourceStreamReader` (SURVEY §2.1). */
-final case class AmqpLikeSource(delegate: Source) extends Source {
+final case class AmqpLikeSource(delegate: Source) extends Source with Throttleable {
   override def isBounded: Boolean = delegate.isBounded
+  /** ≙ the broker prefetch/QoS bound (`io/amqp09/source.go:96-143`). */
+  override def throttled(count: Int): Source = delegate match {
+    case t: Throttleable => copy(delegate = t.throttled(count))
+    case _ => this
+  }
   def read(spark: SparkSession): DataFrame = {
     val df = delegate.read(spark)
     df.select(
@@ -151,14 +174,28 @@ final case class AmqpLikeSource(delegate: Source) extends Source {
 final case class DataSourceV2Source(format: String, options: Map[String, String],
                                     bounded: Boolean = true,
                                     valueCol: String = "body",
-                                    tsCol: Option[String] = None) extends Source {
+                                    tsCol: Option[String] = None,
+                                    uniqCol: Option[String] = Some("id"),
+                                    throttleKey: String = "rowsperbatch")
+  extends Source with Throttleable {
   override def isBounded: Boolean = bounded
+  /** Per-trigger admission cap via the connector's own option —
+    * `rowsperbatch` for the bundled [[graft.sources.RecordsDataSource]];
+    * a Kafka-backed format would pass `maxOffsetsPerTrigger` here. */
+  override def throttled(count: Int): Source =
+    copy(options = options + (throttleKey -> count.toString))
   def read(spark: SparkSession): DataFrame = {
     val reader =
       if (bounded) options.foldLeft(spark.read.format(format)) { case (r, (k, v)) => r.option(k, v) }.load()
       else options.foldLeft(spark.readStream.format(format)) { case (r, (k, v)) => r.option(k, v) }.load()
+    // uniq comes from the SOURCE's own ordered id (≙ Kafka
+    // partition+offset) — a streaming plan cannot synthesize one
+    // (monotonically_increasing_id is batch-only), and the connector's
+    // id is the durable, replay-stable identity anyway
     val base = reader.select(
-      (col(valueCol).as("value") +: tsCol.map(c => col(c).as("ts")).toSeq): _*)
+      (col(valueCol).as("value") +:
+        (uniqCol.map(c => col(c).as("uniq")).toSeq ++
+          tsCol.map(c => col(c).as("ts")).toSeq)): _*)
     Source.stamp(base)
   }
 }

@@ -77,7 +77,16 @@ object Streams {
     * (`README.md:32,97`): flush downstream every n elements, regardless
     * of micro-batch boundaries. Implemented as foreachBatch bookkeeping:
     * rows accumulate in a pending buffer flushed in n-sized chunks
-    * (SURVEY §7.3 "TriggerEach — foreachBatch bookkeeping"). */
+    * (SURVEY §7.3 "TriggerEach — foreachBatch bookkeeping").
+    *
+    * SCOPE: this is the DRIVER-SIDE path — it collects each micro-batch,
+    * so it preserves the reference's exact global every-n cadence (a
+    * global element count is a total order, inherently serial) and is
+    * right only for console/driver sinks on small streams, the same
+    * place the reference uses it. High-volume distributed sinks use
+    * [[PartitionChunkedFlush]], which flushes executor-side. Prefer
+    * [[runCountFlushAvailableNow]] over driving this class by hand — it
+    * wires the end-of-stream `close()` to query termination. */
   final class CountTriggeredFlush(n: Int, flush: Seq[org.apache.spark.sql.Row] => Unit)
     extends Serializable {
     private val pending = ArrayBuffer.empty[org.apache.spark.sql.Row]
@@ -91,6 +100,40 @@ object Streams {
     /** End-of-stream flush (bounded-input contract: remaining rows flush
       * once at termination, ref `context.go:305-310`). */
     def close(): Unit = { if (pending.nonEmpty) flush(pending.toSeq); pending.clear() }
+  }
+
+  /** TriggerEach for DISTRIBUTED sinks — the scale path: rows flush in
+    * n-sized chunks executor-side (foreachPartition), one flush channel
+    * per task, no driver collect. The cadence is per-PARTITION rather
+    * than global — the honest distributed relaxation of the reference's
+    * serial every-n contract (same relaxation as `.Par` order,
+    * SURVEY §3.4) — and each partition's remainder (< n rows) flushes at
+    * partition end instead of carrying across micro-batches, so a chunk
+    * never spans a failure domain: replay of a failed task re-flushes
+    * only that task's chunks (at-least-once, like the reference's
+    * redelivery). `flush` runs on executors: it must be serializable and
+    * use partition-local connections (open-per-task, as a queue
+    * publisher would). */
+  final class PartitionChunkedFlush(n: Int, flush: Seq[org.apache.spark.sql.Row] => Unit)
+    extends Serializable {
+    def onBatch(batch: DataFrame): Unit = {
+      val (f, size) = (flush, n)
+      batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.grouped(size).foreach(chunk => f(chunk.toSeq))
+      }
+    }
+  }
+
+  /** Run a stream to completion of available data with TriggerEach(n)
+    * flush semantics, the end-of-stream flush wired to termination —
+    * callers cannot forget `close()` (ref bounded-flush contract,
+    * `context.go:305-310`). */
+  def runCountFlushAvailableNow(df: DataFrame, n: Int,
+                                flush: Seq[org.apache.spark.sql.Row] => Unit,
+                                outputMode: OutputMode = OutputMode.Append()): Unit = {
+    val t = new CountTriggeredFlush(n, flush)
+    runAvailableNow(df, outputMode)(t.onBatch)
+    t.close()
   }
 
   /** `TriggerEvery(d)` ≙ `Trigger.ProcessingTime(d)` on any streaming

@@ -103,6 +103,70 @@ class StreamingSpec extends SparkSpec {
     assert(flushes.toSeq == Seq(3, 3, 1))
   }
 
+  test("throttle bounds per-trigger admission on an unbounded DSv2 root (ref .Throttle def.go:93-96)") {
+    import graft.core._
+    // root would admit all 60 rows in one poll; throttle(12) re-reads
+    // the source with its admission knob set — every micro-batch ≤ 12
+    val flow = Pipeline(spark)
+      .root(DataSourceV2Source("graft.sources.RecordsDataSource",
+        Map("rows" -> "60", "rowsperbatch" -> "60"), bounded = false))
+      .throttle(12)
+    assert(!flow.bounded && flow.df.isStreaming)
+    val sizes = ArrayBuffer.empty[Int]
+    val q = flow.df.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { val c = b.count().toInt; sizes.synchronized { sizes += c }; () })
+      .start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (sizes.synchronized(sizes.sum) < 60 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+    }
+    q.stop()
+    assert(sizes.synchronized(sizes.sum) == 60)
+    assert(sizes.synchronized(sizes.toSeq).forall(_ <= 12))
+  }
+
+  test("throttle replays downstream transforms onto the re-read root") {
+    import graft.core._
+    import org.apache.spark.sql.types._
+    // bounded twin of the rebuild path: transforms declared BEFORE
+    // throttle must survive the source re-read (xform replay)
+    val flow = Pipeline(spark)
+      .root(RoundRobinSource(10, Seq("1", "2", "3")))
+      .map(IntegerType)(_.cast(IntegerType) * 10)
+    val rebuilt = flow.copy(bounded = false).throttle(5)
+    assert(rebuilt.df.columns.contains("value"))
+    // RoundRobinSource is not Throttleable → documented no-op, df intact
+    assert(rebuilt.df.select(sum("value")).head().getLong(0)
+      == flow.df.select(sum("value")).head().getLong(0))
+  }
+
+  test("PartitionChunkedFlush flushes executor-side in n-sized chunks (scale TriggerEach)") {
+    val batch = spark.range(100).toDF("v").repartition(4)
+    StreamingSpec.chunks.synchronized { StreamingSpec.chunks.clear() }
+    new Streams.PartitionChunkedFlush(8, StreamingSpec.recordChunk).onBatch(batch)
+    val sizes = StreamingSpec.chunks.synchronized { StreamingSpec.chunks.map(_.size).toSeq }
+    val values = StreamingSpec.chunks.synchronized {
+      StreamingSpec.chunks.flatten.map(_.getLong(0)).toSeq }
+    assert(values.sorted == (0L until 100L))       // exactly-once coverage
+    assert(sizes.forall(_ <= 8))                   // never exceeds n
+    assert(sizes.count(_ == 8) >= 100 / 8 - 4)     // mostly full chunks;
+    // ≤1 remainder chunk per partition
+    assert(sizes.count(_ < 8) <= 4)
+  }
+
+  test("runCountFlushAvailableNow wires the end-of-stream flush to termination") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Int]
+    mem.addData(1 to 10: _*)
+    val flushes = ArrayBuffer.empty[Int]
+    Streams.runCountFlushAvailableNow(mem.toDF(), 4,
+      rows => flushes += rows.size)
+    // 10 rows → 4, 4, then the close()-driven remainder 2 — no manual
+    // close() call anywhere
+    assert(flushes.toSeq == Seq(4, 4, 2))
+  }
+
   test("streaming KafkaLikeSource keeps the KVM column contract on an unbounded root") {
     import graft.core._
     val src = KafkaLikeSource(RateSource(100))
@@ -145,4 +209,25 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == expected.toSet)
     assert(got.nonEmpty)
   }
+
+  test("q27_stream_e2e gate: streaming agg over documents equals batch result") {
+    val res = graft.queries.StreamQueries.q27StreamE2e(spark, "/root/testdata/sf0.001")
+      .collect()
+    val expected = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .orderBy("lang", "source").collect()
+    assert(res.toSeq == expected.toSeq)
+    assert(res.nonEmpty)
+  }
+}
+
+/** Static landing buffer for the executor-side flush test (task
+  * closures serialize even on local[n]; object fields resolve
+  * statically in the shared test JVM). */
+object StreamingSpec {
+  val chunks = ArrayBuffer.empty[Seq[org.apache.spark.sql.Row]]
+  val recordChunk: Seq[org.apache.spark.sql.Row] => Unit =
+    c => chunks.synchronized { chunks += c }
 }
