@@ -54,6 +54,7 @@ object SparkEntry {
     "c_kv_roundtrip"    -> (CoderQueries.cKvRoundtrip _),
     "c_url_parse"       -> (CoderQueries.cUrlParse _),
     "c_xml_roundtrip"   -> (CoderQueries.cXmlRoundtrip _),
+    "c_xml_tree"        -> (CoderQueries.cXmlTree _),
     "c_avro_roundtrip"  -> (CoderQueries.cAvroRoundtrip _),
     "c_json_roundtrip"  -> (CoderQueries.cJsonRoundtrip _),
     "q18_scalar_funcs"  -> (CoderQueries.q18ScalarFuncs _),
@@ -82,6 +83,13 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c_xml_roundtrip" ->
       "SELECT doc_id AS id, source AS name FROM documents ORDER BY id",
+    // the Spark side derives every field by schema-less tree navigation
+    // of reconstructed XML; the oracle recomputes from source columns —
+    // the round-trip through parse+navigate must be the identity
+    "c_xml_tree" ->
+      """SELECT doc_id, source, lang, substr(text, 1, 80) AS body,
+        |  2 AS n_children, 'meta' AS meta_tag
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "c_avro_roundtrip" ->
       "SELECT doc_id AS id, text FROM documents ORDER BY id",
     "c_json_roundtrip" ->

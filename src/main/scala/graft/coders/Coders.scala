@@ -114,6 +114,14 @@ object XmlCoder {
   def decoder(schema: StructType): Coder =
     Coder("xml.Decoder", StringType, schema)(c =>
       from_xml(c, schema, Map.empty[String, String].asJava))
+
+  /** SCHEMA-LESS decoder — the reference's default `xml.Decoder`
+    * behavior (string → navigable `xml.Node` tree, `coder/xml/
+    * node.go:35-191`): no StructType required; the value becomes a
+    * VARIANT tree navigated with [[graft.functions.XmlTree]]. */
+  def treeDecoder: Coder =
+    Coder("xml.TreeDecoder", StringType, VariantType)(
+      graft.functions.XmlTree.tree)
   def encoder(schema: StructType): Coder =
     Coder("xml.Encoder", schema, StringType)(c => to_xml(c))
   private implicit class MapOps(m: Map[String, String]) {

@@ -63,6 +63,39 @@ object CoderQueries {
       .orderBy("id")
   }
 
+  /** Schema-less XML tree navigation gate (ref `coder/xml/node.go` —
+    * NO user-supplied StructType anywhere): nested per-doc XML is built
+    * from the table (entity-escaped), parsed ONCE into a VARIANT tree,
+    * and every output field is extracted by pure node navigation —
+    * attr lookup, `Children()[i]` indexing two levels deep, text-node
+    * access, child counting — exactly the reference example's
+    * `Children()[0].Children()[0].Text()` access pattern. */
+  def cXmlTree(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.XmlTree
+    def escaped(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val xml = Tables(spark, dir).documents
+      .select(col("doc_id").as("orig_id"),
+        concat(
+          lit("<doc id=\""), col("doc_id"), lit("\"><meta><source>"),
+          escaped(col("source")), lit("</source><lang>"),
+          escaped(col("lang")), lit("</lang></meta><body>"),
+          escaped(substring(col("text"), 1, 80)), lit("</body></doc>")).as("x"))
+    // parse once; navigate many (variant path access is columnar)
+    val t = xml.select(col("orig_id"), XmlTree.tree(col("x")).as("v"))
+    val doc = XmlTree.child(col("v"), 0)          // <doc>
+    val meta = XmlTree.child(doc, 0)              // <meta>
+    t.select(
+        XmlTree.attr(doc, "id").cast(LongType).as("doc_id"),
+        XmlTree.childText(meta, 0, 0).as("source"),   // meta/source/text()
+        XmlTree.childText(meta, 1, 0).as("lang"),     // meta/lang/text()
+        coalesce(XmlTree.childText(doc, 1, 0), lit("")).as("body"),
+        XmlTree.numChildren(doc).cast(IntegerType).as("n_children"),
+        XmlTree.tagName(meta).as("meta_tag"))
+      .orderBy("doc_id")
+  }
+
   private val docSchema =
     """{"type":"record","name":"Doc","fields":[
       |{"name":"id","type":"long"},{"name":"text","type":"string"}]}""".stripMargin
