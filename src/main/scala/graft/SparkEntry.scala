@@ -47,6 +47,7 @@ object SparkEntry {
     "d_embed_neardup"   -> (LlmOps.dEmbedNearDup _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
+    "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),
     "mm_meta"           -> (LlmOps.mmMeta _),
     "mm_frames"         -> (LlmOps.mmFrames _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),

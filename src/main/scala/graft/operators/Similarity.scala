@@ -140,6 +140,100 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
   }
 
+  /** DataFrame-native Lloyd's k-means trainer — makes IVF self-contained
+    * (no pretrained cell column needed). Deterministic: init = the k
+    * lowest-id vectors; each iteration is (a) a full-scan argmin
+    * assignment (codegen'd dot products against centroid literals — no
+    * shuffle) and (b) a per-(cell, dim) mean (one keyed agg with
+    * map-side combine), collecting only k×dim doubles to the driver.
+    *
+    * Scale: the per-iteration cost is one corpus scan + one shuffle of
+    * |corpus|×dim (cell, pos, val) partial sums — the standard
+    * distributed Lloyd's shape; centroids are plan literals, so no
+    * driver↔executor state beyond the k×dim model itself. */
+  def trainKMeans(corpus: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Double]] = {
+    val asDouble = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: Seq[Array[Double]] = asDouble.orderBy("id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val means = assignCells(asDouble, cents, vecCol = "v")
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(dims) =>
+            val arr = old.clone()
+            dims.foreach { case (_, pos, m) => arr(pos) = m }
+            arr
+          case None => old // empty cell keeps its centroid (standard)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell id per row (the quantizer): argmin over k of
+    * ‖x−c‖², computed as `−2·x·c + ‖c‖²` (the ‖x‖² term is constant per
+    * row and cannot change the argmin). The k scores live in one sorted
+    * array-of-structs — struct ordering breaks ties by cell id — so
+    * assignment is a single codegen'd projection, no join, no shuffle. */
+  def assignCells(df: DataFrame, centroids: Seq[Array[Double]],
+                  vecCol: String = "embedding"): DataFrame = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (dot(col(vecCol), typedlit(c.toSeq)) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    df.withColumn("cell", element_at(array_sort(scored), 1).getField("cell"))
+  }
+
+  /** The `nprobe` nearest cells per row (for query-side probing):
+    * explodes to one row per (row, probed cell). */
+  def assignCellsN(df: DataFrame, centroids: Seq[Array[Double]], nprobe: Int,
+                   vecCol: String = "embedding"): DataFrame = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (dot(col(vecCol), typedlit(c.toSeq)) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
+        lit(i).as("cell"))
+    }: _*)
+    df.withColumn("__probe", explode(slice(array_sort(scored), 1, nprobe)))
+      .withColumn("cell", col("__probe.cell"))
+      .drop("__probe")
+  }
+
+  /** Self-contained trained-IVF top-k: train the quantizer, assign the
+    * corpus once, probe the query's `nprobe` nearest cells, rank
+    * candidates by exact cosine. Candidate set = corpus/cells × nprobe
+    * per query instead of the full corpus — the IVF trade. At 100 TB
+    * the assigned corpus is written once, partitioned by `cell`, and
+    * probing is partition pruning (see [[ivfTopK]]). */
+  def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     cells: Int, iters: Int = 3, nprobe: Int = 1,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainKMeans(corpus, cells, iters, idCol, vecCol)
+    val c = assignCells(
+        corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), cents, "cv")
+      .withColumn("cn", norm(col("cv")))
+    val q = assignCellsN(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), cents, nprobe, "qv")
+      .withColumn("qn", norm(col("qv")))
+    val scored = broadcast(q).join(c,
+        q("cell") === c("cell") && col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+      .distinct() // nprobe > 1 can surface a candidate via two probes
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold, blocked by cell
     * to avoid the corpus×corpus cross join (same IVF partition-pruning
     * argument; near-dups land in the same or adjacent cells by

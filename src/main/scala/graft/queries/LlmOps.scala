@@ -91,6 +91,23 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Self-contained trained-IVF ANN recall gate: train the k-means
+    * quantizer (seeded, deterministic init), probe nprobe=2 of 8 cells,
+    * and assert recall@5 ≥ 0.5 against the exact brute-force oracle —
+    * all in one declarative plan (the boolean is what the DuckDB oracle
+    * pins, so a quantizer regression fails the gate). */
+  def sAnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTrainedTopK(q, e, k = 5, cells = 8, iters = 3, nprobe = 2)
+    val bf = Similarity.bruteForceTopK(q, e, k = 5)
+    bf.select("query_id", "cand_id")
+      .join(ivf.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
+        Seq("query_id", "cand_id"), "left")
+      .agg(count_distinct(col("query_id")).cast("long").as("n_queries"),
+        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= 0.5).as("recall_ok"))
+  }
+
   /** Multimodal metadata extraction over binary blobs (stub decode —
     * deterministic dims; real partition-batched plumbing). */
   def mmMeta(spark: SparkSession, dir: String): DataFrame = {

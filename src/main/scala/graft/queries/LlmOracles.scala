@@ -169,6 +169,13 @@ object LlmOracles {
         |  FROM scored)
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // the Spark side computes real recall of the trained IVF index vs
+    // its in-plan brute-force baseline; the oracle pins the asserted
+    // outcome (10 queries evaluated, recall@5 ≥ 0.5 held)
+    "s_ann_ivf_trained" ->
+      """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
         |  (octet_length(encode(text)) % 640 + 1)::int AS width,

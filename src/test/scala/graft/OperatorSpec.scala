@@ -139,6 +139,33 @@ class OperatorSpec extends SparkSpec {
     assert(lsh.forall { case (q, c) => q % 3 == c % 3 })
   }
 
+  test("k-means trainer recovers planted clusters; trained IVF reaches brute-force recall") {
+    val rnd = new scala.util.Random(11)
+    val centroids = Seq.fill(3)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val vecs = (0 until 120).map { i =>
+      val c = centroids(i % 3)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    // trained cells must be cluster-pure: every planted cluster lands in
+    // exactly one learned cell
+    val cents = Similarity.trainKMeans(vecs, k = 3, iters = 4)
+    assert(cents.size == 3 && cents.forall(_.length == 16))
+    val cellOf = Similarity.assignCells(vecs, cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    (0 until 3).foreach { g =>
+      val cells = (0 until 120).filter(_ % 3 == g).map(i => cellOf(i.toLong)).distinct
+      assert(cells.size == 1, s"cluster $g split across cells $cells")
+    }
+    // trained IVF top-1 matches brute force on cluster-separable data
+    val queries = vecs.filter(col("vec_id") < 6)
+    val ivf = Similarity.ivfTrainedTopK(queries, vecs, k = 1, cells = 3, iters = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val brute = Similarity.bruteForceTopK(queries, vecs, k = 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toMap
+    val recall = brute.count { case (q, c) => ivf.get(q).contains(c) }.toDouble / brute.size
+    assert(recall >= 0.8, s"trained-IVF top-1 recall $recall (ivf=$ivf brute=$brute)")
+  }
+
   test("operators tolerate empty inputs") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(emptyDocs).count() == 0)
