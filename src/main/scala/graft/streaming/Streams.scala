@@ -136,6 +136,26 @@ object Streams {
     t.close()
   }
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exact]] for continuous ingest: documents
+    * whose normalized-content fingerprint was already seen within the
+    * watermark horizon are dropped.
+    *
+    * Scale: state is one fingerprint key per distinct doc, partitioned
+    * across executors by the state store, and the watermark EVICTS
+    * expired keys — bounded state on an unbounded stream (the batch
+    * operator's groupBy has no such bound). Exactly Spark's
+    * dropDuplicatesWithinWatermark contract: duplicates arriving within
+    * the horizon are guaranteed dropped; later ones may reappear — the
+    * right trade for ingest dedup, where a final batch compaction (the
+    * `d_exact` gate) remains the global pass. */
+  def dedupExact(df: DataFrame, tsCol: String, watermark: String,
+                 textCol: String = "text"): DataFrame =
+    df.withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** `TriggerEvery(d)` ≙ `Trigger.ProcessingTime(d)` on any streaming
     * write (ref `def.go:84-87`). */
   def triggerEvery(df: DataFrame, interval: String, outputMode: OutputMode)

@@ -210,6 +210,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming exact dedup drops in-horizon duplicates, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = ArrayBuffer.empty[String]
+    val deduped = Streams.dedupExact(mem.toDF().toDF("ts", "text"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { out.synchronized { out ++= b.collect().map(_.getString(1)) }; () })
+      .start()
+    mem.addData((ts(1), "alpha doc"), (ts(2), "beta doc"), (ts(3), "alpha doc"))
+    q.processAllAvailable()
+    // same content, different whitespace → same fingerprint → dropped;
+    // new content admitted
+    mem.addData((ts(4), "  alpha   doc "), (ts(5), "gamma doc"))
+    q.processAllAvailable()
+    q.stop()
+    val seen = out.synchronized(out.toSeq)
+    assert(seen.count(_.trim.startsWith("alpha")) == 1)
+    assert(seen.toSet.map((s: String) => s.trim.replaceAll("\\s+", " ")) ==
+      Set("alpha doc", "beta doc", "gamma doc"))
+  }
+
   test("q27_stream_e2e gate: streaming agg over documents equals batch result") {
     val res = graft.queries.StreamQueries.q27StreamE2e(spark, "/root/testdata/sf0.001")
       .collect()
