@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact grouped statistics at scale (beyond-reference, SURVEY §2.7).
+  *
+  * Exact interpolated quantiles (SQL `quantile_cont`) via sort + rank
+  * arithmetic instead of the `percentile` aggregate: `percentile`
+  * buffers a value→count map per group and merges those maps across
+  * every partition — for a high-cardinality DOUBLE column the state is
+  * ~|distinct| entries per partition and the merge dominates. The
+  * sort-based form shuffles each row once into its group, sorts within
+  * the group (range-partitioned parallel sort), and interpolates the
+  * two rows straddling rank (n−1)·q — no per-value map state at all.
+  * For truly massive groups prefer [[Sketches.approxPercentiles]]; this
+  * is the EXACT form, kept shuffle- and state-minimal.
+  */
+object Stats {
+
+  /** Exact `quantile_cont(valCol, q)` per `keyCol` group for several
+    * q's in ONE sort: returns one row per group with a column per
+    * requested quantile alias. */
+  def quantilesCont(df: DataFrame, keyCol: String, valCol: String,
+                    qs: Seq[(Double, String)]): DataFrame = {
+    val byKey = Window.partitionBy(keyCol)
+    val ordered = Window.partitionBy(keyCol).orderBy("__v")
+    val ranked = df.select(col(keyCol), col(valCol).cast("double").as("__v"))
+      .withColumn("__rn", row_number().over(ordered))
+      .withColumn("__n", count(lit(1)).over(byKey))
+    // for each q: the two ranks straddling position (n-1)q (1-based),
+    // with the interpolation weight; a row can serve several q's
+    val parts: Seq[Column] = qs.map { case (q, alias) =>
+      val pos = (col("__n") - 1) * q            // 0-based fractional pos
+      val lo = floor(pos) + 1                   // 1-based lower rank
+      val hi = ceil(pos) + 1
+      val w = pos - floor(pos)                  // weight of the hi row
+      sum(
+        when(col("__rn") === lo && col("__rn") === hi, col("__v"))
+          .when(col("__rn") === lo, col("__v") * (lit(1.0) - w))
+          .when(col("__rn") === hi, col("__v") * w)
+          .otherwise(lit(0.0))).as(alias)
+    }
+    ranked.groupBy(keyCol).agg(parts.head, parts.tail: _*)
+  }
+}

@@ -56,6 +56,25 @@ class ScaleSpec extends SparkSpec {
     assert(ps(0) < ps(1) && ps(1) < ps(2))
   }
 
+  test("exact sorted quantiles match the percentile aggregate on every shape") {
+    import graft.operators.Stats
+    // odd n, even n (interpolated), duplicates, single-row group
+    val df = ((1 to 101).map(i => ("odd", i.toDouble)) ++
+      (1 to 100).map(i => ("even", i.toDouble)) ++
+      Seq.fill(50)(("dup", 7.0)) ++ Seq(("one", 42.0))).toDF("k", "v")
+    val got = Stats.quantilesCont(df, "k", "v",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val want = df.groupBy("k").agg(
+        expr("percentile(v, 0.25)").as("p25"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.75)").as("p75"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("frequent items finds the heavy hitter") {
     val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"cold$i")).toDF("v")
     val freq = Sketches.frequentItems(df, Seq("v"), support = 0.4)
