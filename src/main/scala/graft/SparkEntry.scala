@@ -39,6 +39,9 @@ object SparkEntry {
     "t_quality"         -> (LlmOps.tQuality _),
     "t_langid"          -> (LlmOps.tLangId _),
     "t_fingerprint"     -> (LlmOps.tFingerprint _),
+    "t_repetition"      -> (LlmOps.tRepetition _),
+    "t_redact"          -> (LlmOps.tRedact _),
+    "t_tokens_bpe"      -> (LlmOps.tTokensBpe _),
     "d_exact"           -> (LlmOps.dExact _),
     "d_ngram_jaccard"   -> (LlmOps.dNgramJaccard _),
     "d_minhash_lsh"     -> (LlmOps.dMinhashLsh _),

@@ -33,6 +33,48 @@ object Text {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** All word bigrams WITH multiplicity — the repetition-signal
+    * primitive (unlike [[shingles]], which deduplicates for set
+    * similarity). */
+  def bigramsAll(c: Column): Column = {
+    val toks = tokens(c)
+    transform(
+      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+  }
+
+  private def topFraction(arr: Column): Column =
+    round(array_max(transform(array_distinct(arr),
+      x => size(filter(arr, y => y === x)))) / size(arr), 4)
+
+  /** Fraction of token occurrences held by the single most frequent
+    * token — a Gopher/C4-style repetition quality signal. Pure column
+    * expressions (per-row O(distinct×n) over short docs), so the filter
+    * is one codegen'd projection at 100 TB, no explode, no shuffle. */
+  def topTokenFraction(c: Column): Column = topFraction(tokens(c))
+
+  /** Fraction of bigram occurrences held by the most frequent bigram
+    * (repeated-phrase signal; same scale shape as
+    * [[topTokenFraction]]). */
+  def topBigramFraction(c: Column): Column = topFraction(bigramsAll(c))
+
+  /** PII scrubbing for training corpora: emails then phone-number spans
+    * replaced with typed placeholders. Codegen'd regexp_replace — a
+    * 100 TB redaction pass is a map-only scan. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>")
+
+  /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization regex
+    * family restricted to its RE2-safe core (word / number / punct runs
+    * with attached leading space) — a vocabulary-free, deterministic
+    * token-length estimate that tracks real BPE counts far better than
+    * whitespace splitting on punctuated text. */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"))
+
   /** Canonical whitespace/case normalization used before hashing. */
   def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 

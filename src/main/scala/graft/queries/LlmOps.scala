@@ -35,6 +35,36 @@ object LlmOps {
         Text.langId(col("text")).as("pred_lang"))
       .orderBy("doc_id")
 
+  /** Repetition quality signals (Gopher/C4 family): top-token and
+    * top-bigram occupancy per doc — pure codegen'd projections. */
+  def tRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        Text.topTokenFraction(col("text")).as("top_token_frac"),
+        Text.topBigramFraction(col("text")).as("top_bigram_frac"))
+      .orderBy("doc_id")
+
+  /** PII redaction over text with synthesized email/phone spans (the
+    * corpus has none, so the gate plants them deterministically and the
+    * oracle plants the identical ones). */
+  def tRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        Text.redactPii(concat(
+          substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call +1 555 123 "),
+          (col("doc_id") % 10000).cast("string"))).as("clean"))
+      .orderBy("doc_id")
+
+  /** BPE-style pre-tokenizer counts next to whitespace counts. */
+  def tTokensBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        Text.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        Text.tokenCount(col("text")).cast("long").as("n_ws"))
+      .orderBy("doc_id")
+
   /** Document fingerprinting (md5 of normalized text). */
   def tFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents

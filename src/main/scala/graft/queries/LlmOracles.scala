@@ -46,6 +46,33 @@ object LlmOracles {
          |      FROM documents) ORDER BY doc_id""".stripMargin
     },
 
+    "t_repetition" -> {
+      def topFrac(l: String) =
+        s"""round(list_max(list_transform(list_distinct($l),
+           |  x -> len(list_filter($l, y -> y = x)))) / len($l), 4)""".stripMargin
+      val bigrams =
+        s"""list_transform(range(greatest(len($toks) - 1, 1)),
+           |  i -> array_to_string(($toks)[(i+1):(i+2)], ' '))""".stripMargin
+      s"""SELECT doc_id, ${topFrac(toks)} AS top_token_frac,
+         |  ${topFrac(bigrams)} AS top_bigram_frac
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "t_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    substr(text, 1, 40) || ' contact user' || doc_id::varchar
+        |      || '@example.com or call +1 555 123 ' || (doc_id % 10000)::varchar,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_tokens_bpe" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_bpe,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -49,6 +49,36 @@ class TextSpec extends SparkSpec {
     assert(overlap14 < 0.1, s"unrelated docs should not overlap, got $overlap14")
   }
 
+  test("repetition signals: top-token and top-bigram occupancy") {
+    val rows = Seq(
+      "a a a a",          // one token everywhere → 1.0; bigram "a a" ×3 → 1.0
+      "a b c d",          // all distinct → 0.25; bigrams distinct → 1/3
+      "spam spam x spam"  // 3/4 tokens; bigrams: "spam spam","spam x","x spam" → 1/3
+    ).toDF("t").select(
+      Text.topTokenFraction(col("t")).as("tt"),
+      Text.topBigramFraction(col("t")).as("tb")).collect()
+    assert(rows(0).getDouble(0) == 1.0 && rows(0).getDouble(1) == 1.0)
+    assert(rows(1).getDouble(0) == 0.25 && rows(1).getDouble(1) == 0.3333)
+    assert(rows(2).getDouble(0) == 0.75 && rows(2).getDouble(1) == 0.3333)
+  }
+
+  test("PII redaction replaces emails and phone spans, leaves prose intact") {
+    val out = Seq("reach me at jo.doe+x@mail.example.org or +1 555 123 4567 ok")
+      .toDF("t").select(Text.redactPii(col("t"))).head().getString(0)
+    assert(out == "reach me at <EMAIL> or <PHONE> ok")
+    val noop = Seq("no pii here 42").toDF("t")
+      .select(Text.redactPii(col("t"))).head().getString(0)
+    assert(noop == "no pii here 42")
+  }
+
+  test("BPE-ish pre-tokenizer counts punct/number runs that whitespace misses") {
+    val r = Seq("hello, world! v2.0 x").toDF("t").select(
+      Text.bpeTokenCount(col("t")).as("bpe"),
+      Text.tokenCount(col("t")).as("ws")).head()
+    // hello|,| world|!| v|2|.|0| x = 9 vs 4 whitespace tokens
+    assert(r.getInt(0) == 9 && r.getInt(1) == 4)
+  }
+
   test("winnow handles short and null inputs") {
     val out = Seq(Some("ab"), None).toDF("t")
       .select(Text.winnow(col("t")).as("fp")).as[Seq[Long]].collect().toSeq
