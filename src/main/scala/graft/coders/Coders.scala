@@ -82,6 +82,17 @@ object Coders {
   /** gunzip bytes (ref `coder/gzip/decoder.go:10-33`). */
   def gunzip(c: Column): Column = gunzipUdf(c)
 
+  /** Conditional decompression by content sniffing (gzip magic
+    * 0x1f 0x8b) — implements the reference's own TODO
+    * (`examples/localfs-subflow-localfs/main.go:49`:
+    * "if gz then Apply(gzip.Decode)"), which goconnect never shipped.
+    * CaseWhen evaluates the decode branch only for matching rows, so a
+    * mixed plain/compressed corpus pays the inflate cost only where
+    * needed. */
+  def gunzipIfGzipped(c: Column): Column =
+    when(substring(c, 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte)), gunzip(c))
+      .otherwise(c)
+
   /** string path → Url struct (ref `coder/url/decoder.go:30-59`, semantic
     * equivalent — the reference's length-prefixed wire layout has no Spark
     * meaning; the Url row is what flows). */

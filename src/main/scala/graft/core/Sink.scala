@@ -43,12 +43,21 @@ final case class ConsoleSink(numRows: Int = 20) extends Sink {
 }
 
 /** Parquet sink — the batch/file sink of our engine (beyond-reference;
-  * scale path: partitioned columnar output). */
-final case class ParquetSink(path: String) extends Sink {
-  def write(flow: Flow): Sink.Result = {
-    flow.df.write.mode("overwrite").parquet(path)
-    Sink.Done(flow.spark.read.parquet(path).count())
-  }
+  * scale path: partitioned columnar output). Unbounded flows stream
+  * into the same directory with exactly-once file-sink semantics (the
+  * checkpoint + file manifest log), so one sink serves the unified
+  * bounded/unbounded contract like every other sink here. */
+final case class ParquetSink(path: String, checkpoint: Option[String] = None) extends Sink {
+  def write(flow: Flow): Sink.Result =
+    if (flow.bounded) {
+      flow.df.write.mode("overwrite").parquet(path)
+      Sink.Done(flow.spark.read.parquet(path).count())
+    } else Sink.Streaming(
+      flow.df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation",
+          checkpoint.getOrElse(s"$path/_graft_checkpoint"))
+        .start())
 }
 
 /** Test sink collecting values driver-side (≙ the examples' stdout

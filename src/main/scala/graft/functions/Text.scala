@@ -33,30 +33,52 @@ object Text {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** All word bigrams WITH multiplicity — the repetition-signal
-    * primitive (unlike [[shingles]], which deduplicates for set
-    * similarity). */
-  def bigramsAll(c: Column): Column = {
-    val toks = tokens(c)
+  /** All word bigrams WITH multiplicity from an ALREADY-materialized
+    * token array column — the repetition-signal primitive (unlike
+    * [[shingles]], which deduplicates for set similarity).
+    *
+    * Takes the array COLUMN, not the raw text: a Catalyst lambda body
+    * re-evaluates captured non-attribute expressions per element, so
+    * passing `tokens(text)` inline would re-run the regex split once
+    * per bigram (O(n²) splits/row — a real straggler at scale).
+    * Materialize the tokens in their own projection first. */
+  def bigramsOf(toks: Column): Column =
     transform(
       sequence(lit(0), greatest(size(toks) - 2, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+
+  /** Fraction of occurrences held by the most frequent element of an
+    * array column: sort, then longest equal-run via `aggregate` —
+    * O(n log n) per row, single pass, no distinct×filter rescan (the
+    * naive mode-by-filter form re-walks the array per distinct value).
+    * Gopher/C4-style repetition quality signal; one codegen'd
+    * projection at 100 TB, no explode, no shuffle. */
+  def topFraction(arr: Column): Column = {
+    val best = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(acc.getField("prev").isNotNull &&
+          x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    round(best / size(arr), 4)
   }
 
-  private def topFraction(arr: Column): Column =
-    round(array_max(transform(array_distinct(arr),
-      x => size(filter(arr, y => y === x)))) / size(arr), 4)
-
-  /** Fraction of token occurrences held by the single most frequent
-    * token — a Gopher/C4-style repetition quality signal. Pure column
-    * expressions (per-row O(distinct×n) over short docs), so the filter
-    * is one codegen'd projection at 100 TB, no explode, no shuffle. */
+  /** Top-token occupancy of raw text. Convenience form — for wide scans
+    * stage `tokens(text)` as its own column and use [[topFraction]]
+    * directly (see [[bigramsOf]] scale note). */
   def topTokenFraction(c: Column): Column = topFraction(tokens(c))
 
-  /** Fraction of bigram occurrences held by the most frequent bigram
-    * (repeated-phrase signal; same scale shape as
-    * [[topTokenFraction]]). */
-  def topBigramFraction(c: Column): Column = topFraction(bigramsAll(c))
+  /** Top-bigram occupancy of raw text (convenience form; same staging
+    * note as [[topTokenFraction]]). */
+  def topBigramFraction(c: Column): Column = {
+    val toks = tokens(c)
+    topFraction(bigramsOf(toks))
+  }
 
   /** PII scrubbing for training corpora: emails then phone-number spans
     * replaced with typed placeholders. Codegen'd regexp_replace — a

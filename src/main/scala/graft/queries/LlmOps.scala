@@ -36,12 +36,19 @@ object LlmOps {
       .orderBy("doc_id")
 
   /** Repetition quality signals (Gopher/C4 family): top-token and
-    * top-bigram occupancy per doc — pure codegen'd projections. */
+    * top-bigram occupancy per doc. Staged: the token array (and the
+    * bigram array derived from it) materialize as their own projection
+    * columns so each regex split runs ONCE per row; the occupancy is
+    * then a sort + longest-run pass over the array attribute (see
+    * Text.bigramsOf scale note — inlining the split into the lambda
+    * would re-tokenize per element). */
   def tRepetition(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), Text.bigramsOf(col("toks")).as("bgs"))
       .select(col("doc_id"),
-        Text.topTokenFraction(col("text")).as("top_token_frac"),
-        Text.topBigramFraction(col("text")).as("top_bigram_frac"))
+        Text.topFraction(col("toks")).as("top_token_frac"),
+        Text.topFraction(col("bgs")).as("top_bigram_frac"))
       .orderBy("doc_id")
 
   /** PII redaction over text with synthesized email/phone spans (the

@@ -59,6 +59,65 @@ object Streams {
       }
   }
 
+  /** Per-key session accumulator for [[closedSessions]]. */
+  final case class SessionAcc(start: Long, end: Long, n: Long)
+
+  /** Closed-session emission via `flatMapGroupsWithState` — the custom
+    * keyed-state machine for semantics the native `session_window`
+    * cannot express: emit a session ONLY when it closes (by an
+    * in-batch gap or by event-time timeout once the watermark passes
+    * end+gap), never partial updates — the streaming generalization of
+    * the reference's fold/trigger state machine
+    * (`context.go:332-455`).
+    *
+    * Scale: state is one (start, end, n) triple per ACTIVE key,
+    * partitioned by key across the state store; the event-time timeout
+    * plus watermark evicts idle keys, so state size tracks concurrent
+    * sessions, not history. */
+  def closedSessions(df: DataFrame, keyCol: String, tsCol: String,
+                     gap: String, watermark: String)
+    : Dataset[(String, Long, java.sql.Timestamp, java.sql.Timestamp)] = {
+    import df.sparkSession.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    val ds = df.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string"), col(tsCol))
+      .as[(String, java.sql.Timestamp)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc,
+        (String, Long, java.sql.Timestamp, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          def emit(s: SessionAcc) =
+            (key, s.n, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            val closed = List.newBuilder[SessionAcc]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += s
+                  Some(SessionAcc(t, t, 1))
+                case None => Some(SessionAcc(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.result().iterator.map(emit)
+          }
+      }
+  }
+
   /** Run an unbounded flow to completion of available data
     * (≙ `.Limit` semantics: "makes any pipeline bounded",
     * `def.go:88-91`): AvailableNow processes everything queued then

@@ -82,6 +82,24 @@ class FilePipelineSpec extends SparkSpec {
     assert(published.toSeq == Seq("x"))
   }
 
+  test("reference-TODO pipeline: mixed gz/plain files decode conditionally then split (localfs-subflow-localfs main.go:44-51 incl. its TODOs)") {
+    val d = Files.createTempDirectory("graft-mixed")
+    Files.writeString(d.resolve("a.txt"), "plain one\nplain two")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(d.resolve("b.txt.gz")))
+    gz.write("zipped three\nzipped four".getBytes("UTF-8")); gz.close()
+    val sink = new MemorySink
+    Pipeline(spark).root(BinaryFileSource(d.toString))
+      .mapRaw(graft.coders.Coders.gunzipIfGzipped)  // the ref's TODO, working
+      .adapt(StringType)                             // injected str.Decoder
+      .split("\n")                                   // the ref's TODO subflow
+      .filter(length(_) > 0)
+      .map(StringType)(upper)
+      .to(sink)
+    assert(sink.values.map(_.toString).toSet ==
+      Set("PLAIN ONE", "PLAIN TWO", "ZIPPED THREE", "ZIPPED FOUR"))
+  }
+
   test("CSV write/read round-trip preserves values and schema (format coverage)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-csv").toString

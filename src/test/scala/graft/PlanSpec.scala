@@ -43,6 +43,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-2 queries keep their scale-critical plan shapes") {
+    // q23: the percentile aggregate (per-partition value→count map
+    // state) must stay gone — quantiles are sort+rank based
+    assert(!plan("q23_stats").toLowerCase.contains("percentile"))
+    // capped ngram: the hot-shingle document-frequency cap applies as a
+    // broadcast anti-join (tiny hot list ships to executors; the big
+    // shingle stream is never shuffled for the cap)
+    val ng = plan("d_ngram_jaccard")
+    assert(ng.contains("BroadcastHashJoin") && ng.contains("LeftAnti"), ng.take(500))
+    // trained IVF: the (small) query side broadcasts against the celled
+    // corpus — an equi-join on cell, never a cross join
+    assert(plan("s_ann_ivf_trained").contains("BroadcastHashJoin"))
+    // schema-less XML: the StAX parse runs ONCE per row — a single
+    // parseJson invocation feeding every variant_get, not one parse
+    // per extracted field (CollapseProject must not inline it)
+    val xp = SparkEntry.queries("c_xml_tree")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("parseJson".r.findAllIn(xp).size == 1, s"parse count != 1 in:\n${xp.take(800)}")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline of q2") {
     // AQE hides codegen spans until execution: run the query, then
     // inspect the final adaptive plan for WholeStageCodegen operators.

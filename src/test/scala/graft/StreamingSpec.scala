@@ -210,6 +210,59 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState emits ONLY closed sessions (in-batch gap + event-time timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val sessions = Streams.closedSessions(
+      mem.toDF().toDF("k", "ts"), "k", "ts", gap = "5 minutes", watermark = "0 seconds")
+    val out = ArrayBuffer.empty[(String, Long, Timestamp, Timestamp)]
+    val q = sessions.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Timestamp, Timestamp)], _: Long) =>
+        { out.synchronized { out ++= b.collect() }; () })
+      .start()
+    // u1: events at 10:01, 10:03, then a gap to 10:30 → first session
+    // closes IN BATCH; u2's lone 10:02 session closes via timeout when
+    // the watermark passes 10:07
+    mem.addData(("u1", ts(1)), ("u1", ts(3)), ("u2", ts(2)))
+    q.processAllAvailable()
+    assert(out.synchronized(out.isEmpty)) // nothing closed yet
+    mem.addData(("u1", ts(30)))
+    q.processAllAvailable()
+    mem.addData(("u1", ts(59))) // advances watermark; u2 times out
+    q.processAllAvailable()
+    q.stop()
+    val got = out.synchronized(out.toSeq)
+    assert(got.contains(("u1", 2L, ts(1), ts(3))))   // closed by in-batch gap
+    assert(got.exists(s => s._1 == "u2" && s._2 == 1L)) // closed by timeout
+    // the live u1 session (10:30..10:59 run) is NOT emitted
+    assert(!got.exists(s => s._1 == "u1" && s._3 == ts(30) && s._4 == ts(59)))
+  }
+
+  test("ParquetSink streams an unbounded flow (exactly-once file sink)") {
+    import graft.core._
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-pq").toString
+    val res = Pipeline(spark)
+      .root(DataSourceV2Source("graft.sources.RecordsDataSource",
+        Map("rows" -> "40", "rowsperbatch" -> "10"), bounded = false))
+      .to(ParquetSink(out))
+    val q = res match {
+      case Sink.Streaming(q) => q
+      case other => fail(s"expected a streaming handle, got $other")
+    }
+    def written(): Long =
+      try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+    val deadline = System.currentTimeMillis() + 60000
+    while (written() < 40 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop()
+    assert(written() == 40)
+    // the manifest log makes the directory an exactly-once sink: ids
+    // are complete and unique despite multi-batch writes
+    val ids = spark.read.parquet(out)
+      .select(decode(col("value"), "UTF-8")).collect()
+      .map(_.getString(0).stripPrefix("record-").toLong).sorted
+    assert(ids.toSeq == (0L until 40L))
+  }
+
   test("streaming exact dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
