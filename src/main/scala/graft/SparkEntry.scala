@@ -42,6 +42,8 @@ object SparkEntry {
     "t_repetition"      -> (LlmOps.tRepetition _),
     "t_redact"          -> (LlmOps.tRedact _),
     "t_tokens_bpe"      -> (LlmOps.tTokensBpe _),
+    "t_sample"          -> (LlmOps.tSample _),
+    "s_quantize"        -> (LlmOps.sQuantize _),
     "d_exact"           -> (LlmOps.dExact _),
     "d_ngram_jaccard"   -> (LlmOps.dNgramJaccard _),
     "d_minhash_lsh"     -> (LlmOps.dMinhashLsh _),

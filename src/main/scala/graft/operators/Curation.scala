@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline (north star): the
+  * composition every LLM corpus run needs, as ONE declarative plan —
+  * quality gate → language gate → repetition gate → exact dedup →
+  * MinHash near-dup removal → PII redaction → token accounting →
+  * reproducible train/test split.
+  *
+  * Scale shape: the scalar gates are codegen'd projections on the scan
+  * (no shuffle); exact dedup is one hash shuffle; near-dup removal is
+  * the banded LSH join (never all-pairs); the split is a pure hash
+  * filter. Everything composes lazily, so Catalyst prunes columns
+  * through the whole funnel and AQE sizes the joins at runtime.
+  */
+object Curation {
+
+  final case class Config(
+    minQuality: Double = 0.30,
+    langs: Seq[String] = Seq("en"),
+    maxTopTokenFrac: Double = 0.50,
+    nearDupThreshold: Double = 0.80,
+    minhashPerms: Int = 16,
+    // 8 bands × 2 rows: s-curve midpoint (1/8)^(1/2) ≈ 0.35 — high
+    // recall at the 0.6-0.8 thresholds curation uses; the extra
+    // candidates cost only exact-verify work (they are filtered by true
+    // jaccard), whereas 4×4 banding (midpoint ≈ 0.71) deterministically
+    // misses some ~0.8-jaccard pairs
+    minhashBands: Int = 8,
+    testPct: Int = 10)
+
+  /** Per-stage row counts for reporting (each count is a cheap
+    * aggregate over the lazily-built stage frame). */
+  final case class Funnel(input: Long, afterQuality: Long, afterExact: Long,
+                          afterNearDup: Long, train: Long, test: Long)
+
+  /** The curated corpus: doc_id, redacted text, n_tokens, split.
+    * Deterministic end to end — same input, same corpus out. */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val gated = scalarGates(docs, cfg)
+    // exact dedup: keep only each content-group's canonical (min-id) doc
+    val exactKept = Dedup.exact(gated, "text", "doc_id")
+      .filter(col("doc_id") === col("canonical_id"))
+      .select("doc_id")
+    val exact = gated.join(exactKept, "doc_id")
+    // near-dup removal: for every surviving LSH pair ≥ threshold, drop
+    // the higher id (id_b > id_a by construction) — one banded join on
+    // the deduped remainder, then an anti-join
+    val dupIds = Dedup.minhashLsh(exact, cfg.nearDupThreshold,
+        cfg.minhashPerms, cfg.minhashBands)
+      .select(col("id_b").as("doc_id")).distinct()
+    val clean = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    clean.select(
+      col("doc_id"),
+      Text.redactPii(col("text")).as("text"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+      when(Sampling.hashBucket(col("doc_id")) < cfg.testPct, "test")
+        .otherwise("train").as("split"))
+  }
+
+  /** Stage-by-stage funnel counts (runs the plan per stage — a
+    * reporting tool, not part of the production flow). */
+  def funnel(docs: DataFrame, cfg: Config = Config()): Funnel = {
+    val gated = scalarGates(docs, cfg)
+    val exactKept = Dedup.exact(gated, "text", "doc_id")
+      .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+    val exact = gated.join(exactKept, "doc_id")
+    val dupIds = Dedup.minhashLsh(exact, cfg.nearDupThreshold,
+        cfg.minhashPerms, cfg.minhashBands)
+      .select(col("id_b").as("doc_id")).distinct()
+    val clean = exact.join(dupIds, Seq("doc_id"), "left_anti")
+    val out = curate(docs, cfg)
+    Funnel(docs.count(), gated.count(), exact.count(), clean.count(),
+      out.filter(col("split") === "train").count(),
+      out.filter(col("split") === "test").count())
+  }
+
+  /** The shuffle-free scalar gates: quality, language, repetition —
+    * staged token column so the tokenizer runs once per row (see
+    * [[graft.functions.Text.bigramsOf]] lambda-inlining note). */
+  private def scalarGates(docs: DataFrame, cfg: Config): DataFrame =
+    docs
+      .withColumn("__toks", Text.tokens(col("text")))
+      .withColumn("__q", Text.qualityScore(col("text")))
+      .withColumn("__lang", Text.langId(col("text")))
+      .withColumn("__rep", Text.topFraction(col("__toks")))
+      .filter(col("__q") >= cfg.minQuality &&
+        col("__lang").isin(cfg.langs.map(lit(_)): _*) &&
+        col("__rep") <= cfg.maxTopTokenFrac)
+      .drop("__toks", "__q", "__lang", "__rep")
+}

@@ -72,6 +72,32 @@ object LlmOps {
         Text.tokenCount(col("text")).cast("long").as("n_ws"))
       .orderBy("doc_id")
 
+  /** Deterministic hash-bucket sampling (reproducible 10% subsample
+    * with its bucket, plus the split sizes as a sanity aggregate). */
+  def tSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.sampleByHash(Tables(spark, dir).documents, "doc_id", keepPct = 10)
+      .select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Int8 embedding quantization round-trip stats: per-vector absmax
+    * scale, quantized sum/max (the 4×-compression storage path for
+    * 100 TB embedding stores; staged columns — see Text.bigramsOf
+    * lambda-inlining note). */
+  def sQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("sc",
+        greatest(array_max(transform(col("v"), abs _)), lit(1e-12)))
+      .withColumn("q",
+        transform(col("v"), x => round(x / col("sc") * 127, 0).cast("int")))
+      .select(col("vec_id"), round(col("sc"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+
   /** Document fingerprinting (md5 of normalized text). */
   def tFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents

@@ -73,6 +73,23 @@ object LlmOracles {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t_sample" ->
+      """SELECT doc_id,
+        |  (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100)::int AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "s_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS sc FROM e),
+        |q AS (SELECT vec_id, sc,
+        |  list_transform(v, x -> round(x / sc * 127)::int) AS qv FROM s)
+        |SELECT vec_id, round(sc, 6) AS scale,
+        |  list_sum(qv)::bigint AS q_sum, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

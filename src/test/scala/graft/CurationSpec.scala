@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation funnel on the real documents table plus
+  * adversarial fixtures: each stage's contract holds on the composed
+  * pipeline, not just on the operators in isolation.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+
+  test("curated corpus has no exact duplicates and carries tokens + split") {
+    val out = Curation.curate(docs)
+    out.persist()
+    val n = out.count()
+    assert(n > 0)
+    // no two surviving docs share a fingerprint
+    val fps = out.select(graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").count().filter(col("count") > 1).count()
+    assert(fps == 0)
+    // split is exhaustive and deterministic
+    assert(out.filter(!col("split").isin("train", "test")).count() == 0)
+    val again = Curation.curate(docs).select("doc_id", "split").as[(Long, String)]
+      .collect().toSet
+    assert(out.select("doc_id", "split").as[(Long, String)].collect().toSet == again)
+    out.unpersist()
+  }
+
+  test("funnel counts are monotone and partition into train+test") {
+    val f = Curation.funnel(docs)
+    assert(f.input >= f.afterQuality)
+    assert(f.afterQuality >= f.afterExact)
+    assert(f.afterExact >= f.afterNearDup)
+    assert(f.train + f.test == f.afterNearDup)
+    assert(f.afterNearDup > 0)
+  }
+
+  test("planted duplicates and near-duplicates are removed by the composed pipeline") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight " * 3
+    val planted = Seq(
+      (9001L, base),                       // original
+      (9002L, base),                       // exact dup → dropped (higher id)
+      (9003L, base + "extra trailing words here"), // near-dup → dropped
+      (9004L, "a completely different document about the weather in spring gardens " * 3)
+    ).toDF("doc_id", "text")
+    val out = Curation.curate(planted, Curation.Config(nearDupThreshold = 0.6))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(9001L) && ids.contains(9004L))
+    assert(!ids.contains(9002L) && !ids.contains(9003L))
+  }
+
+  test("no near-dup pair above threshold survives in the curated output") {
+    val out = Curation.curate(docs, Curation.Config(nearDupThreshold = 0.7))
+    val survivors = Dedup.minhashLsh(out, threshold = 0.7).count()
+    assert(survivors == 0)
+  }
+}

@@ -166,6 +166,41 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.8, s"trained-IVF top-1 recall $recall (ivf=$ivf brute=$brute)")
   }
 
+  test("hash sampling is deterministic; train/test split is disjoint and exhaustive") {
+    import graft.operators.Sampling
+    val df = (1L to 2000L).toDF("id")
+    val s1 = Sampling.sampleByHash(df, "id", 10).select("id").as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(df, "id", 10).select("id").as[Long].collect().toSet
+    assert(s1 == s2)                       // reproducible
+    assert(s1.size > 120 && s1.size < 280) // ≈10% of 2000
+    val (train, test) = Sampling.trainTestSplit(df, "id", 20)
+    val tr = train.select("id").as[Long].collect().toSet
+    val te = test.select("id").as[Long].collect().toSet
+    assert((tr & te).isEmpty && (tr | te).size == 2000)
+    // growing the sample keeps earlier members (nested by construction)
+    val s20 = Sampling.sampleByHash(df, "id", 20).select("id").as[Long].collect().toSet
+    assert(s1.subsetOf(s20))
+  }
+
+  test("int8 quantization round-trip error is bounded by half a quantization step") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(2.0f, 1.5f, -2.0f, 0.1f))).toDF("vec_id", "embedding")
+    val staged = df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("sc", greatest(array_max(transform(col("v"), abs _)), lit(1e-12)))
+      .withColumn("q", transform(col("v"), x => round(x / col("sc") * 127, 0).cast("int")))
+      .withColumn("deq", zip_with(col("q"), col("v"),
+        (q, _) => q * col("sc") / 127.0))
+      .withColumn("maxerr",
+        array_max(zip_with(col("deq"), col("v"), (d, o) => abs(d - o))))
+    val rows = staged.select(col("sc"), col("maxerr")).collect()
+    rows.foreach { r =>
+      val step = r.getDouble(0) / 127.0
+      assert(r.getDouble(1) <= step / 2 + 1e-9,
+        s"error ${r.getDouble(1)} exceeds half-step ${step / 2}")
+    }
+  }
+
   test("operators tolerate empty inputs") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(emptyDocs).count() == 0)
