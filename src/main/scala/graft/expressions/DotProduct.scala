@@ -101,13 +101,17 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions`-compatible injector. */
+/** `spark.sql.extensions`-compatible injector: native functions plus
+  * the [[DotProductRewrite]] optimizer rule (HOF dot-product pattern →
+  * codegen'd [[DotProduct]]). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }

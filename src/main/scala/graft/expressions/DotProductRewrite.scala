@@ -1,0 +1,89 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Optimizer rule: rewrite the higher-order-function dot product
+  *
+  *   `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)`
+  *
+  * into the codegen'd [[DotProduct]] native expression — so a user who
+  * writes the idiomatic-but-interpreted HOF form (per-element lambda
+  * dispatch + an intermediate array allocation) transparently gets the
+  * primitive fused loop. This is the engine-extension layer of SURVEY
+  * §7.3: a `Rule[LogicalPlan]` injected via [[GraftExtensions]]
+  * (`spark.sql.extensions`) or `spark.experimental.extraOptimizations`
+  * on a live session.
+  *
+  * The match is deliberately strict (multiply of the two zip lambda
+  * variables, fold of literal-0 by plain addition, identity finish) —
+  * anything else keeps its original semantics untouched.
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def stripCast(e: Expression): Expression = e match {
+    case Cast(child, DoubleType, _, _) => stripCast(child)
+    case other => other
+  }
+
+  private def isFloatingArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  /** x * y where x, y are exactly the two lambda variables (any cast). */
+  private def isVarTimesVar(body: Expression, vars: Seq[NamedLambdaVariable]): Boolean =
+    body match {
+      case Multiply(l, r, _) =>
+        val (sl, sr) = (stripCast(l), stripCast(r))
+        vars.size == 2 && ((sl, sr) match {
+          case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+            Set(a.exprId, b.exprId) == vars.map(_.exprId).toSet
+          case _ => false
+        })
+      case _ => false
+    }
+
+  /** acc + v over exactly the fold's two lambda variables. */
+  private def isAccPlusVar(body: Expression, vars: Seq[NamedLambdaVariable]): Boolean =
+    body match {
+      case Add(l, r, _) =>
+        (stripCast(l), stripCast(r)) match {
+          case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+            vars.size == 2 && Set(a.exprId, b.exprId) == vars.map(_.exprId).toSet
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def isZero(e: Expression): Boolean = e match {
+    case Literal(v, DoubleType) => v == 0.0
+    case Cast(child, DoubleType, _, _) => isZero(child)
+    case Literal(0, _) => true
+    case _ => false
+  }
+
+  private def isIdentityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      v.exprId == arg.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b, LambdaFunction(mulBody, zipVars, _)),
+            zero,
+            LambdaFunction(addBody, aggVars, _),
+            finish)
+          if isFloatingArray(a) && isFloatingArray(b) && isZero(zero) &&
+            isVarTimesVar(mulBody,
+              zipVars.collect { case v: NamedLambdaVariable => v }) &&
+            isAccPlusVar(addBody,
+              aggVars.collect { case v: NamedLambdaVariable => v }) &&
+            isIdentityFinish(finish) =>
+        DotProduct(a, b)
+    }
+}

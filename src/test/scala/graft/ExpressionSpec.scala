@@ -38,4 +38,48 @@ class ExpressionSpec extends SparkSpec {
       spark.sql("SELECT graft_dot(array('a'), array('b'))").collect()
     }
   }
+
+  test("optimizer rule rewrites the HOF dot-product pattern into the native expression") {
+    import graft.expressions.DotProductRewrite
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ DotProductRewrite
+      val rnd = new scala.util.Random(7)
+      // parquet-backed input: a purely local relation would be folded by
+      // ConvertToLocalRelation before the rewrite is observable
+      val dir = java.nio.file.Files.createTempDirectory("graft-dotrw").toString
+      (0 until 50).map { i =>
+        (i.toLong, Array.fill(16)(rnd.nextFloat()), Array.fill(16)(rnd.nextFloat()))
+      }.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+      val vecs = spark.read.parquet(dir)
+      // user writes the naive interpreted form...
+      val hof = vecs.select(col("id"), Similarity.dotHof(col("a"), col("b")).as("d"))
+      // ...the optimized plan carries the codegen'd native expression
+      val optimized = hof.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_dot"), s"no rewrite in:\n$optimized")
+      assert(!optimized.contains("aggregate("), s"HOF survived in:\n$optimized")
+      // and the values are the ones the native expression computes
+      GraftFunctions.register(spark)
+      val native = vecs.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      assert(hof.collect().toSeq == native.collect().toSeq)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("optimizer rule leaves non-dot aggregates untouched") {
+    import graft.expressions.DotProductRewrite
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ DotProductRewrite
+      // sum-of-maxes: zip_with with greatest, not multiply — must NOT match
+      val dir = java.nio.file.Files.createTempDirectory("graft-dotrw2").toString
+      Seq((Array(1.0, 5.0), Array(4.0, 2.0))).toDF("a", "b")
+        .write.mode("overwrite").parquet(dir)
+      val df = spark.read.parquet(dir)
+        .select(aggregate(
+          zip_with(col("a"), col("b"), (x, y) => greatest(x, y)),
+          lit(0.0), (acc, v) => acc + v).as("s"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("aggregate("))
+      assert(df.as[Double].head() == 9.0)
+    } finally spark.experimental.extraOptimizations = prev
+  }
 }
