@@ -106,6 +106,39 @@ class HttpSchemaRegistrySpec extends SparkSpec {
     }
   }
 
+  test("sr1→sr2 pipe: decode via registry A with projected reader (defaults filled), re-encode via registry B (ref kafka-sr1-avro-sr2-kafka)") {
+    val writerSchema =
+      """{"type":"record","name":"Doc","fields":[
+        |{"name":"id","type":"long"},{"name":"text","type":"string"}]}""".stripMargin
+    // target schema adds a defaulted field — Avro schema resolution
+    // must fill it during the cross-registry copy
+    val targetSchema =
+      """{"type":"record","name":"Doc","fields":[
+        |{"name":"id","type":"long"},{"name":"text","type":"string"},
+        |{"name":"seqNo","type":"long","default":0}]}""".stripMargin
+    withServer { (urlA, _, _) =>
+      withServer { (urlB, _, _) =>
+        val regA = new HttpSchemaRegistry(urlA)
+        val regB = new HttpSchemaRegistry(urlB)
+        val out = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+          .limit(10)
+          .select(AvroSerde.encodeConfluent(
+            struct(col("doc_id").as("id"), col("text")), regA, "docs", writerSchema).as("a"))
+          // the pipe: decode against A with the TARGET reader, re-encode to B
+          .select(AvroSerde.encodeConfluent(
+            AvroSerde.decodeConfluent(col("a"), regA, targetSchema),
+            regB, "docs-copy", targetSchema).as("b"))
+          // consumer side of B
+          .select(AvroSerde.decodeConfluent(col("b"), regB, targetSchema).as("v"))
+          .select(col("v.id"), col("v.text"), col("v.seqNo"))
+          .orderBy("id").collect()
+        assert(out.length == 10)
+        assert(out.forall(_.getLong(2) == 0L)) // default filled in the copy
+        assert(out.forall(r => r.getString(1) != null))
+      }
+    }
+  }
+
   test("non-2xx responses surface as errors with the endpoint in the message") {
     withServer { (url, _, _) =>
       val reg = new HttpSchemaRegistry(url)
