@@ -144,6 +144,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Passage-level near-dup pairs via winnowing fingerprints
+    * (Schleimer et al., SIGMOD'03): docs sharing ≥ `minShared` winnow
+    * prints — catches a copied PASSAGE inside otherwise-different
+    * documents, which whole-doc jaccard dilutes below any threshold.
+    *
+    * Scale: same shape as the shingle join — explode prints,
+    * hash-partitioned equi-join on the print, group-count; the
+    * `maxDocFreq` cap drops boilerplate prints (license headers,
+    * navigation chrome) that would otherwise create quadratic join
+    * output, exactly like the hot-shingle cap in [[ngramJaccard]]. */
+  def winnowPairs(docs: DataFrame, minShared: Long, k: Int = 8, window: Int = 4,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  maxDocFreq: Option[Long] = None): DataFrame = {
+    val p0 = docs.select(col(idCol).as("id"),
+      explode(Text.winnow(col(textCol), k, window)).as("p")).distinct()
+    val p = maxDocFreq match {
+      case None => p0
+      case Some(cap) =>
+        val hot = p0.groupBy("p").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("p")
+        p0.join(broadcast(hot), Seq("p"), "left_anti")
+    }
+    p.as("a").join(p.as("b"),
+        col("a.p") === col("b.p") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** 32-bit SimHash per document: per-token md5 → first 8 hex chars as a
     * 32-bit hash; each bit votes ±1 weighted by token frequency; the
     * signature sets bits with positive vote.

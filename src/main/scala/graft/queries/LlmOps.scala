@@ -135,6 +135,19 @@ object LlmOps {
     Dedup.simhashBandedPairs(Dedup.simhash(Tables(spark, dir).documents), maxDist = 3)
       .orderBy("id_a", "id_b")
 
+  /** Passage-level near-dup pairs (winnowing prints, ≥ 8 shared, hot
+    * print cap). No DuckDB oracle — the rolling-hash winnow has no SQL
+    * form — so the driver records the weaker rows-only check; the
+    * algebraic contracts live in OperatorSpec/TextSpec. */
+  def dWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    // k=24 chars ≈ a 4-5 word passage window: selective enough that
+    // chance collisions in a small-vocabulary corpus stay rare (k=8
+    // matched 27% of all doc pairs here — char 8-grams repeat by
+    // chance); tight df cap kills boilerplate prints
+    Dedup.winnowPairs(Tables(spark, dir).documents, minShared = 10,
+        k = 24, window = 8, maxDocFreq = Some(20L))
+      .orderBy("id_a", "id_b")
+
   /** Embedding-cosine near-dup pairs (blocked by cell, ≥ 0.45). */
   def dEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(Tables(spark, dir).embeddings, threshold = 0.45)

@@ -201,6 +201,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("winnow pairs find a shared passage inside otherwise-different docs") {
+    val passage = "the copied boilerplate passage that appears verbatim in both documents here"
+    val docs = Seq(
+      (1L, s"totally original opening text before anything else. $passage and then one ending"),
+      (2L, s"a different beginning altogether for this one. $passage with another closing line"),
+      (3L, "nothing in common with the others at all, completely separate content entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, minShared = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // whole-doc jaccard misses it at any useful threshold (passage is
+    // a minority of each doc) — the reason passage-level dedup exists
+    val jac = Dedup.ngramJaccard(docs, threshold = 0.5)
+    assert(jac.count() == 0)
+  }
+
   test("operators tolerate empty inputs") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(emptyDocs).count() == 0)
