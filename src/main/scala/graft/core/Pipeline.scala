@@ -95,10 +95,21 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     next(d => withValue(d, coder(col("value")).cast(coder.outType)))
   }
 
+  /** Nullability-normalized type view: a KVM struct built from literals
+    * carries non-null fields but IS the declared KVM type — coder
+    * identity must not depend on nullability flags. */
+  private def loose(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, loose(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(loose(a.elementType), containsNull = true)
+    case m: MapType => MapType(loose(m.keyType), loose(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Coder auto-injection (ref `injectCoder`, `pipeline.go:168-197`):
     * greedy ≤5-deep chain search from the current value type to `to`. */
   def adapt(to: DataType): Flow =
-    if (valueType == to) this
+    if (loose(valueType) == loose(to)) this
     else {
       // resolve the chain against the CURRENT value type, outside the
       // replayable closure (the rebuilt frame has the same schema)

@@ -76,15 +76,26 @@ final class MemorySink extends Sink {
   * requires the KVMBinary shape — exactly the column contract of
   * `writeStream.format("kafka")`, so the real connector drops in where
   * this writes parquet. Delivery-report acking ≙ the streaming commit log. */
-final case class KafkaLikeSink(path: String) extends Sink {
+final case class KafkaLikeSink(path: String, checkpoint: Option[String] = None)
+  extends Sink {
   override def inType: Option[DataType] = Some(graft.coders.Coders.kvmBinaryType)
   def write(flow: Flow): Sink.Result = {
     val kv = flow.df.select(
       flow.df.col("value").getField("key").as("key"),
       flow.df.col("value").getField("value").as("value"),
       flow.df.col("value").getField("headers").as("headers"))
-    kv.write.mode("overwrite").parquet(path)
-    Sink.Done(flow.spark.read.parquet(path).count())
+    if (flow.bounded) {
+      kv.write.mode("overwrite").parquet(path)
+      Sink.Done(flow.spark.read.parquet(path).count())
+    } else Sink.Streaming(
+      // unbounded twin: exactly the column contract of
+      // writeStream.format("kafka") — swap the format string and the
+      // real producer drops in (offsets/acks ≙ the checkpoint log)
+      kv.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation",
+          checkpoint.getOrElse(s"$path/_graft_checkpoint"))
+        .start())
   }
 }
 

@@ -263,6 +263,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 40L))
   }
 
+  test("KafkaLikeSink streams an unbounded flow with the KVM record contract") {
+    import graft.core._
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-kafka").toString
+    val res = Pipeline(spark)
+      .root(KafkaLikeSource(DataSourceV2Source("graft.sources.RecordsDataSource",
+        Map("rows" -> "30", "rowsperbatch" -> "10"), bounded = false,
+        valueCol = "body")))
+      .to(KafkaLikeSink(out))
+    val q = res match {
+      case Sink.Streaming(q) => q
+      case other => fail(s"expected a streaming handle, got $other")
+    }
+    def written(): Long =
+      try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+    val deadline = System.currentTimeMillis() + 60000
+    while (written() < 30 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.columns.toSeq == Seq("key", "value", "headers"))
+    assert(rows.count() == 30)
+  }
+
   test("streaming exact dedup drops in-horizon duplicates, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
