@@ -34,4 +34,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Register every table as a temp view so the full corpus is
+    * queryable through `spark.sql(...)` — the SQL-first entry point
+    * (Catalyst plans SQL and DataFrame code identically). */
+  def registerViews(): Unit = {
+    Seq("region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "events" -> events,
+      "documents" -> documents, "embeddings" -> embeddings)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+  }
 }

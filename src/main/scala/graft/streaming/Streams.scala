@@ -195,6 +195,32 @@ object Streams {
     t.close()
   }
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * the batch as-of join (ref capability via
+    * [[graft.operators.AsOfJoin]]): each left event pairs with right
+    * events of the same key whose time lies in `[left.ts − lookback,
+    * left.ts]`.
+    *
+    * Scale: both sides shuffle once on the join key; the state store
+    * buffers only rows inside the watermark+lookback horizon per key —
+    * the interval condition is what lets Spark EVICT: an unbounded
+    * equality-only stream join would keep state forever. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String, lookback: String,
+                   leftTs: String = "ts", rightTs: String = "ts",
+                   watermark: String = "0 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+      .select(col(keyCol).as("l_key"), col(leftTs).as("l_ts"),
+        struct(left.columns.map(col): _*).as("l"))
+    val r = right.withWatermark(rightTs, watermark)
+      .select(col(keyCol).as("r_key"), col(rightTs).as("r_ts"),
+        struct(right.columns.map(col): _*).as("r"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("l_ts"))
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.operators.Dedup.exact]] for continuous ingest: documents
     * whose normalized-content fingerprint was already seen within the

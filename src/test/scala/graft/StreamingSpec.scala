@@ -263,6 +263,32 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 40L))
   }
 
+  test("stream-stream interval join pairs clicks with in-window views only (streaming as-of twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val views = MemoryStream[(String, Timestamp)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("user", "ts"), views.toDF().toDF("user", "ts"),
+      keyCol = "user", lookback = "10 minutes")
+    val out = ArrayBuffer.empty[(String, Timestamp, Timestamp)]
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { out.synchronized { out ++= b.collect().map(r =>
+          (r.getString(0), r.getTimestamp(1), r.getTimestamp(4))) }; () })
+      .start()
+    views.addData(("u1", ts(0)), ("u1", ts(25)), ("u2", ts(1)))
+    clicks.addData(("u1", ts(5)), ("u1", ts(30)), ("u2", ts(20)))
+    q.processAllAvailable()
+    q.stop()
+    val got = out.synchronized(out.toSet)
+    assert(got.contains(("u1", ts(5), ts(0))))    // view 10:00 in [09:55, 10:05]
+    assert(got.contains(("u1", ts(30), ts(25))))  // view 10:25 in [10:20, 10:30]
+    // u1's 10:30 click must NOT see the 10:00 view (outside lookback),
+    // u2's 10:20 click must NOT see the 10:01 view
+    assert(!got.contains(("u1", ts(30), ts(0))))
+    assert(!got.exists(_._1 == "u2"))
+  }
+
   test("KafkaLikeSink streams an unbounded flow with the KVM record contract") {
     import graft.core._
     val out = java.nio.file.Files.createTempDirectory("graft-stream-kafka").toString
