@@ -95,6 +95,66 @@ class XmlTreeSpec extends SparkSpec {
     assert(sink.values == Seq("Adam", "Cecilia", "Elliot"))
   }
 
+  test("property: generated trees round-trip through serialize → parse → navigate") {
+    val rnd = new scala.util.Random(13)
+    def escText(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def escAttr(s: String) = escText(s).replace("\"", "&quot;")
+    // random small trees: (tag, attrs, children-or-text)
+    sealed trait N
+    case class T(tag: String, attrs: Map[String, String], kids: Seq[N]) extends N
+    case class Txt(s: String) extends N
+    val chars = "ab<>&\"x 7é"
+    def rndStr() = (0 until 1 + rnd.nextInt(6)).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    def gen(depth: Int): T = T(
+      "t" + rnd.nextInt(5),
+      (0 until rnd.nextInt(3)).map(i => s"a$i" -> rndStr()).toMap,
+      if (depth >= 2) Seq(Txt(rndStr()))
+      else (0 until 1 + rnd.nextInt(3)).map { _ =>
+        if (rnd.nextBoolean()) Txt(rndStr()) else gen(depth + 1)
+      })
+    def ser(n: N): String = n match {
+      case Txt(s) => escText(s)
+      case T(tag, attrs, kids) =>
+        val a = attrs.toSeq.sorted.map { case (k, v) => s""" $k="${escAttr(v)}"""" }.mkString
+        s"<$tag$a>${kids.map(ser).mkString}</$tag>"
+    }
+    val trees = (0 until 40).map(_ => gen(0))
+    val df = trees.map(ser).toDF("x").select(XmlTree.tree(col("x")).as("v"))
+    val roots = df.select(
+      XmlTree.tagName(XmlTree.child(col("v"), 0)),
+      XmlTree.numChildren(XmlTree.child(col("v"), 0))).collect()
+    trees.zip(roots).foreach { case (t, r) =>
+      assert(r.getString(0) == t.tag)
+      // adjacent Txt children coalesce in the parsed tree — count the
+      // collapsed runs, and empty text serializes to nothing
+      val collapsed = t.kids.foldLeft(List.empty[N]) {
+        case (Txt(a) :: rest, Txt(b)) => Txt(a + b) :: rest
+        case (acc, k) => k :: acc
+      }.reverse.filter { case Txt(s) => s.nonEmpty; case _ => true }
+      assert(r.getInt(1) == collapsed.size, s"tree ${ser(t)}")
+    }
+    // attribute values (with quotes/entities/unicode) survive exactly
+    val attrTrees = trees.filter(_.attrs.nonEmpty)
+    attrTrees.headOption.foreach { t =>
+      val (k, v) = t.attrs.head
+      val got = Seq(ser(t)).toDF("x")
+        .select(XmlTree.attr(XmlTree.child(XmlTree.tree(col("x")), 0), k))
+        .head().getString(0)
+      assert(got == v, s"attr $k of ${ser(t)}")
+    }
+  }
+
+  test("numeric character references and CDATA decode as text") {
+    val r = one("<r><a>&#x41;&#66;</a><b><![CDATA[raw <not> parsed & kept]]></b></r>")
+    val root = XmlTree.child(col("v"), 0)
+    val row = r.select(
+      XmlTree.childText(root, 0, 0),
+      XmlTree.childText(root, 1, 0)).head()
+    assert(row.getString(0) == "AB")
+    assert(row.getString(1) == "raw <not> parsed & kept")
+  }
+
   test("xml.TreeDecoder is a registered-shape coder (string → variant)") {
     val c = graft.coders.XmlCoder.treeDecoder
     assert(c.inType == StringType && c.outType == VariantType)
