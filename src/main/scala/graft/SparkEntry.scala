@@ -43,6 +43,8 @@ object SparkEntry {
     "t_redact"          -> (LlmOps.tRedact _),
     "t_tokens_bpe"      -> (LlmOps.tTokensBpe _),
     "t_sample"          -> (LlmOps.tSample _),
+    "t_pack"            -> (LlmOps.tPack _),
+    "t_vocab"           -> (LlmOps.tVocab _),
     "s_quantize"        -> (LlmOps.sQuantize _),
     "d_exact"           -> (LlmOps.dExact _),
     "d_ngram_jaccard"   -> (LlmOps.dNgramJaccard _),

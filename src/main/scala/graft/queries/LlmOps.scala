@@ -98,6 +98,43 @@ object LlmOps {
         array_max(col("q")).as("q_max"))
       .orderBy("vec_id")
 
+  /** GPT-style sequence packing assignment: documents in doc_id order
+    * fill 2048-token training sequences; each doc gets its bin and its
+    * offset within the bin (concatenate-then-chunk packing — the
+    * standard pretraining shape).
+    *
+    * Scale: one window cumsum ordered by the id. A global order is a
+    * range-partitioned sort; for 100 TB, pack within shards
+    * (partitionBy(shard) windows) — bin boundaries at shard edges are
+    * the accepted waste, identical math. */
+  def tPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("cum", sum("n").over(w))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        floor((col("cum") - col("n")) / 2048L).as("bin"),
+        ((col("cum") - col("n")) % 2048L).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary building (tokenizer-training primitive): top-50 tokens
+    * by corpus frequency with document frequency and rank. Scale: one
+    * partial+final agg on the token, top-k via TakeOrdered. */
+  def tVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(50)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("tok"))).cast("long"))
+      .select("rank", "tok", "tf", "df")
+
   /** Document fingerprinting (md5 of normalized text). */
   def tFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents

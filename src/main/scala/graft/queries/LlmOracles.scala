@@ -73,6 +73,28 @@ object LlmOracles {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "t_pack" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, len($toks)::bigint AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM n)
+         |SELECT doc_id, n AS n_tokens,
+         |  ((cum - n) // 2048)::bigint AS bin,
+         |  ((cum - n) % 2048)::bigint AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t_vocab" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |f AS (
+         |  SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |  FROM t GROUP BY tok)
+         |SELECT row_number() OVER (ORDER BY tf DESC, tok) AS rank,
+         |  tok, tf, df
+         |FROM f ORDER BY tf DESC, tok LIMIT 50""".stripMargin,
+
     "t_sample" ->
       """SELECT doc_id,
         |  (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100)::int AS bucket
