@@ -32,6 +32,65 @@ object MultiModal {
     }
   }
 
+  /** Typed feature row: fixed-width byte-distribution histogram — the
+    * feature-extract step of a media pipeline (embedding-model stand-in;
+    * same batch shape as a real encoder). */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Double])
+
+  /** Per-blob byte-distribution features (`bins`-bucket normalized
+    * histogram). The histogram itself is real (not stubbed) — it is the
+    * deterministic, library-free feature extractor; a production
+    * pipeline swaps the per-partition loop body for a vision/audio
+    * model, keeping the iterator-batch shape: one model instance per
+    * task, rows streamed through, output a fixed-width vector column
+    * ready for [[Similarity]] / IVF indexing. */
+  def extractFeatures(media: DataFrame, bins: Int = 16,
+                      idCol: String = "doc_id",
+                      blobCol: String = "content"): DataFrame = {
+    val ds = media.select(col(idCol).cast("long"), col(blobCol))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Double](bins)
+          var i = 0
+          while (i < bytes.length) {
+            hist(((bytes(i) & 0xff) * bins) >> 8) += 1.0
+            i += 1
+          }
+          val n = math.max(bytes.length, 1)
+          var b = 0
+          while (b < bins) { hist(b) /= n; b += 1 }
+          MediaFeatures(id, bytes.length.toLong, hist)
+        }
+      }(Encoders.product[MediaFeatures])
+    ds.toDF()
+  }
+
+  /** Resized-media row: target dims + the (stubbed) resized payload. */
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                                content: Array[Byte])
+
+  /** STUB resize, real plumbing: output schema, per-partition batching
+    * and payload threading are the production contract; the stub
+    * "resized" payload is a deterministic function of (content, dims)
+    * so downstream stages (write, dedup by md5, re-extract) are fully
+    * exercisable without image libraries. */
+  def resize(media: DataFrame, width: Int, height: Int,
+             idCol: String = "doc_id", blobCol: String = "content"): DataFrame = {
+    val ds = media.select(col(idCol).cast("long"), col(blobCol))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          // deterministic stand-in payload: dims header + content digest
+          val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          val out = java.nio.ByteBuffer.allocate(8 + digest.length)
+            .putInt(width).putInt(height).put(digest).array()
+          ResizedMedia(id, width, height, out)
+        }
+      }(Encoders.product[ResizedMedia])
+    ds.toDF()
+  }
+
   /** Extract metadata from a (id, blob) frame via per-partition batches.
     *
     * Scale: mapPartitions keeps one decoder instance per task and
