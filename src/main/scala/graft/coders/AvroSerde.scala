@@ -186,6 +186,27 @@ object AvroSerde {
     udf(f, out).apply(c)
   }
 
+  /** Permissive variant of [[decodeConfluent]]: malformed frames (bad
+    * magic, unknown schema id, truncated Avro body) decode to NULL
+    * instead of failing the job — the production posture for a
+    * 100 TB backfill, where one corrupt record must not kill the run.
+    * Route `isnull(decoded)` rows to a dead-letter sink; the strict
+    * variant remains the right default for must-not-drop pipelines. */
+  def decodeConfluentSafe(c: Column, registry: SchemaRegistry,
+                          readerSchemaJson: String): Column = {
+    val reader = parse(readerSchemaJson)
+    val out = sparkType(reader).asInstanceOf[StructType]
+    val f = new UDF1[Array[Byte], Row] {
+      override def call(bytes: Array[Byte]): Row =
+        if (bytes == null) null
+        else try {
+          val (id, body) = unframe(bytes)
+          recordToRow(decodeBody(body, parse(registry.schemaById(id)), parse(readerSchemaJson)))
+        } catch { case _: Exception => null }
+    }
+    udf(f, out).apply(c)
+  }
+
   /** struct → confluent-framed binary, registering the schema under
     * `subject` (≙ SchemaRegistryEncoder, `coder/serde/encoder.go:50-96`). */
   def encodeConfluent(c: Column, registry: SchemaRegistry, subject: String,
