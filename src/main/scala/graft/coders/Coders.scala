@@ -82,6 +82,35 @@ object Coders {
   /** gunzip bytes (ref `coder/gzip/decoder.go:10-33`). */
   def gunzip(c: Column): Column = gunzipUdf(c)
 
+  private val bzip2Udf = udf { (b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val bz = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos)
+      bz.write(b); bz.close()
+      bos.toByteArray
+    }
+  }
+
+  private val bunzip2Udf = udf { (b: Array[Byte]) =>
+    if (b == null) null
+    else {
+      val in = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    }
+  }
+
+  /** bzip2 compress/decompress (commons-compress, bundled with Spark) —
+    * the second codec of the reference's conditional-decode TODO. */
+  def bzip2(c: Column): Column = bzip2Udf(c)
+  def bunzip2(c: Column): Column = bunzip2Udf(c)
+
   /** Conditional decompression by content sniffing (gzip magic
     * 0x1f 0x8b) — implements the reference's own TODO
     * (`examples/localfs-subflow-localfs/main.go:49`:
@@ -91,6 +120,14 @@ object Coders {
     * needed. */
   def gunzipIfGzipped(c: Column): Column =
     when(substring(c, 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte)), gunzip(c))
+      .otherwise(c)
+
+  /** Full auto-sniffing decompression — BOTH branches of the reference
+    * TODO ("if gz then gzip.Decode, if bz then bzip.Decode"): gzip magic
+    * `1f 8b`, bzip2 magic `BZh`, anything else passes through. */
+  def decompressAuto(c: Column): Column =
+    when(substring(c, 1, 2) === lit(Array(0x1f.toByte, 0x8b.toByte)), gunzip(c))
+      .when(substring(c, 1, 3) === lit("BZh".getBytes("UTF-8")), bunzip2(c))
       .otherwise(c)
 
   /** string path → Url struct (ref `coder/url/decoder.go:30-59`, semantic

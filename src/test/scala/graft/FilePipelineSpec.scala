@@ -100,6 +100,25 @@ class FilePipelineSpec extends SparkSpec {
       Set("PLAIN ONE", "PLAIN TWO", "ZIPPED THREE", "ZIPPED FOUR"))
   }
 
+  test("auto-sniffing decompression handles gz, bz2 and plain in one pipeline (both ref TODO branches)") {
+    val d = Files.createTempDirectory("graft-mixed3")
+    Files.writeString(d.resolve("a.txt"), "plain one")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(d.resolve("b.txt.gz")))
+    gz.write("zipped two".getBytes("UTF-8")); gz.close()
+    val bz = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(Files.newOutputStream(d.resolve("c.txt.bz2")))
+    bz.write("bzipped three".getBytes("UTF-8")); bz.close()
+    val sink = new MemorySink
+    Pipeline(spark).root(BinaryFileSource(d.toString))
+      .mapRaw(graft.coders.Coders.decompressAuto)
+      .adapt(StringType)
+      .map(StringType)(upper)
+      .to(sink)
+    assert(sink.values.map(_.toString).toSet ==
+      Set("PLAIN ONE", "ZIPPED TWO", "BZIPPED THREE"))
+  }
+
   test("CSV write/read round-trip preserves values and schema (format coverage)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
