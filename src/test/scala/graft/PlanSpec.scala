@@ -63,6 +63,22 @@ class PlanSpec extends SparkSpec {
     assert("parseJson".r.findAllIn(xp).size == 1, s"parse count != 1 in:\n${xp.take(800)}")
   }
 
+  test("newest gates keep their scale shapes: vocab top-k, quantize pruning, sample pushdown") {
+    // t_vocab: the top-50 is TakeOrdered (k per partition + merge),
+    // never a global sort of the token frequencies
+    assert(plan("t_vocab").contains("TakeOrderedAndProject"))
+    // s_quantize: the embeddings scan reads only the two needed columns
+    val qz = plan("s_quantize")
+    assert(qz.contains("ReadSchema") && !qz.contains("label"),
+      "quantize scan must prune the label column")
+    // t_sample: the hash-bucket filter reaches the scan as a pushed/
+    // early filter — the sampled read never materializes unsampled rows
+    // beyond the scan-filter stage (no join, no shuffle in the plan)
+    val sm = plan("t_sample")
+    assert(!sm.contains("Exchange") || sm.contains("rangepartitioning"),
+      s"sampling must not shuffle (except the final presentation sort):\n${sm.take(400)}")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline of q2") {
     // AQE hides codegen spans until execution: run the query, then
     // inspect the final adaptive plan for WholeStageCodegen operators.
