@@ -1,0 +1,41 @@
+package graft.examples
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** Throwaway 10x scale soak: duplicate the sf0.1 documents corpus 10x
+  * (ids offset per copy) and time the dedup family — checks the join
+  * shapes scale ~linearly, not quadratically. */
+object ScaleSoak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "4g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = base.count()
+    // 10 copies with distinct ids AND perturbed text (append a copy tag
+    // to most docs so it's not 10x pure duplicates)
+    val big = spark.range(10).crossJoin(base)
+      .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        when(col("id") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" copytag"), col("id"))).as("text"),
+        col("lang"), col("source"))
+    big.write.mode("overwrite").parquet("/tmp/soak/documents.parquet")
+    val docs = spark.read.parquet("/tmp/soak/documents.parquet")
+    println(s"docs: ${docs.count()} (base $n)")
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$tag: ${(System.nanoTime()-t0)/1e9}%.1f s  (result=$r)")
+    }
+    import graft.operators._
+    time("exact")    { Dedup.exact(docs).filter(col("group_size") > 1).count() }
+    time("minhash")  { Dedup.minhashLsh(docs, 0.5).count() }
+    time("ngram")    { Dedup.ngramJaccard(docs, 0.5, maxDocFreq = Some(1000L)).count() }
+    time("simhashP") { Dedup.simhashBandedPairs(Dedup.simhash(docs), 3).count() }
+    time("winnow")   { Dedup.winnowPairs(docs, 10, k = 24, window = 8, maxDocFreq = Some(200L)).count() }
+    time("curate")   { Curation.curate(docs).count() }
+    spark.stop()
+  }
+}
