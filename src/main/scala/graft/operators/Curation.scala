@@ -46,12 +46,15 @@ object Curation {
       .filter(col("doc_id") === col("canonical_id"))
       .select("doc_id")
     val exact = gated.join(exactKept, "doc_id")
-    // near-dup removal: for every surviving LSH pair ≥ threshold, drop
-    // the higher id (id_b > id_a by construction) — one banded join on
-    // the deduped remainder, then an anti-join
-    val dupIds = Dedup.minhashLsh(exact, cfg.nearDupThreshold,
-        cfg.minhashPerms, cfg.minhashBands)
-      .select(col("id_b").as("doc_id")).distinct()
+    // near-dup removal: cluster the pair graph into connected
+    // components (transitive closure — {(a,c),(b,c)} is ONE cluster)
+    // and keep only each component's minimum id; the banded LSH join
+    // generates the pairs, hash-min propagation clusters them
+    val pairs = Dedup.minhashLsh(exact, cfg.nearDupThreshold,
+      cfg.minhashPerms, cfg.minhashBands)
+    val dupIds = Dedup.components(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
     val clean = exact.join(dupIds, Seq("doc_id"), "left_anti")
     clean.select(
       col("doc_id"),
@@ -68,9 +71,11 @@ object Curation {
     val exactKept = Dedup.exact(gated, "text", "doc_id")
       .filter(col("doc_id") === col("canonical_id")).select("doc_id")
     val exact = gated.join(exactKept, "doc_id")
-    val dupIds = Dedup.minhashLsh(exact, cfg.nearDupThreshold,
-        cfg.minhashPerms, cfg.minhashBands)
-      .select(col("id_b").as("doc_id")).distinct()
+    val dupIds = Dedup.components(
+        Dedup.minhashLsh(exact, cfg.nearDupThreshold,
+          cfg.minhashPerms, cfg.minhashBands))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
     val clean = exact.join(dupIds, Seq("doc_id"), "left_anti")
     val out = curate(docs, cfg)
     Funnel(docs.count(), gated.count(), exact.count(), clean.count(),

@@ -144,6 +144,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair set (hash-min label
+    * propagation): every doc in a transitively-connected cluster gets
+    * the cluster's minimum id as its component. The principled
+    * survivors-selection for near-dup REMOVAL: keep one doc per
+    * component — a pairwise "drop the larger id" leaves extra survivors
+    * on transitive clusters like {(a,c),(b,c)} (b never appears as the
+    * larger id yet duplicates the same cluster).
+    *
+    * Scale: the classic Spark CC shape — one equi-join + min-agg per
+    * iteration, converging in O(cluster diameter) rounds; near-dup
+    * clusters are shallow (diameter ≤ 3-4 in practice), so 10
+    * iterations is a generous ceiling. Each round ends in
+    * `localCheckpoint` — iteration on Spark REQUIRES lineage
+    * truncation (the logical plan doubles per round otherwise and
+    * optimization blows up around round 8); on a long-lived production
+    * cluster prefer `checkpoint` with a reliable dir so executor loss
+    * stays recoverable. */
+  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Passage-level near-dup pairs via winnowing fingerprints
     * (Schleimer et al., SIGMOD'03): docs sharing ≥ `minShared` winnow
     * prints — catches a copied PASSAGE inside otherwise-different

@@ -201,6 +201,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("connected components cluster transitive near-dup pairs to one survivor") {
+    // {(1,3),(2,3)}: 2 never appears as the larger id of a pair with a
+    // smaller partner — a pairwise drop-the-larger rule would keep BOTH
+    // 1 and 2; components collapse the cluster to min id 1
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs)
+      .select("id", "comp").as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    // a long chain converges within the iteration cap
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c2 = Dedup.components(chain).select("comp").distinct().as[Long].collect()
+    assert(c2.toSeq == Seq(1L))
+  }
+
   test("winnow pairs find a shared passage inside otherwise-different docs") {
     val passage = "the copied boilerplate passage that appears verbatim in both documents here"
     val docs = Seq(
