@@ -53,6 +53,7 @@ object SparkEntry {
     "d_simhash_pairs"   -> (LlmOps.dSimhashPairs _),
     "d_embed_neardup"   -> (LlmOps.dEmbedNearDup _),
     "d_winnow_pairs"    -> (LlmOps.dWinnowPairs _),
+    "d_components"      -> (LlmOps.dComponents _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),

@@ -185,6 +185,17 @@ object LlmOps {
         k = 24, window = 8, maxDocFreq = Some(20L))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clustering: connected components over the capped-jaccard
+    * pair graph — every doc in a transitive near-dup cluster labeled
+    * with the cluster's minimum id. Oracled by a DuckDB RECURSIVE CTE
+    * computing min-reachable-id over the identical pair set, so the
+    * iterative clustering layer is hash-verified end to end. */
+  def dComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.components(
+        Dedup.ngramJaccard(Tables(spark, dir).documents, threshold = 0.5,
+          maxDocFreq = Some(100L)))
+      .orderBy("id")
+
   /** Embedding-cosine near-dup pairs (blocked by cell, ≥ 0.45). */
   def dEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(Tables(spark, dir).embeddings, threshold = 0.45)

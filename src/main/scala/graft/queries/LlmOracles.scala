@@ -235,6 +235,38 @@ object LlmOracles {
         |  FROM scored)
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // transitive min-reachable-id via RECURSIVE CTE over the SAME
+    // capped-jaccard pair derivation as d_ngram_jaccard — verifies the
+    // iterative hash-min label propagation exactly
+    "d_components" ->
+      s"""WITH RECURSIVE sh0 AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(greatest(len($toks) - 2, 1)),
+         |      i -> array_to_string(($toks)[(i+1):(i+3)], ' '))) AS sh
+         |    FROM documents)),
+         |shc AS (
+         |  SELECT * FROM sh0 WHERE sh NOT IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 100)),
+         |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |interc AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, round(i / (na.n + nb.n - i), 4) AS jaccard
+         |    FROM interc JOIN szc na ON id_a = na.doc_id JOIN szc nb ON id_b = nb.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id, min(comp)::bigint AS comp FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin,
+
     // the Spark side computes real recall of the trained IVF index vs
     // its in-plan brute-force baseline; the oracle pins the asserted
     // outcome (10 queries evaluated, recall@5 ≥ 0.5 held)
