@@ -232,6 +232,19 @@ class OperatorSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("round-2 operators tolerate empty inputs") {
+    import graft.operators.{Sampling, Stats}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.components(emptyPairs).count() == 0)
+    assert(Dedup.winnowPairs(emptyDocs, 1).count() == 0)
+    assert(Sampling.sampleByHash(emptyDocs, "doc_id", 50).count() == 0)
+    assert(Stats.quantilesCont(
+      Seq.empty[(String, Double)].toDF("k", "v"), "k", "v",
+      Seq(0.5 -> "p50")).count() == 0)
+    assert(graft.operators.Curation.curate(emptyDocs).count() == 0)
+  }
+
   test("operators tolerate empty inputs") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(emptyDocs).count() == 0)
