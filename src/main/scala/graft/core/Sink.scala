@@ -38,8 +38,16 @@ final case class ConsoleSink(numRows: Int = 20) extends Sink {
         flow.df.schema).show(numRows, truncate = false)
       val n = if (preview.length <= numRows) preview.length.toLong else flow.df.count()
       Sink.Done(n)
-    } else Sink.Streaming(
-      flow.df.writeStream.format("console").start())
+    } else Sink.Streaming {
+      // aggregated streams need Complete/Update; plain streams need
+      // Append — try the plain mode first, fall back for aggregations
+      // (≙ the reference's Count().TriggerEvery(..).Apply(std.Out))
+      try flow.df.writeStream.format("console").start()
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          flow.df.writeStream.format("console").outputMode("complete").start()
+      }
+    }
 }
 
 /** Parquet sink — the batch/file sink of our engine (beyond-reference;

@@ -39,6 +39,14 @@ object Source {
   def stamp(df: DataFrame): DataFrame = {
     val withUniq =
       if (df.columns.contains("uniq")) df
+      else if (df.isStreaming)
+        // a streaming frame cannot synthesize a monotonic id
+        // (monotonically_increasing_id is batch-only): derived
+        // streaming emissions (e.g. an unbounded fold's running value,
+        // ref kafka-count-stdout) are identified by content hash and
+        // carry NO global order — order-sensitive combinators need a
+        // source-provided uniq (the DSv2 id ≙ a Kafka offset)
+        df.withColumn("uniq", xxhash64(df.columns.map(col): _*))
       else df.withColumn("uniq", monotonically_increasing_id())
     if (withUniq.columns.contains("ts")) withUniq
     else withUniq.withColumn("ts", current_timestamp())

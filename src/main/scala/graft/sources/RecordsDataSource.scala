@@ -75,7 +75,21 @@ private class RecordsScan(rows: Long, partitions: Int, rowsPerBatch: Long) exten
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MicroBatchStream {
+    new MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+      /** All `rows` are available from the start; the poll cursor keeps
+        * its per-batch cadence and plateaus at `rows`, which satisfies
+        * the AvailableNow contract (drain everything, then stop) —
+        * without this trait the engine wraps the source and captures a
+        * SINGLE poll, draining only one batch (≙ a Kafka source
+        * snapshotting end offsets at query start). */
+      override def prepareForTriggerAvailableNow(): Unit = ()
+      /** Admission-control form the trait requires: our rowsPerBatch
+        * cadence IS the admission policy, so the engine-supplied
+        * ReadLimit is subsumed by the poll step. */
+      override def latestOffset(start: Offset,
+                                limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+        latestOffset()
       private var polled = 0L
       private var committed = 0L
       override def latestOffset(): Offset = {

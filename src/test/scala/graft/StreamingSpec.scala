@@ -289,6 +289,32 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._1 == "u2"))
   }
 
+  test("unbounded Count() runs to a final value (ref kafka-count-stdout shape)") {
+    import graft.core._
+    // stream → countAll → complete-mode emission: the running count is
+    // visible per trigger and the final value covers all input
+    val flow = Pipeline(spark)
+      .root(DataSourceV2Source("graft.sources.RecordsDataSource",
+        Map("rows" -> "40", "rowsperbatch" -> "20"), bounded = false))
+      .countAll()
+    assert(flow.df.isStreaming)
+    val out = ArrayBuffer.empty[Long]
+    Streams.runAvailableNow(flow.df, OutputMode.Complete()) { b =>
+      out.synchronized { out ++= b.select("value").collect().map(_.getLong(0)) }
+    }
+    assert(out.synchronized(out.lastOption).contains(40L))
+    // the console sink accepts the aggregated stream (complete fallback)
+    val res = Pipeline(spark)
+      .root(DataSourceV2Source("graft.sources.RecordsDataSource",
+        Map("rows" -> "10", "rowsperbatch" -> "10"), bounded = false))
+      .countAll()
+      .to(ConsoleSink())
+    res match {
+      case Sink.Streaming(q) => q.processAllAvailable(); q.stop()
+      case other => fail(s"expected streaming handle, got $other")
+    }
+  }
+
   test("KafkaLikeSink streams an unbounded flow with the KVM record contract") {
     import graft.core._
     val out = java.nio.file.Files.createTempDirectory("graft-stream-kafka").toString
