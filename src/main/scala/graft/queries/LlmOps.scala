@@ -103,17 +103,16 @@ object LlmOps {
     * offset within the bin (concatenate-then-chunk packing — the
     * standard pretraining shape).
     *
-    * Scale: one window cumsum ordered by the id. A global order is a
-    * range-partitioned sort; for 100 TB, pack within shards
-    * (partitionBy(shard) windows) — bin boundaries at shard edges are
-    * the accepted waste, identical math. */
+    * Scale: the global cumsum is a [[graft.operators.Prefix]] two-phase
+    * distributed prefix (range-partitioned parallel sort + partition-
+    * local windows + a P-row broadcast offset join) — NOT a
+    * single-partition `Window.orderBy` funnel. Same math, every
+    * partition stays parallel at 100 TB. */
   def tPack(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir).documents
+    import graft.operators.Prefix
+    val toks = Tables(spark, dir).documents
       .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n"))
-      .withColumn("cum", sum("n").over(w))
+    Prefix.runningSum(toks, "doc_id", "n", "cum")
       .select(col("doc_id"), col("n").as("n_tokens"),
         floor((col("cum") - col("n")) / 2048L).as("bin"),
         ((col("cum") - col("n")) % 2048L).as("bin_offset"))
