@@ -23,7 +23,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "4g")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the one-line JSON below shares stdout with log4j,
+    // and WindowExec emits a WARN per bounded P-row/50-row window (harmless
+    // at scale but it breaks the driver's stdout parse — BENCH r1-r3 all
+    // came back "parsed": null because of this spam)
+    spark.sparkContext.setLogLevel("ERROR")
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()

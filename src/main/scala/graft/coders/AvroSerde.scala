@@ -186,23 +186,53 @@ object AvroSerde {
     udf(f, out).apply(c)
   }
 
-  /** Permissive variant of [[decodeConfluent]]: malformed frames (bad
-    * magic, unknown schema id, truncated Avro body) decode to NULL
+  /** Permissive variant of [[decodeConfluent]]: malformed DATA (bad
+    * magic, unknown schema id, truncated Avro body) decodes to NULL
     * instead of failing the job — the production posture for a
     * 100 TB backfill, where one corrupt record must not kill the run.
     * Route `isnull(decoded)` rows to a dead-letter sink; the strict
-    * variant remains the right default for must-not-drop pipelines. */
+    * variant remains the right default for must-not-drop pipelines.
+    *
+    * The catches are phase-scoped, NOT a blanket `case _: Exception`:
+    * a transient registry/transport failure (IOException from the HTTP
+    * client, or a 5xx) PROPAGATES and fails the task — Spark retries it
+    * — where a blanket catch would silently null entire partitions into
+    * the DLQ as if the data were corrupt. Only errors the data itself
+    * can cause are mapped to NULL. */
   def decodeConfluentSafe(c: Column, registry: SchemaRegistry,
                           readerSchemaJson: String): Column = {
     val reader = parse(readerSchemaJson)
     val out = sparkType(reader).asInstanceOf[StructType]
     val f = new UDF1[Array[Byte], Row] {
-      override def call(bytes: Array[Byte]): Row =
-        if (bytes == null) null
-        else try {
-          val (id, body) = unframe(bytes)
-          recordToRow(decodeBody(body, parse(registry.schemaById(id)), parse(readerSchemaJson)))
-        } catch { case _: Exception => null }
+      override def call(bytes: Array[Byte]): Row = {
+        if (bytes == null) return null
+        // phase 1 — framing: short/bad-magic payloads are data errors
+        val framed =
+          try Some(unframe(bytes))
+          catch { case _: IllegalArgumentException => None }
+        framed match {
+          case None => null
+          case Some((id, body)) =>
+            // phase 2 — schema resolution: IllegalArgumentException is
+            // the registry positively rejecting the id (unknown schema —
+            // a data error); IOException (transport, 5xx) propagates.
+            val writerJson =
+              try Some(registry.schemaById(id))
+              catch { case _: IllegalArgumentException => None }
+            writerJson match {
+              case None => null
+              case Some(wj) =>
+                // phase 3 — Avro body decode: truncated/garbage bodies
+                try recordToRow(decodeBody(body, parse(wj), parse(readerSchemaJson)))
+                catch {
+                  case _: org.apache.avro.AvroRuntimeException => null
+                  case _: java.io.EOFException => null
+                  case _: ArrayIndexOutOfBoundsException => null
+                  case _: IndexOutOfBoundsException => null
+                }
+            }
+        }
+      }
     }
     udf(f, out).apply(c)
   }

@@ -39,8 +39,14 @@ final class HttpSchemaRegistry(baseUrl: String,
 
   private def send(req: HttpRequest): String = {
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() / 100 == 2,
-      s"schema registry ${req.uri()} returned HTTP ${resp.statusCode()}: ${resp.body()}")
+    val msg = s"schema registry ${req.uri()} returned HTTP ${resp.statusCode()}: ${resp.body()}"
+    // 5xx is a registry-side (transient) failure and surfaces as
+    // IOException like a transport error — callers retry the task. 4xx
+    // means the registry positively rejected the request (e.g. unknown
+    // schema id) — IllegalArgumentException, a data-level error that
+    // decodeConfluentSafe routes to the DLQ instead of failing the job.
+    if (resp.statusCode() / 100 == 5) throw new java.io.IOException(msg)
+    require(resp.statusCode() / 100 == 2, msg)
     resp.body()
   }
 

@@ -134,11 +134,17 @@ final case class Flow(spark: SparkSession, df: DataFrame,
     // total of its predecessors (a P-row driver-side prefix — P is the
     // partition count, never the data size). Requires an associative,
     // "+"-combinable accumulator (sum/count — the reference's folds).
-    // persist: three consumers (running window, partition stats, total
-    // count) would otherwise each recompute the upstream lineage
+    // localCheckpoint (eager), not persist: (a) three consumers (running
+    // window, partition stats, total count) would otherwise recompute
+    // the upstream lineage, (b) every consumer must see the SAME
+    // spark_partition_id() assignment — independent range exchanges
+    // sample boundaries independently, so an un-shared __pid is a
+    // correctness hazard — and (c) checkpoint blocks are reclaimed by
+    // the ContextCleaner when the result is dropped, where a persist
+    // here would pin a CacheManager entry for the session's lifetime.
     val parts = d.repartitionByRange(col("uniq"))
       .withColumn("__pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     val w = Window.partitionBy("__pid").orderBy("uniq")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts

@@ -116,27 +116,46 @@ object Text {
   private val deStop = Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit")
   private val frStop = Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour")
 
-  private def stopRatio(c: Column, stops: Seq[String]): Column = {
-    val toks = tokens(lower(c))
+  /** Stopword-hit ratio over an ALREADY-materialized lowercased token
+    * array (see [[bigramsOf]]: a Catalyst lambda re-evaluates captured
+    * non-attribute expressions per element, and even as an argument the
+    * raw-text form re-runs the regex split once per ratio — stage
+    * `tokens(lower(text))` as its own projection column and every
+    * language's ratio reuses the one array). */
+  def stopRatioOf(toks: Column, stops: Seq[String]): Column =
     round(size(filter(toks, t => t.isin(stops.map(lit(_)): _*))) / size(toks), 4)
-  }
 
-  /** English stopword ratio (quality + language signal). */
+  private def stopRatio(c: Column, stops: Seq[String]): Column =
+    stopRatioOf(tokens(lower(c)), stops)
+
+  /** English stopword ratio (quality + language signal). Convenience
+    * raw-text form — for wide scans stage the token array and use
+    * [[stopRatioOf]] (see scale note there). */
   def enStopRatio(c: Column): Column = stopRatio(c, enStop)
 
-  /** N-gram/stopword language-ID heuristic: argmax of per-language
-    * stopword-hit ratios with deterministic tie-break (en > de > fr >
-    * unk). Scale: pure column expressions — language ID over 100 TB is
-    * a single codegen'd projection, no shuffle. */
-  def langId(c: Column): Column = {
-    val en = stopRatio(c, enStop)
-    val de = stopRatio(c, deStop)
-    val fr = stopRatio(c, frStop)
+  /** English stopword ratio over a staged lowercased token array. */
+  def enStopRatioOf(toks: Column): Column = stopRatioOf(toks, enStop)
+
+  /** Language ID from a staged lowercased token array: argmax of
+    * per-language stopword-hit ratios with deterministic tie-break
+    * (en > de > fr > unk). One tokenization per row happens in the
+    * caller's staging projection; the three ratios here are filter
+    * passes over the materialized array attribute. */
+  def langIdOf(toks: Column): Column = {
+    val en = stopRatioOf(toks, enStop)
+    val de = stopRatioOf(toks, deStop)
+    val fr = stopRatioOf(toks, frStop)
     when(en > de && en > fr && en > 0, "en")
       .when(de > fr && de > 0, "de")
       .when(fr > 0, "fr")
       .otherwise("unk")
   }
+
+  /** N-gram/stopword language-ID heuristic — convenience raw-text form;
+    * re-tokenizes per ratio, so for scans stage `tokens(lower(c))` and
+    * use [[langIdOf]]. Scale: pure column expressions — language ID
+    * over 100 TB is a single codegen'd projection, no shuffle. */
+  def langId(c: Column): Column = langIdOf(tokens(lower(c)))
 
   /** Composite quality score in [0,1]: alphabetic density, low
     * punctuation noise, adequate length. Same closed formula in the

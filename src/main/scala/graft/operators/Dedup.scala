@@ -41,10 +41,15 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id",
                    maxDocFreq: Option[Long] = None): DataFrame = {
-    // persist: the shingle set feeds three plan branches (sizes + both
-    // sides of the self-join); without it Catalyst recomputes the
-    // tokenize/shingle lineage per branch.
-    val s0 = shingleSet(docs, textCol, idCol, n).persist()
+    // localCheckpoint (eager): the shingle set feeds three plan branches
+    // (sizes + both sides of the self-join); without it Catalyst
+    // recomputes the tokenize/shingle lineage per branch. Checkpoint
+    // rather than persist so the blocks are reclaimed by the
+    // ContextCleaner once the result is dropped — a persist inside an
+    // operator that returns a lazy DataFrame has no unpersist point and
+    // would pin CacheManager entries for the session's lifetime (the
+    // block manager would grow across repeated runs).
+    val s0 = shingleSet(docs, textCol, idCol, n).localCheckpoint()
     // skew mitigation at scale: drop shingles present in more than
     // maxDocFreq docs from CANDIDATE GENERATION only (a stopword
     // trigram shared by half the corpus creates quadratic join output
@@ -56,7 +61,7 @@ object Dedup {
       case Some(cap) =>
         val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")
-        s0.join(broadcast(hot), Seq("sh"), "left_anti").persist()
+        s0.join(broadcast(hot), Seq("sh"), "left_anti").localCheckpoint()
     }
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = s.as("a").join(s.as("b"),
@@ -112,20 +117,21 @@ object Dedup {
                  n: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    // one persisted shingle set feeds signatures AND the jaccard verify
-    val s = shingleSet(docs, textCol, idCol, n).persist()
+    // one materialized shingle set feeds signatures AND the jaccard
+    // verify (localCheckpoint, not persist — see ngramJaccard note)
+    val s = shingleSet(docs, textCol, idCol, n).localCheckpoint()
     val sig = signaturesFrom(s, perms)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r =>
           col(s"h${b * rows + r}").cast("string")): _*)).as("sig"))
     }
-    // persist: the banded signatures are both sides of the bucket
+    // materialize: the banded signatures are both sides of the bucket
     // self-join — without this the whole shingle→vocab→min-agg lineage
-    // runs twice.
+    // runs twice (localCheckpoint, not persist — see ngramJaccard note).
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .persist()
+      .localCheckpoint()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
@@ -161,25 +167,43 @@ object Dedup {
     * optimization blows up around round 8); on a long-lived production
     * cluster prefer `checkpoint` with a reliable dir so executor loss
     * stays recoverable. */
-  def components(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 10,
+                 strict: Boolean = false): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    val compType = labels.schema("comp").dataType
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // One heavy action per round: the previous label rides along as
+      // __old through the min-agg (labels contributes exactly one row
+      // per id, so max(__old) recovers it; the neighbor branch carries
+      // null). The convergence probe is then a short-circuiting isEmpty
+      // over the just-checkpointed partitions — no second join, no
+      // recomputation (the old shape re-joined next with labels and
+      // counted, a full extra shuffle per round).
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("comp"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(edges("src").as("id"), col("comp"),
+          lit(null).cast(compType).as("__old"))
+      val next = labels.select(col("id"), col("comp"), col("comp").as("__old"))
+        .union(viaNeighbor)
+        .groupBy("id").agg(min("comp").as("comp"), max("__old").as("__old"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("comp") =!= col("__old")).isEmpty
+      labels = next.select("id", "comp")
       i += 1
+    }
+    if (!converged) {
+      // Silently returning partial labels would let a downstream
+      // curation step keep spurious "canonical" docs — surface it.
+      val msg = s"Dedup.components did not converge after $maxIter " +
+        "iterations — labels are partial (raise maxIter; near-dup " +
+        "clusters normally have diameter <= 3-4)"
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
     labels
   }

@@ -26,7 +26,11 @@ object Stats {
                     qs: Seq[(Double, String)]): DataFrame = {
     val byKey = Window.partitionBy(keyCol)
     val ordered = Window.partitionBy(keyCol).orderBy("__v")
+    // NULLs are excluded before ranking — SQL quantile_cont (and the
+    // percentile aggregate this replaces) ignores NULL inputs; counting
+    // them into __n would shift every rank position on nullable columns.
     val ranked = df.select(col(keyCol), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(ordered))
       .withColumn("__n", count(lit(1)).over(byKey))
     // for each q: the two ranks straddling position (n-1)q (1-based),

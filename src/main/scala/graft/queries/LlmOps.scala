@@ -27,12 +27,18 @@ object LlmOps {
         Text.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  /** Language ID via stopword-hit heuristic. */
+  /** Language ID via stopword-hit heuristic. Staged: the lowercased
+    * token array materializes ONCE as its own projection column; the
+    * four stopword ratios (en_ratio + the three inside langIdOf) are
+    * filter passes over that array attribute — the raw-text convenience
+    * forms would re-run the regex tokenization per ratio (see
+    * Text.bigramsOf scale note). */
   def tLangId(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"),
-        Text.enStopRatio(col("text")).as("en_ratio"),
-        Text.langId(col("text")).as("pred_lang"))
+        Text.enStopRatioOf(col("toks")).as("en_ratio"),
+        Text.langIdOf(col("toks")).as("pred_lang"))
       .orderBy("doc_id")
 
   /** Repetition quality signals (Gopher/C4 family): top-token and

@@ -96,24 +96,29 @@ object Streams {
             state.remove()
             Iterator.single(emit(s))
           } else {
-            val times = rows.map(_._2.getTime).toArray.sorted
-            val closed = List.newBuilder[SessionAcc]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur = cur match {
-                case Some(s) if t - s.end <= gapMillis =>
-                  Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
-                case Some(s) =>
-                  closed += s
-                  Some(SessionAcc(t, t, 1))
-                case None => Some(SessionAcc(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
+            // Interval-merge, not an append-only scan: a late event
+            // within the watermark can arrive with t < state.start (the
+            // naive `t - s.end <= gap` test is trivially true for such
+            // t, which silently inflated n without extending start).
+            // Treat the carried state as an interval, each event as a
+            // point interval, sort by start, and merge neighbors within
+            // `gap`. Every merged session except the newest closed by
+            // construction (a later session exists beyond the gap); the
+            // newest is carried as state with an event-time timeout.
+            val items = state.getOption.toList ++
+              rows.map(r => SessionAcc(r._2.getTime, r._2.getTime, 1))
+            val merged = items.sortBy(s => (s.start, s.end))
+              .foldLeft(List.empty[SessionAcc]) {
+                case (cur :: done, nxt) if nxt.start - cur.end <= gapMillis =>
+                  SessionAcc(cur.start, math.max(cur.end, nxt.end),
+                    cur.n + nxt.n) :: done
+                case (acc, nxt) => nxt :: acc
+              }.reverse
+            merged.lastOption.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.end + gapMillis)
             }
-            closed.result().iterator.map(emit)
+            merged.dropRight(1).iterator.map(emit)
           }
       }
   }
