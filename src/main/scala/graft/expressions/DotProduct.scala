@@ -16,15 +16,45 @@ import org.apache.spark.sql.types._
   *
   * Math contract: sequential double accumulation in index order —
   * bit-identical to the DuckDB oracle's list_inner_product and to the
-  * HOF formulation it replaces.
+  * (cast-to-double) HOF formulation it replaces.
+  *
+  * NULL contract — matches the HOF form `aggregate(zip_with(a, b,
+  * (x, y) -> x * y), 0.0, (acc, v) -> acc + v)` exactly, so the
+  * [[DotProductRewrite]] optimizer rule is semantics-preserving:
+  *   - either array NULL → NULL (standard null-intolerant inputs);
+  *   - arrays of DIFFERENT lengths → NULL (zip_with pads the shorter
+  *     side with NULL, the product poisons the fold);
+  *   - any NULL element → NULL (same poisoning).
+  * The per-element null checks are only emitted when the array type
+  * says `containsNull` — embedding columns read from parquet with
+  * non-null elements keep the tight unchecked loop.
+  *
+  * `floatMul = true` reproduces the analyzed tree of the UNCASTED HOF
+  * lambda `(x, y) -> x * y` over two float arrays, where the multiply
+  * happens in FLOAT precision before the double accumulation. The
+  * default (and the registered `graft_dot` function) multiplies in
+  * double, which is exact for float inputs and matches DuckDB.
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression,
+                      floatMul: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // the expression can produce NULL even from non-null inputs (ragged
+  // or null-element arrays), so nullability must not derive from the
+  // children alone
+  override def nullable: Boolean = true
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def containsNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  /** Float-precision multiply only applies when both elements ARE float. */
+  private def useFloatMul: Boolean =
+    floatMul && elemType(left) == FloatType && elemType(right) == FloatType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -41,15 +71,24 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
+    val lcn = containsNull(left)
+    val rcn = containsNull(right)
+    val fm = useFloatMul
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      if ((lcn && x.isNullAt(i)) || (rcn && y.isNullAt(i))) return null
+      acc +=
+        (if (fm) (x.getFloat(i) * y.getFloat(i)).toDouble
+         else {
+           val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+           val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+           xv * yv
+         })
       i += 1
     }
     acc
@@ -62,13 +101,29 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val product =
+        if (useFloatMul) s"(double)($a.getFloat($i) * $b.getFloat($i))"
+        else s"((double) $a.$lGet($i)) * ((double) $b.$rGet($i))"
+      val nullChecks = Seq(
+        if (containsNull(left)) Some(s"$a.isNullAt($i)") else None,
+        if (containsNull(right)) Some(s"$b.isNullAt($i)") else None).flatten
+      val elemNullGuard =
+        if (nullChecks.isEmpty) ""
+        else s"if (${nullChecks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullGuard
+         |    $acc += $product;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

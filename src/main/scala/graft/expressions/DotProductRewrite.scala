@@ -20,6 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * The match is deliberately strict (multiply of the two zip lambda
   * variables, fold of literal-0 by plain addition, identity finish) —
   * anything else keeps its original semantics untouched.
+  *
+  * Semantics-preserving in ALL cases, not just the well-formed ones
+  * (an optimizer rule has no business changing results):
+  *   - [[DotProduct]] returns NULL for ragged arrays and null elements,
+  *     exactly like the zip_with null-padding + fold poisoning it
+  *     replaces — no `containsNull` restriction is needed on the match;
+  *   - when the matched multiply runs in FLOAT precision (the uncasted
+  *     `(x, y) -> x * y` lambda over two float arrays), the rewrite
+  *     passes `floatMul = true` so the native loop rounds each product
+  *     to float first, bit-identical to the HOF tree; the cast-to-double
+  *     formulation keeps the exact double multiply.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
@@ -84,6 +95,6 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             isAccPlusVar(addBody,
               aggVars.collect { case v: NamedLambdaVariable => v }) &&
             isIdentityFinish(finish) =>
-        DotProduct(a, b)
+        DotProduct(a, b, floatMul = mulBody.dataType == FloatType)
     }
 }

@@ -25,13 +25,22 @@ object Text {
   def subwordCount(c: Column): Column =
     size(split(trim(c), "[\\s]+|(?<=[a-z])(?=[A-Z0-9])|(?<=[0-9])(?=[A-Za-z])"))
 
-  /** Word n-gram shingles (distinct), the dedup primitive. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  /** Word n-gram shingles (distinct) from an ALREADY-STAGED token array
+    * attribute — the dedup primitive. Catalyst re-evaluates captured
+    * non-attribute expressions in a lambda body once PER ELEMENT, so the
+    * token array must be a projection column (an attribute), not an
+    * inline `tokens(text)` expression: inlined, the whitespace split
+    * re-runs for every shingle position — O(tokens²) regex work per doc
+    * (measured ~10× on the sf0.1 dedup gates). */
+  def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** Convenience form over raw text. ONLY for one-off/test use: on hot
+    * paths stage `tokens(c)` as its own column first and call
+    * [[shinglesOf]] — see the per-element re-evaluation note there. */
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
 
   /** All word bigrams WITH multiplicity from an ALREADY-materialized
     * token array column — the repetition-signal primitive (unlike
@@ -190,6 +199,31 @@ object Text {
     * at passage granularity (vs the whole-doc [[fingerprint]]).
     * UDF by necessity (stateful rolling loop); per-row cost is linear
     * and partition-parallel. */
+  /** Positional k-gram hashes of an ALREADY-STAGED normalized-text
+    * attribute: for each character position, the 60-bit bigint prefix of
+    * md5 of the k chars starting there. Engine-portable twin of the
+    * rolling hash inside [[winnow]] (md5 is identical in Spark and
+    * DuckDB, so winnowing built on these prints is oracle-checkable).
+    * Pass an attribute, not an expression — the lambda body re-evaluates
+    * captured non-attribute expressions per element (see [[shinglesOf]]).
+    */
+  def kgramHashes(t: Column, k: Int): Column =
+    when(length(t) >= k,
+      transform(sequence(lit(1), length(t) - k + 1),
+        i => conv(substring(md5(t.substr(i, lit(k))), 1, 15), 16, 10).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Winnowing selection (Schleimer et al., SIGMOD'03) over a STAGED
+    * hash-array attribute: the minimum of each sliding window of `w`
+    * consecutive k-gram hashes, deduplicated — guarantees any shared
+    * passage of length ≥ k+w−1 chars contributes at least one common
+    * print. Pure column expressions end to end (codegen'd, no UDF). */
+  def winnowMins(hs: Column, w: Int): Column =
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - w + 1),
+        i => array_min(slice(hs, i, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+
   def winnow(c: Column, k: Int = 8, window: Int = 4): Column = {
     val f = udf { (s: String) =>
       if (s == null || s.length < k) Array.empty[Long]

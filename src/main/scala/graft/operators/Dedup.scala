@@ -26,9 +26,77 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("group_size"))
   }
 
-  /** Distinct word-n-gram shingle set per doc: (id, shingle) long form. */
+  /** Distinct word-n-gram shingle set per doc: (id, shingle) long form.
+    * The token array is staged as its own projection column so the
+    * shingle-assembly lambda reads an attribute — inlining `tokens(text)`
+    * into the lambda re-runs the regex split per shingle position (see
+    * [[Text.shinglesOf]]; CollapseProject keeps the stage because the
+    * array is referenced more than once and non-cheap). */
   private def shingleSet(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(Text.shingles(col(textCol), n)).as("sh"))
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(Text.shinglesOf(col("__toks"), n)).as("sh"))
+
+  /** Lazy capped shingle set (id, sh), hash-partitioned by `sh` — the
+    * shared candidate-generation input of [[ngramJaccard]], exposed so
+    * plan tests can assert the broadcast anti-join cap shape that
+    * materialization hides behind a checkpoint scan.
+    *
+    * The `repartition(sh)` comes FIRST deliberately: (a) the hot-shingle
+    * count and the anti-join's probe side then share one identical
+    * exchange, which ReuseExchange dedupes — the tokenize+explode runs
+    * once; (b) the HashPartitioning survives a later
+    * `localCheckpoint` (Dataset.checkpoint carries the physical plan's
+    * outputPartitioning into the LogicalRDD), so the downstream
+    * self-join on `sh` plans ZERO additional exchanges.
+    *
+    * Skew mitigation at scale: drop shingles present in more than
+    * maxDocFreq docs from CANDIDATE GENERATION only (a stopword
+    * trigram shared by half the corpus creates quadratic join output
+    * while contributing nothing to discrimination). Set sizes and the
+    * intersection counts still use the capped set consistently, so
+    * jaccard stays a true similarity over the retained shingles. */
+  def cappedShingles(docs: DataFrame, n: Int, textCol: String, idCol: String,
+                     maxDocFreq: Option[Long]): DataFrame = {
+    val s0 = shingleSet(docs, textCol, idCol, n).repartition(col("sh"))
+    maxDocFreq match {
+      case None => s0
+      case Some(cap) =>
+        val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        s0.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
+  }
+
+  /** Reuse-without-leak materialization for a DataFrame that feeds
+    * several plan branches: LAZY `localCheckpoint`. Compared to the
+    * alternatives: `persist` inside an operator that returns a lazy
+    * DataFrame has no unpersist point and pins CacheManager entries for
+    * the session's lifetime (the round-3 leak); an EAGER checkpoint runs
+    * jobs at operator-CONSTRUCTION time and materializes before the
+    * caller even asks for rows (the round-4 2–4× regression). Lazy
+    * checkpoint materializes once under the first real action, the
+    * branches share the blocks, and the ContextCleaner reclaims them
+    * when the result is dropped. Caveat (production): localCheckpoint
+    * blocks live on executors only — on a long-lived cluster where
+    * executor loss must be survivable, use `checkpoint()` with a
+    * reliable directory instead. */
+  private def shared(df: DataFrame, materialize: Boolean): DataFrame =
+    if (!materialize) df
+    else {
+      // AQE must be off while PLANNING the checkpointed subtree:
+      // AdaptiveSparkPlanExec reports UnknownPartitioning(0), so under
+      // AQE the LogicalRDD forgets the repartition layout and every
+      // downstream join re-shuffles (measured, Spark 4.1). With a
+      // static plan the HashPartitioning is carried through — and
+      // execute() stays fully lazy (AQE's execute() eagerly materializes
+      // stages; a static plan's does not), so query CONSTRUCTION runs no
+      // jobs. The outer query keeps AQE: only this subtree is static.
+      val conf = df.sparkSession.conf
+      val prev = conf.get("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      try df.localCheckpoint(eager = false)
+      finally conf.set("spark.sql.adaptive.enabled", prev)
+    }
 
   /** Exact n-gram Jaccard near-dup pairs ≥ `threshold`.
     *
@@ -37,32 +105,17 @@ object Dedup {
     * per-doc set sizes. Scale: the shingle join is hash-partitioned on
     * the shingle; hot shingles (stopword trigrams) are the skew risk —
     * at 100 TB add a document-frequency cap on shingles before the join
-    * (drop shingles appearing in >X% of docs, standard practice). */
+    * (drop shingles appearing in >X% of docs, standard practice).
+    *
+    * `materialize = false` skips the internal lineage truncation so the
+    * full logical plan stays inspectable (plan tests); the default
+    * truncates so the three consumers of the shingle set (sizes + both
+    * self-join sides) share one computation — see [[shared]]. */
   def ngramJaccard(docs: DataFrame, threshold: Double, n: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id",
-                   maxDocFreq: Option[Long] = None): DataFrame = {
-    // localCheckpoint (eager): the shingle set feeds three plan branches
-    // (sizes + both sides of the self-join); without it Catalyst
-    // recomputes the tokenize/shingle lineage per branch. Checkpoint
-    // rather than persist so the blocks are reclaimed by the
-    // ContextCleaner once the result is dropped — a persist inside an
-    // operator that returns a lazy DataFrame has no unpersist point and
-    // would pin CacheManager entries for the session's lifetime (the
-    // block manager would grow across repeated runs).
-    val s0 = shingleSet(docs, textCol, idCol, n).localCheckpoint()
-    // skew mitigation at scale: drop shingles present in more than
-    // maxDocFreq docs from CANDIDATE GENERATION only (a stopword
-    // trigram shared by half the corpus creates quadratic join output
-    // while contributing nothing to discrimination). Set sizes and the
-    // intersection counts still use the capped set consistently, so
-    // jaccard stays a true similarity over the retained shingles.
-    val s = maxDocFreq match {
-      case None => s0
-      case Some(cap) =>
-        val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        s0.join(broadcast(hot), Seq("sh"), "left_anti").localCheckpoint()
-    }
+                   maxDocFreq: Option[Long] = None,
+                   materialize: Boolean = true): DataFrame = {
+    val s = shared(cappedShingles(docs, n, textCol, idCol, maxDocFreq), materialize)
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -114,24 +167,29 @@ object Dedup {
     * the standard 100 TB design; the exact-Jaccard verify of candidates
     * reuses the shingle join above on the candidate subset only. */
   def minhashLsh(docs: DataFrame, threshold: Double, perms: Int = 16, bands: Int = 4,
-                 n: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                 n: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+                 materialize: Boolean = true): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
-    // one materialized shingle set feeds signatures AND the jaccard
-    // verify (localCheckpoint, not persist — see ngramJaccard note)
-    val s = shingleSet(docs, textCol, idCol, n).localCheckpoint()
+    // one shared shingle set feeds signatures AND the jaccard verify;
+    // partitioned by sh BEFORE the truncation so the vocab distinct and
+    // the vocab join-back downstream are exchange-free (see [[shared]]
+    // for why lazy localCheckpoint, and its executor-loss caveat)
+    val s = shared(shingleSet(docs, textCol, idCol, n).repartition(col("sh")), materialize)
     val sig = signaturesFrom(s, perms)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until rows).map(r =>
           col(s"h${b * rows + r}").cast("string")): _*)).as("sig"))
     }
-    // materialize: the banded signatures are both sides of the bucket
+    // shared: the banded signatures are both sides of the bucket
     // self-join — without this the whole shingle→vocab→min-agg lineage
-    // runs twice (localCheckpoint, not persist — see ngramJaccard note).
-    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .localCheckpoint()
+    // runs twice. Partitioned by the bucket key first so the self-join
+    // reuses the layout instead of re-shuffling unknown partitioning.
+    val banded = shared(
+      sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .repartition(col("band"), col("sig")), materialize)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id"))
@@ -217,12 +275,24 @@ object Dedup {
     * hash-partitioned equi-join on the print, group-count; the
     * `maxDocFreq` cap drops boilerplate prints (license headers,
     * navigation chrome) that would otherwise create quadratic join
-    * output, exactly like the hot-shingle cap in [[ngramJaccard]]. */
+    * output, exactly like the hot-shingle cap in [[ngramJaccard]].
+    *
+    * Prints are md5 k-gram hashes ([[Text.kgramHashes]] +
+    * [[Text.winnowMins]]), not the rolling hash of [[Text.winnow]]:
+    * the winnowing SELECTION (min per sliding window, distinct) is
+    * identical, but md5 is computable bit-for-bit in the DuckDB oracle,
+    * so the gate gets a full hash check — and the whole pipeline stays
+    * codegen'd column expressions (no UDF). Each stage is its own
+    * projection so lambdas only capture attributes (per-element
+    * re-evaluation gotcha, see [[Text.shinglesOf]]). */
   def winnowPairs(docs: DataFrame, minShared: Long, k: Int = 8, window: Int = 4,
                   textCol: String = "text", idCol: String = "doc_id",
                   maxDocFreq: Option[Long] = None): DataFrame = {
-    val p0 = docs.select(col(idCol).as("id"),
-      explode(Text.winnow(col(textCol), k, window)).as("p")).distinct()
+    val p0 = docs
+      .select(col(idCol).as("id"), Text.normalize(col(textCol)).as("__t"))
+      .select(col("id"), Text.kgramHashes(col("__t"), k).as("__hs"))
+      .select(col("id"), explode(Text.winnowMins(col("__hs"), window)).as("p"))
+      .distinct()
     val p = maxDocFreq match {
       case None => p0
       case Some(cap) =>

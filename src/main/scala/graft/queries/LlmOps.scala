@@ -157,13 +157,23 @@ object LlmOps {
     * identical capped semantics (shingles with df > 100 dropped from
     * sizes AND intersections). */
   def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    dNgramJaccardImpl(spark, dir, materialize = true)
+
+  /** `materialize = false` variant for plan tests: the gate query with
+    * lineage truncation off, so the broadcast anti-join cap and the
+    * exchange layout stay assertable in the logical plan. */
+  def dNgramJaccardImpl(spark: SparkSession, dir: String, materialize: Boolean): DataFrame =
     Dedup.ngramJaccard(Tables(spark, dir).documents, threshold = 0.5,
-        maxDocFreq = Some(100L))
+        maxDocFreq = Some(100L), materialize = materialize)
       .orderBy("id_a", "id_b")
 
   /** MinHash+LSH near-dup pairs (16 perms × 4 bands, verify ≥ 0.5). */
   def dMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(Tables(spark, dir).documents, threshold = 0.5)
+    dMinhashLshImpl(spark, dir, materialize = true)
+
+  def dMinhashLshImpl(spark: SparkSession, dir: String, materialize: Boolean): DataFrame =
+    Dedup.minhashLsh(Tables(spark, dir).documents, threshold = 0.5,
+        materialize = materialize)
       .orderBy("id_a", "id_b")
 
   /** SimHash signatures (32-bit, per-doc). */
@@ -177,10 +187,11 @@ object LlmOps {
     Dedup.simhashBandedPairs(Dedup.simhash(Tables(spark, dir).documents), maxDist = 3)
       .orderBy("id_a", "id_b")
 
-  /** Passage-level near-dup pairs (winnowing prints, ≥ 8 shared, hot
-    * print cap). No DuckDB oracle — the rolling-hash winnow has no SQL
-    * form — so the driver records the weaker rows-only check; the
-    * algebraic contracts live in OperatorSpec/TextSpec. */
+  /** Passage-level near-dup pairs (winnowing prints, ≥ 10 shared, hot
+    * print cap). Hash-oracled: the prints are md5 k-gram hashes with the
+    * classic winnowing selection on top, which DuckDB reproduces
+    * bit-for-bit (see the d_winnow_pairs entry in [[LlmOracles]]) —
+    * upgraded from the rows-only rolling-hash form carried since r2. */
   def dWinnowPairs(spark: SparkSession, dir: String): DataFrame =
     // k=24 chars ≈ a 4-5 word passage window: selective enough that
     // chance collisions in a small-vocabulary corpus stay rare (k=8
@@ -196,9 +207,13 @@ object LlmOps {
     * computing min-reachable-id over the identical pair set, so the
     * iterative clustering layer is hash-verified end to end. */
   def dComponents(spark: SparkSession, dir: String): DataFrame =
+    // strict: a non-converged propagation must FAIL the gate (partial
+    // labels would silently keep spurious "canonical" docs downstream),
+    // not warn past it
     Dedup.components(
         Dedup.ngramJaccard(Tables(spark, dir).documents, threshold = 0.5,
-          maxDocFreq = Some(100L)))
+          maxDocFreq = Some(100L)),
+        strict = true)
       .orderBy("id")
 
   /** Embedding-cosine near-dup pairs (blocked by cell, ≥ 0.45). */

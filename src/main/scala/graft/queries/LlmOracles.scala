@@ -171,6 +171,32 @@ object LlmOracles {
          |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
+    // winnowing passage prints: md5-of-k-gram hashes (60-bit bigint
+    // prefix — same ('0x'||hex)::bigint trick as minhash), min per
+    // sliding window of 8, distinct per doc, df-capped at 20, pairs
+    // sharing >= 10 prints. Mirrors Dedup.winnowPairs(k=24, window=8,
+    // maxDocFreq=20, minShared=10) exactly.
+    "d_winnow_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(range(len(t) - 23),
+        |    i -> ('0x' || substr(md5(substr(t, i + 1, 24)), 1, 15))::bigint) AS hs
+        |  FROM t WHERE len(t) >= 24),
+        |p0 AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(hs) - 7),
+        |      w -> list_min(hs[(w + 1):(w + 8)]))) AS p
+        |    FROM h WHERE len(hs) >= 8)),
+        |p AS (
+        |  SELECT * FROM p0 WHERE p NOT IN (
+        |    SELECT p FROM p0 GROUP BY p HAVING count(*) > 20))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM p a JOIN p b ON a.p = b.p AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "d_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::bigint AS h

@@ -65,6 +65,63 @@ class ExpressionSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("rewrite preserves NULL semantics: null elements and ragged arrays") {
+    import graft.expressions.DotProductRewrite
+    // the HOF form returns NULL for a null element (zip_with product
+    // poisons the fold) and for ragged arrays (zip_with null-pads the
+    // shorter side) — the rewritten native expression must agree row
+    // for row, or the optimizer rule would change query results
+    val dir = java.nio.file.Files.createTempDirectory("graft-dotnull").toString
+    Seq(
+      (1L, Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0, 2.0, 3.0)),
+      (3L, Array[java.lang.Double](4.0, 5.0), Array[java.lang.Double](6.0, 7.0)),
+      (4L, Array.empty[java.lang.Double], Array.empty[java.lang.Double])
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    def q() = vecs.select(col("id"), Similarity.dotHof(col("a"), col("b")).as("d"))
+      .orderBy("id")
+    val baseline = q().collect().toSeq // rule OFF: pure HOF evaluation
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ DotProductRewrite
+      val rewritten = q()
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        "rule did not fire on nullable-element arrays")
+      assert(rewritten.collect().toSeq == baseline,
+        "rewritten results diverge from HOF on null/ragged inputs")
+      // spot-check the expected shape: rows 1, 2 NULL; 3 = 59.0; 4 = 0.0
+      val byId = rewritten.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(59.0), 4L -> Some(0.0)))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("rewrite keeps float-multiply precision of the uncasted HOF lambda") {
+    import graft.expressions.DotProductRewrite
+    // (x, y) -> x * y over two FLOAT arrays multiplies in float before
+    // the double accumulation; the rewrite must reproduce that rounding
+    // bit-for-bit (floatMul), not silently upgrade to double multiply
+    val dir = java.nio.file.Files.createTempDirectory("graft-dotfloat").toString
+    val rnd = new scala.util.Random(11)
+    (0 until 100).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat()), Array.fill(32)(rnd.nextFloat()))
+    }.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    def q() = vecs.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d")).orderBy("id")
+    val baseline = q().collect().toSeq
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ DotProductRewrite
+      val rewritten = q()
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      assert(rewritten.collect().toSeq == baseline,
+        "rewritten float results diverge bit-wise from the HOF fold")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("optimizer rule leaves non-dot aggregates untouched") {
     import graft.expressions.DotProductRewrite
     val prev = spark.experimental.extraOptimizations

@@ -49,8 +49,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan("q23_stats").toLowerCase.contains("percentile"))
     // capped ngram: the hot-shingle document-frequency cap applies as a
     // broadcast anti-join (tiny hot list ships to executors; the big
-    // shingle stream is never shuffled for the cap)
-    val ng = plan("d_ngram_jaccard")
+    // shingle stream is never shuffled for the cap). Asserted on the
+    // materialize=false twin of the gate query — the gate form truncates
+    // lineage at the shared-shingle checkpoint, which would hide the
+    // anti-join from the inspectable plan (round-4 regression).
+    val ng = queries.LlmOps.dNgramJaccardImpl(spark, dir, materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(ng.contains("BroadcastHashJoin") && ng.contains("LeftAnti"), ng.take(500))
     // trained IVF: the (small) query side broadcasts against the celled
     // corpus — an equi-join on cell, never a cross join
