@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward forked program output RAW to stdout — the default LoggedOutput
+// prefixes every line with "[info] ", which breaks any consumer parsing
+// Bench's one-line JSON from the sbt stdout stream.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pre-session INFO logs go to stdout under Spark's bundled log4j2
+  // default profile and can't be silenced by setLogLevel (too late) —
+  // use a stderr-only ERROR-level config so stdout stays parseable
+  s"-Dlog4j2.configurationFile=${baseDirectory.value / "conf" / "log4j2-quiet.properties"}",
 )

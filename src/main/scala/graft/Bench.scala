@@ -53,12 +53,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout for the driver AND a file copy — the stdout line shares the
-    // stream with log4j, so a stray WARN can make it unparseable; the
-    // file is the reliable channel (round-1 BENCH had parsed:null)
-    println(json)
+    // file copy first (reliable channel regardless of stdout state)...
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), json + "\n")
     catch { case _: Throwable => }
+    // ...then the driver's stdout line, printed AFTER spark.stop() so no
+    // executor/log4j output can interleave with it, with stdout kept
+    // clean end to end: build.sbt forwards forked output raw (no sbt
+    // "[info] " prefix) and routes all log4j2 output to stderr at ERROR
+    // (rounds 1-4 all came back "parsed": null from prefix/log bleed)
     spark.stop()
+    System.out.flush()
+    println(json)
   }
 }

@@ -39,14 +39,18 @@ final class HttpSchemaRegistry(baseUrl: String,
 
   private def send(req: HttpRequest): String = {
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    val msg = s"schema registry ${req.uri()} returned HTTP ${resp.statusCode()}: ${resp.body()}"
-    // 5xx is a registry-side (transient) failure and surfaces as
-    // IOException like a transport error — callers retry the task. 4xx
-    // means the registry positively rejected the request (e.g. unknown
-    // schema id) — IllegalArgumentException, a data-level error that
-    // decodeConfluentSafe routes to the DLQ instead of failing the job.
-    if (resp.statusCode() / 100 == 5) throw new java.io.IOException(msg)
-    require(resp.statusCode() / 100 == 2, msg)
+    val code = resp.statusCode()
+    val msg = s"schema registry ${req.uri()} returned HTTP $code: ${resp.body()}"
+    // Only 404 (unknown schema id / subject — Confluent error 40403) is
+    // a DATA-level rejection: the record referenced a schema the
+    // registry positively does not have, so decodeConfluentSafe may
+    // route the record to the DLQ (IllegalArgumentException). EVERY
+    // other non-2xx — 5xx, but also 429 (throttled), 408 (timeout),
+    // 401/403 (auth/config) — is operational: a throttled or
+    // misconfigured registry must FAIL the task for retry, not silently
+    // null every cache-miss record into the dead-letter sink.
+    if (code == 404) throw new IllegalArgumentException(msg)
+    if (code / 100 != 2) throw new java.io.IOException(msg)
     resp.body()
   }
 

@@ -46,6 +46,13 @@ object Stats {
           .when(col("__rn") === hi, col("__v") * w)
           .otherwise(lit(0.0))).as(alias)
     }
-    ranked.groupBy(keyCol).agg(parts.head, parts.tail: _*)
+    val agg = ranked.groupBy(keyCol).agg(parts.head, parts.tail: _*)
+    // SQL quantile_cont under GROUP BY still EMITS a group whose inputs
+    // are all NULL (with NULL quantiles); the isNotNull pre-filter above
+    // would silently drop it. Restore such groups by left-joining the
+    // quantile rows back onto the distinct key set. Cost at scale: one
+    // extra scan of the (pruned) key column + a |groups|-sized join —
+    // the data-scale sort is not repeated.
+    df.select(keyCol).distinct().join(agg, Seq(keyCol), "left")
   }
 }

@@ -146,4 +146,30 @@ class HttpSchemaRegistrySpec extends SparkSpec {
       assert(e.getMessage.contains("999") && e.getMessage.contains("404"))
     }
   }
+
+  test("only 404 is a data error; 429/401 are operational and retryable (IOException)") {
+    // a throttled or misconfigured registry must fail the task for
+    // retry — mapping it to the DLQ path would silently null every
+    // cache-miss record (the exact loss mode safe-decode exists to stop)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val code = new AtomicInteger(429)
+    server.createContext("/", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val b = "{}".getBytes(StandardCharsets.UTF_8)
+        x.sendResponseHeaders(code.get(), b.length)
+        x.getResponseBody.write(b); x.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      for (c <- Seq(429, 408, 401, 403, 500)) {
+        code.set(c)
+        val e = intercept[java.io.IOException](new HttpSchemaRegistry(url).schemaById(7))
+        assert(e.getMessage.contains(c.toString))
+      }
+      code.set(404)
+      intercept[IllegalArgumentException](new HttpSchemaRegistry(url).schemaById(7))
+    } finally server.stop(0)
+  }
 }

@@ -84,6 +84,24 @@ class PlanSpec extends SparkSpec {
       s"sampling must not shuffle (except the final presentation sort):\n${sm.take(400)}")
   }
 
+  test("t_pack: no unpartitioned data-scale window, one shared materialization") {
+    val p = SparkEntry.queries("t_pack")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the data-scale cumsum window must be partitioned by the internal
+    // range-partition id — a windowspecdefinition whose FIRST element is
+    // the data order column would be the single-task global window this
+    // operator exists to avoid
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"global data-scale window in t_pack:\n${p.take(600)}")
+    assert(p.contains("windowspecdefinition(__pid"),
+      "expected the partition-local cumsum window keyed by __pid")
+    // exactly one materialization, read by both phase-2 branches: the
+    // checkpointed range-partitioned input appears as two scans of the
+    // same RDD (local-cumsum branch + per-partition-totals branch)
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2,
+      s"expected the one checkpoint read twice:\n${p.take(600)}")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline of q2") {
     // AQE hides codegen spans until execution: run the query, then
     // inspect the final adaptive plan for WholeStageCodegen operators.

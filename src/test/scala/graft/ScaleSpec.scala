@@ -75,6 +75,20 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("quantiles: NULL inputs are excluded but all-NULL groups still emit NULL rows") {
+    import graft.operators.Stats
+    // mixed group: quantile over the non-null values only (SQL
+    // quantile_cont semantics); all-NULL group: emitted with NULL
+    // quantiles, like the percentile aggregate — not silently dropped
+    val df = Seq(("mixed", Some(1.0)), ("mixed", None), ("mixed", Some(3.0)),
+        ("allnull", None), ("allnull", None))
+      .toDF("k", "v")
+    val got = Stats.quantilesCont(df, "k", "v", Seq(0.5 -> "p50"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq(("allnull", None), ("mixed", Some(2.0))))
+  }
+
   test("frequent items finds the heavy hitter") {
     val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"cold$i")).toDF("v")
     val freq = Sketches.frequentItems(df, Seq("v"), support = 0.4)
