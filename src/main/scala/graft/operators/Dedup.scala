@@ -26,6 +26,19 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("group_size"))
   }
 
+  /** Round-robin repartition of a SMALL input whose scan parallelism is
+    * below the cluster's core count, so per-row-heavy stages (regex
+    * tokenize, per-position md5) use every core instead of the scan's
+    * split count. A 100 TB input never triggers this (parquet splits at
+    * ~128 MB mean partitions >> cores, and partitions < cores implies
+    * the input is at most a few GB — a trivial shuffle); a small local
+    * table arrives as ONE split and would otherwise pin the whole
+    * compute to one core (measured 3.4 s single-threaded md5 at sf0.1). */
+  private def spread(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
+
   /** Distinct word-n-gram shingle set per doc: (id, shingle) long form.
     * The token array is staged as its own projection column so the
     * shingle-assembly lambda reads an attribute — inlining `tokens(text)`
@@ -33,7 +46,8 @@ object Dedup {
     * [[Text.shinglesOf]]; CollapseProject keeps the stage because the
     * array is referenced more than once and non-cheap). */
   private def shingleSet(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), Text.tokens(col("__text")).as("__toks"))
       .select(col("id"), explode(Text.shinglesOf(col("__toks"), n)).as("sh"))
 
   /** Lazy capped shingle set (id, sh), hash-partitioned by `sh` — the
@@ -225,13 +239,29 @@ object Dedup {
     * optimization blows up around round 8); on a long-lived production
     * cluster prefer `checkpoint` with a reliable dir so executor loss
     * stays recoverable. */
+  /** Free the executor blocks behind a checkpointed DataFrame that no
+    * later plan will read again — deterministic cleanup for iterative
+    * jobs, instead of waiting for the driver GC + ContextCleaner to
+    * notice the dead reference (across a long driver lifetime the dead
+    * rounds otherwise pile up in block storage and evict live data). */
+  private def dropCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def components(pairs: DataFrame, maxIter: Int = 10,
                  strict: Boolean = false): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // ONE eager materialization of the pair list — the upstream near-dup
+    // pipeline runs once; the symmetric edge view is a union of two
+    // reads of the same checkpointed blocks, not a second computation
+    // (a checkpoint of the union would run `pairs` twice).
+    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
+    var prevRound = labels
     val compType = labels.schema("comp").dataType
     var converged = false
     var i = 0
@@ -251,9 +281,15 @@ object Dedup {
         .groupBy("id").agg(min("comp").as("comp"), max("__old").as("__old"))
         .localCheckpoint()
       converged = next.filter(col("comp") =!= col("__old")).isEmpty
+      // the previous round's labels can never be read again — free its
+      // blocks now (the FINAL round's blocks stay: they back the result)
+      dropCheckpointBlocks(prevRound)
+      prevRound = next
       labels = next.select("id", "comp")
       i += 1
     }
+    // the directed pair list only fed the per-round joins
+    dropCheckpointBlocks(p)
     if (!converged) {
       // Silently returning partial labels would let a downstream
       // curation step keep spurious "canonical" docs — surface it.
@@ -287,19 +323,25 @@ object Dedup {
     * re-evaluation gotcha, see [[Text.shinglesOf]]). */
   def winnowPairs(docs: DataFrame, minShared: Long, k: Int = 8, window: Int = 4,
                   textCol: String = "text", idCol: String = "doc_id",
-                  maxDocFreq: Option[Long] = None): DataFrame = {
-    val p0 = docs
-      .select(col(idCol).as("id"), Text.normalize(col(textCol)).as("__t"))
+                  maxDocFreq: Option[Long] = None,
+                  materialize: Boolean = true): DataFrame = {
+    val p0 = spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), Text.normalize(col("__text")).as("__t"))
       .select(col("id"), Text.kgramHashes(col("__t"), k).as("__hs"))
       .select(col("id"), explode(Text.winnowMins(col("__hs"), window)).as("p"))
       .distinct()
-    val p = maxDocFreq match {
+    val capped = maxDocFreq match {
       case None => p0
       case Some(cap) =>
         val hot = p0.groupBy("p").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("p")
         p0.join(broadcast(hot), Seq("p"), "left_anti")
     }
+    // the capped print set feeds both self-join sides: same shared
+    // materialization as ngramJaccard (partitioned by the join key so
+    // the self-join plans zero exchanges, lazy checkpoint for reuse
+    // without a cache leak — see [[shared]])
+    val p = shared(capped.repartition(col("p")), materialize)
     p.as("a").join(p.as("b"),
         col("a.p") === col("b.p") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
