@@ -54,6 +54,9 @@ object SparkEntry {
     "d_embed_neardup"   -> (LlmOps.dEmbedNearDup _),
     "d_winnow_pairs"    -> (LlmOps.dWinnowPairs _),
     "d_components"      -> (LlmOps.dComponents _),
+    "d_incremental"     -> (LlmOps.dIncremental _),
+    "d_incr_lsh"        -> (LlmOps.dIncrLsh _),
+    "d_passages"        -> (LlmOps.dPassages _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),

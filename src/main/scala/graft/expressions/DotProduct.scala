@@ -139,7 +139,24 @@ case class DotProduct(left: Expression, right: Expression,
   */
 object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    "graft_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    // Spark's native bloom-filter pair (the machinery behind AQE's
+    // runtime row-level filters), exposed as callable functions so
+    // operators can build an EXPLICIT broadcast prefilter (see
+    // operators/BloomDedup): graft_bloom_agg(xxhash64(k), nItems[, nBits])
+    // aggregates a serialized filter; graft_might_contain(bf, xxhash64(k))
+    // is the codegen'd membership probe. Both stay whole-stage-codegen
+    // compatible — no UDF in the probe path.
+    "graft_bloom_agg" -> ((es: Seq[Expression]) =>
+      if (es.size >= 3)
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1), es(2))
+      else
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1))),
+    "graft_might_contain" -> ((es: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))))
 
   /** Idempotent imperative registration into the session's function
     * registry. Registers each function at most once per session — a

@@ -224,6 +224,25 @@ object Text {
         i => array_min(slice(hs, i, lit(w))))))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Winnowing selection WITH positions over a staged hash-array
+    * attribute: array of structs (pos, h) — per sliding window of `w`
+    * consecutive k-gram hashes, the minimum hash and the 1-based
+    * position (into the k-gram sequence, = character offset of the
+    * k-gram) of its FIRST in-window occurrence; deduplicated on
+    * (pos, h). First-occurrence is the tie rule (not the classic
+    * rightmost) because both engines express it directly
+    * (array_position / list_position); any consistent rule keeps the
+    * winnowing guarantee. Feeds [[graft.operators.Dedup.sharedPassages]],
+    * where positions align shared prints into passage spans. */
+  def winnowMinsPos(hs: Column, w: Int): Column =
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - w + 1), i => {
+        val win = slice(hs, i, lit(w))
+        val m = array_min(win)
+        struct((array_position(win, m) + i - 1).cast("int").as("pos"), m.as("h"))
+      })))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+
   def winnow(c: Column, k: Int = 8, window: Int = 4): Column = {
     val f = udf { (s: String) =>
       if (s == null || s.length < k) Array.empty[Long]

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.expressions.GraftFunctions
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental (batch-vs-corpus) deduplication — the realistic
+  * operating mode of a 100 TB pipeline: TODAY's crawl is deduplicated
+  * against the standing corpus without ever re-shuffling the corpus.
+  * (Whole-corpus operators like [[Dedup.exact]] re-shuffle everything
+  * each run; reference behavior covers only the batch world, e.g. the
+  * fold/hash pipelines of `pipeline.go` — this is the beyond-reference
+  * scale path.)
+  *
+  * Design: a broadcast Bloom-filter PREFILTER in front of the exact
+  * resolve join, built with Spark's own native expressions
+  * (`BloomFilterAggregate` / `BloomFilterMightContain` — the codegen'd
+  * machinery behind AQE runtime filters, here made explicit because the
+  * planner cannot know our false-positive contract):
+  *
+  *   - corpus side: ONE aggregation over corpus fingerprints produces a
+  *     serialized filter (driver holds one byte array, ~1.2 MB per 10^6
+  *     docs at the default 8 bits/item ≈ 2% fpp);
+  *   - batch side: `might_contain` is a map-side, codegen'd filter. A
+  *     miss is DEFINITELY novel (Bloom filters have no false
+  *     negatives) — those rows take the fast path: no join, no shuffle,
+  *     no corpus access at all;
+  *   - only the "maybe duplicate" sliver (true dups + ~2% false
+  *     positives) reaches the exact fingerprint join that resolves the
+  *     canonical corpus doc — so the shuffled volume is proportional to
+  *     the DUPLICATE rate, not the batch size.
+  *
+  * At 10^9 corpus docs the filter is ~1 GB — still a broadcast (large
+  * executors hold it once), but size the build with `expectedItems`
+  * and raise `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+  * `maxNumBits` accordingly; beyond that, shard the corpus and union
+  * per-shard prefilters.
+  */
+object BloomDedup {
+
+  /** Batch rows labeled with the canonical corpus duplicate:
+    * (id, fp, dup_of) where dup_of is the minimum corpus id sharing the
+    * exact normalized-text fingerprint, or NULL for novel docs.
+    *
+    * `expectedItems` sizes the Bloom filter (8 bits/item); it is an
+    * ESTIMATE of distinct corpus fingerprints — undersizing only raises
+    * the false-positive rate (more rows take the exact join), never
+    * correctness.
+    */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       expectedItems: Long = 1L << 20): DataFrame = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val idType = corpus.schema(idCol).dataType
+    val corpusFp = corpus
+      .select(Text.fingerprint(col(textCol)).as("fp"), col(idCol).as("__cid"))
+      .groupBy("fp").agg(min("__cid").as("dup_of"))
+    // one job over the corpus fingerprints → one serialized filter on
+    // the driver (partial filters OR-merge on the exchange, so the
+    // corpus-side cost is a single partial-agg pass)
+    val bfRow = corpusFp.agg(call_function("graft_bloom_agg",
+      xxhash64(col("fp")), lit(expectedItems)).as("bf")).head()
+    val b = batch.select(col(idCol).as("id"),
+      Text.fingerprint(col(textCol)).as("fp"))
+    if (bfRow.isNullAt(0)) {
+      // empty corpus: everything is novel, no filter to probe
+      b.withColumn("dup_of", lit(null).cast(idType))
+    } else {
+      val maybe = call_function("graft_might_contain",
+        lit(bfRow.getAs[Array[Byte]](0)), xxhash64(col("fp")))
+      // definite-novel fast path: map-side only (the common case when
+      // most of a crawl is new — these rows never reach an exchange)
+      val novel = b.filter(!maybe).withColumn("dup_of", lit(null).cast(idType))
+      // maybe-dup sliver: exact resolve (kills bloom false positives)
+      val checked = b.filter(maybe)
+        .join(corpusFp, Seq("fp"), "left")
+        .select(col("id"), col("fp"), col("dup_of"))
+      novel.select("id", "fp", "dup_of").union(checked)
+    }
+  }
+
+  /** Incremental NEAR-dup: batch docs whose n-gram Jaccard similarity
+    * with some corpus doc meets `threshold`, found via MinHash+LSH
+    * band buckets ACROSS the two sets (corpus signatures join batch
+    * signatures — never corpus×corpus, never batch×batch).
+    *
+    * Scale shape: both sides reduce to (id, band, sig) band buckets —
+    * the join key is the banded signature, so the shuffle carries
+    * `bands` rows per doc, not shingles; candidates are verified with
+    * exact Jaccard over the two shingle sets (same verify as
+    * [[Dedup.minhashLsh]], restricted to candidate pairs). In steady
+    * state the corpus band buckets are precomputed once and persist as
+    * a bucketed table — only the batch side is computed per run.
+    *
+    * Returns (id, dup_of, jaccard): one row per (batch doc, corpus doc)
+    * near-dup pair at or above the threshold.
+    */
+  def incrementalLsh(batch: DataFrame, corpus: DataFrame, threshold: Double,
+                     perms: Int = 16, bands: Int = 4, n: Int = 3,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(perms % bands == 0, "perms must divide into bands")
+    val rows = perms / bands
+    def bandsOf(docs: DataFrame): (DataFrame, DataFrame) = {
+      val s = Dedup.shingleSet(docs, textCol, idCol, n)
+      val sig = Dedup.signaturesFrom(s, perms)
+      val bandCols = (0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          md5(concat_ws("|", (0 until rows).map(r =>
+            col(s"h${bnd * rows + r}").cast("string")): _*)).as("sig"))
+      }
+      val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      (s, banded)
+    }
+    val (bs, bband) = bandsOf(batch)
+    val (cs, cband) = bandsOf(corpus)
+    val cand = bband.as("a").join(cband.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.id").as("id"), col("b.id").as("dup_of")).distinct()
+    val bSizes = bs.groupBy("id").agg(count(lit(1)).as("bn"))
+      .withColumnRenamed("id", "__bsid")
+    val cSizes = cs.groupBy("id").agg(count(lit(1)).as("cn"))
+      .withColumnRenamed("id", "__csid")
+    val inter = cand.as("c")
+      .join(bs.as("sa"), col("c.id") === col("sa.id"))
+      .join(cs.as("sb"), col("c.dup_of") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("c.id"), col("c.dup_of")).agg(count(lit(1)).as("i"))
+    inter
+      .join(bSizes, col("id") === col("__bsid"))
+      .join(cSizes, col("dup_of") === col("__csid"))
+      .select(col("id"), col("dup_of"),
+        round(col("i") / (col("bn") + col("cn") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

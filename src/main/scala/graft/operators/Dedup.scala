@@ -45,7 +45,7 @@ object Dedup {
     * into the lambda re-runs the regex split per shingle position (see
     * [[Text.shinglesOf]]; CollapseProject keeps the stage because the
     * array is referenced more than once and non-cheap). */
-  private def shingleSet(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+  private[operators] def shingleSet(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), Text.tokens(col("__text")).as("__toks"))
       .select(col("id"), explode(Text.shinglesOf(col("__toks"), n)).as("sh"))
@@ -162,7 +162,7 @@ object Dedup {
     * fits int64): min(long) aggregation state is 8 bytes/perm instead of
     * a 32-char string, and numeric min over equal-width hex prefixes
     * equals the lexicographic min the oracle computes. */
-  private def signaturesFrom(s: DataFrame, perms: Int): DataFrame = {
+  private[operators] def signaturesFrom(s: DataFrame, perms: Int): DataFrame = {
     val vocab = s.select("sh").distinct()
       .select(col("sh") +: (0 until perms).map(i =>
         conv(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 15), 16, 10)
@@ -347,6 +347,57 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+  }
+
+  /** Aligned shared passages between document pairs — the
+    * exact-substring-dedup family (Lee et al. 2021 find verbatim
+    * repeated passages in training corpora; same goal, expressed in
+    * winnowing prints with positions): for each doc pair and each
+    * alignment DIAGONAL (pos_a − pos_b), the count of shared winnow
+    * prints on that diagonal and the covered character span in both
+    * docs. A verbatim passage copied between two docs puts many prints
+    * on ONE diagonal (their positions shift by a constant); incidental
+    * shared phrases scatter across diagonals — grouping by diagonal
+    * separates true passage reuse from noise, and the span bounds say
+    * WHERE the copy sits in each doc (provenance, not just detection).
+    *
+    * Scale: identical shape to [[winnowPairs]] — positional prints are
+    * ~|text|/window per doc, the equi-join is hash-partitioned on the
+    * print with the hot-print df cap (broadcast anti-join), and the
+    * diagonal key is a projection of the join output feeding one
+    * aggregation: no extra shuffle beyond winnowPairs. */
+  def sharedPassages(docs: DataFrame, minPrints: Long, k: Int = 8, window: Int = 4,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     maxDocFreq: Option[Long] = None,
+                     materialize: Boolean = true): DataFrame = {
+    val p0 = spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), Text.normalize(col("__text")).as("__t"))
+      .select(col("id"), Text.kgramHashes(col("__t"), k).as("__hs"))
+      .select(col("id"), explode(Text.winnowMinsPos(col("__hs"), window)).as("s"))
+      .select(col("id"), col("s.pos").as("pos"), col("s.h").as("p"))
+      .distinct()
+    val capped = maxDocFreq match {
+      case None => p0
+      case Some(cap) =>
+        // distinct DOCS per print (a print repeated inside one doc is
+        // not corpus-wide boilerplate)
+        val hot = p0.groupBy("p").agg(countDistinct("id").as("df"))
+          .filter(col("df") > cap).select("p")
+        p0.join(broadcast(hot), Seq("p"), "left_anti")
+    }
+    val pp = shared(capped.repartition(col("p")), materialize)
+    pp.as("a").join(pp.as("b"),
+        col("a.p") === col("b.p") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (col("a.pos") - col("b.pos")).as("d"))
+      .agg(count(lit(1)).as("prints"),
+        min(col("a.pos")).as("a_start"),
+        (max(col("a.pos")) + lit(k - 1)).as("a_end"))
+      .filter(col("prints") >= minPrints)
+      .select(col("id_a"), col("id_b"), col("prints"),
+        col("a_start"), col("a_end"),
+        (col("a_start") - col("d")).as("b_start"),
+        (col("a_end") - col("d")).as("b_end"))
   }
 
   /** 32-bit SimHash per document: per-token md5 → first 8 hex chars as a

@@ -216,6 +216,41 @@ object LlmOps {
         strict = true)
       .orderBy("id")
 
+  /** Aligned shared passages (k=24-gram winnow prints, window 8,
+    * df-cap 20, ≥ 5 prints on one alignment diagonal) — verbatim
+    * passage reuse with character spans in both docs. */
+  def dPassages(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sharedPassages(Tables(spark, dir).documents, minPrints = 5,
+        k = 24, window = 8, maxDocFreq = Some(20L))
+      .orderBy("id_a", "id_b", "a_start", "b_start")
+
+  /** Incremental exact dedup ([[graft.operators.BloomDedup]]): the 20%
+    * hash-bucket "new batch" against the 80% standing corpus — novel
+    * batch docs take the broadcast bloom-prefilter fast path (map-side
+    * only, no shuffle), suspected dups resolve via the exact
+    * fingerprint join. The realistic 100 TB operating mode: dedup
+    * today's crawl without re-shuffling the corpus. */
+  def dIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BloomDedup, Sampling}
+    val docs = Tables(spark, dir).documents
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    BloomDedup.incrementalExact(docs.filter(bucket < 20), docs.filter(bucket >= 20))
+      .orderBy("id")
+  }
+
+  /** Incremental NEAR-dup: cross-set MinHash LSH (16 perms × 4 bands,
+    * exact-jaccard verify ≥ 0.5) of the 20% batch against the 80%
+    * corpus — candidates come from corpus×batch band buckets only,
+    * never corpus×corpus. */
+  def dIncrLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BloomDedup, Sampling}
+    val docs = Tables(spark, dir).documents
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    BloomDedup.incrementalLsh(docs.filter(bucket < 20), docs.filter(bucket >= 20),
+        threshold = 0.5)
+      .orderBy("id", "dup_of")
+  }
+
   /** Embedding-cosine near-dup pairs (blocked by cell, ≥ 0.45). */
   def dEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(Tables(spark, dir).embeddings, threshold = 0.45)

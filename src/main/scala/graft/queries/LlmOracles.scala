@@ -293,6 +293,90 @@ object LlmOracles {
          |SELECT id, min(comp)::bigint AS comp FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // aligned shared passages: positional winnow prints (k=24-gram md5
+    // bigints, window 8, FIRST in-window occurrence of the min as the
+    // position tie rule — matches Text.winnowMinsPos), doc-frequency
+    // cap 20 (distinct docs), pairs grouped by alignment diagonal
+    // (pos_a - pos_b), >= 5 prints on one diagonal; spans cover
+    // [min,max] print positions + k-1 chars
+    "d_passages" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, list_transform(range(len(t) - 23),
+        |    i -> ('0x' || substr(md5(substr(t, i + 1, 24)), 1, 15))::bigint) AS hs
+        |  FROM t WHERE len(t) >= 24),
+        |win AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(hs) - 7), w ->
+        |    {'pos': (w + list_position(hs[(w + 1):(w + 8)], list_min(hs[(w + 1):(w + 8)])))::int,
+        |     'p': list_min(hs[(w + 1):(w + 8)])})) AS s
+        |  FROM h WHERE len(hs) >= 8),
+        |pr AS (SELECT DISTINCT doc_id, s.pos AS pos, s.p AS p FROM win),
+        |capped AS (
+        |  SELECT * FROM pr WHERE p NOT IN (
+        |    SELECT p FROM pr GROUP BY p HAVING count(DISTINCT doc_id) > 20)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    (a.pos - b.pos)::int AS d, a.pos AS pos
+        |  FROM capped a JOIN capped b ON a.p = b.p AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, count(*) AS prints,
+        |  min(pos)::int AS a_start, (max(pos) + 23)::int AS a_end,
+        |  (min(pos) - d)::int AS b_start, (max(pos) + 23 - d)::int AS b_end
+        |FROM pairs GROUP BY id_a, id_b, d HAVING count(*) >= 5
+        |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
+
+    // incremental exact dedup: 20% hash-bucket batch vs 80% corpus
+    // (same md5-bucket split as t_sample); dup_of = min corpus doc_id
+    // sharing the normalized-text fingerprint, NULL when novel. The
+    // Spark side's bloom prefilter is invisible here by design: it has
+    // no false negatives and the exact join kills false positives, so
+    // the result equals this plain left join.
+    "d_incremental" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100) AS b
+        |  FROM documents),
+        |c AS (SELECT fp, min(doc_id) AS dup_of FROM h WHERE b >= 20 GROUP BY fp)
+        |SELECT h.doc_id AS id, h.fp AS fp, c.dup_of AS dup_of
+        |FROM h LEFT JOIN c USING (fp)
+        |WHERE h.b < 20 ORDER BY id""".stripMargin,
+
+    // incremental near-dup: cross-set minhash LSH (16 perms x 4 bands,
+    // exact-jaccard verify >= 0.5), batch (bucket < 20) vs corpus
+    // (bucket >= 20) — candidates only from batch x corpus buckets
+    "d_incr_lsh" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100) AS b
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, b, sh FROM (
+         |    SELECT doc_id, b, unnest(list_transform(range(greatest(len($toks) - 2, 1)),
+         |      i -> array_to_string(($toks)[(i+1):(i+3)], ' '))) AS sh
+         |    FROM d)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |h AS (
+         |  SELECT doc_id, b, i,
+         |    min(('0x' || substr(md5(i::varchar || '|' || sh), 1, 15))::bigint) AS mh
+         |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, b, i),
+         |sig AS (
+         |  SELECT doc_id, b, i // 4 AS band, md5(string_agg(mh::varchar, '|' ORDER BY i)) AS bsig
+         |  FROM h GROUP BY doc_id, b, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id, c.doc_id AS dup_of
+         |  FROM sig a JOIN sig c ON a.band = c.band AND a.bsig = c.bsig
+         |  WHERE a.b < 20 AND c.b >= 20),
+         |inter AS (
+         |  SELECT id, dup_of, count(*) AS i FROM cand
+         |  JOIN sh sa ON sa.doc_id = id
+         |  JOIN sh sb ON sb.doc_id = dup_of AND sa.sh = sb.sh
+         |  GROUP BY id, dup_of)
+         |SELECT * FROM (
+         |  SELECT id, dup_of, round(i / (na.n + nb.n - i), 4) AS jaccard
+         |  FROM inter JOIN sz na ON id = na.doc_id JOIN sz nb ON dup_of = nb.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY id, dup_of""".stripMargin,
+
     // the Spark side computes real recall of the trained IVF index vs
     // its in-plan brute-force baseline; the oracle pins the asserted
     // outcome (10 queries evaluated, recall@5 ≥ 0.5 held)

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.BloomDedup
+import org.apache.spark.sql.functions._
+
+/** Incremental (batch-vs-corpus) dedup: exact bloom-prefiltered path
+  * and the cross-set LSH near-dup path.
+  */
+class BloomDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "The  Quick   Brown Fox jumps over the lazy dog"), // dup of 1 after normalize
+    (4L, "sphinx of black quartz judge my vow")
+  ).toDF("doc_id", "text")
+
+  private val batch = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog"), // exact dup of corpus 1 (canonical min id 1)
+    (11L, "a completely novel document about spark plans"),
+    (12L, "PACK MY BOX WITH FIVE DOZEN LIQUOR JUGS"),      // dup of 2 via normalization
+    (13L, "another novel text never seen in the corpus")
+  ).toDF("doc_id", "text")
+
+  test("incrementalExact labels dups with canonical corpus id, novels with null") {
+    val out = BloomDedup.incrementalExact(batch, corpus)
+      .select("id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(10L -> Some(1L), 11L -> None, 12L -> Some(2L), 13L -> None))
+  }
+
+  test("incrementalExact result is identical to the plain (bloom-free) join") {
+    val plain = {
+      val cfp = corpus.select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"),
+          col("doc_id")).groupBy("fp").agg(min("doc_id").as("dup_of"))
+      batch.select(col("doc_id").as("id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+        .join(cfp, Seq("fp"), "left").select("id", "fp", "dup_of")
+    }
+    val got = BloomDedup.incrementalExact(batch, corpus)
+    assert(got.orderBy("id").collect().toSeq == plain.orderBy("id").collect().toSeq)
+  }
+
+  test("empty corpus: every batch row is novel") {
+    val out = BloomDedup.incrementalExact(batch, corpus.filter(lit(false)))
+    assert(out.count() == 4 && out.filter(col("dup_of").isNotNull).count() == 0)
+  }
+
+  test("empty batch: empty result with the full 3-column schema") {
+    val out = BloomDedup.incrementalExact(batch.filter(lit(false)), corpus)
+    assert(out.columns.toSeq == Seq("id", "fp", "dup_of") && out.count() == 0)
+  }
+
+  test("bloom prefilter is in the plan (codegen'd native probe, not a UDF)") {
+    // analyzed plan: over LOCAL relations the optimizer constant-folds
+    // the probe away (ConvertToLocalRelation); the parquet-scan shape
+    // is asserted in PlanSpec on the d_incremental gate
+    val plan = BloomDedup.incrementalExact(batch, corpus)
+      .queryExecution.analyzed.toString
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"expected a native might_contain probe in the plan:\n$plan")
+    assert(!plan.toLowerCase.contains("udf"), "probe must not be a UDF")
+  }
+
+  test("incrementalLsh finds cross-set near-dups only (never corpus x corpus)") {
+    val c = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+      (11L, "wholly different words with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    // bands=8 (2 rows/band): detection prob for j~0.78 is ~0.999 and
+    // md5 banding is deterministic — this either always or never finds
+    // the pair; verified found
+    val out = BloomDedup.incrementalLsh(b, c, threshold = 0.5, perms = 16, bands = 8)
+      .select("id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L)))
+  }
+
+  test("incrementalLsh jaccard matches the whole-set operator's pair value") {
+    val c = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val b = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")).toDF("doc_id", "text")
+    val cross = BloomDedup.incrementalLsh(b, c, threshold = 0.1, perms = 16, bands = 8)
+      .select("jaccard").as[Double].head()
+    val whole = graft.operators.Dedup.minhashLsh(c.union(b.select(col("doc_id"), col("text"))),
+        threshold = 0.1, perms = 16, bands = 8, materialize = false)
+      .select("jaccard").as[Double].head()
+    assert(cross == whole)
+  }
+}

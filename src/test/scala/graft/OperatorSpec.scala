@@ -232,6 +232,46 @@ class OperatorSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("sharedPassages localizes the copied span in both docs on one diagonal") {
+    val prefixA = "aaaa bbbb cccc "                      // 15 chars
+    val prefixB = "a different and longer beginning here " // 38 chars
+    val passage = "the copied boilerplate passage that appears verbatim in both documents"
+    val docs = Seq(
+      (1L, prefixA + passage + " unique ending one"),
+      (2L, prefixB + passage + " other closing text"),
+      (3L, "nothing in common with the others at all, separate content entirely")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.sharedPassages(docs, minPrints = 3)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    val (aStart, aEnd) = (r.getAs[Int]("a_start"), r.getAs[Int]("a_end"))
+    val (bStart, bEnd) = (r.getAs[Int]("b_start"), r.getAs[Int]("b_end"))
+    // spans sit inside the planted passage (1-based char offsets into
+    // the normalized text; fixtures are already normalized)
+    // +1: the char AFTER the passage is a space in both docs, so the
+    // last shared k-gram legitimately covers it
+    assert(aStart > prefixA.length && aEnd <= prefixA.length + passage.length + 1,
+      s"a-span [$aStart,$aEnd] outside passage")
+    assert(bStart > prefixB.length && bEnd <= prefixB.length + passage.length + 1,
+      s"b-span [$bStart,$bEnd] outside passage")
+    // one diagonal: the alignment shift equals the prefix-length delta
+    assert(aStart - bStart == prefixA.length - prefixB.length)
+    assert(aEnd - bEnd == prefixA.length - prefixB.length)
+    assert(r.getAs[Long]("prints") >= 3L)
+  }
+
+  test("sharedPassages: empty input and no-overlap docs produce no rows") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.sharedPassages(emptyDocs, 1).count() == 0)
+    val distinctDocs = Seq(
+      (1L, "first document with its own words only"),
+      (2L, "second text sharing nothing with number one")
+    ).toDF("doc_id", "text")
+    assert(Dedup.sharedPassages(distinctDocs, 1).count() == 0)
+  }
+
   test("round-2 operators tolerate empty inputs") {
     import graft.operators.{Sampling, Stats}
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")

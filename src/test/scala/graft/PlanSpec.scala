@@ -102,6 +102,24 @@ class PlanSpec extends SparkSpec {
       s"expected the one checkpoint read twice:\n${p.take(600)}")
   }
 
+  test("round-5 gates keep their scale shapes: bloom probe, print-join cap") {
+    // d_incremental: the bloom prefilter survives to the physical plan
+    // as a native might_contain filter over the batch scan (the
+    // map-side novel fast path — no UDF, no join for definite-novels)
+    val p = plan("d_incremental")
+    assert(p.toLowerCase.contains("might_contain"),
+      s"bloom probe missing from d_incremental plan:\n${p.take(800)}")
+    // d_passages: the hot-print df cap is a broadcast anti-join on the
+    // materialize=false twin (the gate form truncates lineage at the
+    // shared-print checkpoint, same as ngramJaccard)
+    val ps = operators.Dedup.sharedPassages(
+        core.Tables(spark, dir).documents, minPrints = 5, k = 24, window = 8,
+        maxDocFreq = Some(20L), materialize = false)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ps.contains("BroadcastHashJoin") && ps.contains("LeftAnti"), ps.take(500))
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline of q2") {
     // AQE hides codegen spans until execution: run the query, then
     // inspect the final adaptive plan for WholeStageCodegen operators.

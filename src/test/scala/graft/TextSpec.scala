@@ -84,4 +84,27 @@ class TextSpec extends SparkSpec {
       .select(Text.winnow(col("t")).as("fp")).as[Seq[Long]].collect().toSeq
     assert(out.forall(_.isEmpty))
   }
+
+  test("winnowMinsPos: first in-window min with its global position, deduped") {
+    // hs = [5,3,9,3,7], w = 2 → windows [5,3]:(2,3) [3,9]:(2,3) [9,3]:(4,3) [3,7]:(4,3)
+    val out = Seq(Tuple1(Seq(5L, 3L, 9L, 3L, 7L))).toDF("hs")
+      .select(explode(Text.winnowMinsPos(col("hs"), 2)).as("s"))
+      .select("s.pos", "s.h").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((2, 3L), (4, 3L)))
+  }
+
+  test("winnowMinsPos: positions agree with winnowMins values; short input empty") {
+    val hs = Seq(Tuple1(Seq(9L, 8L, 7L, 6L, 5L, 4L)))
+    val vals = hs.toDF("hs").select(Text.winnowMins(col("hs"), 3).as("v"))
+      .as[Seq[Long]].head().toSet
+    val withPos = hs.toDF("hs")
+      .select(explode(Text.winnowMinsPos(col("hs"), 3)).as("s"))
+      .select("s.pos", "s.h").as[(Int, Long)].collect()
+    assert(withPos.map(_._2).toSet == vals)
+    // strictly-decreasing input: every window's min is its LAST element
+    assert(withPos.forall { case (pos, h) => hs.head._1(pos - 1) == h })
+    val short = Seq(Tuple1(Seq(1L, 2L))).toDF("hs")
+      .select(Text.winnowMinsPos(col("hs"), 3).as("v")).head().getSeq[Any](0)
+    assert(short.isEmpty)
+  }
 }
