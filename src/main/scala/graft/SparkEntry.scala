@@ -57,6 +57,8 @@ object SparkEntry {
     "d_incremental"     -> (LlmOps.dIncremental _),
     "d_incr_lsh"        -> (LlmOps.dIncrLsh _),
     "d_passages"        -> (LlmOps.dPassages _),
+    "t_unigram_lp"      -> (LlmOps.tUnigramLp _),
+    "t_tfidf"           -> (LlmOps.tTfidf _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),

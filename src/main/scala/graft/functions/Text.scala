@@ -224,24 +224,30 @@ object Text {
         i => array_min(slice(hs, i, lit(w))))))
       .otherwise(array().cast("array<bigint>"))
 
-  /** Winnowing selection WITH positions over a staged hash-array
-    * attribute: array of structs (pos, h) — per sliding window of `w`
-    * consecutive k-gram hashes, the minimum hash and the 1-based
-    * position (into the k-gram sequence, = character offset of the
-    * k-gram) of its FIRST in-window occurrence; deduplicated on
-    * (pos, h). First-occurrence is the tie rule (not the classic
-    * rightmost) because both engines express it directly
-    * (array_position / list_position); any consistent rule keeps the
-    * winnowing guarantee. Feeds [[graft.operators.Dedup.sharedPassages]],
-    * where positions align shared prints into passage spans. */
-  def winnowMinsPos(hs: Column, w: Int): Column =
-    when(size(hs) >= w,
-      array_distinct(transform(sequence(lit(1), size(hs) - w + 1), i => {
-        val win = slice(hs, i, lit(w))
-        val m = array_min(win)
-        struct((array_position(win, m) + i - 1).cast("int").as("pos"), m.as("h"))
-      })))
-      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+  /** Position-indexed hashes: (h, pos) structs with 1-based positions.
+    * Stage this as its OWN projection column before [[winnowMinsPos]] —
+    * a lambda capturing a non-attribute expression re-evaluates it per
+    * element (see [[shinglesOf]]), which here would turn winnowing
+    * O(n·w) into O(n²). */
+  def posIndexed(hs: Column): Column =
+    transform(hs, (h, i) => struct(h.as("h"), (i + 1).cast("int").as("pos")))
+
+  /** Winnowing selection WITH positions over a STAGED [[posIndexed]]
+    * attribute: per sliding window of `w` consecutive k-gram hashes,
+    * the (h, pos) struct of the window minimum — ONE array_min per
+    * window, because lexicographic struct ordering (h first, then pos)
+    * makes the min struct exactly "smallest hash, FIRST in-window
+    * occurrence". Deduplicated on (h, pos). First-occurrence is the tie
+    * rule (not the classic rightmost) because both engines express it
+    * directly (struct min / list_position); any consistent rule keeps
+    * the winnowing guarantee. Feeds
+    * [[graft.operators.Dedup.sharedPassages]], where positions align
+    * shared prints into passage spans. */
+  def winnowMinsPos(hsp: Column, w: Int): Column =
+    when(size(hsp) >= w,
+      array_distinct(transform(sequence(lit(1), size(hsp) - w + 1),
+        i => array_min(slice(hsp, i, lit(w))))))
+      .otherwise(array().cast("array<struct<h:bigint,pos:int>>"))
 
   def winnow(c: Column, k: Int = 8, window: Int = 4): Column = {
     val f = udf { (s: String) =>

@@ -81,6 +81,22 @@ object BloomDedup {
     }
   }
 
+  /** Streaming twin of [[incrementalExact]]: label an UNBOUNDED stream
+    * of documents against a static corpus — same plan, which is
+    * append-mode streaming-safe end to end: the broadcast bloom probe
+    * is a map-side filter inside each micro-batch (definite-novels
+    * never join), and the maybe-dup sliver takes a STREAM-STATIC left
+    * join (no streaming state, no watermark — the corpus side is
+    * static). The corpus-side bloom build runs once, at plan
+    * construction. Complements
+    * [[graft.streaming.Streams.dedupExact]], which dedups a stream
+    * against ITSELF within a watermark horizon; composing both gives
+    * "new vs corpus" + "new vs new" ingest dedup with bounded state. */
+  def streamIncrementalExact(stream: DataFrame, corpus: DataFrame,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             expectedItems: Long = 1L << 20): DataFrame =
+    incrementalExact(stream, corpus, textCol, idCol, expectedItems)
+
   /** Incremental NEAR-dup: batch docs whose n-gram Jaccard similarity
     * with some corpus doc meets `threshold`, found via MinHash+LSH
     * band buckets ACROSS the two sets (corpus signatures join batch
@@ -99,11 +115,18 @@ object BloomDedup {
     */
   def incrementalLsh(batch: DataFrame, corpus: DataFrame, threshold: Double,
                      perms: Int = 16, bands: Int = 4, n: Int = 3,
-                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                     textCol: String = "text", idCol: String = "doc_id",
+                     materialize: Boolean = true): DataFrame = {
     require(perms % bands == 0, "perms must divide into bands")
     val rows = perms / bands
     def bandsOf(docs: DataFrame): (DataFrame, DataFrame) = {
-      val s = Dedup.shingleSet(docs, textCol, idCol, n)
+      // each side's shingle set feeds its signatures, its set sizes AND
+      // the jaccard-verify join: one lazy partitioned checkpoint per
+      // side (same reuse-without-leak scheme as Dedup.minhashLsh; see
+      // Dedup.shared for the executor-loss caveat)
+      val s = Dedup.shared(
+        Dedup.shingleSet(docs, textCol, idCol, n).repartition(col("sh")),
+        materialize)
       val sig = Dedup.signaturesFrom(s, perms)
       val bandCols = (0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),

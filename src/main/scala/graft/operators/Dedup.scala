@@ -94,7 +94,7 @@ object Dedup {
     * blocks live on executors only — on a long-lived cluster where
     * executor loss must be survivable, use `checkpoint()` with a
     * reliable directory instead. */
-  private def shared(df: DataFrame, materialize: Boolean): DataFrame =
+  private[operators] def shared(df: DataFrame, materialize: Boolean): DataFrame =
     if (!materialize) df
     else {
       // AQE must be off while PLANNING the checkpointed subtree:
@@ -373,7 +373,8 @@ object Dedup {
     val p0 = spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), Text.normalize(col("__text")).as("__t"))
       .select(col("id"), Text.kgramHashes(col("__t"), k).as("__hs"))
-      .select(col("id"), explode(Text.winnowMinsPos(col("__hs"), window)).as("s"))
+      .select(col("id"), Text.posIndexed(col("__hs")).as("__hsp"))
+      .select(col("id"), explode(Text.winnowMinsPos(col("__hsp"), window)).as("s"))
       .select(col("id"), col("s.pos").as("pos"), col("s.h").as("p"))
       .distinct()
     val capped = maxDocFreq match {

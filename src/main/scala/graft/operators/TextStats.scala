@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics text signals (beyond-reference, north star): the
+  * quality scores that need a pass over the WHOLE corpus before they
+  * can score a single document — as opposed to the per-row signals in
+  * [[graft.functions.Text]] (length/punct/stopword ratios are pure
+  * projections; these need the corpus token distribution).
+  */
+object TextStats {
+
+  /** Unigram language-model score per doc: mean -ln p(token) under the
+    * corpus's own unigram distribution (lowercased whitespace tokens) —
+    * the classic cheap perplexity proxy for quality filtering: gibberish
+    * and boilerplate-stuffed docs sit far from the corpus average.
+    *
+    * Scale: two shuffles — token-count agg (partial+final, vocab-sized
+    * result) and the token→prob join back (hash join on the token; the
+    * vocab side is zipfian-small relative to the occurrence stream).
+    * The corpus total rides along as a 1-row cross join (broadcast),
+    * never a driver action — the whole thing is one lazy plan.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(Text.tokens(lower(col(textCol)))).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n_total"))
+    tok.join(counts, "t")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(round(avg(-log(col("cnt") / col("n_total"))), 4).as("mean_nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Top-k corpus-weighted terms per doc by TF-IDF
+    * (idf = ln((N+1)/(df+1)) + 1, the smoothed scikit-style form): the
+    * standard keyword/topic surrogate for corpus exploration and
+    * domain balancing.
+    *
+    * Determinism across engines: the rank orders by the score ROUNDED
+    * to 6 decimals with the term as tie-break — ulp-level `ln`
+    * differences between engines cannot flip the ranking (mathematical
+    * ties, e.g. 2·ln10 vs ln100, become exact ties and fall to the
+    * term order).
+    *
+    * Scale: tf agg + df agg + one keyed-window rank — the window
+    * partitions by doc (thousands of rows per partition at most), never
+    * a global sort. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(Text.tokens(lower(col(textCol)))).as("t"))
+    val tf = tok.groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "t")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))
+    val w = Window.partitionBy("id")
+      .orderBy(round(col("score"), 6).desc, col("t").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk"), col("t").as("term"),
+        round(col("score"), 4).as("tfidf"))
+  }
+}

@@ -216,6 +216,20 @@ object LlmOps {
         strict = true)
       .orderBy("id")
 
+  /** Unigram-LM quality score: mean -ln p(token) per doc under the
+    * corpus's own token distribution (cheap perplexity proxy). */
+  def tUnigramLp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextStats
+    TextStats.unigramLogProb(Tables(spark, dir).documents).orderBy("id")
+  }
+
+  /** Top-3 TF-IDF terms per doc (smoothed idf, engine-stable rank). */
+  def tTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextStats
+    TextStats.tfidfTopTerms(Tables(spark, dir).documents, k = 3)
+      .orderBy("id", "rnk")
+  }
+
   /** Aligned shared passages (k=24-gram winnow prints, window 8,
     * df-cap 20, ≥ 5 prints on one alignment diagonal) — verbatim
     * passage reuse with character spans in both docs. */

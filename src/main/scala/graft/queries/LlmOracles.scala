@@ -293,6 +293,40 @@ object LlmOracles {
          |SELECT id, min(comp)::bigint AS comp FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // unigram LM score: mean -ln p(token) per doc under the corpus's
+    // own lowercased-token distribution (mirrors
+    // TextStats.unigramLogProb; both engines do float division and
+    // natural log in double, rounded to 4)
+    "t_unigram_lp" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |tot AS (SELECT sum(cnt) AS n_total FROM c)
+        |SELECT id, round(avg(-ln(cnt / n_total)), 4) AS mean_nll, count(*) AS n_tokens
+        |FROM tok JOIN c USING (t) CROSS JOIN tot
+        |GROUP BY id ORDER BY id""".stripMargin,
+
+    // top-3 tf-idf terms per doc, idf = ln((N+1)/(df+1)) + 1; the rank
+    // orders by round(score, 6) with the term as tie-break so ulp-level
+    // ln() differences between engines cannot flip it
+    "t_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT id, t, count(*) AS tf FROM tok GROUP BY id, t),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT id, t, tf * (ln((n_docs + 1) / (df + 1)) + 1) AS score
+        |  FROM tf JOIN df USING (t) CROSS JOIN nd),
+        |r AS (
+        |  SELECT id, t, score,
+        |    row_number() OVER (PARTITION BY id ORDER BY round(score, 6) DESC, t) AS rnk
+        |  FROM s)
+        |SELECT id, rnk::int AS rnk, t AS term, round(score, 4) AS tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
+
     // aligned shared passages: positional winnow prints (k=24-gram md5
     // bigints, window 8, FIRST in-window occurrence of the min as the
     // position tie rule — matches Text.winnowMinsPos), doc-frequency

@@ -359,6 +359,36 @@ class StreamingSpec extends SparkSpec {
       Set("alpha doc", "beta doc", "gamma doc"))
   }
 
+  test("streaming incremental dedup labels a stream against a static corpus, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "known corpus document one"),
+      (2L, "known corpus document two")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = ArrayBuffer.empty[(Long, Option[Long])]
+    val labeled = graft.operators.BloomDedup.streamIncrementalExact(
+      mem.toDF().toDF("doc_id", "text"), corpus)
+    val q = labeled.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(r.fieldIndex("id")),
+            if (r.isNullAt(r.fieldIndex("dup_of"))) None
+            else Some(r.getLong(r.fieldIndex("dup_of")))))
+        }; ()
+      })
+      .start()
+    mem.addData((10L, "a brand new streamed document"),
+      (11L, "KNOWN   corpus document one"))   // dup of corpus 1 after normalize
+    q.processAllAvailable()
+    mem.addData((12L, "known corpus document two"))  // dup of corpus 2
+    q.processAllAvailable()
+    q.stop()
+    val seen = out.synchronized(out.toMap)
+    assert(seen == Map(10L -> None, 11L -> Some(1L), 12L -> Some(2L)))
+  }
+
   test("q27_stream_e2e gate: streaming agg over documents equals batch result") {
     val res = graft.queries.StreamQueries.q27StreamE2e(spark, "/root/testdata/sf0.001")
       .collect()

@@ -88,7 +88,8 @@ class TextSpec extends SparkSpec {
   test("winnowMinsPos: first in-window min with its global position, deduped") {
     // hs = [5,3,9,3,7], w = 2 → windows [5,3]:(2,3) [3,9]:(2,3) [9,3]:(4,3) [3,7]:(4,3)
     val out = Seq(Tuple1(Seq(5L, 3L, 9L, 3L, 7L))).toDF("hs")
-      .select(explode(Text.winnowMinsPos(col("hs"), 2)).as("s"))
+      .select(Text.posIndexed(col("hs")).as("hsp"))
+      .select(explode(Text.winnowMinsPos(col("hsp"), 2)).as("s"))
       .select("s.pos", "s.h").as[(Int, Long)].collect().toSeq
     assert(out == Seq((2, 3L), (4, 3L)))
   }
@@ -98,13 +99,15 @@ class TextSpec extends SparkSpec {
     val vals = hs.toDF("hs").select(Text.winnowMins(col("hs"), 3).as("v"))
       .as[Seq[Long]].head().toSet
     val withPos = hs.toDF("hs")
-      .select(explode(Text.winnowMinsPos(col("hs"), 3)).as("s"))
+      .select(Text.posIndexed(col("hs")).as("hsp"))
+      .select(explode(Text.winnowMinsPos(col("hsp"), 3)).as("s"))
       .select("s.pos", "s.h").as[(Int, Long)].collect()
     assert(withPos.map(_._2).toSet == vals)
     // strictly-decreasing input: every window's min is its LAST element
     assert(withPos.forall { case (pos, h) => hs.head._1(pos - 1) == h })
     val short = Seq(Tuple1(Seq(1L, 2L))).toDF("hs")
-      .select(Text.winnowMinsPos(col("hs"), 3).as("v")).head().getSeq[Any](0)
+      .select(Text.posIndexed(col("hs")).as("hsp"))
+      .select(Text.winnowMinsPos(col("hsp"), 3).as("v")).head().getSeq[Any](0)
     assert(short.isEmpty)
   }
 }

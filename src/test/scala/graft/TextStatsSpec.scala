@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.TextStats
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigramLogProb: hand-computed mean -ln p on a 3-doc corpus") {
+    // tokens: a a b | a c → counts a=3 b=1 c=1, total 5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.unigramLogProb(docs)
+      .select("id", "mean_nll", "n_tokens").as[(Long, Double, Long)]
+      .collect().map { case (id, nll, n) => id -> (nll, n) }.toMap
+    val nll = (t: Double) => -math.log(t)
+    val d1 = (nll(3.0 / 5) * 2 + nll(1.0 / 5)) / 3
+    val d2 = (nll(3.0 / 5) + nll(1.0 / 5)) / 2
+    assert(out(1L)._1 == math.rint(d1 * 1e4) / 1e4 && out(1L)._2 == 3L)
+    assert(out(2L)._1 == math.rint(d2 * 1e4) / 1e4 && out(2L)._2 == 2L)
+  }
+
+  test("unigramLogProb: case-folding merges tokens; rare tokens score higher") {
+    val docs = Seq((1L, "Common COMMON common"), (2L, "common rareword")).toDF("doc_id", "text")
+    val out = TextStats.unigramLogProb(docs)
+      .select("id", "mean_nll").as[(Long, Double)].collect().toMap
+    // doc 2 contains the rare token → higher mean NLL than the all-common doc
+    assert(out(2L) > out(1L))
+  }
+
+  test("tfidfTopTerms: ranks corpus-rare terms first, term-asc tie-break, k bound") {
+    // "shared" appears in every doc (df=3, minimal idf); each doc's
+    // unique terms have df=1 (max idf) and tie with each other → term asc
+    val docs = Seq(
+      (1L, "shared zebra apple"),
+      (2L, "shared banana banana"),
+      (3L, "shared cherry date")
+    ).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopTerms(docs, k = 2)
+      .select("id", "rnk", "term").as[(Long, Int, String)].collect()
+      .groupBy(_._1).map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(out(1L) == Seq("apple", "zebra"))   // tie on score → term asc
+    assert(out(2L) == Seq("banana", "shared")) // tf=2 beats shared despite k=2 cut
+    assert(out(3L) == Seq("cherry", "date"))
+    // k bound respected
+    assert(out.values.forall(_.size <= 2))
+  }
+
+  test("tfidf score value: tf * (ln((N+1)/(df+1)) + 1)") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopTerms(docs, k = 3)
+      .select("id", "term", "tfidf").as[(Long, String, Double)].collect()
+      .map { case (id, t, s) => (id, t) -> s }.toMap
+    def idf(df: Int) = math.log(3.0 / (df + 1)) + 1
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out((1L, "x")) == r4(2 * idf(1)))
+    assert(out((1L, "y")) == r4(1 * idf(2)))
+    assert(out((2L, "z")) == r4(1 * idf(1)))
+  }
+
+  test("empty input: both operators return empty with full schemas") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val lp = TextStats.unigramLogProb(empty)
+    assert(lp.columns.toSeq == Seq("id", "mean_nll", "n_tokens") && lp.count() == 0)
+    val tt = TextStats.tfidfTopTerms(empty)
+    assert(tt.columns.toSeq == Seq("id", "rnk", "term", "tfidf") && tt.count() == 0)
+  }
+}
