@@ -59,6 +59,9 @@ object SparkEntry {
     "d_passages"        -> (LlmOps.dPassages _),
     "t_unigram_lp"      -> (LlmOps.tUnigramLp _),
     "t_tfidf"           -> (LlmOps.tTfidf _),
+    "d_decontam"        -> (LlmOps.dDecontam _),
+    "t_chunks"          -> (LlmOps.tChunks _),
+    "t_shard"           -> (LlmOps.tShard _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),

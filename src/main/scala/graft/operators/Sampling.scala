@@ -34,4 +34,25 @@ object Sampling {
     val b = hashBucket(col(keyCol), buckets)
     (df.filter(b >= testPct), df.filter(b < testPct))
   }
+
+  /** Deterministic corpus shuffle for training-data export: a
+    * reproducible shard assignment plus intra-shard position, a pure
+    * function of the row key — the data order a training run reads is
+    * then independent of cluster size, input partitioning, and re-runs
+    * (df.orderBy(rand()) is none of these). Shard = md5 bucket of the
+    * key; position = rank of a salted md5 within the shard.
+    *
+    * Scale: one hash shuffle to the shard + a per-shard sort (keyed
+    * window over ~|corpus|/shards rows) — never a global sort; pick
+    * `shards` ≈ output file count as usual. A different `salt` yields
+    * an independent reshuffle (per-epoch orders). */
+  def shuffleDeterministic(df: DataFrame, keyCol: String, shards: Int,
+                           salt: String = "shuffle"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", md5(concat(col(keyCol).cast("string"), lit("|" + salt))))
+      .withColumn("shard", hashBucket(col(keyCol), shards))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
 }

@@ -216,6 +216,35 @@ object LlmOps {
         strict = true)
       .orderBy("id")
 
+  /** Deterministic corpus shuffle: reproducible 8-shard assignment +
+    * intra-shard order from doc_id alone (export-order step). */
+  def tShard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.shuffleDeterministic(Tables(spark, dir).documents, "doc_id", shards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** Overlapping token chunks (50 tokens, 10 overlap) — the retrieval/
+    * context-window preprocessing step; explode-only, no shuffle. */
+  def tChunks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Chunker
+    Chunker.chunkTokens(Tables(spark, dir).documents, chunkSize = 50, overlap = 10)
+      .orderBy("id", "chunk_idx")
+  }
+
+  /** Benchmark decontamination: corpus docs (hash bucket < 95) sharing
+    * ≥ 1 distinct word-8-gram with any "benchmark" doc (bucket ≥ 95) —
+    * the test side broadcasts, the corpus never shuffles. */
+  def dDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Decontaminate, Sampling}
+    val docs = Tables(spark, dir).documents
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    Decontaminate.contaminatedPairs(
+        docs.filter(bucket < 95), docs.filter(bucket >= 95), n = 8)
+      .orderBy("id", "test_id")
+  }
+
   /** Unigram-LM quality score: mean -ln p(token) per doc under the
     * corpus's own token distribution (cheap perplexity proxy). */
   def tUnigramLp(spark: SparkSession, dir: String): DataFrame = {

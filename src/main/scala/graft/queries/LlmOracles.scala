@@ -293,6 +293,51 @@ object LlmOracles {
          |SELECT id, min(comp)::bigint AS comp FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // deterministic corpus shuffle: shard = md5 bucket of doc_id,
+    // position = rank of salted md5 within the shard (hex strings are
+    // ASCII, so varchar order matches Spark's binary string order)
+    "t_shard" ->
+      """SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard
+        |    ORDER BY md5(doc_id::varchar || '|shuffle'), doc_id)::int AS pos
+        |FROM (SELECT doc_id,
+        |        (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 8)::int AS shard
+        |      FROM documents)
+        |ORDER BY shard, pos""".stripMargin,
+
+    // overlapping token chunks: chunkSize 50, overlap 10 (stride 40);
+    // chunk k covers tokens [1 + 40k, 1 + 40k + 49] clipped — mirrors
+    // Chunker.chunkTokens (sequence inclusive end ≙ range exclusive +1)
+    "t_chunks" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS id, $toks AS toks FROM documents),
+         |st AS (
+         |  SELECT id, toks, unnest(range(1, greatest(len(toks), 1) + 1, 40)) AS start
+         |  FROM tok)
+         |SELECT id, ((start - 1) // 40)::int AS chunk_idx,
+         |  array_to_string(toks[start:(start + 49)], ' ') AS chunk_text,
+         |  least(50, len(toks) - start + 1)::int AS n_tokens
+         |FROM st ORDER BY id, chunk_idx""".stripMargin,
+
+    // benchmark decontamination: corpus (bucket < 95) docs sharing >= 1
+    // distinct word-8-gram with a test doc (bucket >= 95); same
+    // token/shingle formulation as the jaccard oracles, same md5 bucket
+    // split as t_sample
+    "d_decontam" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100) AS b
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, b, sh FROM (
+         |    SELECT doc_id, b, unnest(list_transform(range(greatest(len($toks) - 7, 1)),
+         |      i -> array_to_string(($toks)[(i+1):(i+8)], ' '))) AS sh
+         |    FROM d))
+         |SELECT c.doc_id AS id, t.doc_id AS test_id, count(*) AS shared
+         |FROM sh c JOIN sh t ON c.sh = t.sh AND c.b < 95 AND t.b >= 95
+         |GROUP BY 1, 2 HAVING count(*) >= 1
+         |ORDER BY id, test_id""".stripMargin,
+
     // unigram LM score: mean -ln p(token) per doc under the corpus's
     // own lowercased-token distribution (mirrors
     // TextStats.unigramLogProb; both engines do float division and

@@ -272,6 +272,72 @@ class OperatorSpec extends SparkSpec {
     assert(Dedup.sharedPassages(distinctDocs, 1).count() == 0)
   }
 
+  test("decontamination flags n-gram overlap with the test set and removes those docs") {
+    import graft.operators.Decontaminate
+    val benchmark = Seq(
+      (100L, "what is the capital of france paris is the answer")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "trivia dump: what is the capital of france paris is included here"), // leaked
+      (2L, "a clean training document about something else entirely"),
+      (3L, "another clean doc with zero benchmark overlap present")
+    ).toDF("doc_id", "text")
+    val pairs = Decontaminate.contaminatedPairs(corpus, benchmark, n = 5)
+      .select("id", "test_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L)))
+    val kept = Decontaminate.removeContaminated(corpus, benchmark, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // n larger than the shared run → nothing flagged, corpus intact
+    assert(Decontaminate.contaminatedPairs(corpus, benchmark, n = 12).count() == 0)
+    assert(Decontaminate.removeContaminated(corpus, benchmark, n = 12).count() == 3)
+  }
+
+  test("chunker: stride/overlap arithmetic, full coverage, short-doc single chunk") {
+    import graft.operators.Chunker
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // 10 tokens
+      (2L, "only three tokens")
+    ).toDF("doc_id", "text")
+    val out = Chunker.chunkTokens(docs, chunkSize = 4, overlap = 1)
+      .orderBy("id", "chunk_idx")
+      .select("id", "chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    // stride 3: starts 1,4,7,10 → [t1..t4][t4..t7][t7..t10][t10]
+    assert(out == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4), (1L, 3, "t10", 1),
+      (2L, 0, "only three tokens", 3)))
+    // consecutive chunks share exactly `overlap` tokens; every token covered
+    val toks1 = out.filter(_._1 == 1L).flatMap(_._3.split(" "))
+    assert((1 to 10).forall(i => toks1.contains(s"t$i")))
+    val err = intercept[IllegalArgumentException] {
+      Chunker.chunkTokens(docs, chunkSize = 4, overlap = 4)
+    }
+    assert(err.getMessage.contains("overlap"))
+  }
+
+  test("deterministic shuffle: partition-invariant, salt-sensitive, dense positions") {
+    import graft.operators.Sampling
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.shuffleDeterministic(df, "doc_id", shards = 4, salt = salt)
+        .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect().toSet
+    val a = run(docs, "shuffle")
+    // identical result regardless of input partitioning
+    assert(run(docs.repartition(7), "shuffle") == a)
+    // positions are dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1 to rows.size).toSeq)
+    }
+    // every doc appears exactly once
+    assert(a.map(_._1) == (1L to 60L).toSet)
+    // a different salt produces a different order (same shards)
+    val b = run(docs, "epoch2")
+    assert(a.map(t => (t._1, t._2)) == b.map(t => (t._1, t._2)), "shards must not depend on salt")
+    assert(a != b, "order must depend on salt")
+  }
+
   test("round-2 operators tolerate empty inputs") {
     import graft.operators.{Sampling, Stats}
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -120,6 +120,17 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("BroadcastHashJoin") && ps.contains("LeftAnti"), ps.take(500))
   }
 
+  test("decontam broadcasts the test side; chunker plans no data shuffle") {
+    // d_decontam: the benchmark shingle set must BROADCAST (the 100 TB
+    // corpus is scanned once, never shuffled for the semi-join)
+    assert(plan("d_decontam").contains("BroadcastHashJoin"))
+    // t_chunks: projection + explode only — the sole exchange allowed
+    // is the gate's presentation sort
+    val ch = plan("t_chunks")
+    assert(!ch.contains("Exchange") || ch.contains("rangepartitioning"),
+      s"chunking must not shuffle:\n${ch.take(400)}")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline of q2") {
     // AQE hides codegen spans until execution: run the query, then
     // inspect the final adaptive plan for WholeStageCodegen operators.
