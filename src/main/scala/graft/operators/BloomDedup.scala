@@ -47,6 +47,11 @@ object BloomDedup {
     * ESTIMATE of distinct corpus fingerprints — undersizing only raises
     * the false-positive rate (more rows take the exact join), never
     * correctness.
+    *
+    * Cost note: the two union branches each scan the batch input (one
+    * columnar scan + codegen'd probe per branch) — two map-side passes
+    * over the (daily-sized) batch in exchange for never shuffling it;
+    * the corpus is read once, for the fingerprint agg + bloom build.
     */
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
                        textCol: String = "text", idCol: String = "doc_id",

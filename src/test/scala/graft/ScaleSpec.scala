@@ -28,6 +28,24 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloom prefilter: zero false negatives, ~fpp pass-through on all-novel batch") {
+    import graft.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    val corpus = (1 to 20000).map(i => s"corpus-key-$i").toDF("fp")
+    val novel = (1 to 10000).map(i => s"novel-key-$i").toDF("fp")
+    val bf = corpus.agg(
+      call_function("graft_bloom_agg", xxhash64(col("fp")), lit(20000L))).head().getAs[Array[Byte]](0)
+    def passes(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(call_function("graft_might_contain", lit(bf), xxhash64(col("fp")))).count()
+    // no false negatives: every inserted key must pass (the correctness
+    // contract incrementalExact's novel fast path relies on)
+    assert(passes(corpus) == 20000L)
+    // pass-through on truly-novel keys ≈ fpp (8 bits/item ≈ 2%): the
+    // "shuffled volume is proportional to the dup rate" scale claim
+    val fp = passes(novel)
+    assert(fp < 500, s"false-positive rate ${fp / 10000.0} above 5%")
+  }
+
   test("salted skew join equals the plain join result on a hot-key distribution") {
     // 90% of probe rows share one key — the classic skew shape
     val probe = (1 to 5000).map(i =>
