@@ -62,6 +62,7 @@ object SparkEntry {
     "d_decontam"        -> (LlmOps.dDecontam _),
     "t_chunks"          -> (LlmOps.tChunks _),
     "t_shard"           -> (LlmOps.tShard _),
+    "d_split_leakfree"  -> (LlmOps.dSplitLeakfree _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),

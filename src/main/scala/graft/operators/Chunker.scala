@@ -29,6 +29,9 @@ object Chunker {
       "need chunkSize > 0 and 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
     docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
+      // null text → null token array; without this the greatest(...)
+      // lower bound would fabricate one empty chunk for the doc
+      .filter(col("__toks").isNotNull)
       .select(col("id"), col("__toks"),
         posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
           lit(stride))).as(Seq("chunk_idx", "start")))

@@ -35,6 +35,27 @@ object Sampling {
     (df.filter(b >= testPct), df.filter(b < testPct))
   }
 
+  /** Leakage-free train/test split: buckets by near-dup COMPONENT, not
+    * by doc — a per-doc split leaks held-out content whenever a near
+    * duplicate of a test doc lands in train (the standard eval
+    * contamination failure). Every doc in a connected near-dup cluster
+    * (from [[Dedup.components]] over any pair set — n-gram Jaccard,
+    * LSH, winnowing) gets the CLUSTER's bucket; singletons bucket by
+    * their own id. Disjoint and exhaustive like [[trainTestSplit]].
+    *
+    * Scale: components' label map is one row per clustered doc (far
+    * smaller than the corpus — most docs are singletons and never
+    * enter the pair graph); the join back is a hash join on the id. */
+  def splitByComponent(docs: DataFrame, pairs: DataFrame, testPct: Int,
+                       idCol: String = "doc_id", buckets: Int = 100): (DataFrame, DataFrame) = {
+    val comp = Dedup.components(pairs).withColumnRenamed("id", "__cid")
+    val keyed = docs.join(comp, docs(idCol) === comp("__cid"), "left")
+      .withColumn("__grp", coalesce(col("comp"), docs(idCol)))
+    val b = hashBucket(col("__grp"), buckets)
+    def strip(df: DataFrame) = df.drop("__cid", "comp", "__grp")
+    (strip(keyed.filter(b >= testPct)), strip(keyed.filter(b < testPct)))
+  }
+
   /** Deterministic corpus shuffle for training-data export: a
     * reproducible shard assignment plus intra-shard position, a pure
     * function of the row key — the data order a training run reads is

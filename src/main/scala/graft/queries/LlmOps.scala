@@ -216,6 +216,19 @@ object LlmOps {
         strict = true)
       .orderBy("id")
 
+  /** Leakage-free split: 10% test by near-dup COMPONENT (n-gram
+    * Jaccard ≥ 0.5 pairs, capped) — a near-dup cluster never straddles
+    * the train/test boundary. */
+  def dSplitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = Tables(spark, dir).documents
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.5, maxDocFreq = Some(100L))
+    val (train, test) = Sampling.splitByComponent(docs, pairs, testPct = 10)
+    train.select(col("doc_id"), lit("train").as("split"))
+      .union(test.select(col("doc_id"), lit("test").as("split")))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic corpus shuffle: reproducible 8-shard assignment +
     * intra-shard order from doc_id alone (export-order step). */
   def tShard(spark: SparkSession, dir: String): DataFrame = {

@@ -293,6 +293,44 @@ object LlmOracles {
          |SELECT id, min(comp)::bigint AS comp FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // leakage-free split: same components as d_components, then every
+    // doc buckets by its component label (singletons by their own id) —
+    // 10% test by the t_sample md5-bucket formula over the GROUP key
+    "d_split_leakfree" ->
+      s"""WITH RECURSIVE sh0 AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(greatest(len($toks) - 2, 1)),
+         |      i -> array_to_string(($toks)[(i+1):(i+3)], ' '))) AS sh
+         |    FROM documents)),
+         |shc AS (
+         |  SELECT * FROM sh0 WHERE sh NOT IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 100)),
+         |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |interc AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, round(i / (na.n + nb.n - i), 4) AS jaccard
+         |    FROM interc JOIN szc na ON id_a = na.doc_id JOIN szc nb ON id_b = nb.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |comp AS (SELECT id, min(comp)::bigint AS comp FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id,
+         |  CASE WHEN (('0x' || substr(md5(grp::varchar), 1, 8))::bigint % 100) < 10
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
     // deterministic corpus shuffle: shard = md5 bucket of doc_id,
     // position = rank of salted md5 within the shard (hex strings are
     // ASCII, so varchar order matches Spark's binary string order)

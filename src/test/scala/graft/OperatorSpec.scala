@@ -338,6 +338,23 @@ class OperatorSpec extends SparkSpec {
     assert(a != b, "order must depend on salt")
   }
 
+  test("splitByComponent: a near-dup cluster never straddles the split boundary") {
+    import graft.operators.Sampling
+    val docs = (1L to 40L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    // two transitive clusters: {1,2,3} (via 1-2, 2-3) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    (0 to 90 by 10).foreach { pct =>
+      val (train, test) = Sampling.splitByComponent(docs, pairs, testPct = pct)
+      val tr = train.select("doc_id").as[Long].collect().toSet
+      val te = test.select("doc_id").as[Long].collect().toSet
+      assert((tr & te).isEmpty && (tr ++ te) == (1L to 40L).toSet)
+      Seq(Set(1L, 2L, 3L), Set(10L, 11L)).foreach { cluster =>
+        assert(cluster.subsetOf(tr) || cluster.subsetOf(te),
+          s"cluster $cluster straddles the split at testPct=$pct")
+      }
+    }
+  }
+
   test("round-2 operators tolerate empty inputs") {
     import graft.operators.{Sampling, Stats}
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")

@@ -57,6 +57,19 @@ class TextStatsSpec extends SparkSpec {
     assert(out((2L, "z")) == r4(1 * idf(1)))
   }
 
+  test("null-text docs: dropped from token ops, never a crash or null poisoning") {
+    val docs = Seq((1L, "hello world text"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(TextStats.unigramLogProb(docs).select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(TextStats.tfidfTopTerms(docs).select("id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(graft.operators.Chunker.chunkTokens(docs, 3, 1)
+      .select("id").distinct().as[Long].collect().toSeq == Seq(1L))
+    val bd = graft.operators.BloomDedup.incrementalExact(docs, docs.filter(col("doc_id") === 1L))
+    // null text fingerprints to null → never equal to anything → novel
+    assert(bd.filter(col("id") === 2L).select("dup_of").head().isNullAt(0))
+    assert(graft.operators.Dedup.sharedPassages(docs, 1).count() == 0)
+  }
+
   test("empty input: both operators return empty with full schemas") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val lp = TextStats.unigramLogProb(empty)
