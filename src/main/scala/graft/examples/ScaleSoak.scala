@@ -36,6 +36,16 @@ object ScaleSoak {
     time("simhashP") { Dedup.simhashBandedPairs(Dedup.simhash(docs), 3).count() }
     time("winnow")   { Dedup.winnowPairs(docs, 10, k = 24, window = 8, maxDocFreq = Some(200L)).count() }
     time("curate")   { Curation.curate(docs).count() }
+    // incremental path: copy 9 (50k docs, ~45k of them near-copies of
+    // the corpus) arrives as "today's crawl" against the 450k-doc rest
+    val batch = docs.filter(col("doc_id") >= 9000000L)
+    val corpus = docs.filter(col("doc_id") < 9000000L)
+    time("incrExact") { BloomDedup.incrementalExact(batch, corpus,
+      expectedItems = 500000L).filter(col("dup_of").isNotNull).count() }
+    time("decontam")  { Decontaminate.contaminatedPairs(corpus,
+      batch.limit(500), n = 8).count() }
+    time("passages")  { Dedup.sharedPassages(docs.filter(col("doc_id") % 37 === 0),
+      minPrints = 5, k = 24, window = 8, maxDocFreq = Some(200L)).count() }
     spark.stop()
   }
 }

@@ -179,9 +179,15 @@ object GraftFunctions {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
+      // the info class is documentation-only; point each name at the
+      // expression it actually builds
+      val cls =
+        if (name.contains("bloom")) "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate"
+        else if (name.contains("contain")) "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain"
+        else classOf[DotProduct].getName
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotProduct].getName, name),
+        new ExpressionInfo(cls, name),
         builder))
     }
     ext.injectOptimizerRule(_ => DotProductRewrite)

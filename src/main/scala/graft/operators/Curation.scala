@@ -45,7 +45,13 @@ object Curation {
     val exactKept = Dedup.exact(gated, "text", "doc_id")
       .filter(col("doc_id") === col("canonical_id"))
       .select("doc_id")
-    val exact = gated.join(exactKept, "doc_id")
+    // shared: the exact-deduped survivors feed BOTH the LSH pair
+    // generation and the final anti-join + redact projection — without
+    // materialization the scalar gates and the exact-dedup join run
+    // twice end to end (measured 80.5 -> 45.8 s on the 10x soak). Lazy
+    // localCheckpoint: same reuse-without-leak scheme as the Dedup
+    // operators.
+    val exact = Dedup.shared(gated.join(exactKept, "doc_id"), materialize = true)
     // near-dup removal: cluster the pair graph into connected
     // components (transitive closure — {(a,c),(b,c)} is ONE cluster)
     // and keep only each component's minimum id; the banded LSH join

@@ -232,6 +232,23 @@ class OperatorSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("winnowPairsFast (rolling hash) finds the same planted passage as the md5 form") {
+    val passage = "the copied boilerplate passage that appears verbatim in both documents here"
+    val docs = Seq(
+      (1L, s"totally original opening text before anything else. $passage and then one ending"),
+      (2L, s"a different beginning altogether for this one. $passage with another closing line"),
+      (3L, "nothing in common with the others at all, completely separate content entirely")
+    ).toDF("doc_id", "text")
+    val fast = Dedup.winnowPairsFast(docs, minShared = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == Set((1L, 2L)))
+    // same selection logic, same normalization → same pair decisions as
+    // the oracled md5 form on this fixture
+    val md5Form = Dedup.winnowPairs(docs, minShared = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == md5Form)
+  }
+
   test("sharedPassages localizes the copied span in both docs on one diagonal") {
     val prefixA = "aaaa bbbb cccc "                      // 15 chars
     val prefixB = "a different and longer beginning here " // 38 chars
