@@ -355,6 +355,32 @@ class OperatorSpec extends SparkSpec {
     assert(a != b, "order must depend on salt")
   }
 
+  test("chunker reconstruction (property): stripping overlaps rebuilds every doc exactly") {
+    import graft.operators.Chunker
+    val rnd = new scala.util.Random(7)
+    val shapes = Seq((4, 1), (8, 3), (5, 0), (16, 8), (3, 2))
+    shapes.foreach { case (size, ov) =>
+      val docs = (1L to 20L).map { i =>
+        val n = 1 + rnd.nextInt(40)
+        (i, (1 to n).map(t => s"w${i}_$t").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val chunks = Chunker.chunkTokens(df, size, ov)
+        .orderBy("id", "chunk_idx")
+        .select("id", "chunk_idx", "chunk_text")
+        .as[(Long, Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      docs.foreach { case (id, text) =>
+        val rebuilt = chunks(id).zipWithIndex.flatMap { case (c, ix) =>
+          val toks = c.split(" ").toSeq
+          if (ix == 0) toks else toks.drop(ov)   // consecutive chunks share exactly ov tokens
+        }
+        assert(rebuilt.mkString(" ") == text,
+          s"reconstruction failed for doc $id at size=$size overlap=$ov")
+      }
+    }
+  }
+
   test("splitByComponent: a near-dup cluster never straddles the split boundary") {
     import graft.operators.Sampling
     val docs = (1L to 40L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")

@@ -85,6 +85,31 @@ class TextSpec extends SparkSpec {
     assert(out.forall(_.isEmpty))
   }
 
+  test("winnowing guarantee (property): any shared passage >= k+w-1 chars yields a common print") {
+    // Schleimer et al.'s detection guarantee, checked over 25 seeded
+    // random doc pairs with a planted shared passage of exactly the
+    // guarantee-threshold length
+    val k = 8; val w = 4
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val cases = (1 to 25).map { i =>
+      val passage = randText(k + w - 1)   // exactly the minimum guaranteed length
+      (i.toLong, randText(20 + rnd.nextInt(40)) + passage + randText(20 + rnd.nextInt(40)),
+        randText(30 + rnd.nextInt(30)) + passage + randText(10 + rnd.nextInt(50)))
+    }
+    val docs = cases.flatMap { case (i, a, b) => Seq((i * 2, i, a), (i * 2 + 1, i, b)) }
+      .toDF("doc_id", "pair", "text")
+    val prints = docs
+      .select(col("doc_id"), col("pair"), Text.kgramHashes(col("text"), k).as("hs"))
+      .select(col("doc_id"), col("pair"), explode(Text.winnowMins(col("hs"), w)).as("p"))
+    val sharedPerPair = prints.as("a").join(prints.as("b"),
+        col("a.pair") === col("b.pair") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.p") === col("b.p"))
+      .select(col("a.pair")).distinct().as[Long].collect().toSet
+    assert(sharedPerPair == (1L to 25L).toSet,
+      s"pairs missing a guaranteed shared print: ${(1L to 25L).toSet -- sharedPerPair}")
+  }
+
   test("winnowMinsPos: first in-window min with its global position, deduped") {
     // hs = [5,3,9,3,7], w = 2 → windows [5,3]:(2,3) [3,9]:(2,3) [9,3]:(4,3) [3,7]:(4,3)
     val out = Seq(Tuple1(Seq(5L, 3L, 9L, 3L, 7L))).toDF("hs")
