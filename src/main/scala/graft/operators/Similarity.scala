@@ -234,6 +234,39 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("cand_id"), col("cos"))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Seeded ±1 random-projection dimensionality reduction (the
+    * Achlioptas / Johnson-Lindenstrauss sign matrix): out[i] =
+    * Σ_j sign(i,j)·v[j] with sign(i,j) = +1 iff the first md5 byte of
+    * "seed|i|j" < 0x80. The m×d matrix is generated ONCE on the driver
+    * from the seed and ships as plan LITERALS (same pattern as the LSH
+    * hyperplanes); each output dim is one codegen'd [[dot]] against a
+    * literal row — no shuffle, no UDF, and the projection is
+    * reproducible on any engine that has md5 (the oracle regenerates
+    * the identical signs in SQL).
+    *
+    * Scale: a map-side projection — 100 TB of 1024-dim vectors become
+    * 100·(m/1024) TB in one scan; downstream ANN (IVF cells, LSH
+    * bands, brute-force verify) then works on m-dim vectors. Long-form
+    * output (id, dim, val) so the schema is m-independent. */
+  def randomProject(vecs: DataFrame, inDim: Int, outDim: Int, seed: String = "rp",
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rows: Seq[Seq[Float]] = (0 until outDim).map { i =>
+      (0 until inDim).map { j =>
+        if (Integer.parseInt(md5hex(s"$seed|$i|$j").take(2), 16) < 128) 1f else -1f
+      }
+    }
+    val projected = array(rows.map(r => dot(col(vecCol), typedLit(r))): _*)
+    // + 0: normalizes IEEE -0.0 to +0.0 (a signed zero is engine-
+    // dependent in float sums and breaks byte-level result compares)
+    vecs.select(col(idCol).as("id"), posexplode(projected).as(Seq("dim", "val")))
+      .select(col("id"), col("dim").cast("int").as("dim"),
+        (round(col("val"), 4) + lit(0d)).as("val"))
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold, blocked by cell
     * to avoid the corpus×corpus cross join (same IVF partition-pruning
     * argument; near-dups land in the same or adjacent cells by

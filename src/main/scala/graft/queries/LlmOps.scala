@@ -312,6 +312,12 @@ object LlmOps {
     Similarity.cosineNearDup(Tables(spark, dir).embeddings, threshold = 0.45)
       .orderBy("id_a", "id_b")
 
+  /** Seeded ±1 random projection 64 → 8 dims (JL sign matrix as plan
+    * literals; map-side only). */
+  def sRproj(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(Tables(spark, dir).embeddings, inDim = 64, outDim = 8)
+      .orderBy("id", "dim")
+
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
   def sCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings

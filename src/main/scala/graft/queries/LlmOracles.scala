@@ -293,6 +293,24 @@ object LlmOracles {
          |SELECT id, min(comp)::bigint AS comp FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // seeded random projection: the oracle regenerates the identical
+    // ±1 sign matrix from the same md5 formula (first byte < 0x80),
+    // then sums v·sign per (vector, output dim) in double
+    "s_rproj" ->
+      """WITH m AS (
+        |  SELECT i, j,
+        |    CASE WHEN ('0x' || substr(md5('rp|' || i || '|' || j), 1, 2))::int < 128
+        |         THEN 1 ELSE -1 END AS s
+        |  FROM range(8) a(i) CROSS JOIN range(64) b(j)),
+        |e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+        |         unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT vec_id AS id, i::int AS dim,
+        |  round(sum(v::double * s), 4) + 0 AS val
+        |FROM e JOIN m USING (j)
+        |GROUP BY 1, 2 ORDER BY id, dim""".stripMargin,
+
     // leakage-free split: same components as d_components, then every
     // doc buckets by its component label (singletons by their own id) —
     // 10% test by the t_sample md5-bucket formula over the GROUP key

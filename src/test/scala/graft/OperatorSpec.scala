@@ -89,6 +89,22 @@ class OperatorSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("random projection: seeded sign sums, partition-invariant, seed-sensitive") {
+    val vecs = Seq((1L, Array.fill(16)(1f)), (2L, Array.tabulate(16)(j => j.toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Similarity.randomProject(df, inDim = 16, outDim = 4, seed = seed)
+        .as[(Long, Int, Double)].collect().toSet
+    val out = run(vecs, "rp")
+    // all-ones vector: out[i] = sum of row i's ±1 signs — an even
+    // integer in [-16, 16] (16 summands of ±1)
+    val ones = out.filter(_._1 == 1L).map(_._3)
+    assert(ones.size == 4 && ones.forall(v => v == math.rint(v) && v.abs <= 16
+      && (v.toLong % 2 == 0)))
+    assert(run(vecs.repartition(5), "rp") == out)
+    assert(run(vecs, "rp2") != out)
+  }
+
   test("cosine is 1 for parallel vectors, 0 for orthogonal") {
     val df = Seq(
       (Array(1f, 0f), Array(2f, 0f)),
