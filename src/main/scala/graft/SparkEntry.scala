@@ -64,6 +64,7 @@ object SparkEntry {
     "t_shard"           -> (LlmOps.tShard _),
     "d_split_leakfree"  -> (LlmOps.dSplitLeakfree _),
     "s_rproj"           -> (LlmOps.sRproj _),
+    "t_rebalance"       -> (LlmOps.tRebalance _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),

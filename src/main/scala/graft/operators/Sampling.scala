@@ -35,6 +35,35 @@ object Sampling {
     (df.filter(b >= testPct), df.filter(b < testPct))
   }
 
+  /** Deterministic domain rebalancing (training-data mixing): cap each
+    * source at a target share of the ORIGINAL corpus — the standard
+    * downsample-the-over-represented-domain step before training.
+    * keep_rate(source) = min(1, target_share · total / n_source);
+    * sources without a target keep everything. Selection within a
+    * source is the md5 bucket of the row key at 1/`granularity`
+    * resolution — reproducible across runs, engines, partitionings.
+    *
+    * Scale: one count-by-source agg (tiny result), rates broadcast
+    * back, then a map-side filter — the corpus itself is never
+    * shuffled. */
+  def rebalanceBySource(docs: DataFrame, sourceCol: String,
+                        targets: Map[String, Double], keyCol: String = "doc_id",
+                        granularity: Int = 10000): DataFrame = {
+    require(targets.values.forall(t => t > 0 && t <= 1), "target shares in (0, 1]")
+    val targetCase = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
+    }
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val total = docs.agg(count(lit(1)).as("__tot"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("__rate",
+        coalesce(least(lit(1.0), targetCase * col("__tot") / col("__n")), lit(1.0)))
+      .select(col(sourceCol), col("__rate"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashBucket(col(keyCol), granularity) < col("__rate") * granularity)
+      .drop("__rate")
+  }
+
   /** Leakage-free train/test split: buckets by near-dup COMPONENT, not
     * by doc — a per-doc split leaks held-out content whenever a near
     * duplicate of a test doc lands in train (the standard eval

@@ -229,6 +229,16 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Domain rebalancing: cap src0 at 1% and src1 at 2% of the corpus
+    * (each source is 5% in the testdata), other sources untouched. */
+  def tRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.rebalanceBySource(Tables(spark, dir).documents, "source",
+        Map("src0" -> 0.01, "src1" -> 0.02))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic corpus shuffle: reproducible 8-shard assignment +
     * intra-shard order from doc_id alone (export-order step). */
   def tShard(spark: SparkSession, dir: String): DataFrame = {

@@ -293,6 +293,24 @@ object LlmOracles {
          |SELECT id, min(comp)::bigint AS comp FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // domain rebalancing: keep_rate = min(1, target*total/n) per
+    // source (src0 1%, src1 2%, others keep-all), selection by md5
+    // bucket of doc_id at 1/10000 — identical arithmetic association
+    // on both engines so the double compare is bit-equal
+    "t_rebalance" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT count(*) AS tot FROM documents),
+        |r AS (
+        |  SELECT source, coalesce(least(1.0::double,
+        |    CASE source WHEN 'src0' THEN 0.01::double WHEN 'src1' THEN 0.02::double END
+        |      * tot / n),
+        |    1.0::double) AS rate
+        |  FROM c CROSS JOIN t)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r USING (source)
+        |WHERE (('0x' || substr(md5(d.doc_id::varchar), 1, 8))::bigint % 10000) < rate * 10000
+        |ORDER BY doc_id""".stripMargin,
+
     // seeded random projection: the oracle regenerates the identical
     // ±1 sign matrix from the same md5 formula (first byte < 0x80),
     // then sums v·sign per (vector, output dim) in double

@@ -350,6 +350,26 @@ class OperatorSpec extends SparkSpec {
     assert(err.getMessage.contains("overlap"))
   }
 
+  test("rebalance caps over-represented sources near target, leaves others whole") {
+    import graft.operators.Sampling
+    // 1000 'web' docs (83%), 100 'books', 100 'code'
+    val docs = ((1L to 1000L).map((_, "web")) ++ (1001L to 1100L).map((_, "books")) ++
+      (1101L to 1200L).map((_, "code"))).toDF("doc_id", "source")
+    val out = Sampling.rebalanceBySource(docs, "source", Map("web" -> 0.25))
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val bySource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // web capped at ~25% of 1200 = 300 docs (md5 bucketing: within ~20%)
+    assert(bySource("web") > 240 && bySource("web") < 360, s"web=${bySource("web")}")
+    // unlisted sources untouched
+    assert(bySource("books") == 100 && bySource("code") == 100)
+    // deterministic: same rows regardless of partitioning
+    val out2 = Sampling.rebalanceBySource(docs.repartition(7), "source", Map("web" -> 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == out.map(_._1).toSet)
+    // target above actual share: keep everything
+    assert(Sampling.rebalanceBySource(docs, "source", Map("books" -> 0.5)).count() == 1200)
+  }
+
   test("deterministic shuffle: partition-invariant, salt-sensitive, dense positions") {
     import graft.operators.Sampling
     val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
