@@ -120,6 +120,16 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("BroadcastHashJoin") && ps.contains("LeftAnti"), ps.take(500))
   }
 
+  test("rebalance: rates broadcast back, corpus itself never shuffled") {
+    val p = plan("t_rebalance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate map must broadcast:\n${p.take(400)}")
+    // the only non-broadcast exchanges allowed: the tiny count-by-source
+    // agg and the presentation sort — never a hash repartition of the
+    // full documents relation on the probe side
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
+  }
+
   test("decontam broadcasts the test side; chunker plans no data shuffle") {
     // d_decontam: the benchmark shingle set must BROADCAST (the 100 TB
     // corpus is scanned once, never shuffled for the semi-join)
