@@ -88,6 +88,7 @@ object SparkEntry {
     "q25_pivot"         -> (Relational.q25Pivot _),
     "q26_json_extract"  -> (LlmOps.q26JsonExtract _),
     "q27_stream_e2e"    -> (StreamQueries.q27StreamE2e _),
+    "q28_histogram"     -> (Relational.q28Histogram _),
   )
 
   private val coderOracles: Map[String, String] = Map(
@@ -173,6 +174,21 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
         |  sum(length(text))::bigint AS n_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // dense 16-bin histogram; every numeric literal cast to double so
+    // both engines do IEEE arithmetic (DuckDB parses 5000.0 as DECIMAL)
+    "q28_histogram" ->
+      """WITH c AS (
+        |  SELECT floor(l_extendedprice::double / (80000::double / 16))::int AS bin,
+        |         count(*) AS n
+        |  FROM lineitem
+        |  WHERE l_extendedprice::double >= 0 AND l_extendedprice::double < 80000
+        |  GROUP BY 1)
+        |SELECT r.i::int AS bin,
+        |  (r.i * (80000::double / 16))::double AS bin_lo,
+        |  ((r.i + 1) * (80000::double / 16))::double AS bin_hi,
+        |  coalesce(n, 0) AS n
+        |FROM range(16) r(i) LEFT JOIN c ON r.i = c.bin
+        |ORDER BY bin""".stripMargin,
     "q25_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

@@ -55,4 +55,31 @@ object Stats {
     // the data-scale sort is not repeated.
     df.select(keyCol).distinct().join(agg, Seq(keyCol), "left")
   }
+
+  /** Fixed-bin histogram for distribution profiling: `bins` equal-width
+    * bins over [lo, hi), DENSE output (empty bins emit n = 0, so the
+    * result shape depends only on the parameters — chartable and
+    * engine-comparable without special-casing). Out-of-range and NULL
+    * values are dropped; report them separately if they matter.
+    *
+    * Scale: one partial+final agg over an int bin key (≤ `bins`
+    * groups), then a broadcast left join from the literal bin range —
+    * the data is scanned once, the join side is `bins` rows. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val w = (hi - lo) / bins
+    val spark = df.sparkSession
+    val counts = df
+      .select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v") >= lo && col("__v") < hi)
+      .select(floor((col("__v") - lo) / w).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    spark.range(bins).select(col("id").cast("int").as("bin"))
+      .join(broadcast(counts), Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * w).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * w).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -305,4 +305,14 @@ object Relational {
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)))
       .orderBy("o_orderpriority")
+
+  /** Fixed-bin distribution profile (§2.7): 16 equal-width bins over
+    * l_extendedprice in [0, 80000), dense zero-filled output. Scale:
+    * one partial+final agg over an int key + a broadcast join from the
+    * 16-row literal bin range. */
+  def q28Histogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.histogram(
+        Tables(spark, dir).lineitem, "l_extendedprice",
+        bins = 16, lo = 0.0, hi = 80000.0)
+      .orderBy("bin")
 }

@@ -107,6 +107,25 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == Seq(("allnull", None), ("mixed", Some(2.0))))
   }
 
+  test("histogram: dense bins, boundary assignment, out-of-range dropped") {
+    val df = Seq(0.0, 4.99, 5.0, 14.99, -1.0, 20.0, 19.99, null.asInstanceOf[Any])
+      .map(v => Tuple1(Option(v).map(_.asInstanceOf[Double])))
+      .toDF("v")
+    val out = graft.operators.Stats.histogram(df, "v", bins = 4, lo = 0.0, hi = 20.0)
+      .orderBy("bin")
+      .select("bin", "bin_lo", "bin_hi", "n")
+      .as[(Int, Double, Double, Long)].collect().toSeq
+    // [0,5): {0.0, 4.99}; [5,10): {5.0}; [10,15): {14.99}; [15,20): {19.99}
+    // dropped: -1.0 (below), 20.0 (== hi, exclusive), null
+    assert(out == Seq((0, 0.0, 5.0, 2L), (1, 5.0, 10.0, 1L),
+      (2, 10.0, 15.0, 1L), (3, 15.0, 20.0, 1L)))
+    // dense: an empty bin still appears with n = 0
+    val sparse = graft.operators.Stats.histogram(
+      Seq(Tuple1(1.0)).toDF("v"), "v", bins = 3, lo = 0.0, hi = 30.0)
+      .orderBy("bin").select("bin", "n").as[(Int, Long)].collect().toSeq
+    assert(sparse == Seq((0, 1L), (1, 0L), (2, 0L)))
+  }
+
   test("frequent items finds the heavy hitter") {
     val df = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"cold$i")).toDF("v")
     val freq = Sketches.frequentItems(df, Seq("v"), support = 0.4)
