@@ -56,33 +56,62 @@ object BloomDedup {
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
                        textCol: String = "text", idCol: String = "doc_id",
                        expectedItems: Long = 1L << 20): DataFrame = {
-    val spark = batch.sparkSession
-    GraftFunctions.register(spark)
-    val idType = corpus.schema(idCol).dataType
-    val corpusFp = corpus
-      .select(Text.fingerprint(col(textCol)).as("fp"), col(idCol).as("__cid"))
+    val corpusFp = corpusFingerprints(corpus, textCol, idCol)
+    incrementalExactPrebuilt(batch, corpusFp,
+      buildFilter(corpusFp, expectedItems), textCol, idCol)
+  }
+
+  /** The corpus fingerprint map (fp → canonical min id) that the
+    * resolve join probes. In steady state, persist this as a table and
+    * refresh it on corpus compaction instead of recomputing per run. */
+  def corpusFingerprints(corpus: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame =
+    corpus.select(Text.fingerprint(col(textCol)).as("fp"), col(idCol).as("__cid"))
       .groupBy("fp").agg(min("__cid").as("dup_of"))
-    // one job over the corpus fingerprints → one serialized filter on
-    // the driver (partial filters OR-merge on the exchange, so the
-    // corpus-side cost is a single partial-agg pass)
-    val bfRow = corpusFp.agg(call_function("graft_bloom_agg",
+
+  /** Serialized Bloom filter over a `fp` column — ONE job (partial
+    * filters OR-merge on the exchange); None for an empty input. Pair
+    * with [[saveFilter]]/[[loadFilter]] to build once per corpus
+    * compaction and reuse across every batch run and stream. */
+  def buildFilter(fps: DataFrame, expectedItems: Long = 1L << 20): Option[Array[Byte]] = {
+    GraftFunctions.register(fps.sparkSession)
+    val row = fps.agg(call_function("graft_bloom_agg",
       xxhash64(col("fp")), lit(expectedItems)).as("bf")).head()
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+  }
+
+  def saveFilter(bytes: Array[Byte], path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+
+  def loadFilter(path: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
+  /** [[incrementalExact]] against a PREBUILT fingerprint map + filter —
+    * the steady-state entry point: no corpus job at all, the plan is
+    * batch-scan-only until the maybe-dup resolve join. */
+  def incrementalExactPrebuilt(batch: DataFrame, corpusFp: DataFrame,
+                               filter: Option[Array[Byte]],
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+    val idType = corpusFp.schema("dup_of").dataType
     val b = batch.select(col(idCol).as("id"),
       Text.fingerprint(col(textCol)).as("fp"))
-    if (bfRow.isNullAt(0)) {
-      // empty corpus: everything is novel, no filter to probe
-      b.withColumn("dup_of", lit(null).cast(idType))
-    } else {
-      val maybe = call_function("graft_might_contain",
-        lit(bfRow.getAs[Array[Byte]](0)), xxhash64(col("fp")))
-      // definite-novel fast path: map-side only (the common case when
-      // most of a crawl is new — these rows never reach an exchange)
-      val novel = b.filter(!maybe).withColumn("dup_of", lit(null).cast(idType))
-      // maybe-dup sliver: exact resolve (kills bloom false positives)
-      val checked = b.filter(maybe)
-        .join(corpusFp, Seq("fp"), "left")
-        .select(col("id"), col("fp"), col("dup_of"))
-      novel.select("id", "fp", "dup_of").union(checked)
+    filter match {
+      case None =>
+        // empty corpus: everything is novel, no filter to probe
+        b.withColumn("dup_of", lit(null).cast(idType))
+      case Some(bytes) =>
+        val maybe = call_function("graft_might_contain",
+          lit(bytes), xxhash64(col("fp")))
+        // definite-novel fast path: map-side only (the common case when
+        // most of a crawl is new — these rows never reach an exchange)
+        val novel = b.filter(!maybe).withColumn("dup_of", lit(null).cast(idType))
+        // maybe-dup sliver: exact resolve (kills bloom false positives)
+        val checked = b.filter(maybe)
+          .join(corpusFp, Seq("fp"), "left")
+          .select(col("id"), col("fp"), col("dup_of"))
+        novel.select("id", "fp", "dup_of").union(checked)
     }
   }
 

@@ -62,6 +62,22 @@ class BloomDedupSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("udf"), "probe must not be a UDF")
   }
 
+  test("prebuilt filter round-trips through disk and reproduces the direct result") {
+    import graft.operators.BloomDedup._
+    val fps = corpusFingerprints(corpus)
+    val bytes = buildFilter(fps).get
+    val path = java.nio.file.Files.createTempFile("graft-bloom", ".bin").toString
+    saveFilter(bytes, path)
+    val loaded = loadFilter(path)
+    assert(java.util.Arrays.equals(bytes, loaded))
+    val direct = BloomDedup.incrementalExact(batch, corpus).orderBy("id").collect().toSeq
+    val steady = incrementalExactPrebuilt(batch, fps, Some(loaded))
+      .orderBy("id").collect().toSeq
+    assert(steady == direct)
+    // empty fingerprint set builds no filter
+    assert(buildFilter(fps.filter(lit(false))).isEmpty)
+  }
+
   test("incrementalLsh finds cross-set near-dups only (never corpus x corpus)") {
     val c = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
