@@ -89,6 +89,7 @@ object SparkEntry {
     "q26_json_extract"  -> (LlmOps.q26JsonExtract _),
     "q27_stream_e2e"    -> (StreamQueries.q27StreamE2e _),
     "q28_histogram"     -> (Relational.q28Histogram _),
+    "q29_zorder"        -> (Relational.q29Zorder _),
   )
 
   private val coderOracles: Map[String, String] = Map(
@@ -174,6 +175,31 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
         |  sum(length(text))::bigint AS n_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // Morton key: the same magic-number spread cascade as
+    // Layout.zorder2, one CTE stage per shift (alias expressions bind
+    // to the INPUT scope, so xa/xb rebind cleanly per stage)
+    "q29_zorder" ->
+      """WITH e AS (
+        |  SELECT event_id, (user_id % 1024)::bigint AS ub, hour(ts)::bigint AS hb
+        |  FROM events),
+        |s1 AS (SELECT *, ub & 4294967295 AS xa, hb & 4294967295 AS xb FROM e),
+        |s2 AS (SELECT event_id, ub, hb,
+        |  (xa | (xa << 16)) & 281470681808895 AS xa,
+        |  (xb | (xb << 16)) & 281470681808895 AS xb FROM s1),
+        |s3 AS (SELECT event_id, ub, hb,
+        |  (xa | (xa << 8)) & 71777214294589695 AS xa,
+        |  (xb | (xb << 8)) & 71777214294589695 AS xb FROM s2),
+        |s4 AS (SELECT event_id, ub, hb,
+        |  (xa | (xa << 4)) & 1085102592571150095 AS xa,
+        |  (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s3),
+        |s5 AS (SELECT event_id, ub, hb,
+        |  (xa | (xa << 2)) & 3689348814741910323 AS xa,
+        |  (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s4),
+        |s6 AS (SELECT event_id, ub, hb,
+        |  (xa | (xa << 1)) & 6148914691236517205 AS xa,
+        |  (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s5)
+        |SELECT event_id, ub, hb, (xa | (xb << 1)) AS zkey
+        |FROM s6 ORDER BY zkey, event_id""".stripMargin,
     // dense 16-bin histogram; every numeric literal cast to double so
     // both engines do IEEE arithmetic (DuckDB parses 5000.0 as DECIMAL)
     "q28_histogram" ->

@@ -315,4 +315,16 @@ object Relational {
         Tables(spark, dir).lineitem, "l_extendedprice",
         bins = 16, lo = 0.0, hi = 80000.0)
       .orderBy("bin")
+
+  /** Z-order layout key over (user bucket, hour-of-day) for the events
+    * table (§2.7 layout): the write-time clustering key that makes
+    * parquet row-group stats prune on EITHER dimension. */
+  def q29Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        (col("user_id") % 1024).cast("long").as("ub"),
+        hour(col("ts")).cast("long").as("hb"))
+      .select(col("event_id"), col("ub"), col("hb"),
+        graft.operators.Layout.zorder2(col("ub"), col("hb")).as("zkey"))
+      .orderBy("zkey", "event_id")
 }

@@ -107,6 +107,27 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == Seq(("allnull", None), ("mixed", Some(2.0))))
   }
 
+  test("zorder2: exact Morton keys and quadrant contiguity under sort") {
+    import graft.operators.Layout
+    val grid = (for { x <- 0 to 7; y <- 0 to 7 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val keyed = grid.select(col("x"), col("y"),
+        Layout.zorder2(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    // exact interleave: z = sum over bits of x at 2i and y at 2i+1
+    def morton(x: Long, y: Long): Long =
+      (0 until 32).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    keyed.foreach { case (x, y, z) => assert(z == morton(x, y), s"($x,$y)") }
+    // locality: sorted by z, each aligned 4x4 quadrant of the 8x8 grid
+    // occupies one CONTIGUOUS run of 16 rows — the row-group pruning
+    // property (a plain (x,y) sort scatters y across the whole table)
+    val sorted = keyed.sortBy(_._3)
+    val quadrantAt = sorted.map { case (x, y, _) => (x / 4, y / 4) }
+    val runs = quadrantAt.grouped(16).toSeq
+    assert(runs.forall(r => r.distinct.size == 1), "quadrant split across runs")
+    assert(runs.map(_.head).distinct.size == 4, "expected 4 distinct quadrants")
+  }
+
   test("histogram: dense bins, boundary assignment, out-of-range dropped") {
     val df = Seq(0.0, 4.99, 5.0, 14.99, -1.0, 20.0, 19.99, null.asInstanceOf[Any])
       .map(v => Tuple1(Option(v).map(_.asInstanceOf[Double])))
