@@ -147,32 +147,55 @@ object BloomDedup {
     * Returns (id, dup_of, jaccard): one row per (batch doc, corpus doc)
     * near-dup pair at or above the threshold.
     */
+  /** The reusable LSH index of one document set: the distinct shingle
+    * long form (feeds the exact-jaccard verify) and the banded minhash
+    * signatures (feed candidate generation). In steady state, persist
+    * BOTH as tables (ideally bucketed by `sh` / by (band, sig)) on
+    * corpus compaction and pass them to [[incrementalLshPrebuilt]] —
+    * the per-run cost is then the BATCH side only. */
+  final case class LshIndex(shingles: DataFrame, bands: DataFrame)
+
+  /** Build the [[LshIndex]] of a document set (see [[incrementalLsh]]
+    * for the banding scheme). */
+  def lshIndex(docs: DataFrame, perms: Int = 16, bands: Int = 4, n: Int = 3,
+               textCol: String = "text", idCol: String = "doc_id",
+               materialize: Boolean = true): LshIndex = {
+    require(perms % bands == 0, "perms must divide into bands")
+    val rows = perms / bands
+    // the shingle set feeds the signatures, the set sizes AND the
+    // jaccard-verify join: one lazy partitioned checkpoint (same
+    // reuse-without-leak scheme as Dedup.minhashLsh; see Dedup.shared
+    // for the executor-loss caveat)
+    val s = Dedup.shared(
+      Dedup.shingleSet(docs, textCol, idCol, n).repartition(col("sh")),
+      materialize)
+    val sig = Dedup.signaturesFrom(s, perms)
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        md5(concat_ws("|", (0 until rows).map(r =>
+          col(s"h${bnd * rows + r}").cast("string")): _*)).as("sig"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    LshIndex(s, banded)
+  }
+
   def incrementalLsh(batch: DataFrame, corpus: DataFrame, threshold: Double,
                      perms: Int = 16, bands: Int = 4, n: Int = 3,
                      textCol: String = "text", idCol: String = "doc_id",
-                     materialize: Boolean = true): DataFrame = {
-    require(perms % bands == 0, "perms must divide into bands")
-    val rows = perms / bands
-    def bandsOf(docs: DataFrame): (DataFrame, DataFrame) = {
-      // each side's shingle set feeds its signatures, its set sizes AND
-      // the jaccard-verify join: one lazy partitioned checkpoint per
-      // side (same reuse-without-leak scheme as Dedup.minhashLsh; see
-      // Dedup.shared for the executor-loss caveat)
-      val s = Dedup.shared(
-        Dedup.shingleSet(docs, textCol, idCol, n).repartition(col("sh")),
-        materialize)
-      val sig = Dedup.signaturesFrom(s, perms)
-      val bandCols = (0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          md5(concat_ws("|", (0 until rows).map(r =>
-            col(s"h${bnd * rows + r}").cast("string")): _*)).as("sig"))
-      }
-      val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      (s, banded)
-    }
-    val (bs, bband) = bandsOf(batch)
-    val (cs, cband) = bandsOf(corpus)
+                     materialize: Boolean = true): DataFrame =
+    incrementalLshPrebuilt(
+      lshIndex(batch, perms, bands, n, textCol, idCol, materialize),
+      lshIndex(corpus, perms, bands, n, textCol, idCol, materialize),
+      threshold)
+
+  /** [[incrementalLsh]] against PREBUILT indexes — the steady-state
+    * entry point (corpus side loaded from its persisted tables). Both
+    * indexes must share the same (perms, bands, n) scheme. */
+  def incrementalLshPrebuilt(batchIdx: LshIndex, corpusIdx: LshIndex,
+                             threshold: Double): DataFrame = {
+    val (bs, bband) = (batchIdx.shingles, batchIdx.bands)
+    val (cs, cband) = (corpusIdx.shingles, corpusIdx.bands)
     val cand = bband.as("a").join(cband.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.id").as("id"), col("b.id").as("dup_of")).distinct()

@@ -95,6 +95,29 @@ class BloomDedupSpec extends SparkSpec {
     assert(out == Set((10L, 1L)))
   }
 
+  test("prebuilt LSH index round-trips through parquet and reproduces the direct result") {
+    import graft.operators.BloomDedup._
+    val c = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    ).toDF("doc_id", "text")
+    val direct = BloomDedup.incrementalLsh(b, c, threshold = 0.5, perms = 16, bands = 8)
+      .orderBy("id", "dup_of").collect().toSeq
+    // persist the corpus index (the compaction step), reload, reuse
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    val built = lshIndex(c, perms = 16, bands = 8)
+    built.shingles.write.mode("overwrite").parquet(s"$dir/sh")
+    built.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    val loaded = LshIndex(spark.read.parquet(s"$dir/sh"), spark.read.parquet(s"$dir/bands"))
+    val steady = incrementalLshPrebuilt(lshIndex(b, perms = 16, bands = 8), loaded,
+        threshold = 0.5)
+      .orderBy("id", "dup_of").collect().toSeq
+    assert(steady == direct && direct.nonEmpty)
+  }
+
   test("incrementalLsh jaccard matches the whole-set operator's pair value") {
     val c = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
     val b = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")).toDF("doc_id", "text")
