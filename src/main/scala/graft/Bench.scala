@@ -35,11 +35,12 @@ object Bench {
     // warm-up: touch every table once (footer reads, codegen, classloading)
     try force(SparkEntry.queries("q1_agg")(spark, sfDir)) catch { case _: Throwable => }
 
-    // three runs per query, discard the first (it pays codegen/JIT and
-    // OS page-cache warmup), min of the remaining two — stabilizes the
+    // N runs per query, discard the first (it pays codegen/JIT and
+    // OS page-cache warmup), min of the remainder — stabilizes the
     // number against run-to-run noise on a contended machine
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
@@ -52,7 +53,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
     // file copy first (reliable channel regardless of stdout state)...
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), json + "\n")
     catch { case _: Throwable => }

@@ -33,11 +33,51 @@ object Dedup {
     * ~128 MB mean partitions >> cores, and partitions < cores implies
     * the input is at most a few GB — a trivial shuffle); a small local
     * table arrives as ONE split and would otherwise pin the whole
-    * compute to one core (measured 3.4 s single-threaded md5 at sf0.1). */
+    * compute to one core (measured 3.4 s single-threaded md5 at sf0.1).
+    *
+    * The parallelism probe reads PLAN METADATA only ([[estimatedScanParallelism]]),
+    * never `df.rdd`: under AQE, `Dataset.rdd` eagerly materializes
+    * shuffle stages at operator-CONSTRUCTION time (the round-4
+    * regression class), and on a streaming DataFrame it throws. */
   private def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    if (estimatedScanParallelism(df) < parallelism) df.repartition(parallelism) else df
   }
+
+  /** Construction-time parallelism estimate from the PHYSICAL plan
+    * (`sparkPlan` — planned but never executed, so no jobs run). A
+    * shuffle anywhere in the plan sets the downstream parallelism to
+    * its partition count; otherwise the scan leaves bound it: file
+    * scans by bytes / split size, local relations by Spark's own
+    * min(rows, defaultParallelism) rule, pre-existing RDDs by their
+    * partition count (metadata, not materialization). Unknown leaf
+    * types — and any planning failure — report "plenty", so the
+    * default is NO extra shuffle. */
+  private[operators] def estimatedScanParallelism(df: DataFrame): Int =
+    try {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec, RDDScanExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val plan = df.queryExecution.sparkPlan
+      val exchanges = plan.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning.numPartitions
+      }
+      if (exchanges.nonEmpty) exchanges.max
+      else {
+        val conf = df.sparkSession.sessionState.conf
+        val defaultPar = df.sparkSession.sparkContext.defaultParallelism
+        plan.collectLeaves().map {
+          case f: FileSourceScanExec =>
+            val bytes = f.relation.location.sizeInBytes
+            val split = math.max(1L, conf.filesMaxPartitionBytes)
+            math.min(Int.MaxValue.toLong, math.max(1L, bytes / split)).toInt
+          case l: LocalTableScanExec =>
+            math.max(1, math.min(l.rows.size, defaultPar))
+          case r: RDDScanExec => r.rdd.getNumPartitions
+          case _ => Int.MaxValue
+        }.reduceOption(math.max).getOrElse(Int.MaxValue)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
 
   /** Distinct word-n-gram shingle set per doc: (id, shingle) long form.
     * The token array is staged as its own projection column so the
@@ -61,25 +101,40 @@ object Dedup {
     * once; (b) the HashPartitioning survives a later
     * `localCheckpoint` (Dataset.checkpoint carries the physical plan's
     * outputPartitioning into the LogicalRDD), so the downstream
-    * self-join on `sh` plans ZERO additional exchanges.
-    *
-    * Skew mitigation at scale: drop shingles present in more than
-    * maxDocFreq docs from CANDIDATE GENERATION only (a stopword
-    * trigram shared by half the corpus creates quadratic join output
-    * while contributing nothing to discrimination). Set sizes and the
-    * intersection counts still use the capped set consistently, so
-    * jaccard stays a true similarity over the retained shingles. */
+    * self-join on `sh` plans ZERO additional exchanges. */
   def cappedShingles(docs: DataFrame, n: Int, textCol: String, idCol: String,
-                     maxDocFreq: Option[Long]): DataFrame = {
-    val s0 = shingleSet(docs, textCol, idCol, n).repartition(col("sh"))
-    maxDocFreq match {
-      case None => s0
-      case Some(cap) =>
-        val hot = s0.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        s0.join(broadcast(hot), Seq("sh"), "left_anti")
+                     maxDocFreq: Option[Long]): DataFrame =
+    capHotKeys(shingleSet(docs, textCol, idCol, n).repartition(col("sh")),
+      "sh", count(lit(1)), maxDocFreq)
+
+  /** Skew mitigation at scale: drop keys (shingles / winnow prints)
+    * present in more than `cap` docs from CANDIDATE GENERATION (a
+    * stopword trigram or boilerplate print shared by half the corpus
+    * creates quadratic join output while contributing nothing to
+    * discrimination). Set sizes and intersection counts downstream use
+    * the capped set consistently, so jaccard stays a true similarity
+    * over the retained keys. The hot list is tiny (keys above a
+    * corpus-wide doc-freq cap), so it ships as a broadcast anti-join —
+    * the big stream is never shuffled for the cap, and since `df` is
+    * already hash-partitioned by `key`, the hot-list agg adds no
+    * exchange either.
+    *
+    * Applied AFTER [[shared]]'s checkpoint, never inside it: a
+    * broadcast build inside a checkpointed subtree would run its
+    * collect job at operator-CONSTRUCTION time (BroadcastExchange
+    * materializes under `execute()`, which lazy checkpointing calls) —
+    * construction must stay pure plan assembly. The checkpoint blocks
+    * therefore retain hot-key rows; every read filters them map-side
+    * via the (ReuseExchange-deduped) broadcast probe. */
+  private def capHotKeys(df: DataFrame, key: String, docFreq: Column,
+                         cap: Option[Long]): DataFrame =
+    cap match {
+      case None => df
+      case Some(c) =>
+        val hot = df.groupBy(key).agg(docFreq.as("df"))
+          .filter(col("df") > c).select(key)
+        df.join(broadcast(hot), Seq(key), "left_anti")
     }
-  }
 
   /** Reuse-without-leak materialization for a DataFrame that feeds
     * several plan branches: LAZY `localCheckpoint`. Compared to the
@@ -94,9 +149,22 @@ object Dedup {
     * blocks live on executors only — on a long-lived cluster where
     * executor loss must be survivable, use `checkpoint()` with a
     * reliable directory instead. */
+  /** Per-session lock serializing the AQE-off planning window in
+    * [[shared]]: two threads constructing operators concurrently could
+    * otherwise interleave get/set/restore (A saves "true", sets false;
+    * B saves A's "false"; A restores "true"; B restores "false") and
+    * strand AQE disabled for the WHOLE session. WeakHashMap so a
+    * stopped session's lock entry is collectable. */
+  private val aqePlanLocks =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]()
+  private def aqePlanLock(s: org.apache.spark.sql.SparkSession): Object =
+    aqePlanLocks.synchronized {
+      aqePlanLocks.computeIfAbsent(s, _ => new Object)
+    }
+
   private[operators] def shared(df: DataFrame, materialize: Boolean): DataFrame =
     if (!materialize) df
-    else {
+    else aqePlanLock(df.sparkSession).synchronized {
       // AQE must be off while PLANNING the checkpointed subtree:
       // AdaptiveSparkPlanExec reports UnknownPartitioning(0), so under
       // AQE the LogicalRDD forgets the repartition layout and every
@@ -104,12 +172,32 @@ object Dedup {
       // static plan the HashPartitioning is carried through — and
       // execute() stays fully lazy (AQE's execute() eagerly materializes
       // stages; a static plan's does not), so query CONSTRUCTION runs no
-      // jobs. The outer query keeps AQE: only this subtree is static.
+      // jobs. The outer query keeps AQE: only this subtree is static,
+      // and the per-session lock above makes the set/restore atomic
+      // against concurrent operator construction.
+      //
+      // autoBroadcastJoinThreshold is ALSO off for the window: a
+      // BroadcastExchange inside the subtree materializes its build
+      // side under `execute()` (doExecuteBroadcast blocks on the
+      // collect job) — i.e. at operator-construction time, even with
+      // eager=false. A co-partitioned SMJ/shuffled-hash join stays
+      // fully lazy, and inside these subtrees it is also the honest
+      // 100 TB plan (the implicit broadcasts only appear here because
+      // local test relations estimate tiny — e.g. the shingle-vocab
+      // join of [[signaturesFrom]], whose vocab side would never fit a
+      // broadcast at scale and is already partitioned by `sh` anyway).
+      // Explicit broadcast() hints are unaffected — which is why
+      // [[capHotKeys]] applies OUTSIDE the checkpoint.
       val conf = df.sparkSession.conf
-      val prev = conf.get("spark.sql.adaptive.enabled", "true")
+      val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+      val prevBcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
       conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try df.localCheckpoint(eager = false)
-      finally conf.set("spark.sql.adaptive.enabled", prev)
+      finally {
+        conf.set("spark.sql.adaptive.enabled", prevAqe)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      }
     }
 
   /** Exact n-gram Jaccard near-dup pairs ≥ `threshold`.
@@ -129,7 +217,12 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id",
                    maxDocFreq: Option[Long] = None,
                    materialize: Boolean = true): DataFrame = {
-    val s = shared(cappedShingles(docs, n, textCol, idCol, maxDocFreq), materialize)
+    // checkpoint the UNCAPPED partitioned set; the cap's broadcast
+    // anti-join applies on the reads (see [[capHotKeys]] for why it
+    // must not sit inside the checkpointed subtree)
+    val s = capHotKeys(
+      shared(shingleSet(docs, textCol, idCol, n).repartition(col("sh")), materialize),
+      "sh", count(lit(1)), maxDocFreq)
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = s.as("a").join(s.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -359,14 +452,8 @@ object Dedup {
 
   private def winnowJoin(p0: DataFrame, minShared: Long,
                          maxDocFreq: Option[Long], materialize: Boolean): DataFrame = {
-    val capped = maxDocFreq match {
-      case None => p0
-      case Some(cap) =>
-        val hot = p0.groupBy("p").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("p")
-        p0.join(broadcast(hot), Seq("p"), "left_anti")
-    }
-    val p = shared(capped.repartition(col("p")), materialize)
+    val p = capHotKeys(shared(p0.repartition(col("p")), materialize),
+      "p", count(lit(1)), maxDocFreq)
     p.as("a").join(p.as("b"),
         col("a.p") === col("b.p") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -402,16 +489,10 @@ object Dedup {
       .select(col("id"), explode(Text.winnowMinsPos(col("__hsp"), window)).as("s"))
       .select(col("id"), col("s.pos").as("pos"), col("s.h").as("p"))
       .distinct()
-    val capped = maxDocFreq match {
-      case None => p0
-      case Some(cap) =>
-        // distinct DOCS per print (a print repeated inside one doc is
-        // not corpus-wide boilerplate)
-        val hot = p0.groupBy("p").agg(countDistinct("id").as("df"))
-          .filter(col("df") > cap).select("p")
-        p0.join(broadcast(hot), Seq("p"), "left_anti")
-    }
-    val pp = shared(capped.repartition(col("p")), materialize)
+    // distinct DOCS per print (a print repeated inside one doc is
+    // not corpus-wide boilerplate)
+    val pp = capHotKeys(shared(p0.repartition(col("p")), materialize),
+      "p", countDistinct("id"), maxDocFreq)
     pp.as("a").join(pp.as("b"),
         col("a.p") === col("b.p") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -58,10 +58,17 @@ object Sampling {
     val rates = counts.crossJoin(broadcast(total))
       .withColumn("__rate",
         coalesce(least(lit(1.0), targetCase * col("__tot") / col("__n")), lit(1.0)))
-      .select(col(sourceCol), col("__rate"))
-    docs.join(broadcast(rates), Seq(sourceCol))
-      .filter(hashBucket(col(keyCol), granularity) < col("__rate") * granularity)
-      .drop("__rate")
+      .select(col(sourceCol).as("__src"), col("__rate"))
+    // NULL-SAFE key + left join: `groupBy(sourceCol)` above keeps NULL
+    // as its own group (rate 1.0 — no target can name it), but a plain
+    // equi-join would drop every NULL-source row (NULL != NULL),
+    // contradicting "sources without a target keep everything". <=> is
+    // still a hash-joinable equi-key, so the rates map stays a
+    // broadcast join and the corpus is never shuffled.
+    docs.join(broadcast(rates), col(sourceCol) <=> col("__src"), "left")
+      .filter(hashBucket(col(keyCol), granularity) <
+        coalesce(col("__rate"), lit(1.0)) * granularity)
+      .drop("__src", "__rate")
   }
 
   /** Leakage-free train/test split: buckets by near-dup COMPONENT, not
@@ -74,10 +81,17 @@ object Sampling {
     *
     * Scale: components' label map is one row per clustered doc (far
     * smaller than the corpus — most docs are singletons and never
-    * enter the pair graph); the join back is a hash join on the id. */
+    * enter the pair graph); the join back is a hash join on the id.
+    *
+    * STRICT by default: a non-converged component propagation throws
+    * instead of warning — partial labels would let a near-dup cluster
+    * silently straddle the boundary, the exact leak this API exists to
+    * prevent. Raise `maxIter` (cluster diameter bound) rather than
+    * weakening `strict`. */
   def splitByComponent(docs: DataFrame, pairs: DataFrame, testPct: Int,
-                       idCol: String = "doc_id", buckets: Int = 100): (DataFrame, DataFrame) = {
-    val comp = Dedup.components(pairs).withColumnRenamed("id", "__cid")
+                       idCol: String = "doc_id", buckets: Int = 100,
+                       maxIter: Int = 10, strict: Boolean = true): (DataFrame, DataFrame) = {
+    val comp = Dedup.components(pairs, maxIter, strict).withColumnRenamed("id", "__cid")
     val keyed = docs.join(comp, docs(idCol) === comp("__cid"), "left")
       .withColumn("__grp", coalesce(col("comp"), docs(idCol)))
     val b = hashBucket(col("__grp"), buckets)

@@ -50,10 +50,15 @@ object Stats {
     // SQL quantile_cont under GROUP BY still EMITS a group whose inputs
     // are all NULL (with NULL quantiles); the isNotNull pre-filter above
     // would silently drop it. Restore such groups by left-joining the
-    // quantile rows back onto the distinct key set. Cost at scale: one
-    // extra scan of the (pruned) key column + a |groups|-sized join —
-    // the data-scale sort is not repeated.
-    df.select(keyCol).distinct().join(agg, Seq(keyCol), "left")
+    // quantile rows back onto the distinct key set — with NULL-SAFE
+    // equality: a plain equi-join (NULL != NULL) would hand the NULL-key
+    // group back NULL quantiles even when it has non-null values, a
+    // silent wrong answer. Cost at scale: one extra scan of the (pruned)
+    // key column + a |groups|-sized join — the data-scale sort is not
+    // repeated, and <=> is still a hash-joinable equi-key.
+    df.select(keyCol).distinct()
+      .join(agg.withColumnRenamed(keyCol, "__k"), col(keyCol) <=> col("__k"), "left")
+      .drop("__k")
   }
 
   /** Fixed-bin histogram for distribution profiling: `bins` equal-width

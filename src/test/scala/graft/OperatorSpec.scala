@@ -370,6 +370,41 @@ class OperatorSpec extends SparkSpec {
     assert(Sampling.rebalanceBySource(docs, "source", Map("books" -> 0.5)).count() == 1200)
   }
 
+  test("rebalance keeps NULL-source rows at rate 1.0 (null-safe rate join)") {
+    import graft.operators.Sampling
+    // 400 'web' docs + 100 docs with a NULL source (e.g. provenance
+    // lost upstream) — capping web must not silently drop the NULLs
+    val docs = ((1L to 400L).map(i => (i, Some("web"))) ++
+      (401L to 500L).map(i => (i, Option.empty[String]))).toDF("doc_id", "source")
+    val out = Sampling.rebalanceBySource(docs, "source", Map("web" -> 0.2))
+    // every NULL-source row survives ("sources without a target keep
+    // everything" — NULL has no target by construction)
+    assert(out.filter(col("source").isNull).count() == 100)
+    // web still capped at ~20% of 500 = 100 docs (md5 bucketing: ~±20%)
+    val web = out.filter(col("source") === "web").count()
+    assert(web > 75 && web < 125, s"web=$web")
+    // schema untouched: same columns as the input, no helper residue
+    assert(out.columns.toSeq == Seq("doc_id", "source"))
+  }
+
+  test("quantilesCont: NULL-key group keeps its real quantiles (null-safe restore)") {
+    import graft.operators.Stats
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+      (None: Option[String], Some(10.0)), (None, Some(20.0)), (None, Some(30.0)),
+      (Some("allnull"), Option.empty[Double])).toDF("k", "v")
+    val out = Stats.quantilesCont(df, "k", "v", Seq(0.5 -> "p50", 1.0 -> "p100"))
+      .as[(Option[String], Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(Some("a")) == ((Some(2.0), Some(3.0))))
+    // the defect: EqualTo restore handed the NULL-key group NULL
+    // quantiles despite its three non-null values
+    assert(out(None) == ((Some(20.0), Some(30.0))))
+    // an all-NULL-values group still emits (with NULL quantiles), as
+    // SQL quantile_cont under GROUP BY does
+    assert(out(Some("allnull")) == ((None, None)))
+  }
+
   test("deterministic shuffle: partition-invariant, salt-sensitive, dense positions") {
     import graft.operators.Sampling
     val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
@@ -432,6 +467,23 @@ class OperatorSpec extends SparkSpec {
           s"cluster $cluster straddles the split at testPct=$pct")
       }
     }
+  }
+
+  test("splitByComponent is strict by default: non-convergence throws, not warns") {
+    import graft.operators.Sampling
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a 4-node chain needs >1 round of label propagation; maxIter = 1
+    // cannot converge — a "leakage-free" split from partial labels
+    // could straddle the cluster, so it must FAIL, not warn
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val err = intercept[IllegalStateException] {
+      Sampling.splitByComponent(docs, pairs, testPct = 10, maxIter = 1)
+    }
+    assert(err.getMessage.contains("converge"))
+    // strict=false restores the old warn-and-continue behavior explicitly
+    val (tr, te) = Sampling.splitByComponent(docs, pairs, testPct = 10,
+      maxIter = 1, strict = false)
+    assert(tr.count() + te.count() == 10)
   }
 
   test("round-2 operators tolerate empty inputs") {
