@@ -1,7 +1,8 @@
 package graft.examples
 
 import graft.operators._
-import org.apache.spark.sql.SparkSession
+import graft.operators.BloomDedup.LshIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The daily-crawl curation pipeline, end to end — the composition the
@@ -10,13 +11,90 @@ import org.apache.spark.sql.functions._
   * deterministically sharded training delta comes out. Run with
   * `sbt "runMain graft.examples.DailyCrawlExample [sfDir]"`.
   *
+  * Structured the way a 100 TB pipeline actually runs (SCALING.md §
+  * incremental): a COMPACTION phase that scans the corpus and persists
+  * its standing index — the exact-dup fingerprint map, the serialized
+  * Bloom filter, and the LSH index (shingle long form + banded minhash
+  * signatures) — and a per-batch STEADY-STATE phase that labels today's
+  * crawl against those artifacts alone. The corpus parquet is read only
+  * at compaction; every daily job is batch-sized (the spec and ScaleSoak
+  * assert zero corpus scans in the batch phase with a listener).
+  *
   * Every step is a lazy DataFrame transform; the only driver-side
   * artifacts are the Bloom filter bytes (one array) and the printed
-  * counts. At 100 TB: the corpus is scanned once (bloom build), today's
-  * batch twice (map-side probes), and the only shuffles are keyed aggs
-  * over batch-sized or vocabulary-sized data.
+  * counts.
   */
 object DailyCrawlExample {
+
+  /** Compaction: scan the corpus (twice — fingerprint agg, shingle set)
+    * and persist the standing index under `indexDir`:
+    * `fp/` (fp → canonical id map), `bloom.bin` (serialized filter over
+    * the fp column, built from the just-written map, not a third corpus
+    * scan), `sh/` + `bands/` (the [[LshIndex]]). On a real cluster these
+    * land as bucketed tables (by `fp` / `sh` / (band, sig)) so the
+    * steady-state joins are exchange-free on the corpus side. */
+  def compactCorpus(corpus: DataFrame, indexDir: String,
+                    expectedItems: Long = 1L << 20): Unit = {
+    val spark = corpus.sparkSession
+    BloomDedup.corpusFingerprints(corpus)
+      .write.mode("overwrite").parquet(s"$indexDir/fp")
+    BloomDedup.buildFilter(spark.read.parquet(s"$indexDir/fp"), expectedItems)
+      .foreach(BloomDedup.saveFilter(_, s"$indexDir/bloom.bin"))
+    val idx = BloomDedup.lshIndex(corpus)
+    idx.shingles.write.mode("overwrite").parquet(s"$indexDir/sh")
+    idx.bands.write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** The persisted artifacts of [[compactCorpus]], reloaded. */
+  def loadIndex(spark: SparkSession, indexDir: String)
+      : (DataFrame, Option[Array[Byte]], LshIndex) = {
+    val bloomPath = java.nio.file.Paths.get(s"$indexDir/bloom.bin")
+    val bloom = if (java.nio.file.Files.exists(bloomPath))
+      Some(BloomDedup.loadFilter(s"$indexDir/bloom.bin")) else None
+    (spark.read.parquet(s"$indexDir/fp"), bloom,
+      LshIndex(spark.read.parquet(s"$indexDir/sh"),
+        spark.read.parquet(s"$indexDir/bands")))
+  }
+
+  /** Steady-state daily labeling: today's batch against the PREBUILT
+    * index — exact dedup (Bloom prefilter + resolve join), near-dup
+    * removal (corpus×batch LSH band buckets + jaccard verify), then
+    * benchmark decontamination, quality gating, domain rebalancing,
+    * context-window chunking and deterministic sharding. Touches only
+    * `batch`, `benchmark`, and the index tables — never the corpus. */
+  def labelBatch(batch: DataFrame, benchmark: DataFrame, indexDir: String,
+                 targets: Map[String, Double]): DataFrame = {
+    val spark = batch.sparkSession
+    val (corpusFp, bloom, corpusIdx) = loadIndex(spark, indexDir)
+    // Stage.reuse marks each point where a stage output feeds TWO
+    // downstream branches (the LSH index AND the keep-filter; the
+    // decontamination join AND the keep-filter; the rebalance counts
+    // AND the rebalance filter) — without it the whole upstream chain
+    // re-runs per branch, 3-4x at the end of this pipeline.
+    // 1. exact dedup against the corpus: novel docs only
+    val novel = Stage.reuse(
+      BloomDedup.incrementalExactPrebuilt(batch, corpusFp, bloom)
+        .filter(col("dup_of").isNull)
+        .select(col("id").as("doc_id"))
+        .join(batch, "doc_id"))
+    // 2. near-dup removal against the corpus (LSH + jaccard verify);
+    //    only the BATCH side's index is computed per run
+    val nearDupIds = BloomDedup
+      .incrementalLshPrebuilt(BloomDedup.lshIndex(novel), corpusIdx, threshold = 0.5)
+      .select(col("id").as("doc_id")).distinct()
+    val fresh = Stage.reuse(novel.join(nearDupIds, Seq("doc_id"), "left_anti"))
+    // 3. benchmark decontamination
+    val clean = Decontaminate.removeContaminated(fresh, benchmark, n = 8)
+    // 4. quality gates (per-row signals; corpus-LM score shown separately)
+    val gated = Stage.reuse(
+      clean.filter(graft.functions.Text.qualityScore(col("text")) > 0.3))
+    // 5. domain rebalancing toward target shares
+    val mixed = Sampling.rebalanceBySource(gated, "source", targets)
+    // 6. chunk for the context window, shard deterministically for export
+    val chunks = Chunker.chunkTokens(mixed, chunkSize = 50, overlap = 10)
+    Sampling.shuffleDeterministic(chunks, "id", shards = 8)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[32]")
@@ -27,32 +105,25 @@ object DailyCrawlExample {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bucket = Sampling.hashBucket(col("doc_id"))
+    // in production each is its own table; the hash split here just
+    // carves the one test corpus into the three roles
     val corpus = docs.filter(bucket >= 20)     // the standing corpus
     val batch = docs.filter(bucket < 20)       // "today's crawl"
     val benchmark = docs.filter(bucket >= 95)  // held-out eval set
 
-    // 1. exact dedup against the corpus: novel docs only
-    val novel = BloomDedup.incrementalExact(batch, corpus)
-      .filter(col("dup_of").isNull)
-      .select(col("id").as("doc_id"))
-      .join(batch, "doc_id")
-    // 2. near-dup removal against the corpus (LSH + jaccard verify)
-    val nearDupIds = BloomDedup.incrementalLsh(novel, corpus, threshold = 0.5)
-      .select(col("id").as("doc_id")).distinct()
-    val fresh = novel.join(nearDupIds, Seq("doc_id"), "left_anti")
-    // 3. benchmark decontamination
-    val clean = Decontaminate.removeContaminated(fresh, benchmark, n = 8)
-    // 4. quality gates (per-row signals; corpus-LM score shown separately)
-    val gated = clean.filter(graft.functions.Text.qualityScore(col("text")) > 0.3)
-    // 5. domain rebalancing toward target shares
-    val mixed = Sampling.rebalanceBySource(gated, "source", Map("src0" -> 0.01))
-    // 6. chunk for the context window, shard deterministically for export
-    val chunks = Chunker.chunkTokens(mixed, chunkSize = 50, overlap = 10)
-    val sharded = Sampling.shuffleDeterministic(chunks, "id", shards = 8)
-
-    println(s"batch=${batch.count()} novel=${novel.count()} fresh=${fresh.count()} " +
-      s"clean=${clean.count()} gated=${gated.count()} mixed=${mixed.count()} " +
-      s"chunks=${chunks.count()} shards=${sharded.select("shard").distinct().count()}")
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-crawl-index").toString
+    val t0 = System.nanoTime()
+    compactCorpus(corpus, indexDir)
+    val tCompact = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val sharded = labelBatch(batch, benchmark, indexDir,
+      targets = Map("src0" -> 0.01))
+    val nChunks = sharded.count()
+    val nShards = sharded.select("shard").distinct().count()
+    val tBatch = (System.nanoTime() - t1) / 1e9
+    println(f"batch=${batch.count()} chunks=$nChunks shards=$nShards " +
+      f"compact=$tCompact%.1fs dailyBatch=$tBatch%.1fs")
     spark.stop()
   }
 }

@@ -46,6 +46,50 @@ object ScaleSoak {
       batch.limit(500), n = 8).count() }
     time("passages")  { Dedup.sharedPassages(docs.filter(col("doc_id") % 37 === 0),
       minPrints = 5, k = 24, window = 8, maxDocFreq = Some(200L)).count() }
+
+    // steady-state daily crawl: compaction persists the corpus index
+    // once; the per-batch phase must then run BATCH-ONLY jobs — a
+    // QueryExecutionListener proves the corpus parquet is never
+    // scanned again (the property that makes this viable at 100 TB)
+    corpus.write.mode("overwrite").parquet("/tmp/soak/corpus.parquet")
+    batch.write.mode("overwrite").parquet("/tmp/soak/batch.parquet")
+    batch.limit(500).write.mode("overwrite").parquet("/tmp/soak/benchmark.parquet")
+    val corpusT = spark.read.parquet("/tmp/soak/corpus.parquet")
+    time("compact")   { DailyCrawlExample.compactCorpus(corpusT, "/tmp/soak/index",
+      expectedItems = 500000L); 0L }
+    val scanned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      private def record(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        qe.analyzed.foreach {
+          case l: LogicalRelation => l.relation match {
+            case h: HadoopFsRelation =>
+              h.location.rootPaths.foreach(p => scanned.add(p.toString))
+            case _ => ()
+          }
+          case _ => ()
+        }
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit = record(qe)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = record(qe)
+    }
+    spark.listenerManager.register(ql)
+    time("steadyBatch") { DailyCrawlExample.labelBatch(
+      spark.read.parquet("/tmp/soak/batch.parquet"),
+      spark.read.parquet("/tmp/soak/benchmark.parquet"),
+      "/tmp/soak/index", targets = Map("src0" -> 0.05)).count() }
+    // sentinel read flushes the async listener bus (FIFO per listener)
+    spark.range(3).write.mode("overwrite").parquet("/tmp/soak/sentinel.parquet")
+    spark.read.parquet("/tmp/soak/sentinel.parquet").count()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    import scala.jdk.CollectionConverters._
+    while (!scanned.asScala.exists(_.contains("sentinel.parquet")) &&
+           System.nanoTime() < deadline) Thread.sleep(20)
+    val corpusScans = scanned.asScala.count(_.contains("corpus.parquet"))
+    println(s"steadyBatch corpus scans: $corpusScans " +
+      (if (corpusScans == 0) "(OK — batch-only jobs)" else "(FAIL — corpus rescanned!)"))
+    assert(corpusScans == 0, "steady-state batch phase scanned the corpus")
     spark.stop()
   }
 }

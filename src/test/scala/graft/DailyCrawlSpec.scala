@@ -1,0 +1,124 @@
+package graft
+
+import graft.examples.DailyCrawlExample
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** The steady-state contract of the daily-crawl pipeline: after
+  * compaction persists the corpus index, the per-batch phase runs
+  * BATCH-ONLY jobs — the corpus parquet is never scanned again. This is
+  * the property that makes incremental dedup viable at 100 TB (corpus
+  * scans cost hours; batch scans cost minutes), asserted two ways: on
+  * the lazy plan (structural) and on what actually executed (listener).
+  */
+class DailyCrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTable(df: org.apache.spark.sql.DataFrame, path: String): String = {
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("steady-state batch phase labels correctly and never scans the corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-spec").toString
+    val words = Seq("one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+      "fifteen", "sixteen", "seventeen", "eighteen", "nineteen", "twenty",
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+      "iota", "kappa")
+    val base = words.mkString(" ")                       // 30 tokens
+    val corpusPath = writeTable(Seq(
+      (1L, base, "src0"),
+      (2L, words.reverse.mkString(" "), "src0"),
+      (3L, "completely different standing corpus text about weather patterns and storms", "src1")
+    ).toDF("doc_id", "text", "source"), s"$dir/corpus.parquet")
+    val benchPath = writeTable(Seq(
+      (90L, "the held out benchmark question about ancient rome and its aqueduct engineering marvels", "eval")
+    ).toDF("doc_id", "text", "source"), s"$dir/benchmark.parquet")
+    val batchPath = writeTable(Seq(
+      // exact dup of corpus doc 1 — dropped by the bloom+resolve path
+      (10L, base, "src1"),
+      // near-dup of corpus doc 1 (last token changed: 3-gram jaccard
+      // 27/31 ≈ 0.87) — dropped by the prebuilt-LSH path
+      (11L, words.init.mkString(" ") + " changed", "src1"),
+      // novel but shares an 8-token run with the benchmark ("about
+      // ancient rome ... marvels") — dropped by decontamination
+      (12L, "interesting prose talking about ancient rome and its aqueduct engineering marvels today", "src1"),
+      // clean novel survivor
+      (13L, "a genuinely novel document about deep sea vents and the creatures living near them", "src1")
+    ).toDF("doc_id", "text", "source"), s"$dir/batch.parquet")
+
+    val corpus = spark.read.parquet(corpusPath)
+    val indexDir = s"$dir/index"
+    DailyCrawlExample.compactCorpus(corpus, indexDir)
+
+    // ---- batch phase: everything below must be corpus-free ----
+    val scanned = new ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      private def record(qe: QueryExecution): Unit = qe.analyzed.foreach {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.foreach(p => scanned.add(p.toString))
+          case _ => ()
+        }
+        case _ => ()
+      }
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = record(qe)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = record(qe)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val batch = spark.read.parquet(batchPath)
+      val benchmark = spark.read.parquet(benchPath)
+      val sharded = DailyCrawlExample.labelBatch(batch, benchmark, indexDir,
+        targets = Map("src0" -> 0.01))
+
+      // structural: the lazy top plan never reads the corpus parquet.
+      // (batch.parquet sits BEHIND the Stage.reuse checkpoints here —
+      // lineage-truncated out of the top plan; the listener below still
+      // sees it, because each localCheckpoint action reports its full
+      // untruncated subtree to QueryExecutionListener.)
+      val planPaths = sharded.queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+      assert(!planPaths.exists(_.contains("corpus.parquet")),
+        s"batch-phase plan reads the corpus: $planPaths")
+
+      // semantics: only the clean novel doc survives to chunks
+      val survivors = sharded.select("id").distinct().as[Long].collect().toSet
+      assert(survivors == Set(13L),
+        s"expected only doc 13 to survive, got $survivors")
+
+      // listener: nothing that EXECUTED in the batch phase scanned the
+      // corpus either. Sentinel read makes the (async) listener bus
+      // delivery observable — once the sentinel path shows up, every
+      // earlier event has been delivered too (FIFO per listener).
+      val sentinelPath = writeTable(Seq((0L, "sentinel")).toDF("id", "t"),
+        s"$dir/sentinel.parquet")
+      spark.read.parquet(sentinelPath).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!scanned.asScala.exists(_.contains("sentinel.parquet")) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      assert(scanned.asScala.exists(_.contains("sentinel.parquet")),
+        "listener never saw the sentinel read")
+      // positive control: the checkpoint events DID expose the scans
+      // hidden from the top plan — so corpus absence below is a real
+      // observation, not blindness to truncated lineage
+      assert(scanned.asScala.exists(_.contains("batch.parquet")),
+        "listener should see the batch scan via the checkpoint's plan event")
+      assert(scanned.asScala.exists(_.contains("index")),
+        "listener should see the prebuilt-index reads")
+      val corpusScans = scanned.asScala.filter(_.contains("corpus.parquet")).toSeq
+      assert(corpusScans.isEmpty,
+        s"steady-state batch phase scanned the corpus ${corpusScans.size} time(s)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
