@@ -65,6 +65,8 @@ object SparkEntry {
     "d_split_leakfree"  -> (LlmOps.dSplitLeakfree _),
     "s_rproj"           -> (LlmOps.sRproj _),
     "t_rebalance"       -> (LlmOps.tRebalance _),
+    "t_cap_domain"      -> (LlmOps.tCapDomain _),
+    "t_stratified"      -> (LlmOps.tStratified _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),

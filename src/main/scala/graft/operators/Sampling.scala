@@ -99,6 +99,55 @@ object Sampling {
     (strip(keyed.filter(b >= testPct)), strip(keyed.filter(b < testPct)))
   }
 
+  /** Per-key document cap (RefinedWeb/CCNet-style "domain cap"): keep
+    * at most `maxPerKey` rows per key (domain, source, site), selected
+    * deterministically — the survivors are the `maxPerKey` smallest
+    * salted-md5 ranks within the key, a pure function of (key, id,
+    * salt), reproducible across runs, engines and partitionings. A
+    * different `salt` draws an independent sample of each domain.
+    *
+    * Scale: ONE hash shuffle on the key + a per-key window sort —
+    * never a global sort. A pathologically hot key (half the corpus
+    * one domain) sorts inside its partitions via spillable window
+    * state; if that's the workload, pre-thin with
+    * [[sampleStratified]] at ~(cap / est. count) before the exact
+    * cap. NULL keys form their own capped group, as SQL PARTITION BY
+    * does. */
+  def capPerKey(df: DataFrame, keyCol: String, maxPerKey: Int,
+                idCol: String = "doc_id", salt: String = "cap"): DataFrame = {
+    require(maxPerKey > 0, "maxPerKey must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit("|" + salt))), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerKey)
+      .drop("__rk")
+  }
+
+  /** Deterministic stratified sampling: an explicit keep-fraction per
+    * stratum (`df.stat.sampleBy`'s contract, minus its partition-order
+    * dependence — selection here is the md5 bucket of the row KEY, so
+    * the sample is reproducible and consistent across engines). Strata
+    * without an entry keep `defaultFraction`; a NULL stratum uses
+    * `defaultFraction` too unless the map is extended via
+    * [[rebalanceBySource]]-style rules.
+    *
+    * Scale: the fraction lookup compiles to a CASE projection (no join
+    * at all — fractions are plan literals) and the filter is map-side:
+    * zero shuffles, pushes to the scan. */
+  def sampleStratified(df: DataFrame, strataCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0,
+                       keyCol: String = "doc_id",
+                       granularity: Int = 10000): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions in [0, 1]")
+    val rate = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (s, f)) => when(col(strataCol) === s, lit(f)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), granularity) < rate * granularity)
+  }
+
   /** Deterministic corpus shuffle for training-data export: a
     * reproducible shard assignment plus intra-shard position, a pure
     * function of the row key — the data order a training run reads is

@@ -239,6 +239,28 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Per-domain document cap (RefinedWeb-style): at most 10 docs per
+    * source, survivors picked by salted-md5 rank — deterministic
+    * downsampling of over-crawled domains. */
+  def tCapDomain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.capPerKey(Tables(spark, dir).documents, "source", maxPerKey = 10)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: explicit keep-fractions per
+    * stratum (src0 50%, src1 20%, default 10%), selection a pure
+    * function of doc_id — `sampleBy` without the partition-order
+    * dependence. */
+  def tStratified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.sampleStratified(Tables(spark, dir).documents, "source",
+        Map("src0" -> 0.5, "src1" -> 0.2), defaultFraction = 0.1)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic corpus shuffle: reproducible 8-shard assignment +
     * intra-shard order from doc_id alone (export-order step). */
   def tShard(spark: SparkSession, dir: String): DataFrame = {

@@ -311,6 +311,27 @@ object LlmOracles {
         |WHERE (('0x' || substr(md5(d.doc_id::varchar), 1, 8))::bigint % 10000) < rate * 10000
         |ORDER BY doc_id""".stripMargin,
 
+    // per-domain cap: row_number over salted-md5 rank within each
+    // source, keep rank <= 10 — identical hash and tie-break on both
+    // engines, so this is a full hash oracle
+    "t_cap_domain" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::varchar || '|cap'), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    // stratified sample: md5 bucket of doc_id under a per-source CASE
+    // fraction (same formula as t_sample at 1/10000 resolution)
+    "t_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 10000)
+        |  < (CASE WHEN source = 'src0' THEN 0.5
+        |          WHEN source = 'src1' THEN 0.2
+        |          ELSE 0.1 END) * 10000
+        |ORDER BY doc_id""".stripMargin,
+
     // seeded random projection: the oracle regenerates the identical
     // ±1 sign matrix from the same md5 formula (first byte < 0x80),
     // then sums v·sign per (vector, output dim) in double

@@ -405,6 +405,50 @@ class OperatorSpec extends SparkSpec {
     assert(out(Some("allnull")) == ((None, None)))
   }
 
+  test("capPerKey: exact per-key cap, deterministic, salt-independent draws, NULL key capped") {
+    import graft.operators.Sampling
+    val docs = ((1L to 40L).map(i => (i, Some("web"))) ++
+      (41L to 45L).map(i => (i, Some("books"))) ++
+      (46L to 60L).map(i => (i, Option.empty[String]))).toDF("doc_id", "source")
+    val capped = Sampling.capPerKey(docs, "source", maxPerKey = 8)
+    val byKey = capped.groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // over-cap keys clamp exactly; under-cap keys keep everything;
+    // NULL is its own capped group (SQL PARTITION BY semantics)
+    assert(byKey(Some("web")) == 8L)
+    assert(byKey(Some("books")) == 5L)
+    assert(byKey(None) == 8L)
+    // pure function of (key, id, salt): re-running selects the same rows
+    val again = Sampling.capPerKey(docs, "source", maxPerKey = 8)
+    assert(capped.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+    // a different salt draws a different (same-sized) sample of web
+    val other = Sampling.capPerKey(docs, "source", maxPerKey = 8, salt = "epoch2")
+    val webA = capped.filter(col("source") === "web").select("doc_id").as[Long].collect().toSet
+    val webB = other.filter(col("source") === "web").select("doc_id").as[Long].collect().toSet
+    assert(webB.size == 8 && webA != webB)
+    // schema untouched
+    assert(capped.columns.toSeq == Seq("doc_id", "source"))
+  }
+
+  test("sampleStratified: per-stratum fractions, default for unlisted, 0 and 1 exact") {
+    import graft.operators.Sampling
+    val docs = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = Sampling.sampleStratified(docs, "source",
+      Map("src0" -> 0.0, "src1" -> 1.0), defaultFraction = 0.3)
+    val byKey = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byKey.contains("src0"))          // fraction 0: stratum empty
+    assert(byKey("src1") == 1000L)           // fraction 1: everything kept
+    val kept2 = byKey.getOrElse("src2", 0L)  // default 0.3 of 1000, md5 ±
+    assert(kept2 > 230 && kept2 < 370, s"src2=$kept2")
+    // deterministic: the same call selects the identical rows
+    val again = Sampling.sampleStratified(docs, "source",
+      Map("src0" -> 0.0, "src1" -> 1.0), defaultFraction = 0.3)
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+  }
+
   test("deterministic shuffle: partition-invariant, salt-sensitive, dense positions") {
     import graft.operators.Sampling
     val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
