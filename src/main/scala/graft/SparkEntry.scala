@@ -52,6 +52,7 @@ object SparkEntry {
     "d_simhash"         -> (LlmOps.dSimhash _),
     "d_simhash_pairs"   -> (LlmOps.dSimhashPairs _),
     "d_embed_neardup"   -> (LlmOps.dEmbedNearDup _),
+    "d_semdedup"        -> (LlmOps.dSemDedup _),
     "d_winnow_pairs"    -> (LlmOps.dWinnowPairs _),
     "d_components"      -> (LlmOps.dComponents _),
     "d_incremental"     -> (LlmOps.dIncremental _),

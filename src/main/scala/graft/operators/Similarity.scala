@@ -284,4 +284,32 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): docs whose
+    * EMBEDDINGS are near-identical are semantic re-phrasings that
+    * n-gram dedup misses — map every doc to the canonical (minimum-id)
+    * survivor of its semantic cluster. Pairs come from
+    * [[cosineNearDup]] (cell-blocked, never corpus×corpus); clusters
+    * from [[Dedup.components]] (transitive closure — a pairwise "drop
+    * the larger id" would keep spurious survivors on chains); docs in
+    * no pair are their own canonical. Keep `keep == true` rows for the
+    * deduplicated corpus.
+    *
+    * Scale: the pair graph is tiny next to the corpus (only
+    * above-threshold pairs enter); the label map joins back on the id —
+    * one hash join. `strict` as in [[Dedup.components]]: non-converged
+    * labels throw rather than silently keeping extra docs. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    cellCol: String = "label", idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    maxIter: Int = 10, strict: Boolean = true): DataFrame = {
+    val pairs = cosineNearDup(corpus, threshold, cellCol, idCol, vecCol)
+    val comp = Dedup.components(pairs, maxIter, strict)
+      .withColumnRenamed("id", "__cid")
+    corpus.select(col(idCol).as("id"))
+      .join(comp, col("id") === col("__cid"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("canonical_id"),
+        (coalesce(col("comp"), col("id")) === col("id")).as("keep"))
+  }
 }

@@ -344,6 +344,14 @@ object LlmOps {
     Similarity.cosineNearDup(Tables(spark, dir).embeddings, threshold = 0.45)
       .orderBy("id_a", "id_b")
 
+  /** Semantic dedup (SemDeDup): every embedding mapped to the
+    * canonical survivor of its cosine-0.45 cluster (transitive), keep
+    * flag for the deduplicated corpus. */
+  def dSemDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables(spark, dir).embeddings, threshold = 0.45)
+      .withColumn("keep", col("keep").cast("int"))
+      .orderBy("id")
+
   /** Seeded ±1 random projection 64 → 8 dims (JL sign matrix as plan
     * literals; map-side only). */
   def sRproj(spark: SparkSession, dir: String): DataFrame =

@@ -237,6 +237,33 @@ object LlmOracles {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
+    // semantic dedup: the d_embed_neardup pair set at 0.45, closed
+    // transitively (same recursive reach as d_components), every
+    // vec_id mapped to its cluster min (itself when unpaired)
+    "d_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::double[] AS v, label FROM embeddings),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      round(list_inner_product(a.v, b.v) /
+        |        (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+        |    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  WHERE cos >= 0.45),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT ed.src AS id, r.comp FROM edges ed JOIN reach r ON ed.dst = r.id),
+        |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT v.vec_id AS id,
+        |  coalesce(c.comp, v.vec_id) AS canonical_id,
+        |  (CASE WHEN coalesce(c.comp, v.vec_id) = v.vec_id THEN 1 ELSE 0 END)::int AS keep
+        |FROM e v LEFT JOIN comp c ON v.vec_id = c.id
+        |ORDER BY id""".stripMargin,
+
     "s_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
         |scored AS (

@@ -115,6 +115,25 @@ class OperatorSpec extends SparkSpec {
     assert(cs == Seq(1.0, 0.0))
   }
 
+  test("semanticDedup: transitive cluster keeps one canonical, singletons keep themselves") {
+    // chain 1≈2, 2≈3 (1·3 below threshold) in cell 0 — transitivity
+    // must fold all three onto canonical 1, the case a pairwise
+    // drop-larger-id rule gets wrong; 4 is orthogonal (own survivor);
+    // 5 parallels 1 but sits in another cell (blocking boundary —
+    // semantically a miss the quantizer owns, mechanically a keep)
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(0.9f, 0.45f, 0f), 0),    // cos(1,2)=0.894, cos(2,3)=0.867
+      (3L, Array(0.45f, 0.9f, 0f), 0),    // cos(1,3)=0.447 < 0.8
+      (4L, Array(0f, 0f, 1f), 0),
+      (5L, Array(1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(vecs, threshold = 0.8)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
+
   test("brute-force topk returns k best, excludes self, deterministic tie-break") {
     val vecs = Seq(
       (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(1f, 0.02f)),
