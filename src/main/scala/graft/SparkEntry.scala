@@ -59,6 +59,7 @@ object SparkEntry {
     "d_incr_lsh"        -> (LlmOps.dIncrLsh _),
     "d_passages"        -> (LlmOps.dPassages _),
     "t_unigram_lp"      -> (LlmOps.tUnigramLp _),
+    "t_dsir"            -> (LlmOps.tDsir _),
     "t_tfidf"           -> (LlmOps.tTfidf _),
     "d_decontam"        -> (LlmOps.dDecontam _),
     "t_chunks"          -> (LlmOps.tChunks _),

@@ -37,6 +37,48 @@ object TextStats {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Data-selection importance weights (DSIR, Xie et al. 2023, with a
+    * unigram LM in place of their hashed n-grams): per-doc mean
+    * log-likelihood RATIO of a target domain sample vs the raw corpus —
+    * docs that "read like" the target score high, and selecting the
+    * top-weighted (or sampling ∝ exp(weight)) tilts the training mix
+    * toward the target domain without hand-written rules.
+    *
+    * Both LMs are Laplace-smoothed over the SHARED vocabulary
+    * (p(t) = (cnt+1)/(total+|V∪|)), so out-of-domain tokens get a
+    * finite penalty instead of -∞ and the two distributions are
+    * comparable. The weight is rounded to 4 decimals — engine-portable
+    * like [[unigramLogProb]]'s mean_nll.
+    *
+    * Scale: two vocab-sized count aggs (the target SAMPLE is small by
+    * construction — that is the DSIR setting), a full-outer vocab
+    * merge, totals as a broadcast 1-row, and one hash join back onto
+    * the corpus token stream: the corpus is scanned once and shuffled
+    * only by token for the count agg, identical shape to
+    * [[unigramLogProb]]. */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(Text.tokens(lower(col(textCol)))).as("t"))
+    val srcTok = toks(corpus)
+    val srcCnt = srcTok.groupBy("t").agg(count(lit(1)).as("cnt_s"))
+    val tgtCnt = toks(target).groupBy("t").agg(count(lit(1)).as("cnt_t"))
+    val vocab = srcCnt.join(tgtCnt, Seq("t"), "full_outer")
+      .select(col("t"),
+        coalesce(col("cnt_s"), lit(0L)).as("cnt_s"),
+        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"))
+    val totals = vocab.agg(sum("cnt_s").as("tot_s"), sum("cnt_t").as("tot_t"),
+      count(lit(1)).as("v"))
+    srcTok.join(vocab, "t")
+      .crossJoin(broadcast(totals))
+      .groupBy("id")
+      .agg(round(avg(
+          log((col("cnt_t") + 1) / (col("tot_t") + col("v"))) -
+          log((col("cnt_s") + 1) / (col("tot_s") + col("v")))), 4).as("mean_llr"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Top-k corpus-weighted terms per doc by TF-IDF
     * (idf = ln((N+1)/(df+1)) + 1, the smoothed scikit-style form): the
     * standard keyword/topic surrogate for corpus exploration and

@@ -297,6 +297,17 @@ object LlmOps {
     TextStats.unigramLogProb(Tables(spark, dir).documents).orderBy("id")
   }
 
+  /** DSIR importance weights: mean log-likelihood ratio of each doc
+    * under the src0-domain target LM vs the whole-corpus LM (shared
+    * Laplace smoothing) — the data-selection signal for tilting a
+    * training mix toward a target domain. */
+  def tDsir(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextStats
+    val docs = Tables(spark, dir).documents
+    TextStats.importanceWeights(docs, docs.filter(col("source") === "src0"))
+      .orderBy("id")
+  }
+
   /** Top-3 TF-IDF terms per doc (smoothed idf, engine-stable rank). */
   def tTfidf(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextStats

@@ -474,6 +474,31 @@ object LlmOracles {
         |FROM tok JOIN c USING (t) CROSS JOIN tot
         |GROUP BY id ORDER BY id""".stripMargin,
 
+    // DSIR importance weights: mean ln-ratio of the src0 target LM vs
+    // the corpus LM, Laplace-smoothed over the SHARED vocabulary —
+    // identical arithmetic association to the Spark plan so the
+    // round(. ,4) doubles compare bit-equal (same posture as
+    // t_unigram_lp)
+    "t_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |ttok AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE source = 'src0'),
+        |cs AS (SELECT t, count(*) AS cnt_s FROM tok GROUP BY t),
+        |ct AS (SELECT t, count(*) AS cnt_t FROM ttok GROUP BY t),
+        |v AS (
+        |  SELECT t, coalesce(cnt_s, 0) AS cnt_s, coalesce(cnt_t, 0) AS cnt_t
+        |  FROM cs FULL OUTER JOIN ct USING (t)),
+        |tot AS (SELECT sum(cnt_s) AS tot_s, sum(cnt_t) AS tot_t, count(*) AS v FROM v)
+        |SELECT id,
+        |  round(avg(ln((cnt_t + 1) / (tot_t + v)) - ln((cnt_s + 1) / (tot_s + v))), 4)
+        |    AS mean_llr,
+        |  count(*) AS n_tokens
+        |FROM tok JOIN v USING (t) CROSS JOIN tot
+        |GROUP BY id ORDER BY id""".stripMargin,
+
     // top-3 tf-idf terms per doc, idf = ln((N+1)/(df+1)) + 1; the rank
     // orders by round(score, 6) with the term as tie-break so ulp-level
     // ln() differences between engines cannot flip it

@@ -560,6 +560,13 @@ class OperatorSpec extends SparkSpec {
       Seq.empty[(String, Double)].toDF("k", "v"), "k", "v",
       Seq(0.5 -> "p50")).count() == 0)
     assert(graft.operators.Curation.curate(emptyDocs).count() == 0)
+    // round-7 additions
+    val emptySourced = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Sampling.capPerKey(emptySourced, "source", 5).count() == 0)
+    assert(Sampling.sampleStratified(emptySourced, "source", Map("a" -> 0.5)).count() == 0)
+    val emptyCelled = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.semanticDedup(emptyCelled, 0.5).count() == 0)
   }
 
   test("operators tolerate empty inputs") {

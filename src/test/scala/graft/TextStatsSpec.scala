@@ -77,4 +77,30 @@ class TextStatsSpec extends SparkSpec {
     val tt = TextStats.tfidfTopTerms(empty)
     assert(tt.columns.toSeq == Seq("id", "rnk", "term", "tfidf") && tt.count() == 0)
   }
+
+  test("importanceWeights: target-domain docs outscore off-domain, hand-checked math") {
+    // corpus: two "legal" docs, two "chat" docs; target sample = legal.
+    // the legal docs must carry the higher mean log-likelihood ratio
+    val corpus = Seq(
+      (1L, "whereas party shall indemnify"),
+      (2L, "party shall hereby covenant"),
+      (3L, "lol that meme is great"),
+      (4L, "haha great meme lol")).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") <= 2)
+    val out = TextStats.importanceWeights(corpus, target)
+      .select("id", "mean_llr").as[(Long, Double)].collect().toMap
+    assert(out.size == 4)
+    assert(Seq(1L, 2L).map(out).min > Seq(3L, 4L).map(out).max,
+      s"legal docs must outweigh chat docs: $out")
+    // hand check doc 3 ("lol that meme is great", all tokens absent
+    // from target): vocab V=12, tot_s=17, tot_t=8; each token has
+    // cnt_t=0 → ln(1/20) - ln((cnt_s+1)/29)
+    val expected3 = Seq(3.0, 2.0, 3.0, 2.0, 3.0) // cnt_s+1 for lol,that,meme,is,great
+      .map(cs => math.log(1.0 / 20) - math.log(cs / 29)).sum / 5
+    assert(math.abs(out(3L) - expected3) < 1e-4, s"${out(3L)} vs $expected3")
+    // empty input keeps the schema
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val ew = TextStats.importanceWeights(empty, empty)
+    assert(ew.columns.toSeq == Seq("id", "mean_llr", "n_tokens") && ew.count() == 0)
+  }
 }
