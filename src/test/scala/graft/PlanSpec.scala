@@ -120,6 +120,27 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("BroadcastHashJoin") && ps.contains("LeftAnti"), ps.take(500))
   }
 
+  test("round-7 gates keep their scale shapes: keyed cap window, map-side strata, broadcast LM totals") {
+    // t_cap_domain: the per-key rank is a KEYED window (partitioned by
+    // source) — a windowspecdefinition starting at the hash column
+    // would be the single-task global sort this operator avoids
+    val cap = SparkEntry.queries("t_cap_domain")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(cap.contains("windowspecdefinition(source"),
+      s"expected the cap window keyed by source:\n${cap.take(600)}")
+    // t_stratified: fractions are plan literals (CASE projection) — no
+    // join, no aggregation, and no exchange beyond the presentation sort
+    val st = plan("t_stratified")
+    assert(!st.contains("Join") && !st.contains("HashAggregate"),
+      s"stratified sampling must be a pure filter:\n${st.take(400)}")
+    assert(!st.contains("Exchange") || st.contains("rangepartitioning"),
+      s"stratified sampling must not shuffle (except the final sort):\n${st.take(400)}")
+    // t_dsir: the 1-row totals ride along as a broadcast, never a
+    // driver action or a shuffled join
+    assert(plan("t_dsir").contains("BroadcastNestedLoopJoin"),
+      "DSIR totals must attach via broadcast cross join")
+  }
+
   test("rebalance: rates broadcast back, corpus itself never shuffled") {
     val p = plan("t_rebalance")
     assert(p.contains("BroadcastHashJoin"),
