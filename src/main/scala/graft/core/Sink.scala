@@ -50,6 +50,67 @@ final case class ConsoleSink(numRows: Int = 20) extends Sink {
     }
 }
 
+/** ≙ `std.Out2` (`io/std/out2.go:31-83`) — the reference's abandoned
+  * buffered-console experiment, realized on the lifecycle Spark already
+  * provides. The reference version is a goroutine with a 100-element
+  * buffer, a 50 ms flush ticker and ack-on-flush, self-documented as a
+  * dead-end ("doesn't have a way of hooking into the termination
+  * condition", out2.go:38; "the meaning of .TriggerEach and
+  * .TriggerEvery is not clear", out2.go:39). Both problems are solved
+  * structurally here:
+  *
+  *   - termination hook: `ForeachWriter.close()` IS the
+  *     end-of-partition/epoch boundary — the remainder buffer flushes
+  *     there, and a streaming epoch only COMMITS (≙ ack) after every
+  *     partition's writer closed, which is exactly ack-on-flush;
+  *   - trigger semantics: count-based flush is writer-LOCAL
+  *     (`capacity`, this class); time-based flush is query-GLOBAL and
+  *     belongs to the trigger (`Trigger.ProcessingTime` ≙ the 50 ms
+  *     ticker) — not a ticker thread racing the writer.
+  *
+  * `emit` receives ONE string per flush (the `bufio.Writer` behavior);
+  * the default prints to the task's console. Injectable like
+  * [[AmqpLikeSink]]'s `publish`, which is also what makes the flush
+  * batching testable. Output lands on the EXECUTOR running each
+  * partition (the reference's per-process stdout, same as `std.Out`'s
+  * streaming path). */
+final case class ConsoleBatchedSink(capacity: Int = 100,
+    emit: String => Unit = ConsoleBatchedSink.stdout)
+  extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] with Sink {
+  @transient private var buffer: ArrayBuffer[org.apache.spark.sql.Row] = _
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    buffer = ArrayBuffer.empty; true
+  }
+  override def process(row: org.apache.spark.sql.Row): Unit = {
+    buffer += row
+    if (buffer.length >= capacity) flushBuffer()
+  }
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull == null) flushBuffer()
+  private def flushBuffer(): Unit = if (buffer != null && buffer.nonEmpty) {
+    emit(buffer.map(_.toString).mkString("", "\n", "\n"))
+    buffer.clear()
+  }
+  def write(flow: Flow): Sink.Result =
+    if (flow.bounded) {
+      // same open/process/close lifecycle, one writer per partition
+      // (stamp order within each, like the streaming path)
+      val self = this
+      val sent = flow.spark.sparkContext.longAccumulator("console2_rows")
+      flow.df.sortWithinPartitions("uniq")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          self.open(0L, 0L)
+          try { it.foreach { r => self.process(r); sent.add(1L) }; self.close(null) }
+          catch { case e: Throwable => self.close(e); throw e }
+        }
+      Sink.Done(sent.value)
+    } else Sink.Streaming(flow.df.writeStream.foreach(this).start())
+}
+
+object ConsoleBatchedSink {
+  val stdout: String => Unit = s => { Console.out.print(s); Console.out.flush() }
+}
+
 /** Parquet sink — the batch/file sink of our engine (beyond-reference;
   * scale path: partitioned columnar output). Unbounded flows stream
   * into the same directory with exactly-once file-sink semantics (the

@@ -160,4 +160,40 @@ class PipelineSpec extends SparkSpec {
     assert(row.getInt(0) == 1)
     assert(new String(row.getAs[Array[Byte]](1), "UTF-8") == "x")
   }
+
+  test("ConsoleBatchedSink (Out2 done right): capacity flushes + termination flush, exact count") {
+    // single partition so the flush sequence is deterministic: 7 rows
+    // at capacity 3 must arrive as chunks of 3, 3, 1 — the last one
+    // from close(), the termination hook the reference's Out2 lacked
+    ConsoleBatchedSinkProbe.chunks.clear()
+    val sink = ConsoleBatchedSink(capacity = 3, emit = ConsoleBatchedSinkProbe.record)
+    val res = Pipeline(spark).root(ListSource((1 to 7).map(_.toString)))
+      .par(1)
+      .to(sink)
+    assert(res == Sink.Done(7))
+    val chunks = {
+      import scala.jdk.CollectionConverters._
+      ConsoleBatchedSinkProbe.chunks.asScala.toSeq
+    }
+    val sizes = chunks.map(_.linesIterator.size)
+    assert(sizes == Seq(3, 3, 1), s"flush chunk sizes: $sizes")
+    // every row printed exactly once
+    assert(chunks.flatMap(_.linesIterator).size == 7)
+  }
+
+  test("ConsoleBatchedSink streaming path returns a query handle (foreach writer)") {
+    val sink = ConsoleBatchedSink(capacity = 100, emit = ConsoleBatchedSinkProbe.record)
+    Pipeline(spark).root(RateSource(10)).to(sink) match {
+      case Sink.Streaming(q) => assert(q.isActive); q.stop()
+      case other => fail(s"expected streaming handle, got $other")
+    }
+  }
+}
+
+/** Driver-JVM flush collector for the local-mode sink tests (executor
+  * threads share the JVM; the lambda references the module statically,
+  * so the sink stays serializable). */
+object ConsoleBatchedSinkProbe {
+  val chunks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val record: String => Unit = s => chunks.add(s)
 }
