@@ -43,17 +43,67 @@ object DailyCrawlExample {
     val idx = BloomDedup.lshIndex(corpus)
     idx.shingles.write.mode("overwrite").parquet(s"$indexDir/sh")
     idx.bands.write.mode("overwrite").parquet(s"$indexDir/bands")
+    // set sizes persisted too: without this table every batch run
+    // re-aggregates the corpus shingle long form for the jaccard
+    // denominator — a corpus-scale groupBy that compaction can pay once
+    idx.sizesOf.write.mode("overwrite").parquet(s"$indexDir/sizes")
   }
 
-  /** The persisted artifacts of [[compactCorpus]], reloaded. */
+  /** The persisted artifacts of [[compactCorpus]], reloaded. Tolerates
+    * a pre-round-7 index without the `sizes` table (sizes then derive
+    * from the shingle long form at run time). */
   def loadIndex(spark: SparkSession, indexDir: String)
       : (DataFrame, Option[Array[Byte]], LshIndex) = {
-    val bloomPath = java.nio.file.Paths.get(s"$indexDir/bloom.bin")
-    val bloom = if (java.nio.file.Files.exists(bloomPath))
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    val bloom = if (exists(s"$indexDir/bloom.bin"))
       Some(BloomDedup.loadFilter(s"$indexDir/bloom.bin")) else None
+    val sizes = if (exists(s"$indexDir/sizes"))
+      Some(spark.read.parquet(s"$indexDir/sizes")) else None
     (spark.read.parquet(s"$indexDir/fp"), bloom,
       LshIndex(spark.read.parquet(s"$indexDir/sh"),
-        spark.read.parquet(s"$indexDir/bands")))
+        spark.read.parquet(s"$indexDir/bands"), sizes))
+  }
+
+  /** Cluster-layout variant of [[compactCorpus]]: the index lands as
+    * BUCKETED catalog tables — fp map by `fp`, shingles by `sh`, bands
+    * by (band, sig), sizes by `id` — each pre-hashed on exactly the key
+    * its steady-state join uses. The corpus side of every per-batch
+    * join is then read ALREADY PARTITIONED: only the (small) batch side
+    * shuffles, which is the point of the prebuilt path at 100 TB.
+    * Bucket count rule of thumb: corpus bytes / 256 MB, capped by what
+    * the catalog tolerates. */
+  def compactCorpusBucketed(corpus: DataFrame, tablePrefix: String,
+                            buckets: Int = 32, bloomPath: String = "",
+                            expectedItems: Long = 1L << 20,
+                            perms: Int = 16, bands: Int = 4, n: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    val fp = BloomDedup.corpusFingerprints(corpus)
+    fp.write.mode("overwrite").bucketBy(buckets, "fp")
+      .sortBy("fp").saveAsTable(s"${tablePrefix}_fp")
+    if (bloomPath.nonEmpty)
+      BloomDedup.buildFilter(spark.table(s"${tablePrefix}_fp"), expectedItems)
+        .foreach(BloomDedup.saveFilter(_, bloomPath))
+    // (perms, bands, n) must match the batch side's lshIndex scheme
+    val idx = BloomDedup.lshIndex(corpus, perms, bands, n)
+    idx.shingles.write.mode("overwrite").bucketBy(buckets, "sh")
+      .sortBy("sh").saveAsTable(s"${tablePrefix}_sh")
+    idx.bands.write.mode("overwrite").bucketBy(buckets, "band", "sig")
+      .sortBy("band", "sig").saveAsTable(s"${tablePrefix}_bands")
+    idx.sizesOf.write.mode("overwrite").bucketBy(buckets, "id")
+      .sortBy("id").saveAsTable(s"${tablePrefix}_sizes")
+  }
+
+  /** The bucketed-catalog twin of [[loadIndex]]. */
+  def loadIndexBucketed(spark: SparkSession, tablePrefix: String,
+                        bloomPath: String = "")
+      : (DataFrame, Option[Array[Byte]], LshIndex) = {
+    val bloom = if (bloomPath.nonEmpty &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(bloomPath)))
+      Some(BloomDedup.loadFilter(bloomPath)) else None
+    (spark.table(s"${tablePrefix}_fp"), bloom,
+      LshIndex(spark.table(s"${tablePrefix}_sh"),
+        spark.table(s"${tablePrefix}_bands"),
+        Some(spark.table(s"${tablePrefix}_sizes"))))
   }
 
   /** Steady-state daily labeling: today's batch against the PREBUILT

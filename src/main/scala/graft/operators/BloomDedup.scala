@@ -148,12 +148,22 @@ object BloomDedup {
     * near-dup pair at or above the threshold.
     */
   /** The reusable LSH index of one document set: the distinct shingle
-    * long form (feeds the exact-jaccard verify) and the banded minhash
-    * signatures (feed candidate generation). In steady state, persist
-    * BOTH as tables (ideally bucketed by `sh` / by (band, sig)) on
+    * long form (feeds the exact-jaccard verify), the banded minhash
+    * signatures (feed candidate generation), and — optionally — the
+    * per-doc shingle-set sizes. In steady state, persist ALL THREE as
+    * tables (ideally bucketed by `sh` / by (band, sig) / by `id`) on
     * corpus compaction and pass them to [[incrementalLshPrebuilt]] —
-    * the per-run cost is then the BATCH side only. */
-  final case class LshIndex(shingles: DataFrame, bands: DataFrame)
+    * the per-run cost is then the BATCH side only. `sizes` matters at
+    * scale: without it the jaccard denominator re-aggregates the WHOLE
+    * corpus shingle long form (a corpus-scale groupBy) on every batch;
+    * with it the per-batch corpus cost is reads only. */
+  final case class LshIndex(shingles: DataFrame, bands: DataFrame,
+                            sizes: Option[DataFrame] = None) {
+    /** (id, n) set sizes: the precomputed table when present, else
+      * derived from the shingle long form. */
+    def sizesOf: DataFrame = sizes.getOrElse(
+      shingles.groupBy("id").agg(count(lit(1)).as("n")))
+  }
 
   /** Build the [[LshIndex]] of a document set (see [[incrementalLsh]]
     * for the banding scheme). */
@@ -177,7 +187,9 @@ object BloomDedup {
     }
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    LshIndex(s, banded)
+    // sizes derive from the same checkpointed blocks — sharing them here
+    // costs nothing in-memory and lets compaction persist the table
+    LshIndex(s, banded, Some(s.groupBy("id").agg(count(lit(1)).as("n"))))
   }
 
   def incrementalLsh(batch: DataFrame, corpus: DataFrame, threshold: Double,
@@ -199,10 +211,12 @@ object BloomDedup {
     val cand = bband.as("a").join(cband.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.id").as("id"), col("b.id").as("dup_of")).distinct()
-    val bSizes = bs.groupBy("id").agg(count(lit(1)).as("bn"))
-      .withColumnRenamed("id", "__bsid")
-    val cSizes = cs.groupBy("id").agg(count(lit(1)).as("cn"))
-      .withColumnRenamed("id", "__csid")
+    // set sizes from the index (precomputed table in steady state — the
+    // corpus long form is NOT re-aggregated per batch)
+    val bSizes = batchIdx.sizesOf
+      .select(col("id").as("__bsid"), col("n").as("bn"))
+    val cSizes = corpusIdx.sizesOf
+      .select(col("id").as("__csid"), col("n").as("cn"))
     val inter = cand.as("c")
       .join(bs.as("sa"), col("c.id") === col("sa.id"))
       .join(cs.as("sb"), col("c.dup_of") === col("sb.id") && col("sa.sh") === col("sb.sh"))

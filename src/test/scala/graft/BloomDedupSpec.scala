@@ -118,6 +118,71 @@ class BloomDedupSpec extends SparkSpec {
     assert(steady == direct && direct.nonEmpty)
   }
 
+  test("bucketed index: same result, corpus band side joins WITHOUT an exchange") {
+    import graft.examples.DailyCrawlExample
+    import graft.operators.BloomDedup._
+    val c = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    ).toDF("doc_id", "text")
+    val direct = BloomDedup.incrementalLsh(b, c, threshold = 0.5,
+        perms = 16, bands = 8)
+      .orderBy("id", "dup_of").collect().toSeq
+    Seq("_fp", "_sh", "_bands", "_sizes").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS bidx$s"))
+    val bloomPath = java.nio.file.Files
+      .createTempDirectory("graft-bidx").toString + "/bloom.bin"
+    DailyCrawlExample.compactCorpusBucketed(c, "bidx", buckets = 4,
+      bloomPath = bloomPath, bands = 8)
+    val (fp, bloom, idx) = DailyCrawlExample.loadIndexBucketed(spark, "bidx", bloomPath)
+    assert(bloom.nonEmpty && fp.count() == 2)
+    // equivalence: the bucketed steady-state path reproduces the direct run
+    val steady = incrementalLshPrebuilt(lshIndex(b, bands = 8), idx, threshold = 0.5)
+      .orderBy("id", "dup_of").collect().toSeq
+    assert(steady == direct && direct.nonEmpty)
+    // the point of bucketing: the candidate join reads the corpus bands
+    // PRE-HASHED on (band, sig) — with broadcast off, the CORPUS-side
+    // subtree of the join has NO exchange (the batch side keeps its
+    // own internal shuffles; that's fine, it's batch-sized)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan to walk
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val bband = lshIndex(b, bands = 8).bands
+      val joined = bband.as("a").join(idx.bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      val smj = joined.queryExecution.executedPlan
+        .collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail("expected a sort-merge join over the bucketed table"))
+      def scansTable(p: SparkPlan, t: String) = p.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(t)) => f
+      }.nonEmpty
+      val corpusSide = Seq(smj.left, smj.right)
+        .find(scansTable(_, "bidx_bands"))
+        .getOrElse(fail("bucketed corpus bands table not under the join"))
+      val corpusExchanges = corpusSide.collect { case e: ShuffleExchangeExec => e }
+      assert(corpusExchanges.isEmpty,
+        s"bucketed corpus side must not shuffle:\n$corpusSide")
+      // and the sizes table means NO corpus-shingle re-aggregation: the
+      // corpus side of the jaccard denominator is a plain table read
+      val sizedPlan = incrementalLshPrebuilt(lshIndex(b, bands = 8), idx, threshold = 0.5)
+        .queryExecution.optimizedPlan.toString
+      assert(sizedPlan.contains("bidx_sizes"),
+        "steady-state jaccard must read the persisted sizes table")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("incrementalLsh jaccard matches the whole-set operator's pair value") {
     val c = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
     val b = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")).toDF("doc_id", "text")
