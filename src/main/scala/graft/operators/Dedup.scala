@@ -163,7 +163,10 @@ object Dedup {
     }
 
   private[operators] def shared(df: DataFrame, materialize: Boolean): DataFrame =
-    if (!materialize) df
+    // a streaming plan cannot checkpoint (unbounded); branches then
+    // recompute per micro-batch, which is the only valid semantics —
+    // degrade silently instead of throwing from inside localCheckpoint
+    if (!materialize || df.isStreaming) df
     else aqePlanLock(df.sparkSession).synchronized {
       // AQE must be off while PLANNING the checkpointed subtree:
       // AdaptiveSparkPlanExec reports UnknownPartitioning(0), so under

@@ -17,9 +17,11 @@ object Stage {
     * Same scheme as the internal dedup checkpoints ([[Dedup.shared]]):
     * LAZY `localCheckpoint` — nothing runs until the first real action,
     * there is no CacheManager entry to leak, and the ContextCleaner
-    * reclaims the blocks when the result is dropped. Batch only (a
-    * streaming plan cannot checkpoint); executor loss invalidates the
-    * blocks — on a long-lived production cluster prefer `checkpoint()`
-    * with a reliable directory for multi-hour jobs. */
+    * reclaims the blocks when the result is dropped. A STREAMING input
+    * passes through unchanged (an unbounded plan cannot checkpoint;
+    * branches then recompute per micro-batch — the only valid
+    * semantics). Executor loss invalidates the blocks — on a long-lived
+    * production cluster prefer `checkpoint()` with a reliable directory
+    * for multi-hour jobs. */
   def reuse(df: DataFrame): DataFrame = Dedup.shared(df, materialize = true)
 }

@@ -108,11 +108,14 @@ class ConstructionSpec extends SparkSpec {
       .select(col("value").as("doc_id"), concat(lit("doc "), col("value")).as("text"))
     assert(stream.isStreaming)
     // the old df.rdd probe threw AnalysisException here at construction;
-    // materialize=false because checkpointing an unbounded plan is
-    // meaningless (and Spark rejects it) — construction itself must work
+    // and materialize=true must DEGRADE (checkpointing an unbounded plan
+    // is meaningless — branches recompute per micro-batch) rather than
+    // throw from inside localCheckpoint
     Dedup.ngramJaccard(stream, 0.5, materialize = false)
-    Dedup.winnowPairs(stream, 2, materialize = false)
+    Dedup.ngramJaccard(stream, 0.5) // default materialize=true: pass-through
+    Dedup.winnowPairs(stream, 2)
     Dedup.exact(stream)
     Dedup.simhash(stream)
+    assert(graft.operators.Stage.reuse(stream).isStreaming)
   }
 }
