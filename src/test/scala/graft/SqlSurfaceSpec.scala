@@ -43,4 +43,13 @@ class SqlSurfaceSpec extends SparkSpec {
       .head().getLong(0)
     assert(n > 0)
   }
+
+  test("driver contract: SparkEntry.entry returns rows; every query key has a runnable fn") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracleSql key must name a registered query (a dangling
+    // oracle would silently skip its gate)
+    val qs = SparkEntry.queries.keySet
+    val dangling = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(dangling.isEmpty, s"oracles without queries: $dangling")
+  }
 }
