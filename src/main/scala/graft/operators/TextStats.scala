@@ -73,9 +73,13 @@ object TextStats {
     srcTok.join(vocab, "t")
       .crossJoin(broadcast(totals))
       .groupBy("id")
-      .agg(round(avg(
+      // + 0: normalizes IEEE -0.0 to +0.0 — a doc whose mean ratio
+      // rounds to zero from below would otherwise hash as "-0" on one
+      // engine and "0" on the other (same fix as randomProject)
+      .agg((round(avg(
           log((col("cnt_t") + 1) / (col("tot_t") + col("v"))) -
-          log((col("cnt_s") + 1) / (col("tot_s") + col("v")))), 4).as("mean_llr"),
+          log((col("cnt_s") + 1) / (col("tot_s") + col("v")))), 4) + lit(0d))
+          .as("mean_llr"),
         count(lit(1)).as("n_tokens"))
   }
 

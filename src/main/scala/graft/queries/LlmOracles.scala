@@ -494,7 +494,7 @@ object LlmOracles {
         |tot AS (SELECT sum(cnt_s) AS tot_s, sum(cnt_t) AS tot_t, count(*) AS v FROM v)
         |SELECT id,
         |  round(avg(ln((cnt_t + 1) / (tot_t + v)) - ln((cnt_s + 1) / (tot_s + v))), 4)
-        |    AS mean_llr,
+        |    + 0 AS mean_llr,
         |  count(*) AS n_tokens
         |FROM tok JOIN v USING (t) CROSS JOIN tot
         |GROUP BY id ORDER BY id""".stripMargin,
