@@ -450,6 +450,19 @@ class OperatorSpec extends SparkSpec {
     assert(capped.columns.toSeq == Seq("doc_id", "source"))
   }
 
+  test("capPerKey and sampleStratified are partition-invariant (the point vs df.sample/sampleBy)") {
+    import graft.operators.Sampling
+    val docs = (1L to 900L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val cap1 = ids(Sampling.capPerKey(docs.repartition(1), "source", 50))
+    val cap7 = ids(Sampling.capPerKey(docs.repartition(7, col("doc_id")), "source", 50))
+    assert(cap1 == cap7 && cap1.size == 200)
+    val st1 = ids(Sampling.sampleStratified(docs.repartition(1), "source", Map("src0" -> 0.5)))
+    val st7 = ids(Sampling.sampleStratified(docs.repartition(7, col("source")), "source", Map("src0" -> 0.5)))
+    assert(st1 == st7)
+  }
+
   test("sampleStratified: per-stratum fractions, default for unlisted, 0 and 1 exact") {
     import graft.operators.Sampling
     val docs = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
