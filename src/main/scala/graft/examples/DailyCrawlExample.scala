@@ -145,6 +145,32 @@ object DailyCrawlExample {
     Sampling.shuffleDeterministic(chunks, "id", shards = 8)
   }
 
+  /** Streaming twin of [[labelBatch]]: today's crawl arrives as an
+    * UNBOUNDED stream and each micro-batch is labeled against the same
+    * prebuilt index. The near-dup path aggregates and self-joins the
+    * batch side, which append-mode streaming cannot express — so the
+    * micro-batch is handed to the BATCH pipeline via `foreachBatch`,
+    * the standard Spark shape for this. Output is parquet partitioned
+    * by epoch with dynamic partition overwrite: a replayed epoch
+    * overwrites its own partition instead of appending duplicates, so
+    * the sink stays idempotent (exactly-once per epoch) across
+    * restarts. */
+  def labelStream(stream: DataFrame, benchmark: DataFrame, indexDir: String,
+                  targets: Map[String, Double], outDir: String,
+                  checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        labelBatch(batch, benchmark, indexDir, targets)
+          .withColumn("__epoch", lit(epochId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__epoch")
+          .parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[32]")

@@ -121,4 +121,40 @@ class DailyCrawlSpec extends SparkSpec {
         s"steady-state batch phase scanned the corpus ${corpusScans.size} time(s)")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("labelStream: a streamed crawl labels per micro-batch against the prebuilt index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-stream").toString
+    val words = Seq("one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+      "fifteen", "sixteen", "seventeen", "eighteen", "nineteen", "twenty")
+    val base = words.mkString(" ")
+    val corpus = Seq((1L, base, "src0")).toDF("doc_id", "text", "source")
+    val benchmark = Seq(
+      (90L, "held out benchmark text entirely distinct from anything here", "eval")
+    ).toDF("doc_id", "text", "source")
+    DailyCrawlExample.compactCorpus(corpus, s"$dir/index")
+
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF.toDF("doc_id", "text", "source")
+    val q = DailyCrawlExample.labelStream(stream, benchmark, s"$dir/index",
+      targets = Map.empty, outDir = s"$dir/out", checkpoint = s"$dir/ckpt")
+    try {
+      // epoch 1: an exact dup of the corpus doc + a clean novel doc
+      mem.addData((10L, base, "src1"),
+        (11L, "a genuinely novel document about deep sea vents and life near them", "src1"))
+      q.processAllAvailable()
+      // epoch 2: another novel doc
+      mem.addData((12L, "completely fresh prose about mountain weather and ice formation", "src1"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      val survivors = out.select("id").distinct().as[Long].collect().toSet
+      assert(survivors == Set(11L, 12L),
+        s"expected the two novel docs to survive, got $survivors")
+      // epoch column present: the idempotent-overwrite partition key
+      assert(out.columns.contains("__epoch"))
+      assert(out.select("__epoch").distinct().count() == 2)
+    } finally q.stop()
+  }
 }
