@@ -55,6 +55,7 @@ object SparkEntry {
     "d_semdedup"        -> (LlmOps.dSemDedup _),
     "d_winnow_pairs"    -> (LlmOps.dWinnowPairs _),
     "d_components"      -> (LlmOps.dComponents _),
+    "d_components_star" -> (LlmOps.dComponentsStar _),
     "d_incremental"     -> (LlmOps.dIncremental _),
     "d_incr_lsh"        -> (LlmOps.dIncrLsh _),
     "d_passages"        -> (LlmOps.dPassages _),

@@ -398,6 +398,94 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): same output contract as [[components]] — every node
+    * labeled with its component's minimum id — but convergence is
+    * O(log n) ROUNDS instead of O(cluster diameter). [[components]]'s
+    * hash-min propagation moves labels one hop per round, which is
+    * right for shallow near-dup cliques; on an adversarial pair graph
+    * (a 10,000-link chain of pairwise near-dups — think serialized
+    * chapter overlaps) it needs 10,000 rounds. Star operations
+    * restructure the graph itself, halving-or-better the height each
+    * alternation:
+    *
+    *   - large-star: every node's LARGER neighbors re-attach to the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: every node and its ≤ neighbors re-attach to that
+    *     minimum.
+    *
+    * Each is one symmetric-edge aggregation + one join, hash-partitioned
+    * on the node — the same per-round shuffle budget as one hash-min
+    * round. Convergence = the edge multiset stabilized, checked with a
+    * count + order-free checksum aggregate over the checkpointed round
+    * (no extra shuffle). The converged graph is a forest of stars, so
+    * the final labels fall out of one neighborhood-min aggregation. */
+  def componentsStar(pairs: DataFrame, maxIter: Int = 25,
+                     strict: Boolean = true): DataFrame = {
+    def sym(e: DataFrame) =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // neighborhood minimum per node: m(u) = min(Γ(u) ∪ {u})
+    def mins(symE: DataFrame) = symE.groupBy("src")
+      .agg(least(min(col("dst")), col("src")).as("m"))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.filter(col("dst") > col("src"))
+        .join(mins(s), "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // S(u) = {v ∈ Γ(u) : v <= u} ∪ {u}; attach S \ {m} to m = min S.
+      // Orient every edge large→small first: then each node's SMALLER
+      // neighbors are exactly its dst set, and m = min(dsts ∪ {u}).
+      val oriented = sym(e).filter(col("dst") < col("src"))
+      val m = oriented.groupBy("src").agg(min("dst").as("m"))
+      oriented.join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    // order-free edge-set signature: count + XOR of a per-edge hash
+    // (bit_xor is commutative/associative and cannot overflow ANSI longs)
+    def signature(e: DataFrame): (Long, Long) = {
+      val row = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    val nodes = sym(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("src")).distinct().localCheckpoint()
+    var e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var sig = signature(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      dropCheckpointBlocks(e)
+      e = next
+      sig = nextSig
+      i += 1
+    }
+    if (!converged) {
+      val msg = s"Dedup.componentsStar did not converge after $maxIter " +
+        "alternations — labels would be partial (raise maxIter; " +
+        "expected rounds are logarithmic in component size)"
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
+    // stars: every node's component is its neighborhood minimum; nodes
+    // join back so isolated self-pair docs keep their own label
+    val labels = mins(sym(e))
+      .select(col("src").as("id"), col("m").as("comp"))
+    nodes.join(labels, nodes("src") === labels("id"), "left")
+      .select(nodes("src").as("id"),
+        coalesce(col("comp"), nodes("src")).as("comp"))
+  }
+
   /** Passage-level near-dup pairs via winnowing fingerprints
     * (Schleimer et al., SIGMOD'03): docs sharing ≥ `minShared` winnow
     * prints — catches a copied PASSAGE inside otherwise-different

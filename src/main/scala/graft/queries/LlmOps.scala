@@ -216,6 +216,14 @@ object LlmOps {
         strict = true)
       .orderBy("id")
 
+  /** Same labels via large-star/small-star alternation — the O(log n)
+    * rounds scale path for adversarial (deep-chain) pair graphs. */
+  def dComponentsStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentsStar(
+        Dedup.ngramJaccard(Tables(spark, dir).documents, threshold = 0.5,
+          maxDocFreq = Some(100L)))
+      .orderBy("id")
+
   /** Leakage-free split: 10% test by near-dup COMPONENT (n-gram
     * Jaccard ≥ 0.5 pairs, capped) — a near-dup cluster never straddles
     * the train/test boundary. */

@@ -17,7 +17,7 @@ object LlmOracles {
        |    FROM documents)),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "t_tokens" ->
       s"""SELECT doc_id, len($toks) AS n_tokens FROM documents ORDER BY doc_id""",
 
@@ -648,4 +648,11 @@ object LlmOracles {
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
   )
+
+  /** componentsStar must produce EXACTLY the labels of d_components
+    * (same pair graph, same min-id contract) — the oracle is the same
+    * recursive reach; only the Spark-side algorithm differs
+    * (large-star/small-star alternation instead of hash-min rounds). */
+  val sql: Map[String, String] =
+    base + ("d_components_star" -> base("d_components"))
 }

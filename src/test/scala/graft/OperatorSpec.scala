@@ -251,6 +251,39 @@ class OperatorSpec extends SparkSpec {
     assert(c2.toSeq == Seq(1L))
   }
 
+  test("componentsStar equals hash-min components on seeded random graphs") {
+    import scala.util.Random
+    (0 until 12).foreach { g =>
+      val rnd = new Random(4200 + g)
+      val n = 8 + rnd.nextInt(40)
+      val edges = (0 until n).map(_ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("id_a", "id_b")
+        val hashMin = Dedup.components(pairs, maxIter = 40, strict = true)
+          .as[(Long, Long)].collect().toSet
+        val star = Dedup.componentsStar(pairs)
+          .as[(Long, Long)].collect().toSet
+        assert(star == hashMin, s"graph seed ${4200 + g}: star != hash-min")
+      }
+    }
+  }
+
+  test("componentsStar converges logarithmically where hash-min needs diameter rounds") {
+    // a 400-link chain: hash-min moves the label one hop per round, so
+    // maxIter=10 CANNOT converge (strict throws) — the adversarial
+    // pair-graph shape (chained passage overlaps) componentsStar exists
+    // for. Star alternations collapse it within the default budget.
+    val chain = (1L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.components(chain, maxIter = 10, strict = true)
+    }
+    val labels = Dedup.componentsStar(chain).as[(Long, Long)].collect()
+    assert(labels.length == 400 && labels.forall(_._2 == 1L),
+      "every chain node must label to component minimum 1")
+  }
+
   test("winnow pairs find a shared passage inside otherwise-different docs") {
     val passage = "the copied boilerplate passage that appears verbatim in both documents here"
     val docs = Seq(
