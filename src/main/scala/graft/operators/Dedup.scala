@@ -454,10 +454,15 @@ object Dedup {
         expr("bit_xor(xxhash64(src, dst))")).head()
       (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
     }
-    val nodes = sym(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      .select(col("src")).distinct().localCheckpoint()
+    // ONE materialization of the upstream pair pipeline; the node set
+    // derives from the checkpointed edges (its own checkpoint, because
+    // the per-round cleanup below frees e's blocks as rounds advance).
+    // Self-loop pairs stay in: both star ops ignore them (strict
+    // inequalities), so they wash out after one alternation, and the
+    // node set keeps their endpoints — the [[components]] contract.
     var e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .distinct().localCheckpoint()
+    val nodes = sym(e).select(col("src")).distinct().localCheckpoint()
     var sig = signature(e)
     var converged = false
     var i = 0
