@@ -156,7 +156,13 @@ object GraftFunctions {
           .BloomFilterAggregate(es(0), es(1))),
     "graft_might_contain" -> ((es: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(es(0), es(1))))
+        .BloomFilterMightContain(es(0), es(1))),
+    // rolling-hash winnowing prints; k and window arrive as foldable
+    // int literals (the DSL wrapper Text.winnow passes lit(k), lit(w))
+    "graft_winnow" -> ((es: Seq[Expression]) =>
+      RollingWinnow(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent imperative registration into the session's function
     * registry. Registers each function at most once per session — a
@@ -184,6 +190,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       val cls =
         if (name.contains("bloom")) "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate"
         else if (name.contains("contain")) "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain"
+        else if (name.contains("winnow")) classOf[RollingWinnow].getName
         else classOf[DotProduct].getName
       ext.injectFunction((
         FunctionIdentifier(name),

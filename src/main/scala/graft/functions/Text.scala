@@ -249,35 +249,19 @@ object Text {
         i => array_min(slice(hsp, i, lit(w))))))
       .otherwise(array().cast("array<struct<h:bigint,pos:int>>"))
 
+  /** One-pass rolling-hash winnowing prints — the production
+    * (non-oracle) fingerprint form, O(len) per doc. Since round 7 this
+    * is the NATIVE [[graft.expressions.RollingWinnow]] expression, not
+    * a Scala UDF: the map side of [[graft.operators.Dedup.winnowPairsFast]]
+    * stays inside one whole-stage-codegen span (a UDF fenced it). Same
+    * registration pattern as `graft_dot` ([[graft.operators.Similarity]]). */
   def winnow(c: Column, k: Int = 8, window: Int = 4): Column = {
-    val f = udf { (s: String) =>
-      if (s == null || s.length < k) Array.empty[Long]
-      else {
-        val n = s.length - k + 1
-        val hs = new Array[Long](n)
-        var h = 0L
-        val B = 257L
-        var pow = 1L
-        var i = 0
-        while (i < k - 1) { pow *= B; i += 1 }
-        i = 0
-        while (i < s.length) {
-          if (i < k) h = h * B + s.charAt(i)
-          else h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
-          if (i >= k - 1) hs(i - k + 1) = h
-          i += 1
-        }
-        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-        var w = 0
-        while (w + window <= n) {
-          var m = hs(w); var j = 1
-          while (j < window) { if (hs(w + j) < m) m = hs(w + j); j += 1 }
-          out += m
-          w += 1
-        }
-        out.toArray.sorted
-      }
-    }
-    f(normalize(c))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.expressions.GraftFunctions.register)
+    // null text → EMPTY prints, the exact contract of the UDF this
+    // replaced (downstream explodes either way; direct callers keep
+    // the non-null array column)
+    coalesce(call_function("graft_winnow", normalize(c), lit(k), lit(window)),
+      array().cast("array<bigint>"))
   }
 }

@@ -139,4 +139,50 @@ class ExpressionSpec extends SparkSpec {
       assert(df.as[Double].head() == 9.0)
     } finally spark.experimental.extraOptimizations = prev
   }
+
+  test("graft_winnow equals the former UDF kernel; codegen and interpreted agree") {
+    import graft.functions.Text
+    // reference: the exact algorithm the UDF ran (base-257 rolling
+    // hash over NORMALIZED chars, window minima, distinct, sorted)
+    def reference(raw: String, k: Int, w: Int): Seq[Long] = {
+      val s = raw.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (s.length < k) return Seq.empty
+      val n = s.length - k + 1
+      val hs = new Array[Long](n)
+      var h = 0L; val B = 257L; var pow = 1L
+      (0 until k - 1).foreach(_ => pow *= B)
+      s.indices.foreach { i =>
+        if (i < k) h = h * B + s.charAt(i)
+        else h = (h - s.charAt(i - k) * pow) * B + s.charAt(i)
+        if (i >= k - 1) hs(i - k + 1) = h
+      }
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      (0 to n - w).foreach { p => out += hs.slice(p, p + w).min }
+      out.toSeq.sorted
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "ab", "  Mixed   Case  WhiteSpace  ", "中文 text too")
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    for (codegen <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", codegen)
+        val got = df.select(col("id"), Text.winnow(col("t"), 5, 3).as("fp"))
+          .as[(Int, Seq[Long])].collect().toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          assert(got(i) == reference(t, 5, 3), s"mode=$codegen text=$t")
+        }
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    }
+  }
+
+  test("winnowPairsFast map side has no UDF and stays codegen'd") {
+    import graft.operators.Dedup
+    val docs = (1L to 30L).map(i => (i, s"some shared words tail$i")).toDF("doc_id", "text")
+    val p = Dedup.winnowPairsFast(docs, 2, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"winnow must be the native expression:\n${p.take(600)}")
+    assert(p.contains("graft_winnow"), "native graft_winnow missing from the plan")
+  }
 }
