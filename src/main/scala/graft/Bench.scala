@@ -38,7 +38,11 @@ object Bench {
     // N runs per query, discard the first (it pays codegen/JIT and
     // OS page-cache warmup), min of the remainder — stabilizes the
     // number against run-to-run noise on a contended machine
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // clamped to >= 1: a malformed or non-positive override must not
+    // crash the bench or emit an all--1.0 JSON that parses as plausible
+    val runs = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+        .getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -33,13 +33,47 @@ object DailyCrawlExample {
     * scan), `sh/` + `bands/` (the [[LshIndex]]). On a real cluster these
     * land as bucketed tables (by `fp` / `sh` / (band, sig)) so the
     * steady-state joins are exchange-free on the corpus side. */
+  /** All index-artifact IO goes through the Hadoop FileSystem of the
+    * session, never java.nio — `indexDir` may be hdfs://, s3a://, or a
+    * local path; java.nio would throw at compaction on a cluster URI
+    * and, worse, make the existence probes in [[loadIndex]] silently
+    * report the bloom/sizes artifacts absent (degrading every batch to
+    * the no-prefilter, corpus-reaggregating path). */
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeBytes(spark: SparkSession, path: String, bytes: Array[Byte]): Unit = {
+    val (f, p) = fs(spark, path)
+    val out = f.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val (f, p) = fs(spark, path)
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.exists(p)
+  }
+
   def compactCorpus(corpus: DataFrame, indexDir: String,
                     expectedItems: Long = 1L << 20): Unit = {
     val spark = corpus.sparkSession
     BloomDedup.corpusFingerprints(corpus)
       .write.mode("overwrite").parquet(s"$indexDir/fp")
     BloomDedup.buildFilter(spark.read.parquet(s"$indexDir/fp"), expectedItems)
-      .foreach(BloomDedup.saveFilter(_, s"$indexDir/bloom.bin"))
+      .foreach(writeBytes(spark, s"$indexDir/bloom.bin", _))
     val idx = BloomDedup.lshIndex(corpus)
     idx.shingles.write.mode("overwrite").parquet(s"$indexDir/sh")
     idx.bands.write.mode("overwrite").parquet(s"$indexDir/bands")
@@ -54,10 +88,9 @@ object DailyCrawlExample {
     * from the shingle long form at run time). */
   def loadIndex(spark: SparkSession, indexDir: String)
       : (DataFrame, Option[Array[Byte]], LshIndex) = {
-    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
-    val bloom = if (exists(s"$indexDir/bloom.bin"))
-      Some(BloomDedup.loadFilter(s"$indexDir/bloom.bin")) else None
-    val sizes = if (exists(s"$indexDir/sizes"))
+    val bloom = if (pathExists(spark, s"$indexDir/bloom.bin"))
+      Some(readBytes(spark, s"$indexDir/bloom.bin")) else None
+    val sizes = if (pathExists(spark, s"$indexDir/sizes"))
       Some(spark.read.parquet(s"$indexDir/sizes")) else None
     (spark.read.parquet(s"$indexDir/fp"), bloom,
       LshIndex(spark.read.parquet(s"$indexDir/sh"),
@@ -82,7 +115,7 @@ object DailyCrawlExample {
       .sortBy("fp").saveAsTable(s"${tablePrefix}_fp")
     if (bloomPath.nonEmpty)
       BloomDedup.buildFilter(spark.table(s"${tablePrefix}_fp"), expectedItems)
-        .foreach(BloomDedup.saveFilter(_, bloomPath))
+        .foreach(writeBytes(spark, bloomPath, _))
     // (perms, bands, n) must match the batch side's lshIndex scheme
     val idx = BloomDedup.lshIndex(corpus, perms, bands, n)
     idx.shingles.write.mode("overwrite").bucketBy(buckets, "sh")
@@ -97,9 +130,8 @@ object DailyCrawlExample {
   def loadIndexBucketed(spark: SparkSession, tablePrefix: String,
                         bloomPath: String = "")
       : (DataFrame, Option[Array[Byte]], LshIndex) = {
-    val bloom = if (bloomPath.nonEmpty &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(bloomPath)))
-      Some(BloomDedup.loadFilter(bloomPath)) else None
+    val bloom = if (bloomPath.nonEmpty && pathExists(spark, bloomPath))
+      Some(readBytes(spark, bloomPath)) else None
     (spark.table(s"${tablePrefix}_fp"), bloom,
       LshIndex(spark.table(s"${tablePrefix}_sh"),
         spark.table(s"${tablePrefix}_bands"),
@@ -113,9 +145,19 @@ object DailyCrawlExample {
     * context-window chunking and deterministic sharding. Touches only
     * `batch`, `benchmark`, and the index tables — never the corpus. */
   def labelBatch(batch: DataFrame, benchmark: DataFrame, indexDir: String,
-                 targets: Map[String, Double]): DataFrame = {
-    val spark = batch.sparkSession
-    val (corpusFp, bloom, corpusIdx) = loadIndex(spark, indexDir)
+                 targets: Map[String, Double]): DataFrame =
+    labelBatchLoaded(batch, benchmark,
+      loadIndex(batch.sparkSession, indexDir), targets)
+
+  /** [[labelBatch]] against an ALREADY-LOADED index — the per-epoch
+    * entry point of [[labelStream]] (artifacts are immutable between
+    * compactions; reloading bloom bytes + parquet footers per
+    * micro-batch is pure overhead) and the natural seam for a caller
+    * holding [[loadIndexBucketed]] tables. */
+  def labelBatchLoaded(batch: DataFrame, benchmark: DataFrame,
+                       index: (DataFrame, Option[Array[Byte]], LshIndex),
+                       targets: Map[String, Double]): DataFrame = {
+    val (corpusFp, bloom, corpusIdx) = index
     // Stage.reuse marks each point where a stage output feeds TWO
     // downstream branches (the LSH index AND the keep-filter; the
     // decontamination join AND the keep-filter; the rebalance counts
@@ -158,10 +200,13 @@ object DailyCrawlExample {
   def labelStream(stream: DataFrame, benchmark: DataFrame, indexDir: String,
                   targets: Map[String, Double], outDir: String,
                   checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // index loaded ONCE per stream, not per epoch — the artifacts are
+    // immutable between compactions
+    val index = loadIndex(stream.sparkSession, indexDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        labelBatch(batch, benchmark, indexDir, targets)
+        labelBatchLoaded(batch, benchmark, index, targets)
           .withColumn("__epoch", lit(epochId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -170,6 +215,7 @@ object DailyCrawlExample {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -86,6 +86,10 @@ object ScaleSoak {
     import scala.jdk.CollectionConverters._
     while (!scanned.asScala.exists(_.contains("sentinel.parquet")) &&
            System.nanoTime() < deadline) Thread.sleep(20)
+    // the zero-scan claim is only evidence if the listener provably
+    // delivered: without this, a backlogged bus makes it pass vacuously
+    assert(scanned.asScala.exists(_.contains("sentinel.parquet")),
+      "listener never delivered the sentinel read — corpus-scan count is not trustworthy")
     val corpusScans = scanned.asScala.count(_.contains("corpus.parquet"))
     println(s"steadyBatch corpus scans: $corpusScans " +
       (if (corpusScans == 0) "(OK — batch-only jobs)" else "(FAIL — corpus rescanned!)"))

@@ -158,11 +158,17 @@ object GraftFunctions {
       new org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(es(0), es(1))),
     // rolling-hash winnowing prints; k and window arrive as foldable
-    // int literals (the DSL wrapper Text.winnow passes lit(k), lit(w))
-    "graft_winnow" -> ((es: Seq[Expression]) =>
+    // int literals (the DSL wrapper Text.winnow passes lit(k), lit(w)).
+    // Arity/foldability validated here so SQL misuse surfaces as an
+    // analysis-time contract message, not an internal eval() crash.
+    "graft_winnow" -> ((es: Seq[Expression]) => {
+      def contract = "graft_winnow(text, k, window) expects 2 literal int sizes"
+      if (es.length != 3 || !es(1).foldable || !es(2).foldable)
+        throw new IllegalArgumentException(contract)
       RollingWinnow(es(0),
         es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue())))
+        es(2).eval().asInstanceOf[Number].intValue())
+    }))
 
   /** Idempotent imperative registration into the session's function
     * registry. Registers each function at most once per session — a

@@ -74,6 +74,10 @@ object Dedup {
           case l: LocalTableScanExec =>
             math.max(1, math.min(l.rows.size, defaultPar))
           case r: RDDScanExec => r.rdd.getNumPartitions
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            // a cached input keeps the partitioning of the plan that
+            // built the cache — plan metadata, not materialization
+            math.max(1, m.relation.cachedPlan.outputPartitioning.numPartitions)
           case _ => Int.MaxValue
         }.reduceOption(math.max).getOrElse(Int.MaxValue)
       }
@@ -460,7 +464,13 @@ object Dedup {
     // Self-loop pairs stay in: both star ops ignore them (strict
     // inequalities), so they wash out after one alternation, and the
     // node set keeps their endpoints — the [[components]] contract.
-    var e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // Edges enter ORIENTED large→small: star rounds emit that
+    // orientation, so an already-star-shaped input matches its own
+    // round-1 signature — without this, re-orientation alone forces a
+    // wasted extra alternation on every invocation.
+    var e = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
       .distinct().localCheckpoint()
     val nodes = sym(e).select(col("src")).distinct().localCheckpoint()
     var sig = signature(e)
@@ -539,6 +549,11 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id",
                       maxDocFreq: Option[Long] = None,
                       materialize: Boolean = true): DataFrame = {
+    // register on the INPUT's session, not the thread-local active one:
+    // Text.winnow's call_function resolves against the session that
+    // analyzes this frame, which on a thread-pool driver thread need
+    // not be the active session
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
     val p0 = spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
         explode(Text.winnow(Text.normalize(col("__text")), k, window)).as("p"))

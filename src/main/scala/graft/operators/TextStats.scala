@@ -53,9 +53,13 @@ object TextStats {
     * Scale: two vocab-sized count aggs (the target SAMPLE is small by
     * construction — that is the DSIR setting), a full-outer vocab
     * merge, totals as a broadcast 1-row, and one hash join back onto
-    * the corpus token stream: the corpus is scanned once and shuffled
-    * only by token for the count agg, identical shape to
-    * [[unigramLogProb]]. */
+    * the corpus token stream — identical shape to [[unigramLogProb]].
+    * The corpus SCAN runs twice (once under the vocab count, once as
+    * the join-back side), a deliberate trade: materializing the
+    * exploded token stream to avoid the second scan costs more storage
+    * than the corpus itself; wrap the tokenized input in
+    * [[Stage.reuse]] only when the upstream is expensive derived work
+    * rather than a plain columnar scan. */
   def importanceWeights(corpus: DataFrame, target: DataFrame,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
