@@ -47,6 +47,28 @@ object ScaleSoak {
     time("passages")  { Dedup.sharedPassages(docs.filter(col("doc_id") % 37 === 0),
       minPrints = 5, k = 24, window = 8, maxDocFreq = Some(200L)).count() }
 
+    // round-7 operator family at 10x: per-domain caps, stratified
+    // sampling, DSIR weights over the 500k docs; semantic dedup over a
+    // 10x-duplicated embedding corpus (ids offset per copy; labels kept
+    // so the cell blocking stays honest)
+    time("capDomain")  { Sampling.capPerKey(docs, "source", maxPerKey = 1000).count() }
+    time("stratified") { Sampling.sampleStratified(docs, "source",
+      Map("src0" -> 0.5, "src1" -> 0.1), defaultFraction = 0.25).count() }
+    time("dsir")       { TextStats.importanceWeights(docs,
+      docs.filter(col("source") === "src0")).count() }
+    val embBase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val bigEmb = spark.range(10).crossJoin(embBase)
+      .select((col("vec_id") + col("id") * 1000000L).as("vec_id"),
+        col("embedding"), col("label"))
+    bigEmb.write.mode("overwrite").parquet("/tmp/soak/embeddings.parquet")
+    val embs = spark.read.parquet("/tmp/soak/embeddings.parquet")
+    println(s"embeddings: ${embs.count()}")
+    time("semdedup")   { Similarity.semanticDedup(embs, threshold = 0.45)
+      .filter(!col("keep")).count() }
+    time("compStar")   { Dedup.componentsStar(
+      Dedup.ngramJaccard(docs.filter(col("doc_id") % 11 === 0), 0.5,
+        maxDocFreq = Some(1000L))).count() }
+
     // steady-state daily crawl: compaction persists the corpus index
     // once; the per-batch phase must then run BATCH-ONLY jobs — a
     // QueryExecutionListener proves the corpus parquet is never
