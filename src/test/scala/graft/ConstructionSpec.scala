@@ -82,9 +82,15 @@ class ConstructionSpec extends SparkSpec {
       val q2 = Dedup.minhashLsh(derived, 0.5)
       val q3 = Dedup.winnowPairs(derived, 2, maxDocFreq = Some(20L))
       val q4 = Dedup.sharedPassages(derived, 2, maxDocFreq = Some(20L))
+      // the incremental family shares the same checkpoint machinery:
+      // building BOTH sides' LSH indexes and composing the prebuilt
+      // join must also stay pure plan assembly
+      val idxA = graft.operators.BloomDedup.lshIndex(derived)
+      val idxB = graft.operators.BloomDedup.lshIndex(derived.limit(50))
+      val q5 = graft.operators.BloomDedup.incrementalLshPrebuilt(idxB, idxA, 0.5)
       // force full planning the way any caller (explain, writer) would —
       // the old df.rdd probe materialized AQE stages right here
-      Seq(q1, q2, q3, q4).foreach(_.queryExecution.sparkPlan)
+      Seq(q1, q2, q3, q4, q5).foreach(_.queryExecution.sparkPlan)
       // sentinel action under a different group; listener events are
       // delivered in submission order, so once the sentinel shows up
       // every would-be construction job has been delivered too
