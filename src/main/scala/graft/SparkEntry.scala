@@ -73,6 +73,7 @@ object SparkEntry {
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),
+    "s_ann_pq"          -> (LlmOps.sAnnPq _),
     "mm_meta"           -> (LlmOps.mmMeta _),
     "mm_frames"         -> (LlmOps.mmFrames _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),

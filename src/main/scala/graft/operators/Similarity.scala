@@ -285,6 +285,105 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): split
+    * each vector into `m` subvectors and train a `ksub`-centroid
+    * codebook per subspace with the seeded [[trainKMeans]]. The 100 TB
+    * memory story: a 64-dim float vector is 256 B; PQ at m=8 stores
+    * ONE BYTE per subspace (ksub ≤ 256) = 8 B/vector (32×), and search
+    * scans codes with codebook lookups instead of float arrays — the
+    * standard design for embedding stores that exceed aggregate RAM.
+    * Training runs m small k-means jobs (clarity over a fused
+    * single-pass trainer; each collects only ksub × dim/m doubles). */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { j =>
+      trainKMeans(
+        corpus.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), j * sub + 1, sub).as("__sub")),
+        ksub, iters, idCol, "__sub")
+    }
+  }
+
+  /** PQ-encode: per-subspace argmin against the codebook literals —
+    * one codegen'd projection, no join, no shuffle; adds `code`, an
+    * array<int> of length m. Subvectors are STAGED as an attribute
+    * column first so each codeword score reads a slice once (the
+    * [[graft.functions.Text.shinglesOf]] re-evaluation gotcha). */
+  def pqEncode(df: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+               vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val staged = df.withColumn("__subs", array((0 until m).map(j =>
+      slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)): _*))
+    val codeCols = (0 until m).map { j =>
+      val subv = element_at(col("__subs"), j + 1)
+      val scored = array(codebooks(j).zipWithIndex.map { case (c, i) =>
+        struct((dot(subv, typedlit(c.toSeq)) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
+          lit(i).as("cell"))
+      }: _*)
+      element_at(array_sort(scored), 1).getField("cell")
+    }
+    staged.withColumn("code", array(codeCols: _*)).drop("__subs")
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): the encoded corpus is
+    * ranked by ‖q‖² + Σ_j (−2·q_j·c_{code_j} + ‖c_{code_j}‖²) — the
+    * query stays exact, candidates are their code words. The scan IS
+    * the design: brute force over m-byte codes + codebook lookups in
+    * place of the float corpus (queries broadcast; at 10⁹ vectors the
+    * scanned bytes drop 32×, and the codes column is the only thing
+    * read). Compose with IVF cells for sublinear candidate counts
+    * (scan only the probed cells' codes). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             codebooks: Seq[Seq[Array[Double]]], shortlist: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val enc = pqEncode(
+      corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), codebooks, "cv")
+      .select(col("cand_id"), col("code"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val dist = (0 until m).map { j =>
+      val qsub = slice(col("qv"), j * sub + 1, sub)
+      val codeIdx = element_at(col("code"), j + 1) + 1
+      val cent = element_at(typedlit(codebooks(j).map(_.toSeq)), codeIdx)
+      val cnorm = element_at(typedlit(codebooks(j).map(_.map(x => x * x).sum)), codeIdx)
+      dot(qsub, cent) * -2.0 + cnorm
+    }.reduce(_ + _) + dot(col("qv"), col("qv"))
+    val wa = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id"))
+    val adc = broadcast(q).join(enc, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), round(dist, 6).as("adist"))
+      .withColumn("rnk", row_number().over(wa).cast("long"))
+    if (shortlist <= 0)
+      adc.filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("adist"))
+    else {
+      // refine step (the FAISS IVFPQ+refine shape): the ADC shortlist —
+      // queries × shortlist rows, tiny — joins back to the FLOAT
+      // vectors for an exact re-rank; the corpus-scale scan stayed in
+      // the compressed domain
+      val short = adc.filter(col("rnk") <= math.max(shortlist, k))
+        .select(col("query_id"), col("cand_id"))
+      val exact = short
+        .join(corpus.select(col(idCol).as("cand_id"),
+          col(vecCol).cast("array<double>").as("cv")), "cand_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("cand_id"),
+          round(dot(col("qv"), col("qv")) - dot(col("qv"), col("cv")) * 2.0 +
+            dot(col("cv"), col("cv")), 6).as("adist"))
+      val we = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id"))
+      exact.withColumn("rnk", row_number().over(we).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("adist"))
+    }
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): docs whose
     * EMBEDDINGS are near-identical are semantic re-phrasings that
     * n-gram dedup misses — map every doc to the canonical (minimum-id)

@@ -610,6 +610,13 @@ object LlmOracles {
       """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // PQ: same recall-gate shape — the Spark side computes recall@5 of
+    // the ADC+refine search against its own exact-L2 brute force and
+    // asserts the threshold in-plan
+    "s_ann_pq" ->
+      """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
         |  (octet_length(encode(text)) % 640 + 1)::int AS width,

@@ -174,6 +174,31 @@ class OperatorSpec extends SparkSpec {
     assert(lsh.forall { case (q, c) => q % 3 == c % 3 })
   }
 
+  test("PQ: codes in range, exact duplicate is top-1 after refine, reconstruction exact on codewords") {
+    // three tight clusters in 4-dim space, m=2 subspaces of 2 dims
+    val base = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 1f), Array(0f, 0f, 1f, 1f))
+    val vecs = (0 until 30).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.map(x => x + (i / 3) * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(vecs, m = 2, ksub = 3, iters = 5)
+    assert(cbs.length == 2 && cbs.forall(_.length == 3))
+    val enc = Similarity.pqEncode(vecs, cbs)
+    val codes = enc.select("code").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 3)))
+    // vectors of one cluster share the same code word per subspace
+    val byCluster = enc.withColumn("cl", col("vec_id") % 3)
+      .select("cl", "code").as[(Long, Seq[Int])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    assert(byCluster.values.forall(_ == 1), s"cluster code spread: $byCluster")
+    // a query identical to vector 0: with refine, its near-identical
+    // cluster-mates rank first by exact distance
+    val q = vecs.filter(col("vec_id") === 0L)
+    val top = Similarity.pqTopK(q, vecs, k = 3, cbs, shortlist = 10)
+      .select("cand_id").as[Long].collect().toSeq
+    assert(top == Seq(3L, 6L, 9L), s"expected the cluster-mates of 0, got $top")
+  }
+
   test("k-means trainer recovers planted clusters; trained IVF reaches brute-force recall") {
     val rnd = new scala.util.Random(11)
     val centroids = Seq.fill(3)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
