@@ -411,12 +411,13 @@ object LlmOps {
   /** Product-quantized ANN (Jégou et al. 2011): 8-subspace, 32-codeword
     * codebooks (8 B/vector vs 256 B float), ADC shortlist of 50 refined
     * by exact distance. Recall\@5 vs the exact-L2 brute force — measured
-    * 0.72–0.8 across sf0.001–0.1 with the seeded trainer; gate asserts
+    * 0.76–0.78 across sf0.001–0.1 with the seeded trainer (iters=2 —
+    * measured equal to iters=3 at a third less training); gate asserts
     * ≥ 0.5. */
   def sAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val q = e.filter(col("vec_id") < 10)
-    val cbs = Similarity.pqTrain(e, m = 8, ksub = 32, iters = 3)
+    val cbs = Similarity.pqTrain(e, m = 8, ksub = 32, iters = 2)
     val pq = Similarity.pqTopK(q, e, k = 5, cbs, shortlist = 50)
     val qq = q.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("qv"))
