@@ -74,6 +74,7 @@ object SparkEntry {
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),
     "s_ann_pq"          -> (LlmOps.sAnnPq _),
+    "s_ann_ivfpq"       -> (LlmOps.sAnnIvfPq _),
     "mm_meta"           -> (LlmOps.mmMeta _),
     "mm_frames"         -> (LlmOps.mmFrames _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),

@@ -163,11 +163,17 @@ object GraftFunctions {
     // analysis-time contract message, not an internal eval() crash.
     "graft_winnow" -> ((es: Seq[Expression]) => {
       def contract = "graft_winnow(text, k, window) expects 2 literal int sizes"
+      // dataType checked BEFORE eval(): a foldable non-numeric literal
+      // (graft_winnow(text, '8', 4)) must surface the contract message,
+      // not a raw ClassCastException from the Number cast
+      def intLit(e: Expression): Int = e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          e.eval().asInstanceOf[Number].intValue()
+        case _ => throw new IllegalArgumentException(contract)
+      }
       if (es.length != 3 || !es(1).foldable || !es(2).foldable)
         throw new IllegalArgumentException(contract)
-      RollingWinnow(es(0),
-        es(1).eval().asInstanceOf[Number].intValue(),
-        es(2).eval().asInstanceOf[Number].intValue())
+      RollingWinnow(es(0), intLit(es(1)), intLit(es(2)))
     }))
 
   /** Idempotent imperative registration into the session's function
@@ -175,6 +181,19 @@ object GraftFunctions {
     * createOrReplace on every call would emit a 'replaced a previously
     * registered function' WARN per invocation, flooding logs that share
     * stdout with machine-readable output (e.g. the bench JSON line). */
+  /** Register on every session reachable from this thread — the
+    * thread-local active session AND the global default session. DSL
+    * wrappers ([[graft.functions.Text.winnow]],
+    * [[graft.operators.Similarity.dot]]) call this because a Column has
+    * no session of its own: on a driver thread-pool thread the active
+    * session is unset and an active-only registration was silently
+    * skipped. Sessions that are neither must register explicitly via
+    * [[register]]. */
+  def registerKnownSessions(): Unit = {
+    SparkSession.getActiveSession.foreach(register)
+    SparkSession.getDefaultSession.foreach(register)
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry

@@ -254,10 +254,18 @@ object Text {
     * is the NATIVE [[graft.expressions.RollingWinnow]] expression, not
     * a Scala UDF: the map side of [[graft.operators.Dedup.winnowPairsFast]]
     * stays inside one whole-stage-codegen span (a UDF fenced it). Same
-    * registration pattern as `graft_dot` ([[graft.operators.Similarity]]). */
+    * registration pattern as `graft_dot` ([[graft.operators.Similarity]]).
+    *
+    * Registration covers the thread-local active session AND the
+    * default session: on a driver thread-pool thread (no active
+    * session) the active-only form silently skipped registration and
+    * the query died at analysis with undefined-function. When building
+    * the column for a THIRD session (neither active nor default on this
+    * thread), register explicitly first, as
+    * [[graft.operators.Dedup.winnowPairsFast]] does:
+    * `GraftFunctions.register(df.sparkSession)`. */
   def winnow(c: Column, k: Int = 8, window: Int = 4): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.expressions.GraftFunctions.register)
+    graft.expressions.GraftFunctions.registerKnownSessions()
     // null text → EMPTY prints, the exact contract of the UDF this
     // replaced (downstream explodes either way; direct callers keep
     // the non-null array column)

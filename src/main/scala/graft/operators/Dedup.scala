@@ -351,7 +351,7 @@ object Dedup {
     }
 
   def components(pairs: DataFrame, maxIter: Int = 10,
-                 strict: Boolean = false): DataFrame = {
+                 strict: Boolean = true): DataFrame = {
     // ONE eager materialization of the pair list — the upstream near-dup
     // pipeline runs once; the symmetric edge view is a union of two
     // reads of the same checkpointed blocks, not a second computation

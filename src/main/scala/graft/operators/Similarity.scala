@@ -14,8 +14,7 @@ object Similarity {
     * codegen'd [[graft.expressions.DotProduct]] native expression;
     * registration is idempotent and works on any session. */
   def dot(a: Column, b: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.expressions.GraftFunctions.register)
+    graft.expressions.GraftFunctions.registerKnownSessions()
     call_function("graft_dot", a, b)
   }
 
@@ -147,14 +146,26 @@ object Similarity {
     * shuffle) and (b) a per-(cell, dim) mean (one keyed agg with
     * map-side combine), collecting only k×dim doubles to the driver.
     *
-    * Scale: the per-iteration cost is one corpus scan + one shuffle of
-    * |corpus|×dim (cell, pos, val) partial sums — the standard
+    * Scale: the per-iteration cost is one scan of the TRAINING SET + one
+    * shuffle of its (cell, pos, val) partial sums — the standard
     * distributed Lloyd's shape; centroids are plan literals, so no
-    * driver↔executor state beyond the k×dim model itself. */
+    * driver↔executor state beyond the k×dim model itself.
+    *
+    * `trainBound` > 0 bounds the training set: a deterministic
+    * [[Sampling.sampleByHash]] draw of ~trainBound vectors, materialized
+    * ONCE — iterations then scan the bounded sample, not the corpus.
+    * This is the industry-standard design (FAISS trains coarse/PQ
+    * quantizers on ≤~1M vectors regardless of corpus size): at 100 TB,
+    * unbounded training is iters corpus scans for a model that by
+    * construction only needs a statistical sample. 0 (the default)
+    * keeps the exact full-corpus behavior. */
   def trainKMeans(corpus: DataFrame, k: Int, iters: Int,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Array[Double]] = {
-    val asDouble = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  trainBound: Long = 0L): Seq[Array[Double]] = {
+    val asDouble = boundTrainingSet(
+      corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")),
+      "id", trainBound, minRows = k)
     var cents: Seq[Array[Double]] = asDouble.orderBy("id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray).toSeq
     for (_ <- 1 to iters) {
@@ -178,17 +189,48 @@ object Similarity {
 
   /** Nearest-centroid cell id per row (the quantizer): argmin over k of
     * ‖x−c‖², computed as `−2·x·c + ‖c‖²` (the ‖x‖² term is constant per
-    * row and cannot change the argmin). The k scores live in one sorted
-    * array-of-structs — struct ordering breaks ties by cell id — so
-    * assignment is a single codegen'd projection, no join, no shuffle. */
+    * row and cannot change the argmin). The argmin is [[argminStruct]] —
+    * an O(k) `least` fold over (d, cell) structs (lexicographic struct
+    * ordering breaks ties by cell id) — a single codegen'd projection:
+    * no join, no shuffle, no array allocation, no sort. */
   def assignCells(df: DataFrame, centroids: Seq[Array[Double]],
-                  vecCol: String = "embedding"): DataFrame = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+                  vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cell", argminStruct(centroids.zipWithIndex.map { case (c, i) =>
       struct(
         (dot(col(vecCol), typedlit(c.toSeq)) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
         lit(i).as("cell"))
-    }: _*)
-    df.withColumn("cell", element_at(array_sort(scored), 1).getField("cell"))
+    }).getField("cell"))
+
+  /** O(k) argmin over scored (d, key) structs: `least` compares structs
+    * lexicographically (distance first, then key for deterministic
+    * ties), evaluating pairwise with NO array-of-structs allocation and
+    * no O(k log k) sort — the difference is 2048 struct allocations per
+    * row on a ksub=256, m=8 PQ encode. Callers guarantee non-null
+    * scores (least skips nulls, which would mis-select otherwise). */
+  private def argminStruct(scored: Seq[Column]): Column =
+    if (scored.size == 1) scored.head else least(scored: _*)
+
+  /** Deterministic bounded training draw: ~`bound` rows via
+    * [[Sampling.sampleByHash]] (a pure function of the key — same
+    * sample on any engine, partitioning, or cluster size), materialized
+    * once with `localCheckpoint` so every training iteration scans the
+    * bounded sample instead of re-filtering the corpus. The one
+    * `count()` is a column-less scan (parquet footer counts); hash
+    * buckets are approximate, so a draw that would undershoot
+    * `minRows` (the k-means init needs k vectors) falls back to the
+    * full set. `bound <= 0` = train on everything (exact legacy
+    * behavior, no extra jobs). */
+  private def boundTrainingSet(df: DataFrame, keyCol: String, bound: Long,
+                               minRows: Int): DataFrame = {
+    if (bound <= 0) return df
+    require(bound >= minRows, s"trainBound=$bound < $minRows vectors the trainer needs")
+    val n = df.count()
+    if (n <= bound) return df
+    val granularity = 10000
+    val keep = math.min(granularity.toLong,
+      math.max(1L, math.round(bound.toDouble * granularity / n))).toInt
+    val s = Sampling.sampleByHash(df, keyCol, keep, granularity).localCheckpoint()
+    if (s.limit(minRows).count() < minRows) { s.unpersist(); df } else s
   }
 
   /** The `nprobe` nearest cells per row (for query-side probing):
@@ -213,9 +255,10 @@ object Similarity {
     * probing is partition pruning (see [[ivfTopK]]). */
   def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      cells: Int, iters: Int = 3, nprobe: Int = 1,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     trainBound: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = trainKMeans(corpus, cells, iters, idCol, vecCol)
+    val cents = trainKMeans(corpus, cells, iters, idCol, vecCol, trainBound)
     val c = assignCells(
         corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), cents, "cv")
       .withColumn("cn", norm(col("cv")))
@@ -293,17 +336,27 @@ object Similarity {
     * scans codes with codebook lookups instead of float arrays — the
     * standard design for embedding stores that exceed aggregate RAM.
     * Training runs m small k-means jobs (clarity over a fused
-    * single-pass trainer; each collects only ksub × dim/m doubles). */
+    * single-pass trainer; each collects only ksub × dim/m doubles).
+    *
+    * `trainBound` > 0 draws ONE deterministic ~trainBound-vector sample
+    * ([[boundTrainingSet]]) shared by all m subspace trainers — without
+    * it, training is m×iters FULL-corpus scans for codebooks that by
+    * construction need only a sample (FAISS bounds PQ training at ~1M
+    * vectors). The sample is materialized once; each subspace trains on
+    * its slice of the same blocks. */
   def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 3,
-              idCol: String = "vec_id", vecCol: String = "embedding")
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              trainBound: Long = 0L)
       : Seq[Seq[Array[Double]]] = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
+    val train = boundTrainingSet(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)),
+      idCol, trainBound, minRows = ksub)
     (0 until m).map { j =>
       trainKMeans(
-        corpus.select(col(idCol),
-          slice(col(vecCol).cast("array<double>"), j * sub + 1, sub).as("__sub")),
+        train.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sub")),
         ksub, iters, idCol, "__sub")
     }
   }
@@ -312,7 +365,10 @@ object Similarity {
     * one codegen'd projection, no join, no shuffle; adds `code`, an
     * array<int> of length m. Subvectors are STAGED as an attribute
     * column first so each codeword score reads a slice once (the
-    * [[graft.functions.Text.shinglesOf]] re-evaluation gotcha). */
+    * [[graft.functions.Text.shinglesOf]] re-evaluation gotcha). The
+    * argmin is the O(ksub) [[argminStruct]] fold — the previous
+    * argmin-by-`array_sort` allocated and sorted a ksub-struct array
+    * per row per subspace on the encode path of every corpus. */
   def pqEncode(df: DataFrame, codebooks: Seq[Seq[Array[Double]]],
                vecCol: String = "embedding"): DataFrame = {
     val m = codebooks.length
@@ -321,11 +377,10 @@ object Similarity {
       slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)): _*))
     val codeCols = (0 until m).map { j =>
       val subv = element_at(col("__subs"), j + 1)
-      val scored = array(codebooks(j).zipWithIndex.map { case (c, i) =>
+      argminStruct(codebooks(j).zipWithIndex.map { case (c, i) =>
         struct((dot(subv, typedlit(c.toSeq)) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
           lit(i).as("cell"))
-      }: _*)
-      element_at(array_sort(scored), 1).getField("cell")
+      }).getField("cell")
     }
     staged.withColumn("code", array(codeCols: _*)).drop("__subs")
   }
@@ -368,9 +423,13 @@ object Similarity {
       // queries × shortlist rows, tiny — joins back to the FLOAT
       // vectors for an exact re-rank; the corpus-scale scan stayed in
       // the compressed domain
+      // broadcast the shortlist: queries × shortlist rows is driver-tiny
+      // by construction, but post-window its stats are unknown to the
+      // planner — without the hint Spark sort-merge-joins, shuffling the
+      // entire float corpus and undoing the compressed-domain win
       val short = adc.filter(col("rnk") <= math.max(shortlist, k))
         .select(col("query_id"), col("cand_id"))
-      val exact = short
+      val exact = broadcast(short)
         .join(corpus.select(col(idCol).as("cand_id"),
           col(vecCol).cast("array<double>").as("cv")), "cand_id")
         .join(broadcast(q), "query_id")
@@ -382,6 +441,99 @@ object Similarity {
         .filter(col("rnk") <= k)
         .select(col("query_id"), col("rnk"), col("cand_id"), col("adist"))
     }
+  }
+
+  /** Composed IVF×PQ top-k (the FAISS `IVFPQ(+refine)` shape, Jégou et
+    * al. 2011 §V): the corpus is coarse-quantized into IVF cells AND
+    * PQ-encoded; each query probes its `nprobe` nearest cells and runs
+    * asymmetric-distance (ADC) scoring ONLY against the codes in those
+    * cells; the ADC shortlist is exactly re-ranked against the float
+    * vectors. This composes the two sublinear levers: IVF prunes the
+    * candidate COUNT to ~nprobe/cells of the corpus, PQ shrinks the
+    * candidate BYTES 32× — together the per-query work is
+    * (nprobe/cells) × corpus × 8 B instead of corpus × 256 B.
+    *
+    * Codes are raw-vector PQ, not residual PQ (FAISS
+    * `by_residual=false`): codebooks stay cell-independent plan
+    * literals and ADC distances stay comparable across probed cells
+    * without per-cell lookup tables; the recall cost is measured by the
+    * gate, and the exact refine pass re-ranks it away for the top-k.
+    *
+    * Scale: the ADC scoring join is an EQUI-join on the cell id — never
+    * the all-codes nested-loop of [[pqTopK]] — so at 100 TB, with the
+    * encoded corpus written partitioned by `cell`, probing is partition
+    * pruning: the scan reads nprobe/cells of the 8 B/vector codes and
+    * nothing else. The refine join broadcasts the driver-tiny
+    * (queries × shortlist) list against one float-corpus scan. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+                centroids: Seq[Array[Double]], codebooks: Seq[Seq[Array[Double]]],
+                shortlist: Int = 0,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    // corpus index: one pass assigns the coarse cell + the m code words
+    val enc = pqEncode(
+      assignCells(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+        centroids, "cv"),
+      codebooks, "cv")
+      .select(col("cand_id"), col("cell"), col("code"))
+    // queries: one row per (query, probed cell)
+    val q = assignCellsN(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")),
+      centroids, nprobe, "qv")
+    val dist = (0 until m).map { j =>
+      val qsub = slice(col("qv"), j * sub + 1, sub)
+      val codeIdx = element_at(col("code"), j + 1) + 1
+      val cent = element_at(typedlit(codebooks(j).map(_.toSeq)), codeIdx)
+      val cnorm = element_at(typedlit(codebooks(j).map(_.map(x => x * x).sum)), codeIdx)
+      dot(qsub, cent) * -2.0 + cnorm
+    }.reduce(_ + _) + dot(col("qv"), col("qv"))
+    val wa = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id"))
+    // every candidate lives in exactly one cell and probed cells are
+    // distinct, so (query, cand) pairs are already unique — no distinct
+    val adc = broadcast(q).join(enc,
+        q("cell") === enc("cell") && col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), round(dist, 6).as("adist"))
+      .withColumn("rnk", row_number().over(wa).cast("long"))
+    if (shortlist <= 0)
+      adc.filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("adist"))
+    else {
+      val short = adc.filter(col("rnk") <= math.max(shortlist, k))
+        .select(col("query_id"), col("cand_id"))
+      val qexact = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      val exact = broadcast(short)
+        .join(corpus.select(col(idCol).as("cand_id"),
+          col(vecCol).cast("array<double>").as("cv")), "cand_id")
+        .join(broadcast(qexact), "query_id")
+        .select(col("query_id"), col("cand_id"),
+          round(dot(col("qv"), col("qv")) - dot(col("qv"), col("cv")) * 2.0 +
+            dot(col("cv"), col("cv")), 6).as("adist"))
+      val we = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id"))
+      exact.withColumn("rnk", row_number().over(we).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("adist"))
+    }
+  }
+
+  /** Self-contained IVF×PQ: trains the coarse quantizer and the PQ
+    * codebooks (both on the same deterministic `trainBound`-bounded
+    * sample — see [[boundTrainingSet]]), then searches via
+    * [[ivfPqTopK]]. The trained artifacts are ordinary driver values;
+    * production pipelines train once, persist them, and call
+    * [[ivfPqTopK]] per query batch against the prebuilt encoded
+    * corpus. */
+  def ivfPqTrainedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       cells: Int, nprobe: Int, m: Int, ksub: Int,
+                       coarseIters: Int = 3, pqIters: Int = 2,
+                       shortlist: Int = 0, trainBound: Long = 0L,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = trainKMeans(corpus, cells, coarseIters, idCol, vecCol, trainBound)
+    val cbs = pqTrain(corpus, m, ksub, pqIters, idCol, vecCol, trainBound)
+    ivfPqTopK(queries, corpus, k, nprobe, cents, cbs, shortlist, idCol, vecCol)
   }
 
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): docs whose

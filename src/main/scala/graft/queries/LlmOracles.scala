@@ -334,8 +334,9 @@ object LlmOracles {
         |    1.0::double) AS rate
         |  FROM c CROSS JOIN t)
         |SELECT d.doc_id, d.source
-        |FROM documents d JOIN r USING (source)
-        |WHERE (('0x' || substr(md5(d.doc_id::varchar), 1, 8))::bigint % 10000) < rate * 10000
+        |FROM documents d LEFT JOIN r ON d.source IS NOT DISTINCT FROM r.source
+        |WHERE (('0x' || substr(md5(d.doc_id::varchar), 1, 8))::bigint % 10000)
+        |  < coalesce(rate, 1.0) * 10000
         |ORDER BY doc_id""".stripMargin,
 
     // per-domain cap: row_number over salted-md5 rank within each
@@ -614,6 +615,13 @@ object LlmOracles {
     // the ADC+refine search against its own exact-L2 brute force and
     // asserts the threshold in-plan
     "s_ann_pq" ->
+      """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // composed IVF×PQ: same recall-gate shape — the Spark side computes
+    // recall@5 of the cell-probed ADC + exact refine against its own
+    // exact-L2 brute force and asserts the threshold in-plan
+    "s_ann_ivfpq" ->
       """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

@@ -226,6 +226,48 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.8, s"trained-IVF top-1 recall $recall (ivf=$ivf brute=$brute)")
   }
 
+  test("bounded training: sampled trainer still recovers planted clusters; bound below k throws") {
+    val rnd = new scala.util.Random(13)
+    val centroids = Seq.fill(3)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val vecs = (0 until 300).map { i =>
+      val c = centroids(i % 3)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    // trainBound=100 < n=300: the trainer draws the deterministic hash
+    // sample yet must still land cluster-pure cells on separable data
+    val cents = Similarity.trainKMeans(vecs, k = 3, iters = 4, trainBound = 100)
+    val cellOf = Similarity.assignCells(vecs, cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    (0 until 3).foreach { g =>
+      val cells = (0 until 300).filter(_ % 3 == g).map(i => cellOf(i.toLong)).distinct
+      assert(cells.size == 1, s"cluster $g split across cells $cells")
+    }
+    // bound >= n is a no-op (identical centroids to the unbounded run)
+    val full = Similarity.trainKMeans(vecs, k = 3, iters = 4)
+    val noop = Similarity.trainKMeans(vecs, k = 3, iters = 4, trainBound = 10000)
+    assert(full.zip(noop).forall { case (a, b) => a.sameElements(b) })
+    // a bound below what the init needs is a contract error, not a
+    // silent mis-train
+    intercept[IllegalArgumentException] {
+      Similarity.trainKMeans(vecs, k = 3, iters = 1, trainBound = 2)
+    }
+  }
+
+  test("composed IVF×PQ: exact duplicates rank first after refine; recall matches pure PQ on separable data") {
+    val base = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 1f), Array(0f, 0f, 1f, 1f))
+    val vecs = (0 until 30).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.map(x => x + (i / 3) * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    // the composed operator probes 2 of 3 cells; vector 0's cluster is
+    // cell-pure so its near-identical mates must top the refined list
+    val top = Similarity.ivfPqTrainedTopK(q, vecs, k = 3, cells = 3, nprobe = 2,
+        m = 2, ksub = 3, coarseIters = 5, pqIters = 5, shortlist = 10)
+      .select("cand_id").as[Long].collect().toSeq
+    assert(top == Seq(3L, 6L, 9L), s"expected the cluster-mates of 0, got $top")
+  }
+
   test("hash sampling is deterministic; train/test split is disjoint and exhaustive") {
     import graft.operators.Sampling
     val df = (1L to 2000L).toDF("id")

@@ -141,6 +141,32 @@ class PlanSpec extends SparkSpec {
       "DSIR totals must attach via broadcast cross join")
   }
 
+  test("ivfPqTopK: ADC scoring is an equi-join on the probed cell — the cell probe prunes the code scan") {
+    val e = core.Tables(spark, dir).embeddings
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val cents = operators.Similarity.trainKMeans(e, k = 4, iters = 1, trainBound = 128)
+    val cbs = operators.Similarity.pqTrain(e, m = 4, ksub = 8, iters = 1, trainBound = 128)
+    // shortlist=0 isolates the ADC stage; the refine stage's broadcast
+    // shape is asserted separately below
+    val p = operators.Similarity.ivfPqTopK(q, e, k = 3, nprobe = 2, cents, cbs)
+      .queryExecution.executedPlan.toString
+    // candidate generation must be the cell equi-join — pqTopK's
+    // all-codes nested loop here would mean IVF pruned nothing
+    assert("BroadcastHashJoin \\[cell#".r.findFirstIn(p).isDefined,
+      s"ADC join must hash-join on the probed cell:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no all-codes nested loop on the composed path:\n${p.take(800)}")
+    // with refine: the exact re-rank joins the driver-tiny shortlist to
+    // the float corpus as a BROADCAST hash join — a sort-merge join
+    // here would shuffle the whole float corpus and undo the
+    // compressed-domain win (round-7 ADVICE finding, now pinned)
+    val pr = operators.Similarity.ivfPqTopK(q, e, k = 3, nprobe = 2, cents, cbs,
+        shortlist = 20)
+      .queryExecution.executedPlan.toString
+    assert(!pr.contains("SortMergeJoin"),
+      s"refine must broadcast the shortlist, not shuffle the corpus:\n${pr.take(800)}")
+  }
+
   test("rebalance: rates broadcast back, corpus itself never shuffled") {
     val p = plan("t_rebalance")
     assert(p.contains("BroadcastHashJoin"),
