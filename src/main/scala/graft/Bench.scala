@@ -28,6 +28,10 @@ object Bench {
     // at scale but it breaks the driver's stdout parse — BENCH r1-r3 all
     // came back "parsed": null because of this spam)
     spark.sparkContext.setLogLevel("ERROR")
+    // deny the known-benign post-success accumulator spam; count every
+    // OTHER error-level event into the JSON so the artifact tail stays
+    // pure signal (see LogHygiene)
+    graft.core.LogHygiene.install()
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -57,7 +61,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    // loud failure channel: any unexpected ERROR-level log event during
+    // the run lands in the artifact itself (count + first message), not
+    // just in a stack trace a parser would skip
+    val logErrs = graft.core.LogHygiene.errorCount
+    val logFirst = graft.core.LogHygiene.firstError
+      .map(m => ",\"log_first\":\"" +
+        m.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\"").getOrElse("")
+    val json =f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"log_errors":$logErrs$logFirst,"queries":$qs,"sf":"$sfDir"}"""
     // file copy first (reliable channel regardless of stdout state)...
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), json + "\n")
     catch { case _: Throwable => }

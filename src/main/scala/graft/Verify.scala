@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same hygiene as Bench: the benign accumulator spam would bury a
+    // real failure in 100+ identical stack traces
+    graft.core.LogHygiene.install()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -174,6 +174,37 @@ object GraftFunctions {
       if (es.length != 3 || !es(1).foldable || !es(2).foldable)
         throw new IllegalArgumentException(contract)
       RollingWinnow(es(0), intLit(es(1)), intLit(es(2)))
+    }),
+    // PQ kernels: the codebook arrives as ONE foldable nested-array
+    // literal, evaluated here at analysis time into a flattened
+    // reference object — ksub×m centroid literals as expression trees
+    // blew janino's 64 KB method limit (see PqExpressions).
+    "graft_pq_argmin" -> ((es: Seq[Expression]) => {
+      def contract =
+        "graft_pq_argmin(subvec, codebook) expects a foldable array<array<double>> codebook"
+      val ok = es.length == 2 && es(1).foldable && (es(1).dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) => true
+        case _ => false
+      })
+      if (!ok) throw new IllegalArgumentException(contract)
+      val ad = es(1).eval().asInstanceOf[ArrayData]
+      val cb = (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray()).toSeq
+      PqArgmin(es(0), PqKernels.book1(cb))
+    }),
+    "graft_pq_adc" -> ((es: Seq[Expression]) => {
+      def contract =
+        "graft_pq_adc(qv, code, codebooks) expects a foldable array<array<array<double>>> codebooks"
+      val ok = es.length == 3 && es(2).foldable && (es(2).dataType match {
+        case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+        case _ => false
+      })
+      if (!ok) throw new IllegalArgumentException(contract)
+      val ad = es(2).eval().asInstanceOf[ArrayData]
+      val cbs = (0 until ad.numElements()).map { j =>
+        val mtx = ad.getArray(j)
+        (0 until mtx.numElements()).map(c => mtx.getArray(c).toDoubleArray()).toSeq
+      }.toSeq
+      PqAdc(es(0), es(1), PqKernels.book(cbs))
     }))
 
   /** Idempotent imperative registration into the session's function
@@ -216,6 +247,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         if (name.contains("bloom")) "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate"
         else if (name.contains("contain")) "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain"
         else if (name.contains("winnow")) classOf[RollingWinnow].getName
+        else if (name.contains("pq_argmin")) classOf[PqArgmin].getName
+        else if (name.contains("pq_adc")) classOf[PqAdc].getName
         else classOf[DotProduct].getName
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -335,54 +335,101 @@ object Similarity {
     * ONE BYTE per subspace (ksub ≤ 256) = 8 B/vector (32×), and search
     * scans codes with codebook lookups instead of float arrays — the
     * standard design for embedding stores that exceed aggregate RAM.
-    * Training runs m small k-means jobs (clarity over a fused
-    * single-pass trainer; each collects only ksub × dim/m doubles).
+    *
+    * FUSED trainer: all m subspace k-means run in lock-step — per
+    * iteration ONE job assigns every subspace's codeword (m native
+    * [[graft.expressions.PqArgmin]] kernels in a single projection) and
+    * aggregates every (subspace, codeword, dim) mean in one keyed agg,
+    * collecting m × ksub × dim/m doubles. The per-subspace-sequential
+    * form was m×iters jobs (16 at m=8, iters=2) whose scheduling
+    * overhead dominated training wall-clock at every tested scale —
+    * and at 100 TB it was m×iters corpus scans.
     *
     * `trainBound` > 0 draws ONE deterministic ~trainBound-vector sample
-    * ([[boundTrainingSet]]) shared by all m subspace trainers — without
-    * it, training is m×iters FULL-corpus scans for codebooks that by
-    * construction need only a sample (FAISS bounds PQ training at ~1M
-    * vectors). The sample is materialized once; each subspace trains on
-    * its slice of the same blocks. */
+    * ([[boundTrainingSet]]) shared by all m subspace trainers (FAISS
+    * bounds PQ training the same way, at ~1M vectors); the sample is
+    * materialized once and each iteration scans only it.
+    *
+    * Per-subspace init = the ksub lowest-id vectors' slices — identical
+    * to what sequential per-subspace [[trainKMeans]] runs would use;
+    * empty codewords keep their previous centroid (same rule). */
   def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               trainBound: Long = 0L)
       : Seq[Seq[Array[Double]]] = {
+    graft.expressions.GraftFunctions.registerKnownSessions()
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     val train = boundTrainingSet(
-      corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)),
-      idCol, trainBound, minRows = ksub)
-    (0 until m).map { j =>
-      trainKMeans(
-        train.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sub")),
-        ksub, iters, idCol, "__sub")
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+      "id", trainBound, minRows = ksub)
+    val staged = train.select(col("id"), array((0 until m).map(j =>
+      slice(col("v"), j * sub + 1, sub)): _*).as("__subs"))
+    val initRows = staged.orderBy("id").limit(ksub).select("__subs").collect()
+    var books: Seq[Seq[Array[Double]]] = (0 until m).map { j =>
+      initRows.map(_.getSeq[Seq[Double]](0)(j).toArray).toSeq
     }
+    for (_ <- 1 to iters) {
+      val cellCols = (0 until m).map { j =>
+        call_function("graft_pq_argmin", element_at(col("__subs"), j + 1),
+          typedlit(books(j).map(_.toSeq)))
+      }
+      val means = staged
+        .select(col("__subs"), posexplode(array(cellCols: _*)).as(Seq("j", "cell")))
+        .select(col("j"), col("cell"),
+          posexplode(element_at(col("__subs"), col("j") + 1)).as(Seq("pos", "x")))
+        .groupBy("j", "cell", "pos").agg(avg("x").as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1)
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (old, c) =>
+          means.get((j, c)) match {
+            case Some(dims) =>
+              val arr = old.clone()
+              dims.foreach { case (_, (pos, mv)) => arr(pos) = mv }
+              arr
+            case None => old
+          }
+        }
+      }
+    }
+    books
   }
 
-  /** PQ-encode: per-subspace argmin against the codebook literals —
-    * one codegen'd projection, no join, no shuffle; adds `code`, an
-    * array<int> of length m. Subvectors are STAGED as an attribute
-    * column first so each codeword score reads a slice once (the
-    * [[graft.functions.Text.shinglesOf]] re-evaluation gotcha). The
-    * argmin is the O(ksub) [[argminStruct]] fold — the previous
-    * argmin-by-`array_sort` allocated and sorted a ksub-struct array
-    * per row per subspace on the encode path of every corpus. */
+  /** PQ-encode: per-subspace argmin against the codebook — one
+    * codegen'd projection, no join, no shuffle; adds `code`, an
+    * array<int> of length m. The argmin is the NATIVE
+    * [[graft.expressions.PqArgmin]] kernel (`graft_pq_argmin`): a
+    * bounded loop over a flattened codebook reference object. The
+    * per-codeword expression-tree form (ksub dots + an O(ksub) fold)
+    * blew janino's 64 KB generated-method limit at ksub=64 and
+    * silently dropped the whole stage to interpreted execution —
+    * method size must be independent of ksub. Subvectors are STAGED
+    * as an attribute column first so each kernel reads its slice once
+    * (the [[graft.functions.Text.shinglesOf]] re-evaluation gotcha). */
   def pqEncode(df: DataFrame, codebooks: Seq[Seq[Array[Double]]],
                vecCol: String = "embedding"): DataFrame = {
+    graft.expressions.GraftFunctions.registerKnownSessions()
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val staged = df.withColumn("__subs", array((0 until m).map(j =>
       slice(col(vecCol).cast("array<double>"), j * sub + 1, sub)): _*))
     val codeCols = (0 until m).map { j =>
-      val subv = element_at(col("__subs"), j + 1)
-      argminStruct(codebooks(j).zipWithIndex.map { case (c, i) =>
-        struct((dot(subv, typedlit(c.toSeq)) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
-          lit(i).as("cell"))
-      }).getField("cell")
+      call_function("graft_pq_argmin", element_at(col("__subs"), j + 1),
+        typedlit(codebooks(j).map(_.toSeq)))
     }
     staged.withColumn("code", array(codeCols: _*)).drop("__subs")
+  }
+
+  /** The ADC distance column: exact query vector vs m-byte code via the
+    * native [[graft.expressions.PqAdc]] kernel (same 64 KB rationale as
+    * [[pqEncode]]). */
+  private def adcDist(qv: Column, code: Column,
+                      codebooks: Seq[Seq[Array[Double]]]): Column = {
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    call_function("graft_pq_adc", qv, code,
+      typedlit(codebooks.map(_.map(_.toSeq))))
   }
 
   /** PQ top-k by asymmetric distance (ADC): the encoded corpus is
@@ -397,20 +444,12 @@ object Similarity {
              codebooks: Seq[Seq[Array[Double]]], shortlist: Int = 0,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
     val enc = pqEncode(
       corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")), codebooks, "cv")
       .select(col("cand_id"), col("code"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val dist = (0 until m).map { j =>
-      val qsub = slice(col("qv"), j * sub + 1, sub)
-      val codeIdx = element_at(col("code"), j + 1) + 1
-      val cent = element_at(typedlit(codebooks(j).map(_.toSeq)), codeIdx)
-      val cnorm = element_at(typedlit(codebooks(j).map(_.map(x => x * x).sum)), codeIdx)
-      dot(qsub, cent) * -2.0 + cnorm
-    }.reduce(_ + _) + dot(col("qv"), col("qv"))
+    val dist = adcDist(col("qv"), col("code"), codebooks)
     val wa = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id"))
     val adc = broadcast(q).join(enc, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), round(dist, 6).as("adist"))
@@ -470,8 +509,6 @@ object Similarity {
                 shortlist: Int = 0,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
     // corpus index: one pass assigns the coarse cell + the m code words
     val enc = pqEncode(
       assignCells(corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
@@ -483,13 +520,7 @@ object Similarity {
       queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv")),
       centroids, nprobe, "qv")
-    val dist = (0 until m).map { j =>
-      val qsub = slice(col("qv"), j * sub + 1, sub)
-      val codeIdx = element_at(col("code"), j + 1) + 1
-      val cent = element_at(typedlit(codebooks(j).map(_.toSeq)), codeIdx)
-      val cnorm = element_at(typedlit(codebooks(j).map(_.map(x => x * x).sum)), codeIdx)
-      dot(qsub, cent) * -2.0 + cnorm
-    }.reduce(_ + _) + dot(col("qv"), col("qv"))
+    val dist = adcDist(col("qv"), col("code"), codebooks)
     val wa = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id"))
     // every candidate lives in exactly one cell and probed cells are
     // distinct, so (query, cand) pairs are already unique — no distinct
