@@ -166,6 +166,35 @@ object Dedup {
       aqePlanLocks.computeIfAbsent(s, _ => new Object)
     }
 
+  /** Lineage truncation for iterative / branch-reused plans. Default:
+    * `localCheckpoint` (executor blocks — fastest, but lost with an
+    * executor). Set `spark.graft.checkpoint.reliable=true` to switch
+    * EVERY graft truncation point ([[shared]], [[components]],
+    * [[componentsStar]], [[graft.operators.Stage.reuse]],
+    * [[graft.operators.Prefix]]) to a RELIABLE `checkpoint` into
+    * `SparkContext.setCheckpointDir` / `spark.graft.checkpoint.dir` —
+    * on a long-lived cluster an executor loss then recomputes from the
+    * checkpoint files instead of failing the 40-round iterative job.
+    * A missing directory throws at the first truncation rather than
+    * silently degrading to executor-local blocks. */
+  private[operators] def truncate(df: DataFrame, eager: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean
+    if (!reliable) df.localCheckpoint(eager)
+    else {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
+          throw new IllegalStateException(
+            "spark.graft.checkpoint.reliable=true requires " +
+              "SparkContext.setCheckpointDir(...) or spark.graft.checkpoint.dir"))
+        sc.setCheckpointDir(dir)
+      }
+      df.checkpoint(eager)
+    }
+  }
+
   private[operators] def shared(df: DataFrame, materialize: Boolean): DataFrame =
     // a streaming plan cannot checkpoint (unbounded); branches then
     // recompute per micro-batch, which is the only valid semantics —
@@ -200,7 +229,7 @@ object Dedup {
       val prevBcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
       conf.set("spark.sql.adaptive.enabled", "false")
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try df.localCheckpoint(eager = false)
+      try truncate(df, eager = false)
       finally {
         conf.set("spark.sql.adaptive.enabled", prevAqe)
         conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
@@ -356,11 +385,11 @@ object Dedup {
     // pipeline runs once; the symmetric edge view is a union of two
     // reads of the same checkpointed blocks, not a second computation
     // (a checkpoint of the union would run `pairs` twice).
-    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .localCheckpoint()
+    val p = truncate(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")), eager = true)
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")), eager = true)
     var prevRound = labels
     val compType = labels.schema("comp").dataType
     var converged = false
@@ -379,7 +408,7 @@ object Dedup {
       val next = labels.select(col("id"), col("comp"), col("comp").as("__old"))
         .union(viaNeighbor)
         .groupBy("id").agg(min("comp").as("comp"), max("__old").as("__old"))
-        .localCheckpoint()
+        .transform(truncate(_, eager = true))
       converged = next.filter(col("comp") =!= col("__old")).isEmpty
       // the previous round's labels can never be read again — free its
       // blocks now (the FINAL round's blocks stay: they back the result)
@@ -468,16 +497,16 @@ object Dedup {
     // orientation, so an already-star-shaped input matches its own
     // round-1 signature — without this, re-orientation alone forces a
     // wasted extra alternation on every invocation.
-    var e = pairs.select(
+    var e = truncate(pairs.select(
         greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
-      .distinct().localCheckpoint()
-    val nodes = sym(e).select(col("src")).distinct().localCheckpoint()
+      .distinct(), eager = true)
+    val nodes = truncate(sym(e).select(col("src")).distinct(), eager = true)
     var sig = signature(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = truncate(smallStar(largeStar(e)), eager = true)
       val nextSig = signature(next)
       converged = nextSig == sig
       dropCheckpointBlocks(e)

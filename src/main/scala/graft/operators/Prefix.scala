@@ -49,9 +49,8 @@ object Prefix {
     val loc = freshName("__loc", taken)
     val tot = freshName("__tot", taken)
     val off = freshName("__off", taken)
-    val parts = df.repartitionByRange(col(orderCol))
-      .withColumn(pid, spark_partition_id())
-      .localCheckpoint()
+    val parts = Dedup.truncate(df.repartitionByRange(col(orderCol))
+      .withColumn(pid, spark_partition_id()), eager = true)
     val w = Window.partitionBy(pid).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn(loc, sum(col(valCol)).over(w))

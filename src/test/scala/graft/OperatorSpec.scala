@@ -268,6 +268,35 @@ class OperatorSpec extends SparkSpec {
     assert(top == Seq(3L, 6L, 9L), s"expected the cluster-mates of 0, got $top")
   }
 
+  test("reliable-checkpoint option: identical labels, checkpoint files on disk, loud on missing dir") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val base = Dedup.components(pairs).orderBy("id").collect().toSeq
+    // missing dir must THROW, not silently degrade to executor-local
+    // blocks (only assertable while no checkpoint dir is set globally)
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.conf.set("spark.graft.checkpoint.reliable", "true")
+      try intercept[IllegalStateException] {
+        Dedup.components(pairs).collect()
+      } finally spark.conf.unset("spark.graft.checkpoint.reliable")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt")
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    spark.conf.set("spark.graft.checkpoint.dir", dir.toString)
+    try {
+      val rel = Dedup.components(pairs).orderBy("id").collect().toSeq
+      assert(rel == base, "reliable-checkpoint run must produce identical labels")
+      val star = Dedup.componentsStar(pairs).orderBy("id").collect().toSeq
+      assert(star == base, "componentsStar must agree under reliable checkpointing")
+      // the truncation points really wrote reliable checkpoint FILES
+      def fileCount(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(fileCount).sum else 1
+      assert(fileCount(dir.toFile) > 0, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.reliable")
+      spark.conf.unset("spark.graft.checkpoint.dir")
+    }
+  }
+
   test("hash sampling is deterministic; train/test split is disjoint and exhaustive") {
     import graft.operators.Sampling
     val df = (1L to 2000L).toDF("id")
