@@ -42,6 +42,7 @@ object SparkEntry {
     "t_repetition"      -> (LlmOps.tRepetition _),
     "t_redact"          -> (LlmOps.tRedact _),
     "t_tokens_bpe"      -> (LlmOps.tTokensBpe _),
+    "t_tokens_bpe2"     -> (LlmOps.tTokensBpe2 _),
     "t_sample"          -> (LlmOps.tSample _),
     "t_pack"            -> (LlmOps.tPack _),
     "t_vocab"           -> (LlmOps.tVocab _),

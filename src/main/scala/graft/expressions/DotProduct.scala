@@ -205,7 +205,10 @@ object GraftFunctions {
         (0 until mtx.numElements()).map(c => mtx.getArray(c).toDoubleArray()).toSeq
       }.toSeq
       PqAdc(es(0), es(1), PqKernels.book(cbs))
-    }))
+    }),
+    // fixture-backed BPE tokenizer (see GraftBpe; custom merge tables
+    // construct the expression directly with their own BpeModel)
+    "graft_bpe" -> ((es: Seq[Expression]) => GraftBpe(es.head, BpeFixture.default)))
 
   /** Idempotent imperative registration into the session's function
     * registry. Registers each function at most once per session — a
@@ -249,6 +252,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         else if (name.contains("winnow")) classOf[RollingWinnow].getName
         else if (name.contains("pq_argmin")) classOf[PqArgmin].getName
         else if (name.contains("pq_adc")) classOf[PqAdc].getName
+        else if (name.contains("bpe")) classOf[GraftBpe].getName
         else classOf[DotProduct].getName
       ext.injectFunction((
         FunctionIdentifier(name),

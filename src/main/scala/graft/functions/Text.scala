@@ -106,6 +106,21 @@ object Text {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"))
 
+  /** REAL merge-table BPE tokenization (not the count estimate above):
+    * the native [[graft.expressions.GraftBpe]] expression under the
+    * committed fixture model — GPT-2-style pre-tokens, rank-ordered
+    * merges, total coverage so `concat_ws("", bpeTokens(c)) === c`
+    * exactly (detokenize identity). Registration note as [[winnow]]. */
+  def bpeTokens(c: Column): Column = {
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    call_function("graft_bpe", c)
+  }
+
+  /** Exact token count under the fixture BPE model — what a packing /
+    * per-token-budget pipeline needs (the estimate above tracks but
+    * does not equal it). */
+  def bpeTokenCountExact(c: Column): Column = size(bpeTokens(c))
+
   /** Canonical whitespace/case normalization used before hashing. */
   def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 

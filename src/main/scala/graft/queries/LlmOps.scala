@@ -78,6 +78,22 @@ object LlmOps {
         Text.tokenCount(col("text")).cast("long").as("n_ws"))
       .orderBy("doc_id")
 
+  /** REAL merge-table BPE (fixture model): exact per-doc token count
+    * plus an md5 over the chr(4)-joined token sequence — the oracle
+    * recomputes the identical merges in DuckDB (delimiter-wrapped
+    * symbols, one `replace` per rule in rank order), so a single
+    * mis-merged token anywhere in the corpus fails the hash. */
+  def tTokensBpe2(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), Text.bpeTokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        // chr(4)-JOINED, not plain concat: detokenize is identity, so a
+        // separator-free concat would hash the original text back and
+        // accept ANY token boundaries
+        md5(concat_ws("\u0004", col("__toks"))).as("tok_md5"))
+      .orderBy("doc_id")
+
   /** Deterministic hash-bucket sampling (reproducible 10% subsample
     * with its bucket, plus the split sizes as a sanity aggregate). */
   def tSample(spark: SparkSession, dir: String): DataFrame = {

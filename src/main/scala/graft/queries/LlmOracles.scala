@@ -73,6 +73,44 @@ object LlmOracles {
         |  len(string_split_regex(trim(text), '\s+')) AS n_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // REAL BPE, recomputed rule by rule: each doc becomes a delimiter-
+    // wrapped symbol string (chr(1) sym chr(2), pre-tokens joined by
+    // chr(3) so merges never cross pre-token boundaries), and the
+    // recursive CTE applies merge rank k at step k as one left-to-right
+    // non-overlapping replace — the exact apply semantics of the
+    // graft_bpe kernel. n_tokens counts symbol delimiters; tok_md5
+    // hashes the chr(4)-joined token sequence (identical to the Spark
+    // side's concat_ws(chr(4), tokens)).
+    "t_tokens_bpe2" -> {
+      val n = graft.expressions.BpeFixture.ruleCount
+      s"""WITH RECURSIVE rules(rk, l, r) AS (VALUES ${graft.expressions.BpeFixture.sqlRules}),
+         |doc0 AS (
+         |  SELECT doc_id, array_to_string(list_transform(
+         |      regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'),
+         |      pt -> list_aggregate(list_transform(regexp_extract_all(pt, '.'),
+         |                             c -> chr(1)||c||chr(2)), 'string_agg', '')),
+         |    chr(3)) AS s
+         |  FROM documents),
+         |rec AS (
+         |  SELECT doc_id, s, 0 AS step FROM doc0
+         |  UNION ALL
+         |  SELECT rec.doc_id,
+         |    replace(rec.s, chr(1)||rules.l||chr(2)||chr(1)||rules.r||chr(2),
+         |            chr(1)||rules.l||rules.r||chr(2)),
+         |    rec.step + 1
+         |  FROM rec JOIN rules ON rules.rk = rec.step + 1
+         |  WHERE rec.step < $n),
+         |fin AS (
+         |  SELECT doc_id, s,
+         |    substr(replace(replace(s, chr(3), ''), chr(2)||chr(1), chr(4)), 2,
+         |      greatest(0, length(replace(replace(s, chr(3), ''), chr(2)||chr(1), chr(4))) - 2)) AS joined
+         |  FROM rec WHERE step = $n)
+         |SELECT doc_id,
+         |  (length(s) - length(replace(s, chr(1), '')))::bigint AS n_tokens,
+         |  md5(joined) AS tok_md5
+         |FROM fin ORDER BY doc_id""".stripMargin
+    },
+
     "t_pack" ->
       s"""WITH n AS (
          |  SELECT doc_id, len($toks)::bigint AS n FROM documents),

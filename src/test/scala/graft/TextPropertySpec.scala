@@ -110,6 +110,43 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE: detokenize identity on arbitrary text; every multi-char token is a trained merge output") {
+    val model = graft.expressions.BpeFixture.default
+    val mergeOutputs = model.merges.map { case (l, r) => l + r }.toSet
+    // corpus-like text plus adversarial inputs the trainer never saw:
+    // digits, punctuation, unicode, runs of whitespace
+    val bpeTexts = texts ++
+      samples(Gen.stringOf(Gen.oneOf('a', 'e', 'r', ' ', '\n', '\t', '0', '9', '.', ',', '!')), 30) ++
+      Seq(" leading space", "trailing space ", "a  double  space", "12345 mixed w0rds!")
+    bpeTexts.foreach { t =>
+      val toks = model.encode(t)
+      // TOTAL coverage: concatenating the tokens reproduces the text
+      // exactly — the detokenize round-trip the tokenizer contract
+      // promises (whitespace runs are tokens, nothing is dropped)
+      assert(toks.mkString == t, s"round-trip failed for ${t.take(40).toSeq}")
+      // closure: every token is either a single code point (base
+      // alphabet, incl. chars the fixture never saw) or the output of
+      // a trained merge — nothing else can be produced by merge-apply
+      toks.foreach { tok =>
+        assert(tok.codePointCount(0, tok.length) == 1 || mergeOutputs.contains(tok),
+          s"token '$tok' is neither a base symbol nor a merge output")
+      }
+    }
+    // the column form agrees with the kernel (registration + codegen path)
+    val df = bpeTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), Text.bpeTokens(col("t")).as("toks"))
+    df.as[(Long, Seq[String])].collect().foreach { case (id, toks) =>
+      assert(toks == model.encode(bpeTexts(id.toInt)).toSeq, s"column/kernel mismatch on doc $id")
+    }
+    // count wrappers line up: exact = size(tokens)
+    val cnt = bpeTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), Text.bpeTokenCountExact(col("t")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    bpeTexts.zipWithIndex.foreach { case (t, i) =>
+      assert(cnt(i.toLong) == model.encode(t).length)
+    }
+  }
+
   test("hashBucket is total and in range on adversarial keys") {
     import graft.operators.Sampling
     val keys = samples(Gen.asciiPrintableStr, 60) ++ Seq("", " ", "中文", "a|b", "\n")
