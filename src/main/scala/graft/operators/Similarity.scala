@@ -189,26 +189,20 @@ object Similarity {
 
   /** Nearest-centroid cell id per row (the quantizer): argmin over k of
     * ‖x−c‖², computed as `−2·x·c + ‖c‖²` (the ‖x‖² term is constant per
-    * row and cannot change the argmin). The argmin is [[argminStruct]] —
-    * an O(k) `least` fold over (d, cell) structs (lexicographic struct
-    * ordering breaks ties by cell id) — a single codegen'd projection:
-    * no join, no shuffle, no array allocation, no sort. */
+    * row and cannot change the argmin; ties resolve to the lowest cell
+    * id). The argmin is the native [[graft.expressions.PqArgmin]]
+    * kernel: one bounded loop over a centroid reference object, so the
+    * generated method size is independent of k — the per-centroid
+    * expression-tree form hit janino's 64 KB method limit at k=64 and
+    * silently dropped the stage to interpreted execution (see
+    * [[pqEncode]]). One codegen'd projection: no join, no shuffle. */
   def assignCells(df: DataFrame, centroids: Seq[Array[Double]],
-                  vecCol: String = "embedding"): DataFrame =
-    df.withColumn("cell", argminStruct(centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        (dot(col(vecCol), typedlit(c.toSeq)) * -2.0 + lit(c.map(x => x * x).sum)).as("d"),
-        lit(i).as("cell"))
-    }).getField("cell"))
-
-  /** O(k) argmin over scored (d, key) structs: `least` compares structs
-    * lexicographically (distance first, then key for deterministic
-    * ties), evaluating pairwise with NO array-of-structs allocation and
-    * no O(k log k) sort — the difference is 2048 struct allocations per
-    * row on a ksub=256, m=8 PQ encode. Callers guarantee non-null
-    * scores (least skips nulls, which would mis-select otherwise). */
-  private def argminStruct(scored: Seq[Column]): Column =
-    if (scored.size == 1) scored.head else least(scored: _*)
+                  vecCol: String = "embedding"): DataFrame = {
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    df.withColumn("cell",
+      call_function("graft_pq_argmin", col(vecCol),
+        typedlit(centroids.map(_.toSeq))))
+  }
 
   /** Deterministic bounded training draw: ~`bound` rows via
     * [[Sampling.sampleByHash]] (a pure function of the key — same
