@@ -37,6 +37,7 @@ object SparkEntry {
     "q17_sessionize"    -> (LlmOps.q17Sessionize _),
     "t_tokens"          -> (LlmOps.tTokens _),
     "t_quality"         -> (LlmOps.tQuality _),
+    "t_quality_lr"      -> (LlmOps.tQualityLr _),
     "t_langid"          -> (LlmOps.tLangId _),
     "t_fingerprint"     -> (LlmOps.tFingerprint _),
     "t_repetition"      -> (LlmOps.tRepetition _),
@@ -48,6 +49,7 @@ object SparkEntry {
     "t_vocab"           -> (LlmOps.tVocab _),
     "s_quantize"        -> (LlmOps.sQuantize _),
     "d_exact"           -> (LlmOps.dExact _),
+    "d_line_dedup"      -> (LlmOps.dLineDedup _),
     "d_ngram_jaccard"   -> (LlmOps.dNgramJaccard _),
     "d_minhash_lsh"     -> (LlmOps.dMinhashLsh _),
     "d_simhash"         -> (LlmOps.dSimhash _),

@@ -191,6 +191,31 @@ object Text {
         + least(tokenCount(c) / lit(50.0), lit(1.0)) * 0.3,
       4)
 
+  /** Trained linear quality-classifier score over a lowercased token
+    * array (fastText shape, Joulin et al. 2016: hashing-trick bag of
+    * words, score = sigmoid(bias + mean over tokens of
+    * weights[md5-bucket(token)])). Weights are the committed
+    * [[QualityModel]] fixture from tools/train_quality.py; the bucket
+    * is the corpus-standard md5-first-8-hex formula
+    * ([[graft.operators.Sampling.hashBucket]]) so the DuckDB oracle
+    * reproduces the score from the same constants.
+    *
+    * Scale: pure column expressions — one fold over the token array
+    * per row, the weight table a single plan literal (no broadcast, no
+    * shuffle, no UDF); this is the model-scoring shape that filters a
+    * 100 TB corpus in one codegen'd scan. */
+  def classifierScoreOf(toks: Column): Column = {
+    val w = typedlit(QualityModel.weights)
+    val bucket = (t: Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % QualityModel.dim).cast("int")
+    val s = aggregate(toks, lit(0.0), (acc, t) => acc + element_at(w, bucket(t) + 1))
+    val z = lit(QualityModel.bias) + s / greatest(size(toks), lit(1))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Raw-text convenience form of [[classifierScoreOf]]. */
+  def classifierScore(c: Column): Column = classifierScoreOf(tokens(lower(c)))
+
   /** Character-n-gram language profiles: score = fraction of the doc's
     * char trigrams found in a per-language profile set (the classic
     * Cavnar-Trenkle shape, profile lists kept small and inline).

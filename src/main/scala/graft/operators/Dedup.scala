@@ -26,6 +26,52 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("group_size"))
   }
 
+  /** Corpus-wide line-level dedup (the CCNet / RefinedWeb document-
+    * preparation step: drop every repeat of a line across the WHOLE
+    * corpus, keeping only its first occurrence, and drop boilerplate
+    * lines outright once they repeat more than `maxFreq` times).
+    *
+    * Semantics: split each doc on `sep`; a line survives iff (a) its
+    * corpus frequency is ≤ `maxFreq` and (b) this (doc, position) is
+    * the corpus-minimum occurrence of the line's exact content,
+    * ordered by (`idCol`, position). Surviving lines are reassembled
+    * in original order; a doc whose every line was dropped stays in
+    * the output with empty text (so downstream length filters see it).
+    *
+    * Output: (`idCol`, text, n_kept, n_lines).
+    *
+    * Scale: two hash shuffles, both on keys with map-side combine —
+    * one on the line content (frequency + first-occurrence agg, group
+    * state one struct), one on `idCol` (reassembly). The join back is
+    * keyed on (line, id, pos) — unique on BOTH sides by construction,
+    * so the hot boilerplate lines that dominate real corpora (the
+    * whole point of the operator) cannot skew a join partition; only
+    * the frequency agg sees them, and min/count are algebraic so the
+    * skew collapses map-side. Nothing is O(n²) and no doc's full text
+    * crosses the wire twice: the reassembly shuffle carries only
+    * surviving lines. */
+  def dedupLines(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                 sep: String = "\n", maxFreq: Long = Long.MaxValue): DataFrame = {
+    val lines = spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "pos", "line")
+    val firsts = lines.groupBy("line")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"), count(lit(1)).as("freq"))
+      .where(col("freq") <= maxFreq)
+      .select(col("line"), col(s"first.$idCol").as(idCol), col("first.pos").as("pos"))
+    val kept = lines.join(firsts, Seq("line", idCol, "pos"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("ks"))
+      .select(col(idCol),
+        array_join(transform(col("ks"), k => k("line")), sep).as("__kept_text"),
+        size(col("ks")).cast("long").as("n_kept"))
+    docs.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__kept_text"), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_lines"))
+  }
+
   /** Round-robin repartition of a SMALL input whose scan parallelism is
     * below the cluster's core count, so per-row-heavy stages (regex
     * tokenize, per-position md5) use every core instead of the scan's

@@ -57,6 +57,19 @@ object LlmOps {
         Text.topFraction(col("bgs")).as("top_bigram_frac"))
       .orderBy("doc_id")
 
+  /** Trained linear quality-classifier scoring (fastText shape): the
+    * committed [[graft.functions.QualityModel]] weights applied as one
+    * codegen'd fold per doc — the model-scoring step of a quality-
+    * filtered corpus. Staged token array, score computed once. */
+  def tQualityLr(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), Text.classifierScoreOf(col("toks")).as("s"))
+      .select(col("doc_id"),
+        round(col("s"), 4).as("score"),
+        (col("s") >= 0.5).cast("int").as("pred_en"))
+      .orderBy("doc_id")
+
   /** PII redaction over text with synthesized email/phone spans (the
     * corpus has none, so the gate plants them deterministically and the
     * oracle plants the identical ones). */
@@ -165,6 +178,24 @@ object LlmOps {
   /** Exact dedup: canonical id per content-hash group. */
   def dExact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exact(Tables(spark, dir).documents).orderBy("doc_id")
+
+  /** Corpus-wide line-level dedup (CCNet/RefinedWeb step): the synthetic
+    * docs have no newlines, so the gate first forms pseudo-lines of 3
+    * tokens (deterministic, recomputed identically by the oracle), then
+    * drops every non-first occurrence of a line across the corpus plus
+    * any line repeating more than 3 times (boilerplate). At sf0.01 this
+    * rewrites ~25% of line occurrences — the branch is exercised. */
+  def dLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lined = Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), greatest(floor((size(col("toks")) + lit(2)) / lit(3)).cast("int") - 1, lit(0))),
+            i => array_join(slice(col("toks"), i * lit(3) + lit(1), lit(3)), " ")),
+          "\n").as("text"))
+    Dedup.dedupLines(lined, maxFreq = 3).orderBy("doc_id")
+  }
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5), with the
     * hot-shingle document-frequency cap ON — the 100 TB-safe default: a

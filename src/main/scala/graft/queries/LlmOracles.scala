@@ -46,6 +46,25 @@ object LlmOracles {
          |      FROM documents) ORDER BY doc_id""".stripMargin
     },
 
+    // trained linear classifier score: the SAME committed QualityModel
+    // constants interpolated into SQL (single source of truth with the
+    // Spark side); same md5 bucket formula, same mean-then-sigmoid
+    "t_quality_lr" -> {
+      import graft.functions.QualityModel
+      val w = QualityModel.weights.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, ${QualityModel.bias} + list_sum(list_transform(toks,
+         |      t -> [$w][((('0x' || substr(md5(t), 1, 8))::bigint % ${QualityModel.dim}) + 1)::int]))
+         |    / greatest(len(toks), 1) AS z
+         |  FROM tok)
+         |SELECT doc_id, round(1/(1+exp(-z)), 4) AS score,
+         |  (1/(1+exp(-z)) >= 0.5)::int AS pred_en
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
     "t_repetition" -> {
       def topFrac(l: String) =
         s"""round(list_max(list_transform(list_distinct($l),
@@ -153,6 +172,32 @@ object LlmOracles {
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // corpus-wide line dedup over pseudo-lines of 3 tokens: keep only
+    // the (doc_id, pos)-minimum occurrence of each line, drop lines
+    // with corpus frequency > 3 outright; reassemble in order, empty
+    // string for fully-dropped docs. min key doc_id*1e6+pos mirrors
+    // Spark's lexicographic min(struct(doc_id, pos)) (pos < 1e6).
+    "d_line_dedup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |ln AS (
+         |  SELECT doc_id, unnest(range(greatest((len(toks)+2)//3, 1))) AS pos, toks FROM tok),
+         |lines AS (
+         |  SELECT doc_id, pos, array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS line FROM ln),
+         |firsts AS (
+         |  SELECT line, min(doc_id*1000000+pos) AS fk FROM lines
+         |  GROUP BY line HAVING count(*) <= 3),
+         |kept AS (
+         |  SELECT l.doc_id, l.pos, l.line FROM lines l
+         |  JOIN firsts f ON l.line = f.line AND l.doc_id*1000000+l.pos = f.fk),
+         |agg AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ktext, count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.ktext, '') AS text,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  greatest((len(t.toks)+2)//3, 1)::bigint AS n_lines
+         |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "d_exact" ->
       """WITH h AS (

@@ -45,6 +45,39 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
   }
 
+  test("line dedup keeps first occurrence corpus-wide, preserves order") {
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma"),      // "shared" already seen in doc 1
+      (3L, "gamma\ndelta")        // "gamma" already seen in doc 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "alpha\nshared\nbeta", 3L, 3L),
+      (2L, "gamma", 1L, 2L),
+      (3L, "delta", 1L, 2L)))
+  }
+
+  test("line dedup drops boilerplate lines over maxFreq entirely; empty doc survives") {
+    val docs = Seq(
+      (1L, "boiler\nkeep1"), (2L, "boiler\nkeep2"),
+      (3L, "boiler\nkeep3"), (4L, "boiler")   // "boiler" freq 4 > maxFreq 3
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, maxFreq = 3).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "keep1", 1L, 2L), (2L, "keep2", 1L, 2L),
+      (3L, "keep3", 1L, 2L), (4L, "", 0L, 1L)))
+  }
+
+  test("line dedup separator is taken literally, not as regex") {
+    val docs = Seq((1L, "a.b"), (2L, "b.c")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, sep = ".").orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "a.b", 2L, 2L), (2L, "c", 1L, 2L)))
+  }
+
   test("ngram jaccard finds the overlapping pair only") {
     val docs = Seq(
       (1L, "a b c d e f g h"),

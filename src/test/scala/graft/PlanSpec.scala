@@ -141,6 +141,25 @@ class PlanSpec extends SparkSpec {
       "DSIR totals must attach via broadcast cross join")
   }
 
+  test("d_line_dedup: unique-key join back (no hot-line skew), t_quality_lr: pure scan, no shuffle") {
+    // the join back to first-occurrences is keyed on (line, id, pos) —
+    // unique on both sides, so a hot boilerplate line cannot skew one
+    // partition. Joining on `line` alone would show a 1-column key.
+    // (the STRATEGY is free to adapt — at sf0.001 the firsts side is
+    // tiny and broadcasts; at scale the same 3-column equi-key shuffles
+    // without skew because it is unique on both sides)
+    val ld = SparkEntry.queries("d_line_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Join \\[line#\\d+, doc_id#\\d+L?, pos#\\d+\\]".r.findFirstIn(ld).isDefined,
+      s"join back must key on (line, doc_id, pos), not line alone:\n${ld.take(800)}")
+    // classifier scoring is one codegen'd scan: no join, no agg shuffle
+    val lr = plan("t_quality_lr")
+    assert(!lr.contains("Join") && !lr.contains("HashAggregate"),
+      s"classifier scoring must be a pure projection:\n${lr.take(400)}")
+    assert(!lr.contains("Exchange") || lr.contains("rangepartitioning"),
+      s"classifier scoring must not shuffle (except the final sort):\n${lr.take(400)}")
+  }
+
   test("ivfPqTopK: ADC scoring is an equi-join on the probed cell — the cell probe prunes the code scan") {
     val e = core.Tables(spark, dir).embeddings
     val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)

@@ -79,6 +79,27 @@ class TextSpec extends SparkSpec {
     assert(r.getInt(0) == 9 && r.getInt(1) == 4)
   }
 
+  test("classifier score matches an independent reimplementation of the fixture formula") {
+    import graft.functions.QualityModel
+    def refScore(text: String): Double = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val sum = toks.map { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        QualityModel.weights((java.lang.Long.parseLong(hex, 16) % QualityModel.dim).toInt)
+      }.sum
+      1.0 / (1.0 + math.exp(-(QualityModel.bias + sum / math.max(toks.size, 1))))
+    }
+    val texts = Seq("The quick brown fox jumps", "der die das und ist",
+      "key agg row scan slow fast", "x")
+    val got = texts.toDF("text")
+      .select(Text.classifierScore(col("text")).as("s")).as[Double].collect().toSeq
+    texts.zip(got).foreach { case (t, s) =>
+      assert(math.abs(s - refScore(t)) < 1e-12, s"text '$t'")
+      assert(s > 0.0 && s < 1.0)
+    }
+  }
+
   test("winnow handles short and null inputs") {
     val out = Seq(Some("ab"), None).toDF("t")
       .select(Text.winnow(col("t")).as("fp")).as[Seq[Long]].collect().toSeq
