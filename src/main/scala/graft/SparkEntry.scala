@@ -38,6 +38,9 @@ object SparkEntry {
     "t_tokens"          -> (LlmOps.tTokens _),
     "t_quality"         -> (LlmOps.tQuality _),
     "t_quality_lr"      -> (LlmOps.tQualityLr _),
+    "t_ppl_buckets"     -> (LlmOps.tPplBuckets _),
+    "t_rulefilter"      -> (LlmOps.tRuleFilter _),
+    "t_ngram_freq"      -> (LlmOps.tNgramFreq _),
     "t_langid"          -> (LlmOps.tLangId _),
     "t_fingerprint"     -> (LlmOps.tFingerprint _),
     "t_repetition"      -> (LlmOps.tRepetition _),

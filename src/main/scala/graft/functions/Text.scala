@@ -51,10 +51,16 @@ object Text {
     * passing `tokens(text)` inline would re-run the regex split once
     * per bigram (O(n²) splits/row — a real straggler at scale).
     * Materialize the tokens in their own projection first. */
-  def bigramsOf(toks: Column): Column =
+  def bigramsOf(toks: Column): Column = ngramsOf(toks, 2)
+
+  /** All word n-grams WITH multiplicity (the frequency-counting
+    * sibling of [[shinglesOf]], which deduplicates for set
+    * similarity). Same staging rule: pass the materialized token
+    * array, never `tokens(text)` inline. */
+  def ngramsOf(toks: Column, n: Int): Column =
     transform(
-      sequence(lit(0), greatest(size(toks) - 2, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
   /** Fraction of occurrences held by the most frequent element of an
     * array column: sort, then longest equal-run via `aggregate` —

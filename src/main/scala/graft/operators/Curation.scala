@@ -89,6 +89,38 @@ object Curation {
       out.filter(col("split") === "test").count())
   }
 
+  /** Gopher/C4-family rule filter with per-rule attribution: every doc
+    * labeled keep/drop plus the FIRST failing rule's name (rules
+    * checked in declaration order, the Gopher reporting convention) —
+    * the audit artifact a curation run ships alongside the filtered
+    * corpus, so domain owners can see WHY volume dropped.
+    *
+    * Rules (all over per-row signals, thresholds caller-tunable):
+    * too_short (n_tokens < minTokens), too_long (> maxTokens),
+    * low_alpha (alpha_ratio < minAlpha), repetitive (top_token_frac >
+    * maxTopTokenFrac).
+    *
+    * Scale: one codegen'd projection — the token array is staged once,
+    * every rule reads attributes, no shuffle, no UDF; this annotates
+    * 100 TB in a single scan. */
+  def ruleFilter(docs: DataFrame, minTokens: Int = 30, maxTokens: Int = 100000,
+                 minAlpha: Double = 0.80, maxTopTokenFrac: Double = 0.12,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), col(textCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).as("__n"),
+        Text.alphaRatio(col(textCol)).as("__alpha"),
+        Text.topFraction(col("__toks")).as("__rep"))
+      .select(col(idCol),
+        when(col("__n") < minTokens, "too_short")
+          .when(col("__n") > maxTokens, "too_long")
+          .when(col("__alpha") < minAlpha, "low_alpha")
+          .when(col("__rep") > maxTopTokenFrac, "repetitive")
+          .otherwise("ok").as("reason"))
+      .select(col(idCol), (col("reason") === "ok").cast("int").as("keep"),
+        col("reason"))
+
   /** The shuffle-free scalar gates: quality, language, repetition —
     * staged token column so the tokenizer runs once per row (see
     * [[graft.functions.Text.bigramsOf]] lambda-inlining note). */

@@ -120,4 +120,51 @@ object TextStats {
       .select(col("id"), col("rnk"), col("t").as("term"),
         round(col("score"), 4).as("tfidf"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): label each
+    * doc head/middle/tail (bucket 1..`buckets`) by its unigram-LM
+    * score WITHIN its `byCol` group (CCNet buckets per language, so a
+    * hard language is not all "tail").
+    *
+    * Cutoffs are estimated on a deterministic `samplePct`% hash-sample
+    * per group — CCNet's own design (they fit cutoffs on a sample, then
+    * assign in one streaming pass) and the only shape that scales: an
+    * exact per-group ntile would sort a whole language's corpus into
+    * one window partition. A doc's bucket is 1 + the number of cutoff
+    * rows lexicographically below its (mean_nll, id) — id breaks
+    * rounded-score ties, so assignment is total and engine-portable.
+    * Groups whose sample is smaller than `buckets` degrade gracefully
+    * (repeated cutoffs collapse middle buckets); a group with an empty
+    * sample gets bucket 1 throughout.
+    *
+    * Scale: [[unigramLogProb]]'s two shuffles + a window over the
+    * SAMPLE only (bounded per group) + a broadcast of
+    * (groups × (buckets-1)) cutoff rows; assignment adds no shuffle. */
+  def perplexityBuckets(docs: DataFrame, byCol: String = "lang",
+                        buckets: Int = 3, samplePct: Int = 20,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val scored = unigramLogProb(docs, textCol, idCol)
+      .join(docs.select(col(idCol).as("id"), col(byCol)), "id")
+      .select(col("id"), col(byCol), col("mean_nll"))
+    val samp = scored.filter(Sampling.hashBucket(col("id")) < samplePct)
+    val w = Window.partitionBy(byCol)
+      .orderBy(col("mean_nll").asc, col("id").asc)
+    val ranked = samp
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(byCol)))
+    val cuts = (1 until buckets).map { k =>
+      ranked.filter(col("rn") === ceil(col("cnt") * k / lit(buckets.toDouble)))
+        .select(col(byCol), col("mean_nll").as(s"c${k}_nll"), col("id").as(s"c${k}_id"))
+    }.reduce((a, b) => a.join(b, byCol))
+    val bucket = (1 until buckets).map { k =>
+      when(col(s"c${k}_nll").isNull, 0)
+        .when(col("mean_nll") > col(s"c${k}_nll") ||
+          (col("mean_nll") === col(s"c${k}_nll") && col("id") > col(s"c${k}_id")), 1)
+        .otherwise(0)
+    }.reduce(_ + _) + 1
+    scored.join(broadcast(cuts), Seq(byCol), "left")
+      .select(col("id"), col(byCol), col("mean_nll"), bucket.as("bucket"))
+  }
 }

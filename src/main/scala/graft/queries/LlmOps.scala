@@ -57,6 +57,39 @@ object LlmOps {
         Text.topFraction(col("bgs")).as("top_bigram_frac"))
       .orderBy("doc_id")
 
+  /** CCNet perplexity buckets: head/middle/tail per language by the
+    * unigram-LM score, cutoffs estimated on a deterministic 20%
+    * hash-sample per language (the sample-then-assign design that
+    * avoids a per-language global sort). */
+  def tPplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextStats
+    TextStats.perplexityBuckets(Tables(spark, dir).documents)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Gopher/C4 rule filter with per-rule attribution: keep flag + the
+    * first failing rule name, one codegen'd scan. */
+  def tRuleFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    Curation.ruleFilter(Tables(spark, dir).documents).orderBy("doc_id")
+  }
+
+  /** Corpus-wide most-frequent word trigrams (the C4/Gopher "top
+    * duplicated n-grams" report): vocab-sized agg, TakeOrdered top-20,
+    * driver-tiny rank window. */
+  def tNgramFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Text.ngramsOf(col("toks"), 3)).as("ng"))
+      .groupBy("ng")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("ng")).limit(20)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("tf").desc, col("ng"))).cast("long"))
+      .select("rank", "ng", "tf", "df")
+
   /** Trained linear quality-classifier scoring (fastText shape): the
     * committed [[graft.functions.QualityModel]] weights applied as one
     * codegen'd fold per doc — the model-scoring step of a quality-

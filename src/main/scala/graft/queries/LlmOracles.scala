@@ -46,6 +46,72 @@ object LlmOracles {
          |      FROM documents) ORDER BY doc_id""".stripMargin
     },
 
+    // CCNet perplexity buckets: mean_nll per doc (the t_unigram_lp
+    // formula), cutoffs from the 20% md5-hash sample per lang at ntile
+    // boundary ranks, assignment by lexicographic (mean_nll, id)
+    // comparison against the cutoff rows — identical to
+    // TextStats.perplexityBuckets
+    "t_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |tot AS (SELECT sum(cnt) AS n_total FROM c),
+        |scored AS (
+        |  SELECT id, round(avg(-ln(cnt / n_total)), 4) AS mean_nll
+        |  FROM tok JOIN c USING (t) CROSS JOIN tot GROUP BY id),
+        |sl AS (
+        |  SELECT s.id, d.lang, s.mean_nll FROM scored s JOIN documents d ON s.id = d.doc_id),
+        |samp AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY mean_nll, id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM sl WHERE (('0x' || substr(md5(id::varchar), 1, 8))::bigint % 100) < 20),
+        |cut AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = ceil(cnt * 1 / 3.0) THEN mean_nll END) AS c1_nll,
+        |    max(CASE WHEN rn = ceil(cnt * 1 / 3.0) THEN id END) AS c1_id,
+        |    max(CASE WHEN rn = ceil(cnt * 2 / 3.0) THEN mean_nll END) AS c2_nll,
+        |    max(CASE WHEN rn = ceil(cnt * 2 / 3.0) THEN id END) AS c2_id
+        |  FROM samp GROUP BY lang)
+        |SELECT sl.id AS doc_id, sl.lang, sl.mean_nll,
+        |  (1 + CASE WHEN c1_nll IS NULL THEN 0
+        |            WHEN sl.mean_nll > c1_nll OR (sl.mean_nll = c1_nll AND sl.id > c1_id) THEN 1
+        |            ELSE 0 END
+        |     + CASE WHEN c2_nll IS NULL THEN 0
+        |            WHEN sl.mean_nll > c2_nll OR (sl.mean_nll = c2_nll AND sl.id > c2_id) THEN 1
+        |            ELSE 0 END)::int AS bucket
+        |FROM sl LEFT JOIN cut USING (lang) ORDER BY doc_id""".stripMargin,
+
+    // Gopher/C4 rule filter: same rounded signals as t_quality /
+    // t_repetition, first failing rule in declaration order
+    "t_rulefilter" -> {
+      def topFrac(l: String) =
+        s"""round(list_max(list_transform(list_distinct($l),
+           |  x -> len(list_filter($l, y -> y = x)))) / len($l), 4)""".stripMargin
+      s"""SELECT doc_id, (reason = 'ok')::int AS keep, reason FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toks) < 30 THEN 'too_short'
+         |         WHEN len($toks) > 100000 THEN 'too_long'
+         |         WHEN round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 4) < 0.80 THEN 'low_alpha'
+         |         WHEN ${topFrac(toks)} > 0.12 THEN 'repetitive'
+         |         ELSE 'ok' END AS reason
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // corpus top-20 word trigrams by tf (tie-break trigram text), same
+    // short-doc shingle clamp as the jaccard oracles
+    "t_ngram_freq" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(greatest(len($toks) - 2, 1)),
+         |      i -> array_to_string(($toks)[(i+1):(i+3)], ' '))) AS sh
+         |    FROM documents))
+         |SELECT row_number() OVER (ORDER BY tf DESC, ng) AS rank, ng, tf, df
+         |FROM (SELECT sh AS ng, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |      FROM sh GROUP BY sh)
+         |ORDER BY tf DESC, ng LIMIT 20""".stripMargin,
+
     // trained linear classifier score: the SAME committed QualityModel
     // constants interpolated into SQL (single source of truth with the
     // Spark side); same md5 bucket formula, same mean-then-sigmoid

@@ -12,6 +12,20 @@ class CurationSpec extends SparkSpec {
 
   private val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
 
+  test("ruleFilter: first failing rule wins in declaration order; ok docs keep=1") {
+    val fix = Seq(
+      (1L, "short doc"),                                  // too_short AND low alpha → too_short
+      (2L, ("spam " * 40).trim),                          // long enough, repetitive (frac 1.0)
+      (3L, "1 2 3 4 5 6 7 8 9 10 " * 3),                 // 30 tokens, zero alpha → low_alpha
+      (4L, (1 to 40).map(i => s"word${('a' + i % 26).toChar}xyz").mkString(" ")) // passes all rules
+    ).toDF("doc_id", "text")
+    val out = Curation.ruleFilter(fix).orderBy("doc_id")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "too_short"), (2L, 0, "repetitive"),
+      (3L, 0, "low_alpha"), (4L, 1, "ok")))
+  }
+
   test("curated corpus has no exact duplicates and carries tokens + split") {
     val out = Curation.curate(docs)
     out.persist()

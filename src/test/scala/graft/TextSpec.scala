@@ -79,6 +79,16 @@ class TextSpec extends SparkSpec {
     assert(r.getInt(0) == 9 && r.getInt(1) == 4)
   }
 
+  test("ngramsOf keeps multiplicity; shinglesOf deduplicates") {
+    val df = Seq("x y x y x").toDF("t")
+      .select(Text.tokens(col("t")).as("toks"))
+      .select(Text.ngramsOf(col("toks"), 2).as("ng"),
+        Text.shinglesOf(col("toks"), 2).as("sh"))
+    val (ng, sh) = df.as[(Seq[String], Seq[String])].head()
+    assert(ng == Seq("x y", "y x", "x y", "y x"))
+    assert(sh == Seq("x y", "y x"))
+  }
+
   test("classifier score matches an independent reimplementation of the fixture formula") {
     import graft.functions.QualityModel
     def refScore(text: String): Double = {

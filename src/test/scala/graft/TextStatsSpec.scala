@@ -78,6 +78,28 @@ class TextStatsSpec extends SparkSpec {
     assert(tt.columns.toSeq == Seq("id", "rnk", "term", "tfidf") && tt.count() == 0)
   }
 
+  test("perplexityBuckets: full sample = exact terciles; empty sample degrades to bucket 1") {
+    // 6 docs, one group; with samplePct=100 the cutoffs are the exact
+    // ntile boundaries: ranks 1-2 → bucket 1, 3-4 → 2, 5-6 → 3.
+    // Distinct word counts make the mean_nll ordering deterministic
+    // (more repeated tokens → commoner → lower -ln p).
+    val docs = Seq(
+      (1L, "a a a a a a", "g"), (2L, "a a a a a b", "g"),
+      (3L, "a a a a b b", "g"), (4L, "a a a b b b", "g"),
+      (5L, "a a b b b c", "g"), (6L, "a b b c c d", "g")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextStats.perplexityBuckets(docs, samplePct = 100)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    val ranked = TextStats.unigramLogProb(docs).orderBy("mean_nll", "id")
+      .select("id").as[Long].collect().toSeq
+    val expect = ranked.zipWithIndex.map { case (id, i) => id -> (i / 2 + 1) }.toMap
+    assert(out == expect)
+    // empty sample: every doc lands in bucket 1, nothing dropped
+    val none = TextStats.perplexityBuckets(docs, samplePct = 0)
+      .select("bucket").as[Int].collect().toSeq
+    assert(none.size == 6 && none.forall(_ == 1))
+  }
+
   test("importanceWeights: target-domain docs outscore off-domain, hand-checked math") {
     // corpus: two "legal" docs, two "chat" docs; target sample = legal.
     // the legal docs must carry the higher mean log-likelihood ratio
