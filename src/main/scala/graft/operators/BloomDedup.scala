@@ -73,10 +73,11 @@ object BloomDedup {
     * filters OR-merge on the exchange); None for an empty input. Pair
     * with [[saveFilter]]/[[loadFilter]] to build once per corpus
     * compaction and reuse across every batch run and stream. */
-  def buildFilter(fps: DataFrame, expectedItems: Long = 1L << 20): Option[Array[Byte]] = {
+  def buildFilter(fps: DataFrame, expectedItems: Long = 1L << 20,
+                  hashCol: String = "fp"): Option[Array[Byte]] = {
     GraftFunctions.register(fps.sparkSession)
     val row = fps.agg(call_function("graft_bloom_agg",
-      xxhash64(col("fp")), lit(expectedItems)).as("bf")).head()
+      xxhash64(col(hashCol)), lit(expectedItems)).as("bf")).head()
     if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
   }
 
@@ -227,5 +228,58 @@ object BloomDedup {
       .select(col("id"), col("dup_of"),
         round(col("i") / (col("bn") + col("cn") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The corpus's distinct line-hash table (lh = md5 of the exact line
+    * content) — the persisted artifact of incremental LINE dedup, the
+    * third member of the prebuilt-index family (fp map, LSH index,
+    * line hashes). In steady state write it bucketed by `lh` so the
+    * corpus side of every per-batch anti-join is exchange-free, and
+    * refresh on corpus compaction. */
+  def corpusLineHashes(corpus: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       sep: String = "\n"): DataFrame =
+    Dedup.splitLines(corpus, textCol, idCol, sep)
+      .select(md5(col("line")).as("lh")).distinct()
+
+  /** Incremental corpus-wide line dedup (the CCNet production shape:
+    * a new crawl's lines are dropped when the CORPUS already contains
+    * them, then keep-first deduped within the batch itself).
+    *
+    * A batch line survives iff (a) its md5 is NOT in `corpusLines` —
+    * checked via an optional broadcast Bloom prefilter (built from the
+    * `lh` column by [[buildFilter]]) so definite-novel lines never
+    * reach the anti-join, the [[incrementalExactPrebuilt]] design —
+    * and (b) it is the batch-first occurrence of its content by
+    * (`idCol`, position). Reassembly preserves order; fully-dropped
+    * docs stay with empty text. Output: (id, text, n_kept, n_lines).
+    *
+    * Scale: the corpus table is probed, never scanned into a shuffle
+    * (bloom prefilter + anti-join against the bucketed lh table);
+    * within-batch keep-first shuffles only batch lines. */
+  def incrementalLineDedup(batch: DataFrame, corpusLines: DataFrame,
+                           filter: Option[Array[Byte]] = None,
+                           textCol: String = "text",
+                           idCol: String = "doc_id",
+                           sep: String = "\n"): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+    val lines = Dedup.splitLines(batch, textCol, idCol, sep)
+      .withColumn("lh", md5(col("line")))
+    val novel = filter match {
+      case None => lines.join(corpusLines, Seq("lh"), "left_anti")
+      case Some(bytes) =>
+        val maybe = call_function("graft_might_contain",
+          lit(bytes), xxhash64(col("lh")))
+        // definite-novel fast path: map-side only; the maybe sliver
+        // resolves exactly against the corpus table (no false drops)
+        lines.filter(!maybe)
+          .unionByName(lines.filter(maybe).join(corpusLines, Seq("lh"), "left_anti"))
+    }
+    val firsts = novel.groupBy("line")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+      .select(col("line"), col(s"first.$idCol").as(idCol), col("first.pos").as("pos"))
+    val kept = novel.join(firsts, Seq("line", idCol, "pos"))
+      .select(col(idCol), col("pos"), col("line"))
+    Dedup.reassembleLines(kept, batch, textCol, idCol, sep)
   }
 }

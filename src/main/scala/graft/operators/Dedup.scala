@@ -52,14 +52,30 @@ object Dedup {
     * surviving lines. */
   def dedupLines(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                  sep: String = "\n", maxFreq: Long = Long.MaxValue): DataFrame = {
-    val lines = spread(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
-      .toDF(idCol, "pos", "line")
+    val lines = splitLines(docs, textCol, idCol, sep)
     val firsts = lines.groupBy("line")
       .agg(min(struct(col(idCol), col("pos"))).as("first"), count(lit(1)).as("freq"))
       .where(col("freq") <= maxFreq)
       .select(col("line"), col(s"first.$idCol").as(idCol), col("first.pos").as("pos"))
     val kept = lines.join(firsts, Seq("line", idCol, "pos"))
+    reassembleLines(kept, docs, textCol, idCol, sep)
+  }
+
+  /** The (id, pos, line) long form of a line-structured corpus —
+    * shared by [[dedupLines]] and the incremental
+    * [[BloomDedup.incrementalLineDedup]]. `sep` is literal, not regex. */
+  private[operators] def splitLines(docs: DataFrame, textCol: String,
+                                    idCol: String, sep: String): DataFrame =
+    spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "pos", "line")
+
+  /** Rebuild (`idCol`, text, n_kept, n_lines) from surviving (id, pos,
+    * line) rows, preserving order; docs whose every line was dropped
+    * stay present with empty text. */
+  private[operators] def reassembleLines(kept: DataFrame, docs: DataFrame,
+                                         textCol: String, idCol: String,
+                                         sep: String): DataFrame = {
     val rebuilt = kept.groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("pos"), col("line")))).as("ks"))
       .select(col(idCol),

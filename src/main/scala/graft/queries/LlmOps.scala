@@ -218,8 +218,13 @@ object LlmOps {
     * drops every non-first occurrence of a line across the corpus plus
     * any line repeating more than 3 times (boilerplate). At sf0.01 this
     * rewrites ~25% of line occurrences — the branch is exercised. */
-  def dLineDedup(spark: SparkSession, dir: String): DataFrame = {
-    val lined = Tables(spark, dir).documents
+  def dLineDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLines(pseudoLined(spark, dir), maxFreq = 3).orderBy("doc_id")
+
+  /** The synthetic docs have no newlines: rebuild each as pseudo-lines
+    * of 3 tokens (deterministic; the oracles recompute identically). */
+  private def pseudoLined(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_join(
@@ -227,7 +232,19 @@ object LlmOps {
             sequence(lit(0), greatest(floor((size(col("toks")) + lit(2)) / lit(3)).cast("int") - 1, lit(0))),
             i => array_join(slice(col("toks"), i * lit(3) + lit(1), lit(3)), " ")),
           "\n").as("text"))
-    Dedup.dedupLines(lined, maxFreq = 3).orderBy("doc_id")
+
+  /** Incremental line dedup: the batch slice (hash bucket ≥ 95, the
+    * d_decontam split) loses every line the corpus slice (< 95)
+    * already contains, then keep-first within the batch; Bloom
+    * prefilter ON so the definite-novel path is exercised map-side. */
+  def dIncrLines(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BloomDedup, Sampling}
+    val lined = pseudoLined(spark, dir)
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val corpusLines = BloomDedup.corpusLineHashes(lined.filter(bucket < 95))
+    BloomDedup.incrementalLineDedup(lined.filter(bucket >= 95), corpusLines,
+        BloomDedup.buildFilter(corpusLines, hashCol = "lh"))
+      .orderBy("doc_id")
   }
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5), with the

@@ -265,6 +265,35 @@ object LlmOracles {
          |  greatest((len(t.toks)+2)//3, 1)::bigint AS n_lines
          |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
+    // incremental line dedup: batch slice (md5 bucket >= 95) drops
+    // corpus-present lines (bucket < 95) then keep-first within the
+    // batch; same pseudo-line construction and min-key as d_line_dedup
+    "d_incr_lines" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toks AS toks,
+         |    (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100) AS b
+         |  FROM documents),
+         |ln AS (
+         |  SELECT doc_id, b, unnest(range(greatest((len(toks)+2)//3, 1))) AS pos, toks FROM tok),
+         |lines AS (
+         |  SELECT doc_id, b, pos, array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS line FROM ln),
+         |novel AS (
+         |  SELECT doc_id, pos, line FROM lines WHERE b >= 95
+         |    AND line NOT IN (SELECT DISTINCT line FROM lines WHERE b < 95)),
+         |firsts AS (
+         |  SELECT line, min(doc_id*1000000+pos) AS fk FROM novel GROUP BY line),
+         |kept AS (
+         |  SELECT l.doc_id, l.pos, l.line FROM novel l
+         |  JOIN firsts f ON l.line = f.line AND l.doc_id*1000000+l.pos = f.fk),
+         |agg AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ktext, count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.ktext, '') AS text,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  greatest((len(t.toks)+2)//3, 1)::bigint AS n_lines
+         |FROM tok t LEFT JOIN agg a USING (doc_id)
+         |WHERE t.b >= 95 ORDER BY t.doc_id""".stripMargin,
+
     "d_exact" ->
       """WITH h AS (
         |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

@@ -23,6 +23,29 @@ class BloomDedupSpec extends SparkSpec {
     (13L, "another novel text never seen in the corpus")
   ).toDF("doc_id", "text")
 
+  test("incrementalLineDedup drops corpus-present lines, keep-first within batch, bloom parity") {
+    val corpusDocs = Seq((1L, "known one\nknown two")).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (10L, "known one\nfresh a\nfresh b"),  // loses the corpus line
+      (11L, "fresh a\nfresh c"),             // "fresh a" already first in doc 10
+      (12L, "known two")                     // fully dropped → empty text
+    ).toDF("doc_id", "text")
+    val cl = BloomDedup.corpusLineHashes(corpusDocs)
+    val expect = Seq(
+      (10L, "fresh a\nfresh b", 2L, 3L),
+      (11L, "fresh c", 1L, 2L),
+      (12L, "", 0L, 1L))
+    val plain = BloomDedup.incrementalLineDedup(batchDocs, cl)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(plain == expect)
+    // bloom-prefiltered path: identical output (false positives resolve
+    // exactly, definite-novels bypass the join)
+    val bloomed = BloomDedup.incrementalLineDedup(batchDocs, cl,
+        BloomDedup.buildFilter(cl, hashCol = "lh"))
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(bloomed == expect)
+  }
+
   test("incrementalExact labels dups with canonical corpus id, novels with null") {
     val out = BloomDedup.incrementalExact(batch, corpus)
       .select("id", "dup_of").as[(Long, Option[Long])].collect().toMap
