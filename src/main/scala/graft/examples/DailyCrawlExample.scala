@@ -81,7 +81,25 @@ object DailyCrawlExample {
     // re-aggregates the corpus shingle long form for the jaccard
     // denominator — a corpus-scale groupBy that compaction can pay once
     idx.sizesOf.write.mode("overwrite").parquet(s"$indexDir/sizes")
+    // line-hash table + bloom: the corpus-wide LINE dedup artifact
+    // (CCNet step) — fourth member of the index family
+    BloomDedup.corpusLineHashes(corpus)
+      .write.mode("overwrite").parquet(s"$indexDir/lh")
+    BloomDedup.buildFilter(spark.read.parquet(s"$indexDir/lh"),
+        expectedItems, hashCol = "lh")
+      .foreach(writeBytes(spark, s"$indexDir/lh_bloom.bin", _))
   }
+
+  /** The persisted line-hash artifacts of [[compactCorpus]], if this
+    * index was compacted with them; None for a pre-round-8 index
+    * (line dedup then simply skips). */
+  def loadLineIndex(spark: SparkSession, indexDir: String)
+      : Option[(DataFrame, Option[Array[Byte]])] =
+    if (pathExists(spark, s"$indexDir/lh")) {
+      val bloom = if (pathExists(spark, s"$indexDir/lh_bloom.bin"))
+        Some(readBytes(spark, s"$indexDir/lh_bloom.bin")) else None
+      Some((spark.read.parquet(s"$indexDir/lh"), bloom))
+    } else None
 
   /** The persisted artifacts of [[compactCorpus]], reloaded. Tolerates
     * a pre-round-7 index without the `sizes` table (sizes then derive
@@ -147,7 +165,8 @@ object DailyCrawlExample {
   def labelBatch(batch: DataFrame, benchmark: DataFrame, indexDir: String,
                  targets: Map[String, Double]): DataFrame =
     labelBatchLoaded(batch, benchmark,
-      loadIndex(batch.sparkSession, indexDir), targets)
+      loadIndex(batch.sparkSession, indexDir), targets,
+      loadLineIndex(batch.sparkSession, indexDir))
 
   /** [[labelBatch]] against an ALREADY-LOADED index — the per-epoch
     * entry point of [[labelStream]] (artifacts are immutable between
@@ -156,8 +175,22 @@ object DailyCrawlExample {
     * holding [[loadIndexBucketed]] tables. */
   def labelBatchLoaded(batch: DataFrame, benchmark: DataFrame,
                        index: (DataFrame, Option[Array[Byte]], LshIndex),
-                       targets: Map[String, Double]): DataFrame = {
+                       targets: Map[String, Double],
+                       lineIndex: Option[(DataFrame, Option[Array[Byte]])] = None)
+      : DataFrame = {
     val (corpusFp, bloom, corpusIdx) = index
+    // 0. corpus-wide line dedup (CCNet order: line level FIRST, so a
+    //    doc differing from a corpus doc only by boilerplate lines
+    //    becomes an exact/near dup for the later stages); docs emptied
+    //    by line removal are dropped here
+    val deduped = lineIndex match {
+      case None => batch
+      case Some((corpusLines, lineBloom)) =>
+        val ld = BloomDedup.incrementalLineDedup(batch, corpusLines, lineBloom)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text"))
+        batch.drop("text").join(ld, "doc_id")
+    }
     // Stage.reuse marks each point where a stage output feeds TWO
     // downstream branches (the LSH index AND the keep-filter; the
     // decontamination join AND the keep-filter; the rebalance counts
@@ -165,10 +198,10 @@ object DailyCrawlExample {
     // re-runs per branch, 3-4x at the end of this pipeline.
     // 1. exact dedup against the corpus: novel docs only
     val novel = Stage.reuse(
-      BloomDedup.incrementalExactPrebuilt(batch, corpusFp, bloom)
+      BloomDedup.incrementalExactPrebuilt(deduped, corpusFp, bloom)
         .filter(col("dup_of").isNull)
         .select(col("id").as("doc_id"))
-        .join(batch, "doc_id"))
+        .join(deduped, "doc_id"))
     // 2. near-dup removal against the corpus (LSH + jaccard verify);
     //    only the BATCH side's index is computed per run
     val nearDupIds = BloomDedup
@@ -204,9 +237,10 @@ object DailyCrawlExample {
     // index loaded ONCE per stream, not per epoch — the artifacts are
     // immutable between compactions
     val index = loadIndex(stream.sparkSession, indexDir)
+    val lineIndex = loadLineIndex(stream.sparkSession, indexDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        labelBatchLoaded(batch, benchmark, index, targets)
+        labelBatchLoaded(batch, benchmark, index, targets, lineIndex)
           .withColumn("__epoch", lit(epochId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -41,8 +41,11 @@ class DailyCrawlSpec extends SparkSpec {
       (90L, "the held out benchmark question about ancient rome and its aqueduct engineering marvels", "eval")
     ).toDF("doc_id", "text", "source"), s"$dir/benchmark.parquet")
     val batchPath = writeTable(Seq(
-      // exact dup of corpus doc 1 — dropped by the bloom+resolve path
-      (10L, base, "src1"),
+      // exact dup of corpus doc 1 MODULO line structure (a newline
+      // where doc 1 has a space): its lines are novel, so it passes
+      // the line stage, but the whitespace-normalized fingerprint
+      // matches — dropped by the bloom+resolve path
+      (10L, base.replaceFirst(" ", "\n"), "src1"),
       // near-dup of corpus doc 1 (last token changed: 3-gram jaccard
       // 27/31 ≈ 0.87) — dropped by the prebuilt-LSH path
       (11L, words.init.mkString(" ") + " changed", "src1"),
@@ -50,7 +53,12 @@ class DailyCrawlSpec extends SparkSpec {
       // ancient rome ... marvels") — dropped by decontamination
       (12L, "interesting prose talking about ancient rome and its aqueduct engineering marvels today", "src1"),
       // clean novel survivor
-      (13L, "a genuinely novel document about deep sea vents and the creatures living near them", "src1")
+      (13L, "a genuinely novel document about deep sea vents and the creatures living near them", "src1"),
+      // one line already IN the corpus (doc 1's full text) + one novel
+      // line — the line stage strips the first, the rest survives
+      (14L, base + "\ndeep ocean hydrothermal research describing mineral rich plumes near volcanic ridges", "src1"),
+      // every line corpus-present — emptied by the line stage, dropped
+      (15L, base, "src1")
     ).toDF("doc_id", "text", "source"), s"$dir/batch.parquet")
 
     val corpus = spark.read.parquet(corpusPath)
@@ -92,10 +100,18 @@ class DailyCrawlSpec extends SparkSpec {
       assert(!planPaths.exists(_.contains("corpus.parquet")),
         s"batch-phase plan reads the corpus: $planPaths")
 
-      // semantics: only the clean novel doc survives to chunks
+      // semantics: the clean novel doc and the line-truncated doc
+      // survive; every other path (line stage, bloom+resolve, LSH,
+      // decontam) dropped its target
       val survivors = sharded.select("id").distinct().as[Long].collect().toSet
-      assert(survivors == Set(13L),
-        s"expected only doc 13 to survive, got $survivors")
+      assert(survivors == Set(13L, 14L),
+        s"expected docs 13 and 14 to survive, got $survivors")
+      // doc 14 carries ONLY its novel line — the corpus-present line
+      // is gone from the chunked text
+      val c14 = sharded.filter(col("id") === 14L)
+        .select("chunk_text").as[String].collect().mkString(" ")
+      assert(c14.contains("hydrothermal") && !c14.contains("kappa"),
+        s"line stage should strip the corpus line from doc 14: $c14")
 
       // listener: nothing that EXECUTED in the batch phase scanned the
       // corpus either. Sentinel read makes the (async) listener bus
