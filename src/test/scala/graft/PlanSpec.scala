@@ -160,6 +160,20 @@ class PlanSpec extends SparkSpec {
       s"classifier scoring must not shuffle (except the final sort):\n${lr.take(400)}")
   }
 
+  test("t_ppl_buckets: the LM subtree's exchanges are reused across the cutoff and assignment branches") {
+    // perplexityBuckets feeds the SAME unigram-LM pipeline into the
+    // sample/cutoff branch and the final assignment branch; a hard
+    // Stage.reuse boundary is off-limits (the LM's explicit broadcast
+    // total would materialize at construction inside a checkpoint
+    // subtree), so the dedupe relies on ReuseExchange collapsing the
+    // identical shuffle subtrees — assert it actually fires.
+    val df = SparkEntry.queries("t_ppl_buckets")(spark, dir)
+    df.collect()  // AQE reuses stages at RUNTIME; inspect the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"expected the LM exchanges to be reused across branches:\n${p.take(3000)}")
+  }
+
   test("ivfPqTopK: ADC scoring is an equi-join on the probed cell — the cell probe prunes the code scan") {
     val e = core.Tables(spark, dir).embeddings
     val q = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
