@@ -238,10 +238,14 @@ object LlmOps {
     * already contains, then keep-first within the batch; Bloom
     * prefilter ON so the definite-novel path is exercised map-side. */
   def dIncrLines(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{BloomDedup, Sampling}
+    import graft.operators.{BloomDedup, Sampling, Stage}
     val lined = pseudoLined(spark, dir)
     val bucket = Sampling.hashBucket(col("doc_id"))
-    val corpusLines = BloomDedup.corpusLineHashes(lined.filter(bucket < 95))
+    // the lh table feeds TWO consumers (the bloom build action and the
+    // anti-join); materialize once — in production this is the
+    // persisted index table, so the reuse boundary mirrors compaction
+    val corpusLines = Stage.reuse(
+      BloomDedup.corpusLineHashes(lined.filter(bucket < 95)))
     BloomDedup.incrementalLineDedup(lined.filter(bucket >= 95), corpusLines,
         BloomDedup.buildFilter(corpusLines, hashCol = "lh"))
       .orderBy("doc_id")
