@@ -68,7 +68,8 @@ object DailyCrawlExample {
   }
 
   def compactCorpus(corpus: DataFrame, indexDir: String,
-                    expectedItems: Long = 1L << 20): Unit = {
+                    expectedItems: Long = 1L << 20,
+                    expectedLines: Long = 1L << 25): Unit = {
     val spark = corpus.sparkSession
     BloomDedup.corpusFingerprints(corpus)
       .write.mode("overwrite").parquet(s"$indexDir/fp")
@@ -82,11 +83,15 @@ object DailyCrawlExample {
     // denominator — a corpus-scale groupBy that compaction can pay once
     idx.sizesOf.write.mode("overwrite").parquet(s"$indexDir/sizes")
     // line-hash table + bloom: the corpus-wide LINE dedup artifact
-    // (CCNet step) — fourth member of the index family
+    // (CCNet step) — fourth member of the index family. Sized by
+    // `expectedLines`, NOT `expectedItems`: distinct lines run tens of
+    // times the doc count, and an undersized filter saturates toward
+    // fp-rate 1, sending every batch line down the anti-join and
+    // defeating the map-side fast path
     BloomDedup.corpusLineHashes(corpus)
       .write.mode("overwrite").parquet(s"$indexDir/lh")
     BloomDedup.buildFilter(spark.read.parquet(s"$indexDir/lh"),
-        expectedItems, hashCol = "lh")
+        expectedLines, hashCol = "lh")
       .foreach(writeBytes(spark, s"$indexDir/lh_bloom.bin", _))
   }
 
@@ -126,7 +131,9 @@ object DailyCrawlExample {
   def compactCorpusBucketed(corpus: DataFrame, tablePrefix: String,
                             buckets: Int = 32, bloomPath: String = "",
                             expectedItems: Long = 1L << 20,
-                            perms: Int = 16, bands: Int = 4, n: Int = 3): Unit = {
+                            perms: Int = 16, bands: Int = 4, n: Int = 3,
+                            lineBloomPath: String = "",
+                            expectedLines: Long = 1L << 25): Unit = {
     val spark = corpus.sparkSession
     val fp = BloomDedup.corpusFingerprints(corpus)
     fp.write.mode("overwrite").bucketBy(buckets, "fp")
@@ -142,7 +149,27 @@ object DailyCrawlExample {
       .sortBy("band", "sig").saveAsTable(s"${tablePrefix}_bands")
     idx.sizesOf.write.mode("overwrite").bucketBy(buckets, "id")
       .sortBy("id").saveAsTable(s"${tablePrefix}_sizes")
+    // line-hash table bucketed by lh — the per-batch anti-join's
+    // corpus side reads already partitioned (the SCALING.md promise)
+    BloomDedup.corpusLineHashes(corpus)
+      .write.mode("overwrite").bucketBy(buckets, "lh")
+      .sortBy("lh").saveAsTable(s"${tablePrefix}_lh")
+    if (lineBloomPath.nonEmpty)
+      BloomDedup.buildFilter(spark.table(s"${tablePrefix}_lh"),
+          expectedLines, hashCol = "lh")
+        .foreach(writeBytes(spark, lineBloomPath, _))
   }
+
+  /** The bucketed-catalog twin of [[loadLineIndex]]; None when the
+    * table prefix predates line compaction. */
+  def loadLineIndexBucketed(spark: SparkSession, tablePrefix: String,
+                            lineBloomPath: String = "")
+      : Option[(DataFrame, Option[Array[Byte]])] =
+    if (spark.catalog.tableExists(s"${tablePrefix}_lh")) {
+      val bloom = if (lineBloomPath.nonEmpty && pathExists(spark, lineBloomPath))
+        Some(readBytes(spark, lineBloomPath)) else None
+      Some((spark.table(s"${tablePrefix}_lh"), bloom))
+    } else None
 
   /** The bucketed-catalog twin of [[loadIndex]]. */
   def loadIndexBucketed(spark: SparkSession, tablePrefix: String,
@@ -183,13 +210,18 @@ object DailyCrawlExample {
     //    doc differing from a corpus doc only by boilerplate lines
     //    becomes an exact/near dup for the later stages); docs emptied
     //    by line removal are dropped here
+    // Stage.reuse: `deduped` feeds the exact-dedup probe (whose bloom
+    // path itself splits into two branches) AND the trailing re-join —
+    // without the boundary the whole line-dedup subtree re-runs per
+    // branch (the recompute class this function's other stages already
+    // guard against)
     val deduped = lineIndex match {
       case None => batch
       case Some((corpusLines, lineBloom)) =>
         val ld = BloomDedup.incrementalLineDedup(batch, corpusLines, lineBloom)
           .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("text"))
-        batch.drop("text").join(ld, "doc_id")
+        Stage.reuse(batch.drop("text").join(ld, "doc_id"))
     }
     // Stage.reuse marks each point where a stage output feeds TWO
     // downstream branches (the LSH index AND the keep-filter; the

@@ -39,15 +39,8 @@ object ScaleSoak {
     // line dedup over 3-token pseudo-lines (the gate's construction):
     // ~10M line occurrences through the content agg + unique-key join
     time("lines")    {
-      val lined = docs
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-        .select(col("doc_id"),
-          array_join(
-            transform(
-              sequence(lit(0), greatest(floor((size(col("toks")) + lit(2)) / lit(3)).cast("int") - 1, lit(0))),
-              i => array_join(slice(col("toks"), i * lit(3) + lit(1), lit(3)), " ")),
-            "\n").as("text"))
-      Dedup.dedupLines(lined, maxFreq = 100).filter(col("n_kept") < col("n_lines")).count()
+      Dedup.dedupLines(graft.queries.LlmOps.pseudoLined(docs), maxFreq = 100)
+        .filter(col("n_kept") < col("n_lines")).count()
     }
     // incremental path: copy 9 (50k docs, ~45k of them near-copies of
     // the corpus) arrives as "today's crawl" against the 450k-doc rest

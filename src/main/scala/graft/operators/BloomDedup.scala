@@ -232,14 +232,17 @@ object BloomDedup {
 
   /** The corpus's distinct line-hash table (lh = md5 of the exact line
     * content) — the persisted artifact of incremental LINE dedup, the
-    * third member of the prebuilt-index family (fp map, LSH index,
-    * line hashes). In steady state write it bucketed by `lh` so the
-    * corpus side of every per-batch anti-join is exchange-free, and
-    * refresh on corpus compaction. */
+    * fourth member of the prebuilt-index family (fp map, LSH index,
+    * set sizes, line hashes). Empty lines (paragraph breaks) are
+    * structure, not content, and are excluded — see
+    * [[Dedup.dedupLines]]. In steady state write it bucketed by `lh`
+    * so the corpus side of every per-batch anti-join is exchange-free,
+    * and refresh on corpus compaction. */
   def corpusLineHashes(corpus: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id",
                        sep: String = "\n"): DataFrame =
     Dedup.splitLines(corpus, textCol, idCol, sep)
+      .where(col("line") =!= "")
       .select(md5(col("line")).as("lh")).distinct()
 
   /** Incremental corpus-wide line dedup (the CCNet production shape:
@@ -251,8 +254,10 @@ object BloomDedup {
     * `lh` column by [[buildFilter]]) so definite-novel lines never
     * reach the anti-join, the [[incrementalExactPrebuilt]] design —
     * and (b) it is the batch-first occurrence of its content by
-    * (`idCol`, position). Reassembly preserves order; fully-dropped
-    * docs stay with empty text. Output: (id, text, n_kept, n_lines).
+    * (`idCol`, position). Empty lines are structural and always
+    * survive (see [[Dedup.dedupLines]]). Reassembly preserves order;
+    * fully-dropped docs stay with empty text. Output:
+    * (id, text, n_kept, n_lines).
     *
     * Scale: the corpus table is probed, never scanned into a shuffle
     * (bloom prefilter + anti-join against the bucketed lh table);
@@ -263,8 +268,8 @@ object BloomDedup {
                            idCol: String = "doc_id",
                            sep: String = "\n"): DataFrame = {
     GraftFunctions.register(batch.sparkSession)
-    val lines = Dedup.splitLines(batch, textCol, idCol, sep)
-      .withColumn("lh", md5(col("line")))
+    val all = Dedup.splitLines(batch, textCol, idCol, sep)
+    val lines = all.where(col("line") =!= "").withColumn("lh", md5(col("line")))
     val novel = filter match {
       case None => lines.join(corpusLines, Seq("lh"), "left_anti")
       case Some(bytes) =>
@@ -280,6 +285,8 @@ object BloomDedup {
       .select(col("line"), col(s"first.$idCol").as(idCol), col("first.pos").as("pos"))
     val kept = novel.join(firsts, Seq("line", idCol, "pos"))
       .select(col(idCol), col("pos"), col("line"))
+      .unionByName(all.where(col("line") === "")
+        .select(col(idCol), col("pos"), col("line")))
     Dedup.reassembleLines(kept, batch, textCol, idCol, sep)
   }
 }

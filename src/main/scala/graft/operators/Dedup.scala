@@ -34,9 +34,13 @@ object Dedup {
     * Semantics: split each doc on `sep`; a line survives iff (a) its
     * corpus frequency is ≤ `maxFreq` and (b) this (doc, position) is
     * the corpus-minimum occurrence of the line's exact content,
-    * ordered by (`idCol`, position). Surviving lines are reassembled
-    * in original order; a doc whose every line was dropped stays in
-    * the output with empty text (so downstream length filters see it).
+    * ordered by (`idCol`, position). EMPTY lines are structure, not
+    * content — a paragraph break (`\n\n`) yields a "" line, which is
+    * always kept and never counted, so blank-line layout survives
+    * dedup instead of being the most frequent "line" in the corpus.
+    * Surviving lines are reassembled in original order; a doc whose
+    * every line was dropped stays in the output with empty text (so
+    * downstream length filters see it).
     *
     * Output: (`idCol`, text, n_kept, n_lines).
     *
@@ -53,11 +57,13 @@ object Dedup {
   def dedupLines(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                  sep: String = "\n", maxFreq: Long = Long.MaxValue): DataFrame = {
     val lines = splitLines(docs, textCol, idCol, sep)
-    val firsts = lines.groupBy("line")
+    val content = lines.where(col("line") =!= "")
+    val firsts = content.groupBy("line")
       .agg(min(struct(col(idCol), col("pos"))).as("first"), count(lit(1)).as("freq"))
       .where(col("freq") <= maxFreq)
       .select(col("line"), col(s"first.$idCol").as(idCol), col("first.pos").as("pos"))
-    val kept = lines.join(firsts, Seq("line", idCol, "pos"))
+    val kept = content.join(firsts, Seq("line", idCol, "pos"))
+      .unionByName(lines.where(col("line") === ""))
     reassembleLines(kept, docs, textCol, idCol, sep)
   }
 
@@ -72,7 +78,8 @@ object Dedup {
 
   /** Rebuild (`idCol`, text, n_kept, n_lines) from surviving (id, pos,
     * line) rows, preserving order; docs whose every line was dropped
-    * stay present with empty text. */
+    * stay present with empty text, and a NULL-text doc reports
+    * (id, "", 0, 0) instead of poisoning n_lines with null. */
   private[operators] def reassembleLines(kept: DataFrame, docs: DataFrame,
                                          textCol: String, idCol: String,
                                          sep: String): DataFrame = {
@@ -82,7 +89,9 @@ object Dedup {
         array_join(transform(col("ks"), k => k("line")), sep).as("__kept_text"),
         size(col("ks")).cast("long").as("n_kept"))
     docs.select(col(idCol),
-        size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long").as("n_lines"))
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol), java.util.regex.Pattern.quote(sep))).cast("long"))
+          .as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__kept_text"), lit("")).as(textCol),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_lines"))

@@ -219,12 +219,14 @@ object LlmOps {
     * any line repeating more than 3 times (boilerplate). At sf0.01 this
     * rewrites ~25% of line occurrences — the branch is exercised. */
   def dLineDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.dedupLines(pseudoLined(spark, dir), maxFreq = 3).orderBy("doc_id")
+    Dedup.dedupLines(pseudoLined(Tables(spark, dir).documents), maxFreq = 3)
+      .orderBy("doc_id")
 
   /** The synthetic docs have no newlines: rebuild each as pseudo-lines
-    * of 3 tokens (deterministic; the oracles recompute identically). */
-  private def pseudoLined(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    * of 3 tokens (deterministic; the oracles recompute identically —
+    * and ScaleSoak reuses THIS builder so soak and gate cannot drift). */
+  private[graft] def pseudoLined(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_join(
@@ -239,7 +241,7 @@ object LlmOps {
     * prefilter ON so the definite-novel path is exercised map-side. */
   def dIncrLines(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{BloomDedup, Sampling, Stage}
-    val lined = pseudoLined(spark, dir)
+    val lined = pseudoLined(Tables(spark, dir).documents)
     val bucket = Sampling.hashBucket(col("doc_id"))
     // the lh table feeds TWO consumers (the bloom build action and the
     // anti-join); materialize once — in production this is the

@@ -46,6 +46,17 @@ class BloomDedupSpec extends SparkSpec {
     assert(bloomed == expect)
   }
 
+  test("incrementalLineDedup: paragraph breaks survive even when the corpus has blank lines") {
+    val corpusDocs = Seq((1L, "known one\n\nknown two")).toDF("doc_id", "text")
+    val cl = BloomDedup.corpusLineHashes(corpusDocs)
+    // corpus blank line is NOT in the lh table, and batch blanks are
+    // never dropped — paragraph structure is preserved
+    val out = BloomDedup.incrementalLineDedup(
+        Seq((10L, "fresh a\n\nknown two")).toDF("doc_id", "text"), cl)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((10L, "fresh a\n", 2L, 3L)))
+  }
+
   test("incrementalExact labels dups with canonical corpus id, novels with null") {
     val out = BloomDedup.incrementalExact(batch, corpus)
       .select("id", "dup_of").as[(Long, Option[Long])].collect().toMap

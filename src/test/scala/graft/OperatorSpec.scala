@@ -71,6 +71,24 @@ class OperatorSpec extends SparkSpec {
       (3L, "keep3", 1L, 2L), (4L, "", 0L, 1L)))
   }
 
+  test("line dedup: blank lines are structure — kept everywhere, exempt from maxFreq; null text → (\"\",0,0)") {
+    val docs = Seq(
+      (1L, Some("para one\n\npara two")),
+      (2L, Some("para one\n\npara three")),  // blank line repeats corpus-wide
+      (3L, Some("\n\n")),                    // only structure, nothing to drop
+      (4L, None: Option[String])             // null text must not poison n_lines
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, maxFreq = 1).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // "para one" (freq 2 > maxFreq 1) is dropped from BOTH docs, but
+    // every blank line survives untouched
+    assert(out == Seq(
+      (1L, "\npara two", 2L, 3L),
+      (2L, "\npara three", 2L, 3L),
+      (3L, "\n\n", 3L, 3L),
+      (4L, "", 0L, 0L)))
+  }
+
   test("line dedup separator is taken literally, not as regex") {
     val docs = Seq((1L, "a.b"), (2L, "b.c")).toDF("doc_id", "text")
     val out = Dedup.dedupLines(docs, sep = ".").orderBy("doc_id")
