@@ -69,10 +69,13 @@ object LlmOps {
   }
 
   /** Gopher/C4 rule filter with per-rule attribution: keep flag + the
-    * first failing rule name, one codegen'd scan. */
+    * first failing rule name, one codegen'd scan. Thresholds tightened
+    * to the synthetic corpus's ranges so EVERY rule branch fires at
+    * gate scale (max doc ≈ 99 tokens, alpha median ≈ 0.822). */
   def tRuleFilter(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Curation
-    Curation.ruleFilter(Tables(spark, dir).documents).orderBy("doc_id")
+    Curation.ruleFilter(Tables(spark, dir).documents,
+        maxTokens = 90, minAlpha = 0.82).orderBy("doc_id")
   }
 
   /** Corpus-wide most-frequent word trigrams (the C4/Gopher "top

@@ -91,8 +91,8 @@ object LlmOracles {
       s"""SELECT doc_id, (reason = 'ok')::int AS keep, reason FROM (
          |  SELECT doc_id,
          |    CASE WHEN len($toks) < 30 THEN 'too_short'
-         |         WHEN len($toks) > 100000 THEN 'too_long'
-         |         WHEN round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 4) < 0.80 THEN 'low_alpha'
+         |         WHEN len($toks) > 90 THEN 'too_long'
+         |         WHEN round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 4) < 0.82 THEN 'low_alpha'
          |         WHEN ${topFrac(toks)} > 0.12 THEN 'repetitive'
          |         ELSE 'ok' END AS reason
          |  FROM documents)
