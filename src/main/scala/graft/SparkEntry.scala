@@ -39,6 +39,7 @@ object SparkEntry {
     "t_quality"         -> (LlmOps.tQuality _),
     "t_quality_lr"      -> (LlmOps.tQualityLr _),
     "t_ppl_buckets"     -> (LlmOps.tPplBuckets _),
+    "t_ppl_incr"        -> (LlmOps.tPplIncr _),
     "t_rulefilter"      -> (LlmOps.tRuleFilter _),
     "t_ngram_freq"      -> (LlmOps.tNgramFreq _),
     "t_langid"          -> (LlmOps.tLangId _),

@@ -144,20 +144,39 @@ object TextStats {
                         buckets: Int = 3, samplePct: Int = 20,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    require(buckets >= 2, "need at least 2 buckets")
     val scored = unigramLogProb(docs, textCol, idCol)
       .join(docs.select(col(idCol).as("id"), col(byCol)), "id")
       .select(col("id"), col(byCol), col("mean_nll"))
+    assignPplBuckets(scored, pplCutoffs(scored, byCol, buckets, samplePct),
+      byCol, buckets)
+  }
+
+  /** Per-group bucket cutoffs from a deterministic `samplePct`%
+    * hash-sample of a scored frame (id, `byCol`, mean_nll) — one row
+    * per group with (c1_nll, c1_id, …) boundary pairs, the PERSISTABLE
+    * artifact of [[perplexityBuckets]]'s sample-then-assign design
+    * (compute on the corpus at compaction, reuse per batch). */
+  def pplCutoffs(scored: DataFrame, byCol: String = "lang",
+                 buckets: Int = 3, samplePct: Int = 20): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
     val samp = scored.filter(Sampling.hashBucket(col("id")) < samplePct)
     val w = Window.partitionBy(byCol)
       .orderBy(col("mean_nll").asc, col("id").asc)
     val ranked = samp
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(byCol)))
-    val cuts = (1 until buckets).map { k =>
+    (1 until buckets).map { k =>
       ranked.filter(col("rn") === ceil(col("cnt") * k / lit(buckets.toDouble)))
         .select(col(byCol), col("mean_nll").as(s"c${k}_nll"), col("id").as(s"c${k}_id"))
     }.reduce((a, b) => a.join(b, byCol))
+  }
+
+  /** Assign each scored row 1..`buckets` against prebuilt `cuts`
+    * (broadcast; one scan, no shuffle): bucket = 1 + the number of
+    * cutoff pairs lexicographically below (mean_nll, id). Groups
+    * absent from `cuts` get bucket 1. */
+  def assignPplBuckets(scored: DataFrame, cuts: DataFrame,
+                       byCol: String = "lang", buckets: Int = 3): DataFrame = {
     val bucket = (1 until buckets).map { k =>
       when(col(s"c${k}_nll").isNull, 0)
         .when(col("mean_nll") > col(s"c${k}_nll") ||
@@ -166,5 +185,39 @@ object TextStats {
     }.reduce(_ + _) + 1
     scored.join(broadcast(cuts), Seq(byCol), "left")
       .select(col("id"), col(byCol), col("mean_nll"), bucket.as("bucket"))
+  }
+
+  /** The persistable corpus unigram-LM table: lowercased token →
+    * count. Pair with [[unigramLogProbAgainst]] to score future
+    * batches WITHOUT a corpus scan — the steady-state twin of
+    * [[unigramLogProb]] (which builds the LM from the scored docs
+    * themselves). Refresh on corpus compaction. */
+  def corpusLm(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.select(explode(Text.tokens(lower(col(textCol)))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+
+  /** Score docs against a PREBUILT LM vocab, Laplace-smoothed over the
+    * LM's vocabulary (p(t) = (cnt+1)/(total+|V|), out-of-vocabulary
+    * tokens cnt = 0) — smoothing is required here, unlike
+    * [[unigramLogProb]], because a batch token the corpus never saw
+    * would otherwise score -ln 0. Output (id, mean_nll, n_tokens),
+    * rounded like every LM score in this family.
+    *
+    * Scale: the LM totals are a 1-row broadcast; the batch token
+    * stream hash-joins the vocab table (zipfian-small vs occurrences)
+    * — the corpus itself is never touched. */
+  def unigramLogProbAgainst(docs: DataFrame, lmVocab: DataFrame,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+        explode(Text.tokens(lower(col(textCol)))).as("t"))
+    val totals = lmVocab.agg(sum("cnt").as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    tok.join(lmVocab, Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("id")
+      .agg(round(avg(-log((coalesce(col("cnt"), lit(0L)) + 1)
+          / (col("n_total") + col("n_vocab")))), 4).as("mean_nll"),
+        count(lit(1)).as("n_tokens"))
   }
 }

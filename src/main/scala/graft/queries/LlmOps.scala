@@ -68,6 +68,29 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Steady-state perplexity bucketing: the corpus slice (bucket < 95)
+    * builds a persistable LM vocab + per-language cutoffs ONCE; the
+    * batch slice (≥ 95) is scored against that LM (Laplace-smoothed —
+    * OOV batch tokens get a finite penalty) and bucketed against the
+    * prebuilt cutoffs, never touching the corpus again. */
+  def tPplIncr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sampling, Stage, TextStats}
+    val docs = Tables(spark, dir).documents
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val corpus = docs.filter(bucket < 95)
+    val batch = docs.filter(bucket >= 95)
+    // the LM vocab feeds corpus-side cutoff scoring AND batch scoring
+    val lm = Stage.reuse(TextStats.corpusLm(corpus))
+    def scored(side: DataFrame) =
+      TextStats.unigramLogProbAgainst(side, lm)
+        .join(side.select(col("doc_id").as("id"), col("lang")), "id")
+        .select(col("id"), col("lang"), col("mean_nll"))
+    val cuts = TextStats.pplCutoffs(scored(corpus))
+    TextStats.assignPplBuckets(scored(batch), cuts)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Gopher/C4 rule filter with per-rule attribution: keep flag + the
     * first failing rule name, one codegen'd scan. Thresholds tightened
     * to the synthetic corpus's ranges so EVERY rule branch fires at

@@ -82,6 +82,48 @@ object LlmOracles {
         |            ELSE 0 END)::int AS bucket
         |FROM sl LEFT JOIN cut USING (lang) ORDER BY doc_id""".stripMargin,
 
+    // steady-state perplexity buckets: LM vocab + cutoffs from the
+    // corpus slice (md5 bucket < 95), batch slice (>= 95) scored
+    // Laplace-smoothed against it ((cnt+1)/(total+|V|), OOV cnt = 0)
+    // and bucketed by the same lexicographic cutoff comparison; the
+    // 20% cutoff sample uses the same md5 formula (so sample = b < 20)
+    "t_ppl_incr" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, lang,
+        |    (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100) AS b
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id AS id, b, lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM d),
+        |lm AS (SELECT t, count(*) AS cnt FROM tok WHERE b < 95 GROUP BY t),
+        |tot AS (SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM lm),
+        |scored AS (
+        |  SELECT tok.id, tok.lang, tok.b,
+        |    round(avg(-ln((coalesce(lm.cnt, 0) + 1) / (n_total + n_vocab))), 4) AS mean_nll
+        |  FROM tok LEFT JOIN lm USING (t) CROSS JOIN tot
+        |  GROUP BY tok.id, tok.lang, tok.b),
+        |samp AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY mean_nll, id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM scored WHERE b < 20),
+        |cut AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = ceil(cnt * 1 / 3.0) THEN mean_nll END) AS c1_nll,
+        |    max(CASE WHEN rn = ceil(cnt * 1 / 3.0) THEN id END) AS c1_id,
+        |    max(CASE WHEN rn = ceil(cnt * 2 / 3.0) THEN mean_nll END) AS c2_nll,
+        |    max(CASE WHEN rn = ceil(cnt * 2 / 3.0) THEN id END) AS c2_id
+        |  FROM samp GROUP BY lang)
+        |SELECT s.id AS doc_id, s.lang, s.mean_nll,
+        |  (1 + CASE WHEN c1_nll IS NULL THEN 0
+        |            WHEN s.mean_nll > c1_nll OR (s.mean_nll = c1_nll AND s.id > c1_id) THEN 1
+        |            ELSE 0 END
+        |     + CASE WHEN c2_nll IS NULL THEN 0
+        |            WHEN s.mean_nll > c2_nll OR (s.mean_nll = c2_nll AND s.id > c2_id) THEN 1
+        |            ELSE 0 END)::int AS bucket
+        |FROM scored s LEFT JOIN cut USING (lang)
+        |WHERE s.b >= 95 ORDER BY doc_id""".stripMargin,
+
     // Gopher/C4 rule filter: same rounded signals as t_quality /
     // t_repetition, first failing rule in declaration order
     "t_rulefilter" -> {

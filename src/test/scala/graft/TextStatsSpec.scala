@@ -100,6 +100,35 @@ class TextStatsSpec extends SparkSpec {
     assert(none.size == 6 && none.forall(_ == 1))
   }
 
+  test("unigramLogProbAgainst: Laplace smoothing hand-checked, OOV penalized finitely") {
+    val corpus = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val lm = TextStats.corpusLm(corpus)   // a→2, b→1; total 3, |V| 2
+    val batch = Seq((10L, "a z")).toDF("doc_id", "text")
+    val got = TextStats.unigramLogProbAgainst(batch, lm)
+      .select("mean_nll").as[Double].head()
+    // p(a) = (2+1)/(3+2), p(z OOV) = (0+1)/5
+    val expect = BigDecimal(-(math.log(3.0 / 5) + math.log(1.0 / 5)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got - expect) < 1e-9, s"got $got expect $expect")
+  }
+
+  test("assignPplBuckets against prebuilt cutoffs matches the one-shot perplexityBuckets") {
+    val docs = Seq(
+      (1L, "a a a a a a", "g"), (2L, "a a a a a b", "g"),
+      (3L, "a a a a b b", "g"), (4L, "a a a b b b", "g"),
+      (5L, "a a b b b c", "g"), (6L, "a b b c c d", "g")
+    ).toDF("doc_id", "text", "lang")
+    val scored = TextStats.unigramLogProb(docs)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+      .select(col("id"), col("lang"), col("mean_nll"))
+    val cuts = TextStats.pplCutoffs(scored, samplePct = 100)
+    val split = TextStats.assignPplBuckets(scored, cuts)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    val oneShot = TextStats.perplexityBuckets(docs, samplePct = 100)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(split == oneShot)
+  }
+
   test("importanceWeights: target-domain docs outscore off-domain, hand-checked math") {
     // corpus: two "legal" docs, two "chat" docs; target sample = legal.
     // the legal docs must carry the higher mean log-likelihood ratio
