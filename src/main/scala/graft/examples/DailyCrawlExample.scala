@@ -69,7 +69,9 @@ object DailyCrawlExample {
 
   def compactCorpus(corpus: DataFrame, indexDir: String,
                     expectedItems: Long = 1L << 20,
-                    expectedLines: Long = 1L << 25): Unit = {
+                    expectedLines: Long = 1L << 25,
+                    pplBy: String = "source",
+                    pplSamplePct: Int = 20): Unit = {
     val spark = corpus.sparkSession
     BloomDedup.corpusFingerprints(corpus)
       .write.mode("overwrite").parquet(s"$indexDir/fp")
@@ -93,6 +95,36 @@ object DailyCrawlExample {
     BloomDedup.buildFilter(spark.read.parquet(s"$indexDir/lh"),
         expectedLines, hashCol = "lh")
       .foreach(writeBytes(spark, s"$indexDir/lh_bloom.bin", _))
+    // LM vocab + per-`pplBy` perplexity cutoffs: the steady-state
+    // scoring artifacts — future batches score and bucket against
+    // these without a corpus scan (see [[scoreBatch]])
+    graft.operators.TextStats.corpusLm(corpus)
+      .write.mode("overwrite").parquet(s"$indexDir/lm")
+    val scoredCorpus = graft.operators.TextStats
+      .unigramLogProbAgainst(corpus, spark.read.parquet(s"$indexDir/lm"))
+      .join(corpus.select(col("doc_id").as("id"), col(pplBy)), "id")
+      .select(col("id"), col(pplBy), col("mean_nll"))
+    graft.operators.TextStats
+      .pplCutoffs(scoredCorpus, pplBy, samplePct = pplSamplePct)
+      .write.mode("overwrite").parquet(s"$indexDir/cuts")
+  }
+
+  /** Steady-state perplexity scoring: today's batch against the
+    * PREBUILT LM vocab + cutoffs — (id, `pplBy`, mean_nll, bucket),
+    * zero corpus scans. Requires an index compacted by this round's
+    * [[compactCorpus]] (older indexes lack the lm/cuts tables). */
+  def scoreBatch(batch: DataFrame, indexDir: String,
+                 pplBy: String = "source"): DataFrame = {
+    val spark = batch.sparkSession
+    if (!pathExists(spark, s"$indexDir/lm"))
+      throw new IllegalStateException(
+        s"$indexDir predates LM compaction — re-run compactCorpus")
+    val scored = graft.operators.TextStats
+      .unigramLogProbAgainst(batch, spark.read.parquet(s"$indexDir/lm"))
+      .join(batch.select(col("doc_id").as("id"), col(pplBy)), "id")
+      .select(col("id"), col(pplBy), col("mean_nll"))
+    graft.operators.TextStats.assignPplBuckets(scored,
+      spark.read.parquet(s"$indexDir/cuts"), pplBy)
   }
 
   /** The persisted line-hash artifacts of [[compactCorpus]], if this

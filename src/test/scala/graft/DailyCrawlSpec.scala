@@ -63,7 +63,7 @@ class DailyCrawlSpec extends SparkSpec {
 
     val corpus = spark.read.parquet(corpusPath)
     val indexDir = s"$dir/index"
-    DailyCrawlExample.compactCorpus(corpus, indexDir)
+    DailyCrawlExample.compactCorpus(corpus, indexDir, pplSamplePct = 100)
 
     // ---- batch phase: everything below must be corpus-free ----
     val scanned = new ConcurrentLinkedQueue[String]()
@@ -112,6 +112,14 @@ class DailyCrawlSpec extends SparkSpec {
         .select("chunk_text").as[String].collect().mkString(" ")
       assert(c14.contains("hydrothermal") && !c14.contains("kappa"),
         s"line stage should strip the corpus line from doc 14: $c14")
+
+      // steady-state LM scoring: every batch doc scored + bucketed
+      // against the PREBUILT vocab/cutoffs — also corpus-free (the
+      // listener at the end of this test covers these jobs too)
+      val ppl = DailyCrawlExample.scoreBatch(batch, indexDir)
+        .as[(Long, String, Double, Int)].collect()
+      assert(ppl.length == 6 && ppl.forall { case (_, _, nll, b) =>
+        !nll.isNaN && b >= 1 && b <= 3 })
 
       // listener: nothing that EXECUTED in the batch phase scanned the
       // corpus either. Sentinel read makes the (async) listener bus

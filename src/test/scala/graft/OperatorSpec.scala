@@ -89,6 +89,16 @@ class OperatorSpec extends SparkSpec {
       (4L, "", 0L, 0L)))
   }
 
+  test("line dedup is partition-invariant: same output at 1 and 13 input partitions") {
+    val docs = (1L to 40L).map { i =>
+      (i, s"shared line\nunique $i\ncommon ${i % 4}")
+    }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupLines(df, maxFreq = 10).orderBy("doc_id")
+        .as[(Long, String, Long, Long)].collect().toSeq
+    assert(run(docs.coalesce(1)) == run(docs.repartition(13)))
+  }
+
   test("line dedup separator is taken literally, not as regex") {
     val docs = Seq((1L, "a.b"), (2L, "b.c")).toDF("doc_id", "text")
     val out = Dedup.dedupLines(docs, sep = ".").orderBy("doc_id")
