@@ -147,6 +147,32 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("in-engine BPE trainer reproduces the committed fixture bit-for-bit") {
+    import graft.expressions.BpeFixture
+    import graft.operators.BpeTrain
+    // same corpus and merge count as tools/train_bpe.py → the SAME
+    // ordered merge table, rule for rule (distributed freq agg +
+    // driver merge loop ≡ the reference trainer)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val trained = BpeTrain.train(docs, BpeFixture.ruleCount)
+    assert(trained.toSeq == BpeFixture.default.merges.toSeq)
+  }
+
+  test("BPE trainer: vocabBound is deterministic and train-on-bounded still tokenizes totally") {
+    import graft.expressions.BpeModel
+    import graft.operators.BpeTrain
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = BpeTrain.train(docs, 24, vocabBound = Some(10))
+    val b = BpeTrain.train(docs, 24, vocabBound = Some(10))
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    // a model trained on the bounded vocab still satisfies the
+    // detokenize identity on text it never saw (total coverage is a
+    // property of the pre-tokenizer, not the merges)
+    val m = new BpeModel(a)
+    val s = "never seen 42 text, with punct!  and  runs"
+    assert(m.encode(s).mkString("") == s)
+  }
+
   test("hashBucket is total and in range on adversarial keys") {
     import graft.operators.Sampling
     val keys = samples(Gen.asciiPrintableStr, 60) ++ Seq("", " ", "中文", "a|b", "\n")
