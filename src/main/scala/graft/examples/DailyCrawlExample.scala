@@ -97,34 +97,62 @@ object DailyCrawlExample {
       .foreach(writeBytes(spark, s"$indexDir/lh_bloom.bin", _))
     // LM vocab + per-`pplBy` perplexity cutoffs: the steady-state
     // scoring artifacts — future batches score and bucket against
-    // these without a corpus scan (see [[scoreBatch]])
-    graft.operators.TextStats.corpusLm(corpus)
-      .write.mode("overwrite").parquet(s"$indexDir/lm")
-    val scoredCorpus = graft.operators.TextStats
-      .unigramLogProbAgainst(corpus, spark.read.parquet(s"$indexDir/lm"))
-      .join(corpus.select(col("doc_id").as("id"), col(pplBy)), "id")
-      .select(col("id"), col(pplBy), col("mean_nll"))
-    graft.operators.TextStats
-      .pplCutoffs(scoredCorpus, pplBy, samplePct = pplSamplePct)
-      .write.mode("overwrite").parquet(s"$indexDir/cuts")
+    // these without a corpus scan (see [[scoreBatch]]). Written only
+    // when the grouping column exists (a (doc_id, text)-only corpus
+    // still compacts its dedup index; the cuts write comes LAST so a
+    // crashed compaction cannot leave lm-without-cuts passing
+    // scoreBatch's guard — it checks cuts, the final artifact)
+    if (corpus.columns.contains(pplBy)) {
+      TextStats.corpusLm(corpus)
+        .write.mode("overwrite").parquet(s"$indexDir/lm")
+      val scoredCorpus = TextStats
+        .unigramLogProbAgainst(corpus, spark.read.parquet(s"$indexDir/lm"))
+        .join(corpus.select(col("doc_id").as("id"), col(pplBy)), "id")
+        .select(col("id"), col(pplBy), col("mean_nll"))
+      TextStats.pplCutoffs(scoredCorpus, pplBy, samplePct = pplSamplePct)
+        .write.mode("overwrite").parquet(s"$indexDir/cuts")
+    }
   }
 
   /** Steady-state perplexity scoring: today's batch against the
     * PREBUILT LM vocab + cutoffs — (id, `pplBy`, mean_nll, bucket),
     * zero corpus scans. Requires an index compacted by this round's
-    * [[compactCorpus]] (older indexes lack the lm/cuts tables). */
+    * [[compactCorpus]] with the `pplBy` column present (the guard
+    * checks BOTH artifacts, so a compaction that crashed between the
+    * writes reads as not-compacted rather than failing later with a
+    * raw path error). */
   def scoreBatch(batch: DataFrame, indexDir: String,
                  pplBy: String = "source"): DataFrame = {
     val spark = batch.sparkSession
-    if (!pathExists(spark, s"$indexDir/lm"))
+    if (!pathExists(spark, s"$indexDir/lm") || !pathExists(spark, s"$indexDir/cuts"))
       throw new IllegalStateException(
-        s"$indexDir predates LM compaction — re-run compactCorpus")
-    val scored = graft.operators.TextStats
-      .unigramLogProbAgainst(batch, spark.read.parquet(s"$indexDir/lm"))
+        s"$indexDir has no LM artifacts — re-run compactCorpus on a corpus with '$pplBy'")
+    scoreBatchLoaded(batch, spark.read.parquet(s"$indexDir/lm"),
+      spark.read.parquet(s"$indexDir/cuts"), pplBy)
+  }
+
+  /** [[scoreBatch]] against ALREADY-LOADED artifacts — the shared core
+    * of the directory and bucketed-catalog paths. */
+  def scoreBatchLoaded(batch: DataFrame, lmVocab: DataFrame,
+                       cuts: DataFrame, pplBy: String = "source"): DataFrame = {
+    val scored = TextStats.unigramLogProbAgainst(batch, lmVocab)
       .join(batch.select(col("doc_id").as("id"), col(pplBy)), "id")
       .select(col("id"), col(pplBy), col("mean_nll"))
-    graft.operators.TextStats.assignPplBuckets(scored,
-      spark.read.parquet(s"$indexDir/cuts"), pplBy)
+    TextStats.assignPplBuckets(scored, cuts, pplBy)
+  }
+
+  /** Bucketed-catalog twin of [[scoreBatch]]: the LM vocab rides as a
+    * `_lm` table bucketed by token (the score join's key), cutoffs as
+    * the tiny `_cuts` table. */
+  def scoreBatchBucketed(batch: DataFrame, tablePrefix: String,
+                         pplBy: String = "source"): DataFrame = {
+    val spark = batch.sparkSession
+    if (!spark.catalog.tableExists(s"${tablePrefix}_lm") ||
+        !spark.catalog.tableExists(s"${tablePrefix}_cuts"))
+      throw new IllegalStateException(
+        s"$tablePrefix has no LM tables — re-run compactCorpusBucketed on a corpus with '$pplBy'")
+    scoreBatchLoaded(batch, spark.table(s"${tablePrefix}_lm"),
+      spark.table(s"${tablePrefix}_cuts"), pplBy)
   }
 
   /** The persisted line-hash artifacts of [[compactCorpus]], if this
@@ -165,7 +193,9 @@ object DailyCrawlExample {
                             expectedItems: Long = 1L << 20,
                             perms: Int = 16, bands: Int = 4, n: Int = 3,
                             lineBloomPath: String = "",
-                            expectedLines: Long = 1L << 25): Unit = {
+                            expectedLines: Long = 1L << 25,
+                            pplBy: String = "source",
+                            pplSamplePct: Int = 20): Unit = {
     val spark = corpus.sparkSession
     val fp = BloomDedup.corpusFingerprints(corpus)
     fp.write.mode("overwrite").bucketBy(buckets, "fp")
@@ -190,6 +220,20 @@ object DailyCrawlExample {
       BloomDedup.buildFilter(spark.table(s"${tablePrefix}_lh"),
           expectedLines, hashCol = "lh")
         .foreach(writeBytes(spark, lineBloomPath, _))
+    // LM vocab bucketed by token (the score join's key) + the tiny
+    // cutoff table — same conditional + ordering rules as the
+    // directory path (see compactCorpus)
+    if (corpus.columns.contains(pplBy)) {
+      TextStats.corpusLm(corpus)
+        .write.mode("overwrite").bucketBy(buckets, "t")
+        .sortBy("t").saveAsTable(s"${tablePrefix}_lm")
+      val scoredCorpus = TextStats
+        .unigramLogProbAgainst(corpus, spark.table(s"${tablePrefix}_lm"))
+        .join(corpus.select(col("doc_id").as("id"), col(pplBy)), "id")
+        .select(col("id"), col(pplBy), col("mean_nll"))
+      TextStats.pplCutoffs(scoredCorpus, pplBy, samplePct = pplSamplePct)
+        .write.mode("overwrite").saveAsTable(s"${tablePrefix}_cuts")
+    }
   }
 
   /** The bucketed-catalog twin of [[loadLineIndex]]; None when the

@@ -32,9 +32,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * pre-token is skipped via a presence set, so the common cost per
   * pre-token is one hash lookup.
   */
+object BpeModel {
+  /** THE pre-tokenizer — single source for the encoder kernel, the
+    * in-engine trainer ([[graft.operators.BpeTrain]]) and (by copy,
+    * with `re.ASCII`) `tools/train_bpe.py`. `\s` is ASCII in Java
+    * regex, RE2 AND the tool (which compiles with `re.ASCII` exactly
+    * so Unicode whitespace like NBSP classifies identically — as a
+    * punctuation run — in all three engines). */
+  val PretokRegex = " ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+}
+
 final class BpeModel(val merges: Array[(String, String)]) extends Serializable {
   @transient private lazy val pretok =
-    java.util.regex.Pattern.compile(" ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+")
+    java.util.regex.Pattern.compile(BpeModel.PretokRegex)
 
   /** Bounded memo of pre-token → tokens (cleared when full — natural
     * text vocab is Zipf-bounded far below the cap). */

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: merge selection is max pair count with ties broken by
   * the lexicographically smallest (left, right) pair — identical to
-  * the Python tool. (String order here is Java code-unit order, which
-  * matches Python's code-point order for all BMP text; a corpus whose
-  * SYMBOLS mix supplementary-plane characters with U+D800+ BMP
-  * characters could order ties differently.)
+  * the Python tool. Pre-tokenization is the shared
+  * [[graft.expressions.BpeModel.PretokRegex]]; the tool compiles it
+  * with `re.ASCII` so `\s` means the same ASCII class in Python, Java
+  * and RE2 (without that flag Python's Unicode `\s` would classify
+  * e.g. NBSP as whitespace and train a different table on crawl
+  * text). Remaining caveat: string order here is Java code-unit
+  * order, which matches Python's code-point order for all BMP text; a
+  * corpus whose SYMBOLS mix supplementary-plane characters with
+  * U+D800+ BMP characters could order ties differently.
   *
   * Scale: the corpus pass is scan + generate + vocab-sized partial agg
   * (one shuffle); the collected dict is |distinct pre-tokens| — Zipf
@@ -27,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
-  private val PRETOK = " ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+  private val PRETOK = BpeModel.PretokRegex
 
   /** Pre-token frequency table (pt, cnt) — one corpus pass, one
     * vocab-sized shuffle. Persistable; training reads nothing else. */

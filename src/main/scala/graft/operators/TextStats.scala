@@ -177,6 +177,7 @@ object TextStats {
     * absent from `cuts` get bucket 1. */
   def assignPplBuckets(scored: DataFrame, cuts: DataFrame,
                        byCol: String = "lang", buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
     val bucket = (1 until buckets).map { k =>
       when(col(s"c${k}_nll").isNull, 0)
         .when(col("mean_nll") > col(s"c${k}_nll") ||

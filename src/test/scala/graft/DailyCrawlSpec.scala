@@ -146,6 +146,20 @@ class DailyCrawlSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("compaction without the pplBy column skips LM artifacts; scoreBatch guard names the fix") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-nolm").toString
+    val corpus = Seq((1L, "plain corpus text only")).toDF("doc_id", "text")
+    DailyCrawlExample.compactCorpus(corpus, s"$dir/index")   // must not throw
+    // dedup artifacts present, LM artifacts absent
+    assert(new java.io.File(s"$dir/index/fp").exists())
+    assert(!new java.io.File(s"$dir/index/lm").exists())
+    val batch = Seq((10L, "batch text", "src1")).toDF("doc_id", "text", "source")
+    val e = intercept[IllegalStateException] {
+      DailyCrawlExample.scoreBatch(batch, s"$dir/index")
+    }
+    assert(e.getMessage.contains("compactCorpus"))
+  }
+
   test("labelStream: a streamed crawl labels per micro-batch against the prebuilt index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

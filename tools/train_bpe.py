@@ -21,7 +21,11 @@ import sys
 
 import pyarrow.parquet as pq
 
-PRETOK = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+# re.ASCII: \s must mean the same ASCII class as in the Java regex and
+# RE2 engines that apply this model (Unicode \s would classify NBSP
+# etc. as whitespace here but nowhere else, training a divergent table
+# on crawl text). Keep in sync with graft.expressions.BpeModel.PretokRegex.
+PRETOK = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+", re.ASCII)
 SRC = "/root/testdata/sf0.001/documents.parquet"
 OUT = "src/main/resources/graft/bpe/merges.txt"
 
