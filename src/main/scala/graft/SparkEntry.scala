@@ -83,6 +83,7 @@ object SparkEntry {
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),
     "s_ann_pq"          -> (LlmOps.sAnnPq _),
     "s_ann_ivfpq"       -> (LlmOps.sAnnIvfPq _),
+    "s_ann_index"       -> (LlmOps.sAnnIndex _),
     "mm_meta"           -> (LlmOps.mmMeta _),
     "mm_frames"         -> (LlmOps.mmFrames _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q25_pivot"         -> (Relational.q25Pivot _),
     "q26_json_extract"  -> (LlmOps.q26JsonExtract _),
     "q27_stream_e2e"    -> (StreamQueries.q27StreamE2e _),
+    "q30_late_data"     -> (StreamQueries.q30LateData _),
     "q28_histogram"     -> (Relational.q28Histogram _),
     "q29_zorder"        -> (Relational.q29Zorder _),
   )
@@ -190,6 +192,30 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
         |  sum(length(text))::bigint AS n_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // watermark/late-data semantics recomputed without streaming
+    // (Spark's drop rule, pinned in LateDataSpec: a late row is
+    // dropped iff its window was evicted in a PRIOR batch — the late
+    // slice is batch 2, gated by the bulk's eviction watermark
+    // max(bulk ts) - 1801 s; bulk and advance slices aggregate
+    // unfiltered; the sentinel flush emits every real window)
+    "q30_late_data" ->
+      """WITH a AS (
+        |  SELECT ts, event_type, value FROM events WHERE event_id % 10 <> 0),
+        |v AS (
+        |  SELECT ts, event_type, value FROM events WHERE event_id % 20 = 10),
+        |l AS (
+        |  SELECT ts, event_type, value FROM events WHERE event_id % 20 = 0),
+        |wm AS (SELECT max(ts) - INTERVAL 1801 SECOND AS w FROM a),
+        |kept AS (
+        |  SELECT * FROM a
+        |  UNION ALL
+        |  SELECT * FROM v
+        |  UNION ALL
+        |  SELECT l.* FROM l, wm
+        |  WHERE date_trunc('hour', l.ts) + INTERVAL 1 HOUR > wm.w)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Morton key: the same magic-number spread cascade as
     // Layout.zorder2, one CTE stage per shift (alias expressions bind
     // to the INPUT scope, so xa/xb rebind cleanly per stage)

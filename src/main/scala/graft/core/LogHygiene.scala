@@ -32,10 +32,15 @@ object LogHygiene {
   private val firstRef = new java.util.concurrent.atomic.AtomicReference[String]
   @volatile private var installed = false
 
-  private def isKnownNoise(e: LogEvent): Boolean =
+  private def isKnownNoise(e: LogEvent): Boolean = {
+    // require the "(Unknown class)" marker too: a failed update on a
+    // LIVE user/SQL accumulator is a real error and must stay counted —
+    // only the GC'd-QueryExecution case is benign
+    val msg = String.valueOf(e.getMessage.getFormattedMessage)
     e.getLoggerName != null && e.getLoggerName.endsWith("DAGScheduler") &&
-      String.valueOf(e.getMessage.getFormattedMessage)
-        .contains("Failed to update accumulator")
+      msg.contains("Failed to update accumulator") &&
+      msg.contains("(Unknown class)")
+  }
 
   /** Idempotent; call after SparkSession creation (log4j2 must be
     * initialized so the root LoggerConfig exists). */

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF×PQ ANN index — the embedding-search member of the
+  * prebuilt-index family (exact fp map, Bloom filters, LSH bucket
+  * table, line hashes, LM vocab, semantic survivors). The composed
+  * [[Similarity.ivfPqTopK]] operator coarse-assigns and PQ-encodes the
+  * corpus inside every call; this object splits that into the
+  * compact-once / query-many shape the docstring there promises
+  * (FAISS's train → add → search lifecycle, Jégou et al., TPAMI 2011):
+  *
+  *  - [[compact]] scans the float corpus ONCE: trains the coarse
+  *    quantizer and the PQ codebooks on a bounded deterministic sample,
+  *    then writes a single cell-PARTITIONED table holding, per vector,
+  *    the m-byte PQ `code` and the original float embedding, plus the
+  *    driver-tiny centroid/codebook artifacts.
+  *  - [[queryBatch]] probes each query's `nprobe` nearest cells and
+  *    scores candidates by asymmetric distance (ADC) against the
+  *    PREBUILT codes — the probed-cell union is a plan-literal
+  *    partition filter, so the scan reads nprobe/cells of the table's
+  *    partitions and (parquet being columnar) only the 8 B/vector
+  *    `code` column of those; the exact refine re-ranks the ADC
+  *    shortlist against the `embedding` column of the SAME pruned
+  *    partitions. The original corpus parquet is never touched after
+  *    compaction (listener-asserted in AnnIndexSpec), and nothing is
+  *    ever re-encoded.
+  *
+  * Storage: the index re-persists the float vectors alongside the
+  * codes. That is deliberate — an index must answer refined queries
+  * without reaching back to the source table (which may since have
+  * been compacted, re-partitioned, or retired), and the cell layout is
+  * exactly what refine wants pruned by. Pipelines that cannot afford
+  * the copy can pass `refineFrom` to [[queryBatch]] to re-rank against
+  * any (id, vector) table at the cost of one scan of it per batch.
+  */
+object AnnIndex {
+
+  /** The loaded index: driver-tiny trained artifacts + the lazy
+    * cell-partitioned table (cand_id, code, embedding; partition column
+    * `cell`). */
+  final case class Model(centroids: Seq[Array[Double]],
+                         codebooks: Seq[Seq[Array[Double]]],
+                         table: DataFrame)
+
+  /** One-off corpus compaction under `indexDir`: `centroids/` and
+    * `codebooks/` (long-form, driver-tiny), and `corpus/` — one row per
+    * vector with its coarse `cell` (the partition column), PQ `code`,
+    * and float embedding. One trainer-sample scan pair + ONE full
+    * corpus scan (the assign+encode+write pass). */
+  def compact(corpus: DataFrame, indexDir: String, cells: Int,
+              m: Int, ksub: Int, coarseIters: Int = 3, pqIters: Int = 2,
+              trainBound: Long = 1L << 20,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.trainKMeans(corpus, cells, coarseIters, idCol, vecCol, trainBound)
+    val cbs = Similarity.pqTrain(corpus, m, ksub, pqIters, idCol, vecCol, trainBound)
+    cents.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, p) => (i, p, v) }
+    }.toDF("cell", "pos", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cbs.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.flatMap { case (c, cw) =>
+        c.zipWithIndex.map { case (v, p) => (j, cw, p, v) }
+      }
+    }.toDF("j", "codeword", "pos", "val")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    // the one full pass: coarse cell + m code words + the float vector
+    Similarity.pqEncode(
+        Similarity.assignCells(
+          corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+          cents, "cv"),
+        cbs, "cv")
+      .select(col("cand_id"), col("cell"), col("code"),
+        col("cv").as("embedding"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/corpus")
+  }
+
+  def load(spark: SparkSession, indexDir: String): Model = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select("cell", "pos", "val")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (_, dims) =>
+        val arr = new Array[Double](dims.length)
+        dims.foreach { case (_, p, v) => arr(p) = v }
+        arr
+      }
+    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
+      .select("j", "codeword", "pos", "val")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val cbs = cbRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, byBook) =>
+      byBook.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, dims) =>
+        val arr = new Array[Double](dims.length)
+        dims.foreach { case (_, _, p, v) => arr(p) = v }
+        arr
+      }
+    }
+    Model(cents, cbs, spark.read.parquet(s"$indexDir/corpus"))
+  }
+
+  /** Top-k per query against the prebuilt index: probe `nprobe` cells,
+    * ADC-score their codes, exactly re-rank the `shortlist` best
+    * against the float column (or `refineFrom`, a (idCol, vecCol)
+    * table, when supplied). Output (query_id, rnk, cand_id, adist) —
+    * the [[Similarity.ivfPqTopK]] contract, minus any corpus work.
+    *
+    * The probed-cell union across the batch (≤ `cells` values, from
+    * one driver action over the query side — queries are the small,
+    * broadcast side by design) becomes a LITERAL `cell IN (…)`
+    * predicate, so partition pruning is static and visible in the scan
+    * (PlanSpec-pinned), not dependent on runtime DPP heuristics. Self
+    * matches are excluded (query ids drawn from the indexed corpus
+    * never return themselves — [[Similarity.ivfPqTopK]] semantics). */
+  def queryBatch(queries: DataFrame, model: Model, k: Int, nprobe: Int,
+                 shortlist: Int = 0, refineFrom: Option[DataFrame] = None,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Similarity.assignCellsN(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")),
+      model.centroids, nprobe, "qv")
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val pruned = model.table.filter(col("cell").isin(probed: _*))
+    val enc = pruned.select(col("cand_id"), col("cell"), col("code"))
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    val dist = call_function("graft_pq_adc", col("qv"), col("code"),
+      typedlit(model.codebooks.map(_.map(_.toSeq))))
+    val wa = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id"))
+    val adc = broadcast(q).join(enc,
+        q("cell") === enc("cell") && col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), round(dist, 6).as("adist"))
+      .withColumn("rnk", row_number().over(wa).cast("long"))
+    if (shortlist <= 0)
+      adc.filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("adist"))
+    else {
+      val short = adc.filter(col("rnk") <= math.max(shortlist, k))
+        .select(col("query_id"), col("cand_id"))
+      // refine reads the float column of the SAME pruned partitions —
+      // every shortlist candidate lives in a probed cell by construction
+      val floats = refineFrom
+        .map(_.select(col(idCol).as("cand_id"),
+          col(vecCol).cast("array<double>").as("cv")))
+        .getOrElse(pruned.select(col("cand_id"),
+          col("embedding").cast("array<double>").as("cv")))
+      val qexact = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      val exact = broadcast(short)
+        .join(floats, "cand_id")
+        .join(broadcast(qexact), "query_id")
+        .select(col("query_id"), col("cand_id"),
+          round(Similarity.dot(col("qv"), col("qv")) -
+            Similarity.dot(col("qv"), col("cv")) * 2.0 +
+            Similarity.dot(col("cv"), col("cv")), 6).as("adist"))
+      val we = Window.partitionBy("query_id").orderBy(col("adist").asc, col("cand_id"))
+      exact.withColumn("rnk", row_number().over(we).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("rnk"), col("cand_id"), col("adist"))
+    }
+  }
+}

@@ -438,7 +438,15 @@ object Dedup {
     * truncation (the logical plan doubles per round otherwise and
     * optimization blows up around round 8); on a long-lived production
     * cluster prefer `checkpoint` with a reliable dir so executor loss
-    * stays recoverable. */
+    * stays recoverable.
+    *
+    * BEHAVIOR CHANGE (round 8): `strict` now defaults to TRUE — a
+    * non-converged run throws instead of warning and returning partial
+    * labels (partial labels silently keep spurious "canonical" docs
+    * downstream). Callers with pair graphs of diameter > `maxIter`
+    * (long chains — e.g. serialized chapter overlaps) should use
+    * [[componentsStar]], which converges in O(log n) ROUNDS regardless
+    * of diameter, rather than raising `maxIter` here. */
   /** Free the executor blocks behind a checkpointed DataFrame that no
     * later plan will read again — deterministic cleanup for iterative
     * jobs, instead of waiting for the driver GC + ContextCleaner to

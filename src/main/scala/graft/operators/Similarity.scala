@@ -212,8 +212,11 @@ object Similarity {
     * `count()` is a column-less scan (parquet footer counts); hash
     * buckets are approximate, so a draw that would undershoot
     * `minRows` (the k-means init needs k vectors) falls back to the
-    * full set. `bound <= 0` = train on everything (exact legacy
-    * behavior, no extra jobs). */
+    * full set — the checkpoint is deferred until AFTER that check
+    * passes (`Dataset.unpersist` on a localCheckpoint'd frame only
+    * uncaches; the checkpointed RDD blocks would leak on executors
+    * for the session's lifetime). `bound <= 0` = train on everything
+    * (exact legacy behavior, no extra jobs). */
   private def boundTrainingSet(df: DataFrame, keyCol: String, bound: Long,
                                minRows: Int): DataFrame = {
     if (bound <= 0) return df
@@ -223,8 +226,8 @@ object Similarity {
     val granularity = 10000
     val keep = math.min(granularity.toLong,
       math.max(1L, math.round(bound.toDouble * granularity / n))).toInt
-    val s = Sampling.sampleByHash(df, keyCol, keep, granularity).localCheckpoint()
-    if (s.limit(minRows).count() < minRows) { s.unpersist(); df } else s
+    val s = Sampling.sampleByHash(df, keyCol, keep, granularity)
+    if (s.limit(minRows).count() < minRows) df else s.localCheckpoint()
   }
 
   /** The `nprobe` nearest cells per row (for query-side probing):

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, MultiModal, Similarity}
+import graft.operators.{AnnIndex, Dedup, MultiModal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -588,6 +588,43 @@ object LlmOps {
     val q = e.filter(col("vec_id") < 10)
     val ann = Similarity.ivfPqTrainedTopK(q, e, k = 5, cells = 8, nprobe = 5,
       m = 8, ksub = 64, shortlist = 100, trainBound = 512)
+    val qq = q.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val cc = e.select(col("vec_id").as("cand_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val d = Similarity.dot(col("qv"), col("qv")) -
+      Similarity.dot(col("qv"), col("cv")) * 2.0 +
+      Similarity.dot(col("cv"), col("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d").asc, col("cand_id"))
+    val bf = broadcast(qq).join(cc, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), d.as("d"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+    bf.select("query_id", "cand_id")
+      .join(ann.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
+        Seq("query_id", "cand_id"), "left")
+      .agg(count_distinct(col("query_id")).cast("long").as("n_queries"),
+        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= 0.5).as("recall_ok"))
+  }
+
+  /** Persisted ANN index (compact-once / query-many): [[AnnIndex.compact]]
+    * writes centroids + codebooks + the cell-partitioned code/float
+    * table, then [[AnnIndex.queryBatch]] answers the batch purely from
+    * the prebuilt index (probed-cell partition pruning, ADC over codes,
+    * exact refine over the pruned float column — the corpus is never
+    * re-encoded). Same trained artifacts and search knobs as
+    * [[sAnnIvfPq]], so recall matches it; the gate asserts recall@5
+    * ≥ 0.5 vs exact-L2 brute force in-plan. NOTE the gate deliberately
+    * times its own compaction (like d_incr_lines) — the steady-state
+    * path amortizes exactly that cost. */
+  def sAnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.compact(e, indexDir, cells = 8, m = 8, ksub = 64,
+      coarseIters = 3, pqIters = 2, trainBound = 512)
+    val model = AnnIndex.load(spark, indexDir)
+    val q = e.filter(col("vec_id") < 10)
+    val ann = AnnIndex.queryBatch(q, model, k = 5, nprobe = 5, shortlist = 100)
     val qq = q.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("qv"))
     val cc = e.select(col("vec_id").as("cand_id"),

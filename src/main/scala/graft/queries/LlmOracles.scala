@@ -214,7 +214,7 @@ object LlmOracles {
          |doc0 AS (
          |  SELECT doc_id, array_to_string(list_transform(
          |      regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'),
-         |      pt -> list_aggregate(list_transform(regexp_extract_all(pt, '.'),
+         |      pt -> list_aggregate(list_transform(regexp_extract_all(pt, '(?s).'),
          |                             c -> chr(1)||c||chr(2)), 'string_agg', '')),
          |    chr(3)) AS s
          |  FROM documents),
@@ -294,11 +294,13 @@ object LlmOracles {
          |lines AS (
          |  SELECT doc_id, pos, array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS line FROM ln),
          |firsts AS (
-         |  SELECT line, min(doc_id*1000000+pos) AS fk FROM lines
+         |  SELECT line, min(doc_id*1000000+pos) AS fk FROM lines WHERE line <> ''
          |  GROUP BY line HAVING count(*) <= 3),
          |kept AS (
          |  SELECT l.doc_id, l.pos, l.line FROM lines l
-         |  JOIN firsts f ON l.line = f.line AND l.doc_id*1000000+l.pos = f.fk),
+         |  JOIN firsts f ON l.line = f.line AND l.doc_id*1000000+l.pos = f.fk
+         |  UNION ALL
+         |  SELECT doc_id, pos, line FROM lines WHERE line = ''),
          |agg AS (
          |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ktext, count(*) AS n_kept
          |  FROM kept GROUP BY doc_id)
@@ -320,13 +322,15 @@ object LlmOracles {
          |lines AS (
          |  SELECT doc_id, b, pos, array_to_string(toks[(pos*3+1):(pos*3+3)], ' ') AS line FROM ln),
          |novel AS (
-         |  SELECT doc_id, pos, line FROM lines WHERE b >= 95
-         |    AND line NOT IN (SELECT DISTINCT line FROM lines WHERE b < 95)),
+         |  SELECT doc_id, pos, line FROM lines WHERE b >= 95 AND line <> ''
+         |    AND line NOT IN (SELECT DISTINCT line FROM lines WHERE b < 95 AND line <> '')),
          |firsts AS (
          |  SELECT line, min(doc_id*1000000+pos) AS fk FROM novel GROUP BY line),
          |kept AS (
          |  SELECT l.doc_id, l.pos, l.line FROM novel l
-         |  JOIN firsts f ON l.line = f.line AND l.doc_id*1000000+l.pos = f.fk),
+         |  JOIN firsts f ON l.line = f.line AND l.doc_id*1000000+l.pos = f.fk
+         |  UNION ALL
+         |  SELECT doc_id, pos, line FROM lines WHERE b >= 95 AND line = ''),
          |agg AS (
          |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ktext, count(*) AS n_kept
          |  FROM kept GROUP BY doc_id)
@@ -842,6 +846,13 @@ object LlmOracles {
     // recall@5 of the cell-probed ADC + exact refine against its own
     // exact-L2 brute force and asserts the threshold in-plan
     "s_ann_ivfpq" ->
+      """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // persisted ANN index: same recall-gate shape — the Spark side
+    // compacts the index to disk, answers the batch purely from the
+    // prebuilt artifacts, and asserts recall@5 in-plan
+    "s_ann_index" ->
       """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 /** Correctness-gated Structured Streaming queries: real `readStream`
   * plans run to completion of available data (AvailableNow ≙ the
   * reference's "Limit makes any pipeline bounded", `def.go:88-91`), so
@@ -43,5 +45,89 @@ object StreamQueries {
         spark.sparkContext.parallelize(last.toSeq),
         streamed.schema)
       .orderBy("lang", "source")
+  }
+
+  /** Write `df` as exactly ONE parquet file at `path` with a controlled
+    * modification time — the unit of one micro-batch for a
+    * maxFilesPerTrigger=1 file stream (FileStreamSource admits files in
+    * modification-time order, so the mtimes fix the batch sequence). */
+  private[graft] def stageOneFile(df: DataFrame, path: String, mtime: Long): Unit = {
+    val tmp = path + ".stage"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.move(part.toPath, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(path).setLastModified(mtime)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  /** q30: watermark/late-data semantics under oracle — the engine's
+    * append-mode windowed aggregation with REAL late rows, bounded so
+    * DuckDB can recompute the exact emitted set.
+    *
+    * Spark's measured drop rule (pinned in LateDataSpec): the late-row
+    * filter of batch N uses the watermark that EVICTED at the end of
+    * batch N-1 (max event time through batch N-2 minus the delay) — a
+    * late row is dropped iff its window was already emitted in a prior
+    * batch. The late slice therefore arrives two batches after the
+    * bulk, so the bulk's max timestamp gates it:
+    *
+    *  - batch 0: the bulk (event_id % 10 != 0);
+    *  - batch 1: the ADVANCE slice (event_id % 20 == 10) — processed
+    *    unfiltered; at its end, eviction with wm = max(bulk ts) −
+    *    1801 s emits every window closed by the bulk;
+    *  - batch 2: the LATE slice (event_id % 20 == 0, spread across the
+    *    whole time range) — rows whose window was evicted are dropped
+    *    by the engine, the rest aggregate (late-but-open);
+    *  - batch 3: one future sentinel row (max ts + 10 h) that pushes
+    *    the final watermark past every real window, so append mode
+    *    emits them all; the sentinel's own window stays open and is
+    *    never emitted.
+    *
+    * Oracle: the same windowed agg over (bulk ∪ advance ∪ late rows
+    * whose window end outlived the bulk watermark) — a pure DuckDB
+    * computation, no streaming required. This is the hard gate for
+    * `withWatermark` + append-mode expiry ([[Streams.tumblingCounts]]
+    * semantics); unit specs cover the same path with synthetic rows,
+    * this covers it against an independent engine at gate scale. */
+  def q30LateData(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val stage = Files.createTempDirectory("graft-late").toString
+    val bulk = ev.filter(col("event_id") % 10 =!= 0)
+      .select("ts", "event_type", "value")
+    val advance = ev.filter(col("event_id") % 20 === 10)
+      .select("ts", "event_type", "value")
+    val late = ev.filter(col("event_id") % 20 === 0)
+      .select("ts", "event_type", "value")
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    val sentinel = spark.range(1).select(
+      lit(new java.sql.Timestamp(maxTs.getTime + 36000000L)).as("ts"),
+      lit("__wm_flush").as("event_type"), lit(0.0).as("value"))
+    val t0 = System.currentTimeMillis() - 120000L
+    stageOneFile(bulk, s"$stage/in/0.parquet", t0)
+    stageOneFile(advance, s"$stage/in/1.parquet", t0 + 10000L)
+    stageOneFile(late, s"$stage/in/2.parquet", t0 + 20000L)
+    stageOneFile(sentinel, s"$stage/in/3.parquet", t0 + 30000L)
+    val schema = bulk.schema
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/in")
+      .withWatermark("ts", "1801 seconds")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
+    Streams.runAvailableNow(streamed, OutputMode.Append()) { b =>
+      emitted ++= b.collect() // append mode: each window exactly once
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(emitted.toSeq),
+        streamed.schema)
+      .orderBy("window_start", "event_type")
   }
 }

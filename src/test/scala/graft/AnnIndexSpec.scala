@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{AnnIndex, Similarity}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Steady-state contract of the persisted IVF×PQ index: after
+  * compaction writes centroids + codebooks + the cell-partitioned
+  * code/float table, query batches are answered WITHOUT ever touching
+  * the corpus parquet again (the SemanticIndexSpec property for ANN),
+  * and the probed-cell filter statically prunes partitions of the
+  * codes table.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 well-separated direction clusters in 8-dim space (m=2 subspaces
+  // of 4 dims); jitter preserves the direction so exact-L2 neighbors
+  // stay within the cluster
+  private def member(base: Array[Float], i: Int): Seq[Float] =
+    base.map(x => x * (1f + i * 0.01f)).toSeq
+  private val bases = Seq(
+    Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+    Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+    Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+    Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f))
+
+  private def corpusRows: Seq[(Long, Seq[Float])] =
+    // ids 1..4 seed one k-means init centroid per cluster; 5 members each
+    (0 until 4).flatMap { c =>
+      (0 until 5).map(i => ((1 + c + 4 * i).toLong, member(bases(c), i)))
+    }
+
+  test("queryBatch answers from the prebuilt index: zero corpus scans, pruned code partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-spec").toString
+    val corpusPath = s"$dir/corpus.parquet"
+    corpusRows.toDF("vec_id", "embedding").write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val indexDir = s"$dir/index"
+    AnnIndex.compact(corpus, indexDir, cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val model = AnnIndex.load(spark, indexDir)
+    assert(model.centroids.length == 4)
+    assert(model.codebooks.length == 2 && model.codebooks.head.length == 4)
+
+    // ---- batch phase: everything below must be corpus-free ----
+    val scanned = new ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      private def record(qe: QueryExecution): Unit = qe.analyzed.foreach {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.foreach(p => scanned.add(p.toString))
+          case _ => ()
+        }
+        case _ => ()
+      }
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = record(qe)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = record(qe)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // queries from driver memory (a production batch arrives as its
+      // own table; reading it is not a corpus scan)
+      val queries = Seq((100L, member(bases(0), 7)), (101L, member(bases(2), 8)))
+        .toDF("vec_id", "embedding")
+      val top = AnnIndex.queryBatch(queries, model, k = 3, nprobe = 1, shortlist = 8)
+      val got = top.select("query_id", "rnk", "cand_id").as[(Long, Long, Long)]
+        .collect().toSeq.sorted
+      // top-3 of a cluster-0 query are cluster-0 members (ids ≡ 1 mod 4);
+      // of a cluster-2 query, cluster-2 members (ids ≡ 3 mod 4)
+      val byQuery = got.groupBy(_._1)
+      assert(byQuery(100L).map(_._3).forall(id => id % 4 == 1),
+        s"query 100 must hit cluster-0 members: $got")
+      assert(byQuery(101L).map(_._3).forall(id => id % 4 == 3),
+        s"query 101 must hit cluster-2 members: $got")
+      assert(byQuery.values.forall(_.size == 3))
+
+      // refine ranks by exact L2: the nearest member (smallest jitter
+      // distance) must be rank 1 — recompute exact order driver-side
+      val exact = corpusRows.filter(_._1 % 4 == 1)
+        .map { case (id, v) =>
+          val q = member(bases(0), 7)
+          val d = q.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+          (id, d)
+        }.sortBy(r => (r._2, r._1)).map(_._1).take(3)
+      assert(byQuery(100L).sortBy(_._2).map(_._3) == exact,
+        s"refine must produce the exact-L2 order: got ${byQuery(100L)} want $exact")
+
+      // listener: sentinel flush, then assert what executed
+      val sentinelPath = s"$dir/sentinel.parquet"
+      Seq((0L, "sentinel")).toDF("id", "t").write.parquet(sentinelPath)
+      spark.read.parquet(sentinelPath).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!scanned.asScala.exists(_.contains("sentinel.parquet")) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      assert(scanned.asScala.exists(_.contains("sentinel.parquet")),
+        "listener never saw the sentinel read")
+      // positive control: the index reads ARE visible to the listener
+      assert(scanned.asScala.exists(_.contains("index")),
+        "listener should see the index-table reads")
+      val corpusScans = scanned.asScala.filter(_.contains("corpus.parquet")).toSeq
+      assert(corpusScans.isEmpty,
+        s"batch phase scanned the corpus ${corpusScans.size} time(s)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("probing statically prunes partitions of the codes table (nprobe/cells scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-prune").toString
+    corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+    AnnIndex.compact(corpus, s"$dir/index", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val model = AnnIndex.load(spark, s"$dir/index")
+    val queries = Seq((100L, member(bases(1), 7))).toDF("vec_id", "embedding")
+    val top = AnnIndex.queryBatch(queries, model, k = 2, nprobe = 1)
+    val p = top.queryExecution.executedPlan.toString
+    // the cell IN (...) literal must reach the scan as a PARTITION
+    // filter (static pruning — not data filtering after a full read)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"probed cells must prune index partitions:\n${p.take(1200)}")
+    // and the ADC join stays a hash equi-join on the cell, never an
+    // all-codes nested loop
+    assert("BroadcastHashJoin \\[cell#".r.findFirstIn(p).isDefined,
+      s"ADC join must hash-join on the probed cell:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no all-codes nested loop against the index:\n${p.take(1200)}")
+    // the scan reads nprobe of the 4 cell partitions: with nprobe=1 the
+    // pruned scan returns exactly one cell's candidates (5 of 20 rows)
+    val scannedRows = model.table.filter(col("cell").isin(
+      Similarity.assignCellsN(
+        queries.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv")),
+        model.centroids, 1, "qv")
+        .select("cell").distinct().collect().map(_.getInt(0)).toSeq: _*))
+      .count()
+    assert(scannedRows == 5L, s"nprobe=1 of 4 cells must scan 5 of 20 rows, got $scannedRows")
+  }
+}
