@@ -29,12 +29,25 @@ object SemanticIndex {
   final case class Model(centroids: Seq[Array[Double]], survivors: DataFrame)
 
   /** One-off corpus compaction: write `centroids/` and `survivors/`
-    * (partitioned by cell) under `indexDir`. */
+    * (partitioned by cell) under `indexDir`.
+    *
+    * `cells` ≤ 0 (the default) derives the cell count from the corpus
+    * size via [[Similarity.adaptiveCentroids]] — cells target
+    * `targetCellSize` members and oversized cells are split-refined, so
+    * the within-cell pair join of the corpus [[Similarity.semanticDedup]]
+    * below (and of every [[labelBatch]] after it) stays bounded as the
+    * corpus grows. A fixed `cells = 8` on a large corpus made each cell
+    * ~corpus/8 and that join quadratic; pass an explicit positive
+    * `cells` only when the corpus size is known and modest. */
   def compact(corpus: DataFrame, indexDir: String, threshold: Double,
-              cells: Int = 8, iters: Int = 3, trainBound: Long = 1L << 20,
+              cells: Int = 0, iters: Int = 3, trainBound: Long = 1L << 20,
+              targetCellSize: Long = 1L << 13,
               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
-    val cents = Similarity.trainKMeans(corpus, cells, iters, idCol, vecCol, trainBound)
+    val cents =
+      if (cells > 0) Similarity.trainKMeans(corpus, cells, iters, idCol, vecCol, trainBound)
+      else Similarity.adaptiveCentroids(corpus, targetCellSize, iters, trainBound,
+        idCol, vecCol)
     // reuse: the celled corpus feeds BOTH the dedup pair generation and
     // the survivor filter — without the boundary the assignment (and
     // the corpus scan under it) runs twice

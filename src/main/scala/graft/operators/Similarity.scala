@@ -230,6 +230,68 @@ object Similarity {
     if (s.limit(minRows).count() < minRows) df else s.localCheckpoint()
   }
 
+  /** Scale-adaptive quantizer training — closes the fixed-cell-count
+    * trap: a quantizer trained with k chosen at code-time (e.g. the old
+    * `cells = 8` default) makes each cell ~corpus/k, so every
+    * within-cell operator ([[cosineNearDup]]'s pair join, the ADC scan
+    * of one probed IVF cell) grows quadratically/linearly with the
+    * corpus instead of staying constant. Here k is DERIVED from the
+    * corpus size (one column-less footer count) so cells target
+    * `targetCellSize` members, and the trained quantizer is then
+    * SPLIT-REFINED: any cell whose measured population still exceeds
+    * 2×targetCellSize (k-means balances nothing — a skewed corpus can
+    * park most of itself in one cell) gets a sub-quantizer trained on
+    * its members only, and its centroid is REPLACED by the
+    * sub-centroids. The flattened list is still a plain nearest-centroid
+    * quantizer — [[assignCells]], persisted-index formats, and
+    * batch-side assignment are unchanged; callers never see the
+    * hierarchy.
+    *
+    * Scale: deriving k costs one footer count; each refine round costs
+    * one assignment scan + one cell-count agg over a materialized
+    * (id, vector) projection (Stage.reuse — the corpus parquet itself
+    * is scanned once), plus per-oversized-cell sub-training on that
+    * cell's members. Rounds are capped by `maxRounds`: a cell of
+    * IDENTICAL vectors cannot be split by any quantizer, so the loop
+    * must terminate rather than spin (such a cell is genuinely one
+    * semantic point; downstream dedup collapses it to one survivor
+    * anyway). */
+  def adaptiveCentroids(corpus: DataFrame, targetCellSize: Long,
+                        iters: Int = 3, trainBound: Long = 1L << 20,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        minCells: Int = 8, maxCells: Int = 1 << 16,
+                        maxRounds: Int = 3): Seq[Array[Double]] = {
+    require(targetCellSize > 0, s"targetCellSize=$targetCellSize must be positive")
+    val n = corpus.count()
+    val k0 = math.max(minCells.toLong,
+      math.min(maxCells.toLong, (n + targetCellSize - 1) / targetCellSize)).toInt
+    val base = Stage.reuse(corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")))
+    var cents = trainKMeans(base, k0, iters, "id", "v", trainBound)
+    val maxCell = 2 * targetCellSize
+    var round = 0
+    var bounded = false
+    while (!bounded && round < maxRounds) {
+      val celled = assignCells(base, cents, "v")
+      val counts = celled.groupBy("cell").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val oversized = counts.filter(_._2 > maxCell).sortBy(_._1)
+      if (oversized.isEmpty) bounded = true
+      else {
+        val overIds = oversized.map(_._1).toSet
+        val kept = cents.zipWithIndex.collect { case (c, i) if !overIds(i) => c }
+        val subs = oversized.flatMap { case (c, cnt) =>
+          val kc = math.max(2L,
+            math.min(maxCells.toLong, (cnt + targetCellSize - 1) / targetCellSize)).toInt
+          trainKMeans(celled.filter(col("cell") === c), kc, iters, "id", "v", trainBound)
+        }
+        cents = kept ++ subs
+        round += 1
+      }
+    }
+    cents
+  }
+
   /** The `nprobe` nearest cells per row (for query-side probing):
     * explodes to one row per (row, probed cell). */
   def assignCellsN(df: DataFrame, centroids: Seq[Array[Double]], nprobe: Int,
@@ -577,11 +639,29 @@ object Similarity {
     * Scale: the pair graph is tiny next to the corpus (only
     * above-threshold pairs enter); the label map joins back on the id —
     * one hash join. `strict` as in [[Dedup.components]]: non-converged
-    * labels throw rather than silently keeping extra docs. */
+    * labels throw rather than silently keeping extra docs.
+    *
+    * `maxCellSize` > 0 guards the quadratic trap: [[cosineNearDup]] is
+    * all-pairs WITHIN a cell, so a cell holding a corpus-scale fraction
+    * (a fixed cell count on a grown corpus, or a skewed quantizer)
+    * makes the pair join quadratic. The guard costs one cell-count agg
+    * and throws loudly — pointing at [[adaptiveCentroids]] — instead of
+    * silently launching an ~(corpus/cells)² join. Opt-in because the
+    * extra action is wasted on callers that just trained an adaptive
+    * quantizer (its refine loop already measured the cells). */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     cellCol: String = "label", idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    maxIter: Int = 10, strict: Boolean = true): DataFrame = {
+                    maxIter: Int = 10, strict: Boolean = true,
+                    maxCellSize: Long = 0L): DataFrame = {
+    if (maxCellSize > 0) {
+      val big = corpus.groupBy(col(cellCol)).count()
+        .filter(col("count") > maxCellSize).limit(1).collect()
+      if (big.nonEmpty) throw new IllegalStateException(
+        s"semanticDedup: cell ${big.head.get(0)} holds ${big.head.getLong(1)} vectors " +
+          s"(> maxCellSize=$maxCellSize) — the within-cell pair join would be quadratic; " +
+          "re-quantize with Similarity.adaptiveCentroids (or raise the cell count)")
+    }
     val pairs = cosineNearDup(corpus, threshold, cellCol, idCol, vecCol)
     val comp = Dedup.components(pairs, maxIter, strict)
       .withColumnRenamed("id", "__cid")
