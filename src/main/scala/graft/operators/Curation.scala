@@ -37,9 +37,15 @@ object Curation {
   final case class Funnel(input: Long, afterQuality: Long, afterExact: Long,
                           afterNearDup: Long, train: Long, test: Long)
 
-  /** The curated corpus: doc_id, redacted text, n_tokens, split.
-    * Deterministic end to end — same input, same corpus out. */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  /** The lazily-built pipeline stages — ONE construction shared by
+    * [[curate]] (which only needs `out`) and [[funnel]] (which counts
+    * every stage), so the reporting path reuses the SAME materialized
+    * `exact` boundary instead of rebuilding the gates + exact-dedup
+    * join per stage count. */
+  private final case class Stages(gated: DataFrame, exact: DataFrame,
+                                  clean: DataFrame, out: DataFrame)
+
+  private def build(docs: DataFrame, cfg: Config): Stages = {
     val gated = scalarGates(docs, cfg)
     // exact dedup: keep only each content-group's canonical (min-id) doc
     val exactKept = Dedup.exact(gated, "text", "doc_id")
@@ -62,31 +68,33 @@ object Curation {
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     val clean = exact.join(dupIds, Seq("doc_id"), "left_anti")
-    clean.select(
+    val out = clean.select(
       col("doc_id"),
       Text.redactPii(col("text")).as("text"),
       Text.tokenCount(col("text")).cast("long").as("n_tokens"),
       when(Sampling.hashBucket(col("doc_id")) < cfg.testPct, "test")
         .otherwise("train").as("split"))
+    Stages(gated, exact, clean, out)
   }
 
-  /** Stage-by-stage funnel counts (runs the plan per stage — a
-    * reporting tool, not part of the production flow). */
+  /** The curated corpus: doc_id, redacted text, n_tokens, split.
+    * Deterministic end to end — same input, same corpus out. */
+  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    build(docs, cfg).out
+
+  /** Stage-by-stage funnel counts — a reporting tool, but one that
+    * shares [[curate]]'s pipeline (and its materialization boundary):
+    * each count after `afterQuality` reads the checkpointed `exact`
+    * frame, so pointing this at a real corpus costs the gates +
+    * exact-dedup join ONCE, not once per stage. The train/test
+    * breakdown is one grouped aggregate over the final frame rather
+    * than two filtered counts. */
   def funnel(docs: DataFrame, cfg: Config = Config()): Funnel = {
-    val gated = scalarGates(docs, cfg)
-    val exactKept = Dedup.exact(gated, "text", "doc_id")
-      .filter(col("doc_id") === col("canonical_id")).select("doc_id")
-    val exact = gated.join(exactKept, "doc_id")
-    val dupIds = Dedup.components(
-        Dedup.minhashLsh(exact, cfg.nearDupThreshold,
-          cfg.minhashPerms, cfg.minhashBands))
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as("doc_id"))
-    val clean = exact.join(dupIds, Seq("doc_id"), "left_anti")
-    val out = curate(docs, cfg)
-    Funnel(docs.count(), gated.count(), exact.count(), clean.count(),
-      out.filter(col("split") === "train").count(),
-      out.filter(col("split") === "test").count())
+    val st = build(docs, cfg)
+    val bySplit = st.out.groupBy("split").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    Funnel(docs.count(), st.gated.count(), st.exact.count(), st.clean.count(),
+      bySplit.getOrElse("train", 0L), bySplit.getOrElse("test", 0L))
   }
 
   /** Gopher/C4-family rule filter with per-rule attribution: every doc

@@ -1,7 +1,13 @@
 package graft
 
 import graft.operators.{Curation, Dedup}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
 
 /** The end-to-end curation funnel on the real documents table plus
   * adversarial fixtures: each stage's contract holds on the composed
@@ -50,6 +56,51 @@ class CurationSpec extends SparkSpec {
     assert(f.afterExact >= f.afterNearDup)
     assert(f.train + f.test == f.afterNearDup)
     assert(f.afterNearDup > 0)
+  }
+
+  test("funnel shares curate's materialization boundary: post-gate stages never rescan the corpus") {
+    // funnel on a path-backed corpus: only the `input` and `afterQuality`
+    // counts may contain the corpus relation — every later stage
+    // (afterExact, afterNearDup, the split breakdown, AND the LSH pair
+    // generation inside them) must read the checkpointed `exact` frame,
+    // which the analyzed plan shows as a LogicalRDD, not the parquet scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val corpusPath = s"$dir/corpus.parquet"
+    docs.limit(200).write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+
+    val scanned = new ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      private def record(qe: QueryExecution): Unit = qe.analyzed.foreach {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.foreach(p => scanned.add(p.toString))
+          case _ => ()
+        }
+        case _ => ()
+      }
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = record(qe)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = record(qe)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val f = Curation.funnel(corpus)
+      assert(f.input == 200 && f.train + f.test == f.afterNearDup)
+
+      // listener is async: flush with a sentinel read, then assert
+      val sentinelPath = s"$dir/sentinel.parquet"
+      Seq((0L, "sentinel")).toDF("id", "t").write.parquet(sentinelPath)
+      spark.read.parquet(sentinelPath).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!scanned.asScala.exists(_.contains("sentinel.parquet")) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      assert(scanned.asScala.exists(_.contains("sentinel.parquet")),
+        "listener never saw the sentinel read")
+      val corpusScans = scanned.asScala.count(_.contains("corpus.parquet"))
+      assert(corpusScans == 2,
+        s"funnel should read the corpus exactly twice (input + afterQuality " +
+          s"counts); analyzed plans contained it $corpusScans times")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("planted duplicates and near-duplicates are removed by the composed pipeline") {
