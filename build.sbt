@@ -15,6 +15,11 @@ run / fork := true
 // prefixes every line with "[info] ", which breaks any consumer parsing
 // Bench's one-line JSON from the sbt stdout stream.
 run / outputStrategy := Some(StdoutOutput)
+// No "[success] Total time: ..." after a run: that trailer lands INSIDE
+// the driver's fixed-size stdout tail window right after Bench's one-line
+// JSON and can push the line's start out of the capture (BENCH r9 parsed
+// null with only ~30 bytes clipped).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -58,7 +58,19 @@ object Bench {
                else if (times.exists(_ >= 0)) times.filter(_ >= 0).min
                else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // stdout JSON must stay comfortably under the driver's 2000-byte
+    // tail-capture window (BENCH r9 came back "parsed": null because the
+    // 89-query line at 3 decimals + trailing sbt output overflowed it):
+    // 2 decimals with trailing zeros stripped, and the compact field set
+    // below. BENCH_SELF.json keeps the full-fidelity copy.
+    def jnum(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) {
+        val t = s.reverse.dropWhile(_ == '0').reverse
+        if (t.endsWith(".")) t.dropRight(1) else t
+      } else s
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // loud failure channel: any unexpected ERROR-level log event during
@@ -73,9 +85,16 @@ object Bench {
           case c if c < ' ' => f"\\u${c.toInt}%04x"
           case c => c.toString
         } + "\"").getOrElse("")
-    val json =f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"log_errors":$logErrs$logFirst,"queries":$qs,"sf":"$sfDir"}"""
-    // file copy first (reliable channel regardless of stdout state)...
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), json + "\n")
+    // sf as basename only: the dir prefix is constant and the window is
+    // byte-budgeted (see jnum note above)
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val json = f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs$logFirst,"queries":$qs,"sf":"$sfName"}"""
+    // file copy first (reliable channel regardless of stdout state) —
+    // full fidelity: 3-decimal times, runs, the complete sf dir
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"log_errors":$logErrs$logFirst,"queries":$qsFull,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), jsonFull + "\n")
     catch { case _: Throwable => }
     // ...then the driver's stdout line, printed AFTER spark.stop() so no
     // executor/log4j output can interleave with it, with stdout kept

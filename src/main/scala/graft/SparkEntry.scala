@@ -84,6 +84,7 @@ object SparkEntry {
     "s_ann_pq"          -> (LlmOps.sAnnPq _),
     "s_ann_ivfpq"       -> (LlmOps.sAnnIvfPq _),
     "s_ann_index"       -> (LlmOps.sAnnIndex _),
+    "s_ann_query"       -> (LlmOps.sAnnQuery _),
     "mm_meta"           -> (LlmOps.mmMeta _),
     "mm_frames"         -> (LlmOps.mmFrames _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),

@@ -21,16 +21,45 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** The driver wrote events.ts as parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; read nanos as long and convert to the
-    * session's micros timestamp (values are micro-aligned; lossless). */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, NOT `/`: int64 nanos exceed double's 53-bit mantissa,
-    // so float division rounds the microsecond off by ±1.
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** The fixture's `ts` column has shipped in two shapes across driver
+    * regenerations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects unless surfaced as raw longs — and plain
+    * timestamp[us] (read as TIMESTAMP_NTZ). Branch on what the file
+    * actually contains so either fixture loads; downstream queries
+    * always see a session-zone TIMESTAMP (all entry points pin UTC, so
+    * the NTZ cast is value-preserving). */
+  def events: DataFrame = normalizeEventsTs(rawEvents)
+
+  /** The fixture as the file presents it (`ts` still raw). ALSO the
+    * schema source for streaming replays of the table (`readStream`
+    * requires an explicit schema) — going through here keeps the
+    * legacy-NANOS conf handling in one place. */
+  def rawEvents: DataFrame =
+    try t("events")
+    catch {
+      // legacy NANOS fixture: schema inference throws on the footer
+      // unless nanos are read as longs. The conf is session-sticky by
+      // design — only set on this path, so a micros fixture never
+      // flips global read semantics.
+      case _: Exception =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        t("events")
+    }
+
+  /** One dtype policy for every replay of the events fixture (batch
+    * accessor above, streaming file replays in tests): whatever shape
+    * `ts` arrived in, downstream sees a session-zone TIMESTAMP. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: int64 nanos exceed double's 53-bit
+        // mantissa, so float division rounds the microsecond off by ±1.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -86,9 +86,13 @@ object Curation {
     * shares [[curate]]'s pipeline (and its materialization boundary):
     * each count after `afterQuality` reads the checkpointed `exact`
     * frame, so pointing this at a real corpus costs the gates +
-    * exact-dedup join ONCE, not once per stage. The train/test
-    * breakdown is one grouped aggregate over the final frame rather
-    * than two filtered counts. */
+    * exact-dedup join ONCE (inside the checkpoint materialization),
+    * not once per stage. Total corpus reads: the `input` and
+    * `afterQuality` counts plus the one materialization pass —
+    * CurationSpec pins this with a listener that counts corpus
+    * relations in every non-checkpoint action's analyzed plan. The
+    * train/test breakdown is one grouped aggregate over the final
+    * frame rather than two filtered counts. */
   def funnel(docs: DataFrame, cfg: Config = Config()): Funnel = {
     val st = build(docs, cfg)
     val bySplit = st.out.groupBy("split").count()

@@ -625,6 +625,44 @@ object LlmOps {
     val model = AnnIndex.load(spark, indexDir)
     val q = e.filter(col("vec_id") < 10)
     val ann = AnnIndex.queryBatch(q, model, k = 5, nprobe = 5, shortlist = 100)
+    annRecallGate(e, q, ann)
+  }
+
+  private val annIndexLock = new Object
+
+  /** Steady-state ANN search against a PREBUILT persisted index — the
+    * amortized number a 100 TB deployment quotes. [[sAnnIndex]] times
+    * its own compaction (train + encode + partitioned write + read-back)
+    * by design; here the index is compacted AT MOST ONCE per JVM and
+    * fixture (marker-file idempotent, lock-guarded), so the measured
+    * plan is probe → `cell IN (…)`-pruned ADC → exact refine, plus the
+    * in-plan recall gate's one broadcast-10-query brute-force check.
+    * Bench's discard-first-run policy absorbs the one-off compaction. */
+  def sAnnQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    // deterministic per-fixture location: repeat calls (bench's 3 runs,
+    // verify after tests) reuse the same compacted artifacts
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-annidx-$key"
+    val marker = java.nio.file.Paths.get(indexDir, "_COMPACTED")
+    annIndexLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        AnnIndex.compact(e, indexDir, cells = 8, m = 8, ksub = 64,
+          coarseIters = 3, pqIters = 2, trainBound = 512)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    val model = AnnIndex.load(spark, indexDir)
+    val q = e.filter(col("vec_id") < 10)
+    val ann = AnnIndex.queryBatch(q, model, k = 5, nprobe = 5, shortlist = 100)
+    annRecallGate(e, q, ann)
+  }
+
+  /** In-plan recall gate shared by the persisted-index queries: brute
+    * exact top-5 for the (broadcast-tiny) query batch, left-joined
+    * against the ANN answer — emits (n_queries, recall_ok ≥ 0.5). */
+  private def annRecallGate(e: DataFrame, q: DataFrame, ann: DataFrame): DataFrame = {
     val qq = q.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("qv"))
     val cc = e.select(col("vec_id").as("cand_id"),

@@ -59,28 +59,35 @@ class CurationSpec extends SparkSpec {
   }
 
   test("funnel shares curate's materialization boundary: post-gate stages never rescan the corpus") {
-    // funnel on a path-backed corpus: only the `input` and `afterQuality`
-    // counts may contain the corpus relation — every later stage
-    // (afterExact, afterNearDup, the split breakdown, AND the LSH pair
-    // generation inside them) must read the checkpointed `exact` frame,
-    // which the analyzed plan shows as a LogicalRDD, not the parquet scan
-    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    // funnel on a path-backed corpus: apart from the ONE checkpoint
+    // materialization action (which by definition reads the corpus to
+    // build the `exact` blocks — its event is filtered below by
+    // funcName), only the `input` and `afterQuality` counts may contain
+    // the corpus relation. Every later stage (afterExact, afterNearDup,
+    // the split breakdown, AND the LSH pair generation inside them)
+    // must read the checkpointed `exact` frame, which the analyzed plan
+    // shows as a LogicalRDD, not the parquet scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel")
     val corpusPath = s"$dir/corpus.parquet"
     docs.limit(200).write.parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
 
     val scanned = new ConcurrentLinkedQueue[String]()
     val listener = new QueryExecutionListener {
-      private def record(qe: QueryExecution): Unit = qe.analyzed.foreach {
-        case l: LogicalRelation => l.relation match {
-          case h: HadoopFsRelation =>
-            h.location.rootPaths.foreach(p => scanned.add(p.toString))
+      private def record(fn: String, qe: QueryExecution): Unit =
+        // the checkpoint action's analyzed plan legitimately contains
+        // the corpus (multiple times — the exact-dedup self-join
+        // lineage); it is the materialization itself, not a rescan
+        if (!fn.toLowerCase.contains("checkpoint")) qe.analyzed.foreach {
+          case l: LogicalRelation => l.relation match {
+            case h: HadoopFsRelation =>
+              h.location.rootPaths.foreach(p => scanned.add(p.toString))
+            case _ => ()
+          }
           case _ => ()
         }
-        case _ => ()
-      }
-      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = record(qe)
-      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = record(qe)
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit = record(f, qe)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = record(f, qe)
     }
     spark.listenerManager.register(listener)
     try {
@@ -98,9 +105,16 @@ class CurationSpec extends SparkSpec {
         "listener never saw the sentinel read")
       val corpusScans = scanned.asScala.count(_.contains("corpus.parquet"))
       assert(corpusScans == 2,
-        s"funnel should read the corpus exactly twice (input + afterQuality " +
-          s"counts); analyzed plans contained it $corpusScans times")
-    } finally spark.listenerManager.unregister(listener)
+        s"funnel should read the corpus exactly twice outside the checkpoint " +
+          s"materialization (input + afterQuality counts); analyzed plans " +
+          s"contained it $corpusScans times")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      // the temp corpus/sentinel would otherwise accumulate across runs
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("planted duplicates and near-duplicates are removed by the composed pipeline") {

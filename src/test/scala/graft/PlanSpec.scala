@@ -221,6 +221,22 @@ class PlanSpec extends SparkSpec {
       s"chunking must not shuffle:\n${ch.take(400)}")
   }
 
+  test("q19_asof: union+window shape — one key shuffle, no join node, no range explosion") {
+    // AsOfJoin.backward is union-then-window, NOT a range join: a
+    // refactor that regresses it to a time-range join would plan a
+    // nested-loop/cartesian pair explosion whose cost scales with
+    // time-range density instead of one hash shuffle + sort
+    val p = plan("q19_asof")
+    assert(p.contains("Union") && p.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must not plan any join node")
+    // exactly ONE data-scale hash shuffle (the window's key partition);
+    // the only other exchange is the final presentation orderBy's range
+    val hashEx = "hashpartitioning".r.findAllIn(p.toLowerCase).size
+    assert(hashEx == 1, s"expected 1 hash exchange, plan has $hashEx")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline of q2") {
     // AQE hides codegen spans until execution: run the query, then
     // inspect the final adaptive plan for WholeStageCodegen operators.

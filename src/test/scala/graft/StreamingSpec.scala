@@ -181,20 +181,18 @@ class StreamingSpec extends SparkSpec {
     * replayed as a file STREAM and the windowed aggregation must equal
     * the batch run of q11_tumbling_window. */
   test("batch/stream parity: streaming tumbling agg over events == batch result") {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // schema + ts-dtype policy come from Tables so this replay keeps
+    // working whichever shape (legacy NANOS / timestamp[us]) the
+    // driver's fixture ships in
+    val tables = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    val schema = tables.rawEvents.schema
     // file stream sources consume directories: stage the table file
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    val streamed = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val streamed = tables.normalizeEventsTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
     val got = ArrayBuffer.empty[(Timestamp, String, Long)]
