@@ -62,6 +62,7 @@ object SparkEntry {
     "d_embed_neardup"   -> (LlmOps.dEmbedNearDup _),
     "d_semdedup"        -> (LlmOps.dSemDedup _),
     "d_winnow_pairs"    -> (LlmOps.dWinnowPairs _),
+    "d_winnow_fast"     -> (LlmOps.dWinnowFast _),
     "d_components"      -> (LlmOps.dComponents _),
     "d_components_star" -> (LlmOps.dComponentsStar _),
     "d_incremental"     -> (LlmOps.dIncremental _),

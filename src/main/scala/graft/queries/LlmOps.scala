@@ -330,6 +330,17 @@ object LlmOps {
         k = 24, window = 8, maxDocFreq = Some(20L))
       .orderBy("id_a", "id_b")
 
+  /** The production-throughput rolling-hash variant of d_winnow_pairs —
+    * same winnowing selection and join over [[graft.expressions]]'
+    * one-pass `graft_winnow` prints (O(len) per doc vs O(len·k) md5).
+    * The prints differ from the md5 form, so there is no SQL oracle:
+    * the driver records a rows-only check, and OperatorSpec pins that
+    * the fast form finds the same planted passage as the md5 form. */
+  def dWinnowFast(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairsFast(Tables(spark, dir).documents, minShared = 10,
+        k = 24, window = 8, maxDocFreq = Some(20L))
+      .orderBy("id_a", "id_b")
+
   /** Near-dup clustering: connected components over the capped-jaccard
     * pair graph — every doc in a transitive near-dup cluster labeled
     * with the cluster's minimum id. Oracled by a DuckDB RECURSIVE CTE
