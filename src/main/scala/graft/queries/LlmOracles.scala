@@ -311,7 +311,9 @@ object LlmOracles {
 
     // incremental line dedup: batch slice (md5 bucket >= 95) drops
     // corpus-present lines (bucket < 95) then keep-first within the
-    // batch; same pseudo-line construction and min-key as d_line_dedup
+    // batch; same pseudo-line construction and min-key as d_line_dedup.
+    // d_incr_steady is the SAME semantics against a prebuilt persisted
+    // index, so it shares this oracle verbatim (see the alias below).
     "d_incr_lines" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $toks AS toks,
@@ -902,7 +904,12 @@ object LlmOracles {
   /** componentsStar must produce EXACTLY the labels of d_components
     * (same pair graph, same min-id contract) — the oracle is the same
     * recursive reach; only the Spark-side algorithm differs
-    * (large-star/small-star alternation instead of hash-min rounds). */
+    * (large-star/small-star alternation instead of hash-min rounds).
+    * Likewise d_incr_steady must equal d_incr_lines bit for bit: same
+    * incremental dedup semantics, the corpus side merely comes from
+    * the prebuilt persisted index instead of an in-query compaction. */
   val sql: Map[String, String] =
-    base + ("d_components_star" -> base("d_components"))
+    base +
+      ("d_components_star" -> base("d_components")) +
+      ("d_incr_steady" -> base("d_incr_lines"))
 }
