@@ -48,6 +48,12 @@ object Bench {
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
         .getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // between queries: drop the previous query's localCheckpoint
+      // blocks (ContextCleaner reclaims them only after their frames
+      // are GC'd) so a checkpoint-heavy query 50 entries in isn't taxed
+      // by 49 predecessors' dead blocks — per-query numbers should
+      // measure the query's plan, not the session's residue
+      System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }

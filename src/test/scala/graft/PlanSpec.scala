@@ -237,6 +237,20 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, plan has $hashEx")
   }
 
+  test("d_incr_steady: corpus side reads the persisted index; Bloom probe is in-plan") {
+    // the steady-state gate must NOT recompute the corpus line table:
+    // its anti-join's right side scans the compacted graft-lineidx
+    // parquet, and the batch side carries the map-side Bloom prefilter
+    // (definite-novel lines never reach the exchange)
+    val p = plan("d_incr_steady")
+    assert(p.contains("graft-lineidx"),
+      "corpus side must scan the persisted line-hash index parquet")
+    // the registered graft_might_contain expression renders by its
+    // expression name in explain output
+    assert(p.contains("might_contain"),
+      "the serialized Bloom prefilter must appear as an in-plan predicate")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline of q2") {
     // AQE hides codegen spans until execution: run the query, then
     // inspect the final adaptive plan for WholeStageCodegen operators.
