@@ -84,27 +84,37 @@ object Bench {
     // the run lands in the artifact itself (count + first message), not
     // just in a stack trace a parser would skip
     val logErrs = graft.core.LogHygiene.errorCount
-    val logFirst = graft.core.LogHygiene.firstError
-      .map(m => ",\"log_first\":\"" +
-        m.flatMap {
-          case '"' => "\\\""
-          case '\\' => "\\\\"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"
-          case c => c.toString
-        } + "\"").getOrElse("")
+    def escape(m: String): String = m.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    // stdout copy carries a BUDGETED slice of the first error (80 chars
+    // pre-escape): the full message lives in BENCH_SELF.json; an
+    // unbudgeted log_first (~340 bytes) would overflow the capture
+    // window on exactly the runs where the failure channel matters
+    def logFirstAt(maxChars: Int) = graft.core.LogHygiene.firstError
+      .map(m => ",\"log_first\":\"" + escape(m.take(maxChars)) + "\"")
+      .getOrElse("")
+    val logFirstFull = logFirstAt(Int.MaxValue)
     // sf as basename only: the dir prefix is constant and the window is
     // byte-budgeted (see jnum note above)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def lineAt(dec: Int) =
-      f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs$logFirst,"queries":${qsAt(dec)},"sf":"$sfName"}"""
-    // adaptive precision: as the corpus grows, drop to 1 decimal before
-    // the line can outgrow the capture window (never emit a cut JSON)
-    val json = if (lineAt(2).length <= 1900) lineAt(2) else lineAt(1)
+    def lineAt(dec: Int, lf: String) =
+      f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs$lf,"queries":${qsAt(dec)},"sf":"$sfName"}"""
+    // adaptive fallbacks, tried in order, so the emitted line can never
+    // outgrow the driver's 2000-byte capture: full precision → 1
+    // decimal → drop the error excerpt (the count stays; the text is in
+    // BENCH_SELF.json)
+    val json = Seq(lineAt(2, logFirstAt(80)), lineAt(1, logFirstAt(80)),
+        lineAt(1, ""))
+      .find(_.length <= 1900).getOrElse(lineAt(1, ""))
     // file copy first (reliable channel regardless of stdout state) —
     // full fidelity: 3-decimal times, runs, the complete sf dir
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"log_errors":$logErrs$logFirst,"queries":$qsFull,"sf":"$sfDir"}"""
+    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), jsonFull + "\n")
     catch { case _: Throwable => }
     // ...then the driver's stdout line, printed AFTER spark.stop() so no

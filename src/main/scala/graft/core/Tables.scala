@@ -39,11 +39,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     catch {
       // legacy NANOS fixture: schema inference throws on the footer
       // unless nanos are read as longs. The conf is session-sticky by
-      // design — only set on this path, so a micros fixture never
-      // flips global read semantics.
-      case _: Exception =>
+      // design — only set on this path, and ONLY for the specific
+      // illegal-timestamp error, so neither a micros fixture nor an
+      // unrelated failure (missing file, IO error) flips global read
+      // semantics.
+      case e: Exception if isNanosSchemaError(e) =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         t("events")
+    }
+
+  private def isNanosSchemaError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5).exists { c =>
+      val m = Option(c.getMessage).getOrElse("")
+      m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("Illegal Parquet type") ||
+        m.contains("TIMESTAMP(NANOS")
     }
 
   /** One dtype policy for every replay of the events fixture (batch

@@ -295,20 +295,17 @@ object LlmOps {
     import graft.operators.{BloomDedup, Sampling}
     val lined = pseudoLined(Tables(spark, dir).documents)
     val bucket = Sampling.hashBucket(col("doc_id"))
-    val idxDir =
-      s"${sys.props("java.io.tmpdir")}/graft-lineidx-${fixtureKey(s"$dir/documents.parquet")}"
-    val marker = java.nio.file.Paths.get(idxDir, "_COMPACTED")
-    lineIndexLock.synchronized {
-      if (!java.nio.file.Files.exists(marker)) {
+    val idxDir = lineIndexLock.synchronized {
+      compactOnce("lineidx", s"$dir/documents.parquet",
+          params = "split95:tok3:v1") { staging =>
         // compaction: ONE corpus pass to the lh table (bucket it by lh
         // in production so the per-batch anti-join is exchange-free on
         // the corpus side), one bounded agg for the Bloom bytes
         BloomDedup.corpusLineHashes(lined.filter(bucket < 95))
-          .write.mode("overwrite").parquet(s"$idxDir/lines")
+          .write.mode("overwrite").parquet(s"$staging/lines")
         BloomDedup.buildFilter(
-            spark.read.parquet(s"$idxDir/lines"), hashCol = "lh")
-          .foreach(BloomDedup.saveFilter(_, s"$idxDir/bloom.bin"))
-        java.nio.file.Files.createFile(marker)
+            spark.read.parquet(s"$staging/lines"), hashCol = "lh")
+          .foreach(BloomDedup.saveFilter(_, s"$staging/bloom.bin"))
       }
     }
     val corpusLines = spark.read.parquet(s"$idxDir/lines")
@@ -604,23 +601,7 @@ object LlmOps {
     // 0.70 at sf0.001/0.01/0.1 vs the r7 full-train 0.76-0.78)
     val cbs = Similarity.pqTrain(e, m = 8, ksub = 64, iters = 2, trainBound = 512)
     val pq = Similarity.pqTopK(q, e, k = 5, cbs, shortlist = 50)
-    val qq = q.select(col("vec_id").as("query_id"),
-      col("embedding").cast("array<double>").as("qv"))
-    val cc = e.select(col("vec_id").as("cand_id"),
-      col("embedding").cast("array<double>").as("cv"))
-    val d = Similarity.dot(col("qv"), col("qv")) -
-      Similarity.dot(col("qv"), col("cv")) * 2.0 +
-      Similarity.dot(col("cv"), col("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("d").asc, col("cand_id"))
-    val bf = broadcast(qq).join(cc, col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), d.as("d"))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-    bf.select("query_id", "cand_id")
-      .join(pq.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
-        Seq("query_id", "cand_id"), "left")
-      .agg(count_distinct(col("query_id")).cast("long").as("n_queries"),
-        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= 0.5).as("recall_ok"))
+    annRecallGate(e, q, pq)
   }
 
   /** Composed IVF×PQ ANN (FAISS IVFPQ+refine shape): coarse quantizer
@@ -639,23 +620,7 @@ object LlmOps {
     val q = e.filter(col("vec_id") < 10)
     val ann = Similarity.ivfPqTrainedTopK(q, e, k = 5, cells = 8, nprobe = 5,
       m = 8, ksub = 64, shortlist = 100, trainBound = 512)
-    val qq = q.select(col("vec_id").as("query_id"),
-      col("embedding").cast("array<double>").as("qv"))
-    val cc = e.select(col("vec_id").as("cand_id"),
-      col("embedding").cast("array<double>").as("cv"))
-    val d = Similarity.dot(col("qv"), col("qv")) -
-      Similarity.dot(col("qv"), col("cv")) * 2.0 +
-      Similarity.dot(col("cv"), col("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("d").asc, col("cand_id"))
-    val bf = broadcast(qq).join(cc, col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), d.as("d"))
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-    bf.select("query_id", "cand_id")
-      .join(ann.select(col("query_id"), col("cand_id"), lit(1).as("hit")),
-        Seq("query_id", "cand_id"), "left")
-      .agg(count_distinct(col("query_id")).cast("long").as("n_queries"),
-        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= 0.5).as("recall_ok"))
+    annRecallGate(e, q, ann)
   }
 
   /** Persisted ANN index (compact-once / query-many): [[AnnIndex.compact]]
@@ -681,18 +646,52 @@ object LlmOps {
 
   private val annIndexLock = new Object
 
-  /** Cache key for a persisted per-fixture index dir: path PLUS the
-    * source file's (mtime, size) — the test fixtures are regenerated
-    * in place between driver rounds, and a path-only key would silently
-    * serve a stale index built from the previous generation. */
-  private def fixtureKey(file: String): String = {
-    val p = java.nio.file.Paths.get(file)
+  /** Build-once guard for a persisted per-fixture index dir under
+    * java.io.tmpdir. The cache key covers (a) the source file's path +
+    * mtime + size — the fixtures are regenerated in place between
+    * driver rounds, so a path-only key would serve an index built from
+    * the previous data generation — and (b) the caller's `params`
+    * string (every constant that shapes the index), so a parameter or
+    * algorithm change in a later commit can never be served a stale
+    * layout. Completeness is signalled by the FINAL directory's
+    * existence: the index is built into a process-private staging dir
+    * and atomically renamed, so a concurrent JVM either sees nothing
+    * (and builds its own staging copy — the loser's rename fails and
+    * its staging dir is discarded) or sees a complete index; no
+    * cross-process overwrite of a dir another reader is scanning. */
+  private def compactOnce(tag: String, srcFile: String, params: String)
+                         (build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val p = Paths.get(srcFile)
     val stamp =
-      try s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:${java.nio.file.Files.size(p)}"
+      try s"${Files.getLastModifiedTime(p).toMillis}:${Files.size(p)}"
       catch { case _: Exception => "absent" }
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$file@$stamp".getBytes("UTF-8"))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$srcFile@$stamp@$params".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
+    val finalDir = Paths.get(s"${sys.props("java.io.tmpdir")}/graft-$tag-$key")
+    if (!Files.isDirectory(finalDir)) {
+      val staging = Paths.get(
+        s"$finalDir.stage-${ProcessHandle.current().pid()}")
+      build(staging.toString)
+      try Files.move(staging, finalDir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          // another process completed first — use theirs, drop ours
+          deleteRecursively(staging)
+      }
+    }
+    finalDir.toString
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally stream.close()
   }
 
   /** Steady-state ANN search against a PREBUILT persisted index — the
@@ -707,14 +706,11 @@ object LlmOps {
     val e = Tables(spark, dir).embeddings
     // deterministic per-fixture location: repeat calls (bench's 3 runs,
     // verify after tests) reuse the same compacted artifacts
-    val indexDir =
-      s"${sys.props("java.io.tmpdir")}/graft-annidx-${fixtureKey(s"$dir/embeddings.parquet")}"
-    val marker = java.nio.file.Paths.get(indexDir, "_COMPACTED")
-    annIndexLock.synchronized {
-      if (!java.nio.file.Files.exists(marker)) {
-        AnnIndex.compact(e, indexDir, cells = 8, m = 8, ksub = 64,
+    val indexDir = annIndexLock.synchronized {
+      compactOnce("annidx", s"$dir/embeddings.parquet",
+          params = "c8:m8:k64:ci3:pi2:tb512:v1") { staging =>
+        AnnIndex.compact(e, staging, cells = 8, m = 8, ksub = 64,
           coarseIters = 3, pqIters = 2, trainBound = 512)
-        java.nio.file.Files.createFile(marker)
       }
     }
     val model = AnnIndex.load(spark, indexDir)

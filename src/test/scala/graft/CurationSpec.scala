@@ -111,9 +111,12 @@ class CurationSpec extends SparkSpec {
     } finally {
       spark.listenerManager.unregister(listener)
       // the temp corpus/sentinel would otherwise accumulate across runs
+      // (walk's stream holds directory handles — must be closed)
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
