@@ -122,9 +122,14 @@ object StreamQueries {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
-    Streams.runAvailableNow(streamed, OutputMode.Append()) { b =>
-      emitted ++= b.collect() // append mode: each window exactly once
-    }
+    try
+      Streams.runAvailableNow(streamed, OutputMode.Append()) { b =>
+        emitted ++= b.collect() // append mode: each window exactly once
+      }
+    finally
+      // the staged replay files are per-call scratch — without cleanup
+      // every bench/verify invocation leaks a 4-file dir into /tmp
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     spark.createDataFrame(
         spark.sparkContext.parallelize(emitted.toSeq),
         streamed.schema)
