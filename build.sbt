@@ -20,6 +20,9 @@ run / outputStrategy := Some(StdoutOutput)
 // JSON and can push the line's start out of the capture (BENCH r9 parsed
 // null with only ~30 bytes clipped).
 ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see — exclude it so every build doesn't warn
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

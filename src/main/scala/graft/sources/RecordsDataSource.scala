@@ -36,10 +36,15 @@ class RecordsDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RecordsDataSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new RecordsTable(properties.getOrDefault("rows", "100").toLong,
-      properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("rowsperbatch", "10").toLong)
+                        properties: util.Map[String, String]): Table = {
+    // the engine hands getTable the CASE-SENSITIVE map — wrap it so the
+    // naturally-cased .option("rowsPerBatch", ...) spelling is honored
+    // rather than silently falling back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
+    new RecordsTable(opts.getLong("rows", 100L),
+      opts.getInt("partitions", 4),
+      opts.getLong("rowsperbatch", 10L))
+  }
 }
 
 object RecordsDataSource {
@@ -91,7 +96,6 @@ private class RecordsScan(rows: Long, partitions: Int, rowsPerBatch: Long) exten
                                 limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
         latestOffset()
       private var polled = 0L
-      private var committed = 0L
       override def latestOffset(): Offset = {
         // broker-poll analogue: each poll surfaces up to rowsPerBatch
         // new records; the cursor advances independently of commits
@@ -106,17 +110,25 @@ private class RecordsScan(rows: Long, partitions: Int, rowsPerBatch: Long) exten
         // behind what the checkpoint already committed
         val pos = json.toLong
         polled = math.max(polled, pos)
-        committed = math.max(committed, pos)
         RecordsOffset(pos)
       }
-      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-        Array(RecordsRange(start.asInstanceOf[RecordsOffset].pos,
-          end.asInstanceOf[RecordsOffset].pos))
-      override def createReaderFactory(): PartitionReaderFactory = new RecordsReaderFactory
-      override def commit(end: Offset): Unit = {
-        // at-least-once source commit ≙ cumulative ack
-        committed = math.max(committed, end.asInstanceOf[RecordsOffset].pos)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        // the micro-batch honors the same parallelism contract as the
+        // bounded path: the [start, end) slice splits across
+        // `partitions` readers instead of pinning each trigger to one
+        // task (a real queue connector maps these to topic partitions)
+        val s = start.asInstanceOf[RecordsOffset].pos
+        val e = end.asInstanceOf[RecordsOffset].pos
+        val per = math.max(1L, (e - s + partitions - 1) / partitions)
+        (s until e by per).map(lo => RecordsRange(lo, math.min(lo + per, e))
+          .asInstanceOf[InputPartition]).toArray
       }
+      override def createReaderFactory(): PartitionReaderFactory = new RecordsReaderFactory
+      override def commit(end: Offset): Unit = ()
+      // commit(end) is where a real connector cumulatively acks the
+      // broker (io/amqp09/source.go:96-143); this synthetic source has
+      // nothing to release — replay bounds live entirely in the
+      // engine's checkpointed offsets
       override def stop(): Unit = ()
     }
 }

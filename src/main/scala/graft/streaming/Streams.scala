@@ -15,18 +15,18 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Scale: all stateful ops below are keyed state in the state store —
   * per-key state is O(1) and partitioned by the grouping key, so state
-  * scales horizontally with executors; watermarks bound state size.
+  * scales horizontally with executors. Watermarks bound state size for
+  * the windowed/session/dedup ops; [[runningSumPerKey]] is the one
+  * deliberate exception (state bounded by key cardinality — see its
+  * doc).
   */
 object Streams {
 
   /** Event-time tumbling window aggregation with watermark-based
-    * late-data expiry. */
+    * late-data expiry — a sliding window whose slide equals its width. */
   def tumblingCounts(df: DataFrame, tsCol: String, width: String,
                      watermark: String): DataFrame =
-    df.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), width))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("n"))
+    slidingCounts(df, tsCol, width, width, watermark)
 
   /** Sliding window counts. */
   def slidingCounts(df: DataFrame, tsCol: String, width: String, slide: String,
@@ -47,7 +47,14 @@ object Streams {
   /** Custom keyed state — the `mapGroupsWithState` path for state Spark's
     * native windows can't express (running per-key accumulator with
     * goconnect fold semantics: emit the running value on every trigger,
-    * ref `context.go:344-369`). */
+    * ref `context.go:344-369`).
+    *
+    * State bound: one long per DISTINCT key, forever — the reference's
+    * fold never expires, so neither does this (NoTimeout is the honest
+    * translation). That bounds state by key CARDINALITY, not time:
+    * right for bounded key domains (metrics by type, per-tenant
+    * counters); an unbounded key domain (per-user/session ids) needs
+    * the watermark-evicted ops below instead. */
   def runningSumPerKey(ds: Dataset[(String, Long)]): Dataset[(String, Long)] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_._1)
@@ -61,65 +68,80 @@ object Streams {
 
   /** Per-key session accumulator for [[closedSessions]]. */
   final case class SessionAcc(start: Long, end: Long, n: Long)
+  /** [[closedSessions]] keyed state: ALL of a key's still-open
+    * sessions, oldest first — more than one can be open at once while
+    * the watermark trails the data (a late in-horizon event may yet
+    * merge or extend any of them). */
+  final case class SessionsAcc(sessions: List[SessionAcc])
 
   /** Closed-session emission via `flatMapGroupsWithState` — the custom
     * keyed-state machine for semantics the native `session_window`
-    * cannot express: emit a session ONLY when it closes (by an
-    * in-batch gap or by event-time timeout once the watermark passes
-    * end+gap), never partial updates — the streaming generalization of
-    * the reference's fold/trigger state machine
-    * (`context.go:332-455`).
+    * cannot express: emit a session ONLY when it has provably closed,
+    * never partial updates — the streaming generalization of the
+    * reference's fold/trigger state machine (`context.go:332-455`).
     *
-    * Scale: state is one (start, end, n) triple per ACTIVE key,
+    * Closure is a WATERMARK property, not an in-batch one: a session
+    * is emitted only once `end + gap <= watermark`, because until then
+    * a late-but-in-horizon event can still extend it (or merge two
+    * in-batch sessions) — an in-batch gap alone proves nothing when
+    * the watermark delay is nonzero. Events at exactly `end + gap`
+    * open a NEW session (strict `<` merge), matching the native
+    * `session_window` [t, t+gap) boundary, so this operator and
+    * [[sessionCounts]] agree on session membership.
+    *
+    * Scale: state is the list of OPEN sessions per active key (almost
+    * always one; more only while the watermark trails a gap),
     * partitioned by key across the state store; the event-time timeout
-    * plus watermark evicts idle keys, so state size tracks concurrent
-    * sessions, not history. */
+    * fires when the oldest session's close becomes provable, so state
+    * tracks concurrent in-horizon sessions, not history. */
   def closedSessions(df: DataFrame, keyCol: String, tsCol: String,
                      gap: String, watermark: String)
     : Dataset[(String, Long, java.sql.Timestamp, java.sql.Timestamp)] = {
     import df.sparkSession.implicits._
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    // month-bearing intervals have no fixed millisecond length — the
+    // days+micros conversion would silently treat "1 month" as 0 ms
+    // (every event its own session); reject like Spark's window() does
+    require(gapMs.months == 0,
+      s"closedSessions gap must not use month/year units (got '$gap')")
     val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(gapMillis > 0, s"closedSessions gap must be positive (got '$gap')")
     val ds = df.withWatermark(tsCol, watermark)
       .select(col(keyCol).cast("string"), col(tsCol))
       .as[(String, java.sql.Timestamp)]
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState[SessionAcc,
+      .flatMapGroupsWithState[SessionsAcc,
         (String, Long, java.sql.Timestamp, java.sql.Timestamp)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state) =>
           def emit(s: SessionAcc) =
             (key, s.n, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end))
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(emit(s))
-          } else {
-            // Interval-merge, not an append-only scan: a late event
-            // within the watermark can arrive with t < state.start (the
-            // naive `t - s.end <= gap` test is trivially true for such
-            // t, which silently inflated n without extending start).
-            // Treat the carried state as an interval, each event as a
-            // point interval, sort by start, and merge neighbors within
-            // `gap`. Every merged session except the newest closed by
-            // construction (a later session exists beyond the gap); the
-            // newest is carried as state with an event-time timeout.
-            val items = state.getOption.toList ++
-              rows.map(r => SessionAcc(r._2.getTime, r._2.getTime, 1))
-            val merged = items.sortBy(s => (s.start, s.end))
-              .foldLeft(List.empty[SessionAcc]) {
-                case (cur :: done, nxt) if nxt.start - cur.end <= gapMillis =>
-                  SessionAcc(cur.start, math.max(cur.end, nxt.end),
-                    cur.n + nxt.n) :: done
-                case (acc, nxt) => nxt :: acc
-              }.reverse
-            merged.lastOption.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMillis)
-            }
-            merged.dropRight(1).iterator.map(emit)
+          // Interval-merge, not an append-only scan: a late in-horizon
+          // event can arrive with t < the oldest open start. Treat each
+          // carried session as an interval, each event as a point, sort
+          // by start, merge neighbors with gap-strict adjacency.
+          val wm = state.getCurrentWatermarkMs()
+          val items = state.getOption.map(_.sessions).getOrElse(Nil) ++
+            rows.map(r => SessionAcc(r._2.getTime, r._2.getTime, 1))
+          val merged = items.sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[SessionAcc]) {
+              case (cur :: done, nxt) if nxt.start - cur.end < gapMillis =>
+                SessionAcc(cur.start, math.max(cur.end, nxt.end),
+                  cur.n + nxt.n) :: done
+              case (acc, nxt) => nxt :: acc
+            }.reverse
+          // provably closed: no event the watermark still admits
+          // (ts >= wm) can merge into a session with end+gap <= wm
+          val (closed, open) = merged.partition(_.end + gapMillis <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsAcc(open))
+            // fires once the OLDEST open session's closure is provable;
+            // open sessions satisfy end+gap > wm, so this is legal
+            state.setTimeoutTimestamp(open.map(_.end + gapMillis).min)
           }
+          closed.iterator.map(emit)
       }
   }
 
@@ -240,11 +262,16 @@ object Streams {
     * right trade for ingest dedup, where a final batch compaction (the
     * `d_exact` gate) remains the global pass. */
   def dedupExact(df: DataFrame, tsCol: String, watermark: String,
-                 textCol: String = "text"): DataFrame =
-    df.withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+                 textCol: String = "text"): DataFrame = {
+    // fresh scratch name: a fixed "__fp" would silently overwrite (and
+    // then drop) a caller's column of that name
+    val fp = Iterator.from(0).map(i => if (i == 0) "__fp" else s"__fp$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(fp, graft.functions.Text.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__fp")
-      .drop("__fp")
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
 
   /** `TriggerEvery(d)` ≙ `Trigger.ProcessingTime(d)` on any streaming
     * write (ref `def.go:84-87`). */

@@ -47,6 +47,35 @@ class DataSourceV2Spec extends SparkSpec {
     assert(batchSizes.forall(_ <= 30))
   }
 
+  test("micro-batch honors partitions and camelCase options (case-insensitive lookup)") {
+    // rowsPerBatch in natural camelCase: the provider must read it via
+    // a case-insensitive map (the engine hands getTable the
+    // case-sensitive one). partitions=4 must split each trigger's
+    // [start,end) slice — the streaming side of the parallelism
+    // contract, not just the batch side.
+    val df = spark.readStream.format(fmt)
+      .option("rows", "40").option("rowsPerBatch", "40")
+      .option("partitions", "4").load()
+    val parts = ArrayBuffer.empty[Int]
+    val sizes = ArrayBuffer.empty[Int]
+    val q = df.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val n = b.count().toInt
+        if (n > 0) parts.synchronized { parts += b.rdd.getNumPartitions; sizes += n }
+        ()
+      })
+      .start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (sizes.synchronized(sizes.sum) < 40 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q.stop()
+    // camelCase rowsPerBatch honored: the whole range arrived in ONE
+    // 40-row trigger (were the option dropped, the 10-row default would
+    // need 4+ batches) — and that trigger planned 4 input partitions
+    assert(sizes.synchronized(sizes.toSeq) == Seq(40), s"sizes=$sizes")
+    assert(parts.synchronized(parts.headOption).contains(4), s"parts=$parts")
+  }
+
   test("DataSourceV2Source roots a pipeline (bounded) with coder injection to a sink") {
     import graft.core._
     val sink = new MemorySink

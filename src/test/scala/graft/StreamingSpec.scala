@@ -208,6 +208,73 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("closedSessions: a late in-horizon event still merges sessions an in-batch gap separated") {
+    // watermark 1 hour, gap 5 minutes: batch 1 delivers 10:00 and
+    // 10:20 — an in-batch gap, but NOT closure: the watermark (9:20)
+    // still admits events that could extend the 10:00 session. Batch 2
+    // delivers exactly such a late event (10:03). A sessionizer that
+    // emitted on the in-batch gap would have already shipped
+    // (10:00, n=1) and now fragments the true session; the correct
+    // output is ONE session (10:00-10:03, n=2), emitted only after the
+    // watermark passes its close.
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+    val mem = MemoryStream[(String, Timestamp)]
+    val sessions = Streams.closedSessions(
+      mem.toDF().toDF("k", "ts"), "k", "ts", gap = "5 minutes", watermark = "1 hour")
+    val out = ArrayBuffer.empty[(String, Long, Timestamp, Timestamp)]
+    val q = sessions.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Timestamp, Timestamp)], _: Long) =>
+        { out.synchronized { out ++= b.collect() }; () })
+      .start()
+    mem.addData(("u1", t("10:00")), ("u1", t("10:20")))
+    q.processAllAvailable()
+    assert(out.synchronized(out.isEmpty),
+      "nothing is provably closed while the watermark trails the gap")
+    mem.addData(("u1", t("10:03"))) // late (wm = 9:20) but in-horizon
+    q.processAllAvailable()
+    mem.addData(("u1", t("12:00"))) // watermark -> 11:00: both sessions close
+    q.processAllAvailable()
+    q.stop()
+    val got = out.synchronized(out.toSeq)
+    assert(got.contains(("u1", 2L, t("10:00"), t("10:03"))),
+      s"expected the merged (10:00-10:03, n=2) session, got $got")
+    assert(got.contains(("u1", 1L, t("10:20"), t("10:20"))))
+    assert(!got.exists(s => s._2 == 1L && s._3 == t("10:00")),
+      s"the 10:00 session must not be emitted fragmented, got $got")
+  }
+
+  test("closedSessions: an event at exactly end+gap opens a new session (session_window boundary)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val sessions = Streams.closedSessions(
+      mem.toDF().toDF("k", "ts"), "k", "ts", gap = "5 minutes", watermark = "0 seconds")
+    val out = ArrayBuffer.empty[(String, Long, Timestamp, Timestamp)]
+    val q = sessions.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Timestamp, Timestamp)], _: Long) =>
+        { out.synchronized { out ++= b.collect() }; () })
+      .start()
+    // 10:00 and 10:05 with gap 5m: native session_window treats
+    // [10:00, 10:05) as exclusive — 10:05 is a NEW session
+    mem.addData(("u1", ts(0)), ("u1", ts(5)))
+    q.processAllAvailable()
+    mem.addData(("u1", ts(59))) // advance watermark past both closes
+    q.processAllAvailable()
+    q.stop()
+    val got = out.synchronized(out.toSeq)
+    assert(got.contains(("u1", 1L, ts(0), ts(0))) && got.contains(("u1", 1L, ts(5), ts(5))),
+      s"boundary event must open a new session (session_window parity), got $got")
+  }
+
+  test("closedSessions rejects month-bearing gaps (no fixed millisecond length)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    intercept[IllegalArgumentException] {
+      Streams.closedSessions(mem.toDF().toDF("k", "ts"), "k", "ts",
+        gap = "1 month", watermark = "0 seconds")
+    }
+  }
+
   test("flatMapGroupsWithState emits ONLY closed sessions (in-batch gap + event-time timeout)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
