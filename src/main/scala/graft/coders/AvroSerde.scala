@@ -139,9 +139,18 @@ object AvroSerde {
     schemaCache.getOrElseUpdate(json, new Schema.Parser().parse(json))
 
   /** Avro-binary-decode with distinct writer/reader schemas — Avro schema
-    * resolution performs the projection (ref `projector.go:8-33`). */
+    * resolution performs the projection (ref `projector.go:8-33`).
+    * The resolved DatumReader is memoized per (writer, reader) pair:
+    * constructing one recomputes schema resolution, which would
+    * otherwise dominate per-row decode cost on a large backfill (same
+    * cache pattern as [[parse]]). GenericDatumReader#read is not
+    * thread-safe, so the cache holds a ThreadLocal per pair. */
+  private val readerCache =
+    TrieMap.empty[(Schema, Schema), ThreadLocal[GenericDatumReader[GenericRecord]]]
   def decodeBody(body: Array[Byte], writer: Schema, reader: Schema): GenericRecord = {
-    val rdr = new GenericDatumReader[GenericRecord](writer, reader)
+    val rdr = readerCache.getOrElseUpdate((writer, reader),
+      ThreadLocal.withInitial(() =>
+        new GenericDatumReader[GenericRecord](writer, reader))).get()
     rdr.read(null, DecoderFactory.get().binaryDecoder(body, null.asInstanceOf[BinaryDecoder]))
   }
 

@@ -5,6 +5,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 /** The standard coder catalog, mirroring the reference's
   * `coder.Registry()` (amient/goconnect `coder/registry.go:11-24`), as
   * codegen-friendly column expressions (SURVEY §2.4).
@@ -65,12 +67,18 @@ object Coders {
     if (b == null) null
     else {
       val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
+      // close() releases the native zlib Inflater NOW — leaving it to
+      // finalization accumulates off-heap memory across millions of rows
+      try drain(in) finally in.close()
     }
+  }
+
+  private def drain(in: java.io.InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
   }
 
   /** gzip-compress bytes (ref `coder/gzip/encoder.go:10-33`). Registered
@@ -98,11 +106,7 @@ object Coders {
     else {
       val in = new org.apache.commons.compress.compressors.bzip2
         .BZip2CompressorInputStream(new java.io.ByteArrayInputStream(b))
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
+      try drain(in) finally in.close()
     }
   }
 
@@ -172,11 +176,4 @@ object XmlCoder {
       graft.functions.XmlTree.tree)
   def encoder(schema: StructType): Coder =
     Coder("xml.Encoder", schema, StringType)(c => to_xml(c))
-  private implicit class MapOps(m: Map[String, String]) {
-    def asJava: java.util.Map[String, String] = {
-      val j = new java.util.HashMap[String, String]()
-      m.foreach { case (k, v) => j.put(k, v) }
-      j
-    }
-  }
 }

@@ -27,6 +27,22 @@ object Coder {
       val outType = out
       def apply(c: Column): Column = f(c)
     }
+
+  /** Nullability-normalized type view: a KVM struct built from literals
+    * or casts carries non-null fields but IS the declared KVM type —
+    * coder identity (chain search, [[graft.core.Flow.via]] checks,
+    * adapt no-op detection) must never depend on nullability flags. */
+  def loose(dt: DataType): DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, loose(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(loose(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(loose(m.keyType), loose(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
 }
 
 /** Coder catalog + the greedy injection search.
@@ -45,12 +61,17 @@ final case class CoderRegistry(coders: Seq[Coder]) {
     (1 to depth).iterator.flatMap(d => chainAt(from, to, d)).nextOption()
 
   private def chainAt(from: DataType, to: DataType, depth: Int): Option[List[Coder]] = {
-    if (depth == 0) return if (from == to) Some(Nil) else None
-    coders.find(c => c.inType == from && c.outType == to) match {
+    // nullability-loose matching throughout: a flow whose struct fields
+    // are non-null (literals, casts) must still match coders declared
+    // with default-nullable fields — see [[Coder.loose]]
+    val f = Coder.loose(from)
+    val t = Coder.loose(to)
+    if (depth == 0) return if (f == t) Some(Nil) else None
+    coders.find(c => Coder.loose(c.inType) == f && Coder.loose(c.outType) == t) match {
       case Some(direct) => Some(direct :: Nil)
       case None =>
         coders.iterator
-          .filter(_.inType == from)
+          .filter(c => Coder.loose(c.inType) == f)
           .flatMap(c => chainAt(c.outType, to, depth - 1).map(c :: _))
           .nextOption()
     }

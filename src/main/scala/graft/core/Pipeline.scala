@@ -88,23 +88,16 @@ final case class Flow(spark: SparkSession, df: DataFrame,
   private def split_string(v: Column, sep: String): Column =
     org.apache.spark.sql.functions.split(v, java.util.regex.Pattern.quote(sep))
 
-  /** Apply one coder explicitly (≙ a registered coder stage). */
+  /** Apply one coder explicitly (≙ a registered coder stage). Type
+    * check is nullability-loose ([[Coder.loose]]) for the same reason
+    * the chain search is. */
   def via(coder: Coder): Flow = {
-    require(coder.inType == valueType,
+    require(Coder.loose(coder.inType) == Coder.loose(valueType),
       s"coder ${coder.name} expects ${coder.inType}, flow has $valueType")
     next(d => withValue(d, coder(col("value")).cast(coder.outType)))
   }
 
-  /** Nullability-normalized type view: a KVM struct built from literals
-    * carries non-null fields but IS the declared KVM type — coder
-    * identity must not depend on nullability flags. */
-  private def loose(dt: DataType): DataType = dt match {
-    case s: StructType => StructType(s.fields.map(f =>
-      StructField(f.name, loose(f.dataType), nullable = true)))
-    case a: ArrayType => ArrayType(loose(a.elementType), containsNull = true)
-    case m: MapType => MapType(loose(m.keyType), loose(m.valueType), valueContainsNull = true)
-    case other => other
-  }
+  private def loose(dt: DataType): DataType = Coder.loose(dt)
 
   /** Coder auto-injection (ref `injectCoder`, `pipeline.go:168-197`):
     * greedy ≤5-deep chain search from the current value type to `to`. */
@@ -179,10 +172,44 @@ final case class Flow(spark: SparkSession, df: DataFrame,
   def countAll(): Flow = foldFinal(_ => count(lit(1)))
 
   /** ≙ `.Limit(n)` (`def.go:88-91`) — "makes any pipeline bounded".
-    * Deterministic: takes the first n in stamp order. Scale:
-    * TakeOrderedAndProject keeps n rows per partition then merges. */
+    * Deterministic: takes the first n in stamp order.
+    *
+    * Bounded flows: pure plan surgery — TakeOrderedAndProject keeps n
+    * rows per partition then merges. UNBOUNDED flows: a streaming frame
+    * cannot execute orderBy/limit (and the batch sink path it is about
+    * to be routed to would throw), so the stream is DRAINED here —
+    * AvailableNow micro-batches accumulate until n elements have
+    * arrived or the source's available data is exhausted, the query
+    * stops, and the chain continues on the drained bounded frame. This
+    * materializes up to the drained prefix driver-side: correct for
+    * the reference's test/bounding semantics, not a 100 TB path (a
+    * production stream bounds itself with watermarks + streaming
+    * sinks, not `.Limit`). */
   def limit(n: Int): Flow =
-    next(_.orderBy("uniq").limit(n)).copy(bounded = true)
+    if (bounded) next(_.orderBy("uniq").limit(n)).copy(bounded = true)
+    else {
+      import org.apache.spark.sql.streaming.Trigger
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val schema = df.schema
+      val q = df.writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect(); buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+      // stop as soon as n elements are in hand; otherwise run until the
+      // available data is drained (fewer than n rows behaves like a
+      // batch limit on a short table)
+      while (q.isActive && buf.synchronized(buf.size) < n)
+        Thread.sleep(25)
+      if (q.isActive) q.stop()
+      q.awaitTermination()
+      val drained = buf.synchronized(buf.toSeq)
+      val bdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(drained), schema)
+      copy(df = bdf.orderBy("uniq").limit(n), bounded = true,
+        root = None, xform = identity)
+    }
 
   /** ≙ `.Par(n)` (`def.go:69-72`): vertical parallelism. Spark-first this
     * is RoundRobinPartitioning; goconnect's order guarantee is restored

@@ -31,8 +31,10 @@ final case class ConsoleSink(numRows: Int = 20) extends Sink {
   def write(flow: Flow): Sink.Result =
     if (flow.bounded) {
       // single execution: take numRows+1 for display, count via agg job
-      // only when the preview is truncated
-      val preview = flow.df.limit(numRows + 1).collect()
+      // only when the preview is truncated. Stamp order (uniq), not
+      // arbitrary partition order — the reference's std.Out prints
+      // sequentially, and every other ordered sink here honors uniq.
+      val preview = flow.df.orderBy("uniq").limit(numRows + 1).collect()
       flow.df.sparkSession.createDataFrame(
         flow.df.sparkSession.sparkContext.parallelize(preview.take(numRows).toSeq),
         flow.df.schema).show(numRows, truncate = false)
@@ -134,6 +136,11 @@ final case class ParquetSink(path: String, checkpoint: Option[String] = None) ex
 final class MemorySink extends Sink {
   val rows = ArrayBuffer.empty[org.apache.spark.sql.Row]
   def write(flow: Flow): Sink.Result = {
+    // batch-only by design: an unbounded flow would crash deep inside
+    // Spark (orderBy+collect on a streaming frame) — fail with the
+    // remedy instead
+    require(flow.bounded,
+      "MemorySink is batch-only: bound the flow first (.limit(n)) or use a streaming sink")
     val collected = flow.df.orderBy("uniq").collect()
     rows ++= collected
     Sink.Done(collected.length.toLong)

@@ -104,6 +104,56 @@ class PipelineSpec extends SparkSpec {
     assert(reg.chain(DoubleType, graft.coders.Coders.urlType).isEmpty)
   }
 
+  test("coder chain matching is nullability-loose (a cast-built KVM struct still matches)") {
+    // a KVM struct produced by map().cast(...) or literals carries
+    // nullable=false fields but IS the declared KVM type — the chain
+    // search must not demand flag-exact equality
+    def strict(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, strict(f.dataType), nullable = false)))
+      case a: ArrayType => ArrayType(strict(a.elementType), containsNull = false)
+      case m: MapType => MapType(strict(m.keyType), strict(m.valueType), valueContainsNull = false)
+      case other => other
+    }
+    val reg = graft.coders.Coders.registry
+    val nonNullKvm = strict(graft.coders.Coders.kvmBinaryType)
+    assert(nonNullKvm != graft.coders.Coders.kvmBinaryType)
+    val chain = reg.chain(nonNullKvm, BinaryType)
+    assert(chain.isDefined && chain.get.map(_.name) ==
+      List("kv.NoMetaDecoder", "kv.IgnoreKeyDecoder"),
+      s"expected the loose-matched decode chain, got $chain")
+  }
+
+  test(".limit on an UNBOUNDED root drains the stream and bounds the pipeline") {
+    import graft.core._
+    // the reference's '.Limit makes any pipeline bounded': an unbounded
+    // DSv2 root + limit must route into the batch sink path with the
+    // first n elements in stamp order — not crash with 'streaming
+    // sources must be executed with writeStream.start()'
+    val sink = new MemorySink
+    val res = Pipeline(spark)
+      .root(DataSourceV2Source("graft.sources.RecordsDataSource",
+        Map("rows" -> "100", "rowsperbatch" -> "40"), bounded = false))
+      .limit(5)
+      .to(sink)
+    assert(res == Sink.Done(5))
+    val ids = sink.rows.map(r =>
+      new String(r.getAs[Array[Byte]]("value"), "UTF-8")).toSeq
+    assert(ids == (0 until 5).map(i => s"record-$i"),
+      s"first 5 in stamp order, got $ids")
+  }
+
+  test("MemorySink rejects an unbounded flow with a clear remedy") {
+    import graft.core._
+    val e = intercept[IllegalArgumentException] {
+      Pipeline(spark)
+        .root(DataSourceV2Source("graft.sources.RecordsDataSource",
+          Map("rows" -> "10"), bounded = false))
+        .to(new MemorySink)
+    }
+    assert(e.getMessage.contains(".limit"))
+  }
+
   /** M2: the reference's flagship e2e pipeline
     * (`examples/list-xml-filter-stdout/main.go:42-50`): 500k XML strings
     * → extract name → filter !contains("B") → running fold sum(length)
