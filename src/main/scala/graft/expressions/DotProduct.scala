@@ -139,7 +139,11 @@ case class DotProduct(left: Expression, right: Expression,
   */
 object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    "graft_dot" -> ((es: Seq[Expression]) => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        "graft_dot(a, b) expects exactly 2 array arguments")
+      DotProduct(es(0), es(1))
+    }),
     // Spark's native bloom-filter pair (the machinery behind AQE's
     // runtime row-level filters), exposed as callable functions so
     // operators can build an EXPLICIT broadcast prefilter (see
@@ -162,18 +166,25 @@ object GraftFunctions {
     // Arity/foldability validated here so SQL misuse surfaces as an
     // analysis-time contract message, not an internal eval() crash.
     "graft_winnow" -> ((es: Seq[Expression]) => {
-      def contract = "graft_winnow(text, k, window) expects 2 literal int sizes"
+      def contract = "graft_winnow(text, k, window) expects 2 positive literal int sizes"
       // dataType checked BEFORE eval(): a foldable non-numeric literal
       // (graft_winnow(text, '8', 4)) must surface the contract message,
-      // not a raw ClassCastException from the Number cast
+      // not a raw ClassCastException from the Number cast; a NULL or
+      // non-positive size must likewise fail analysis, not AIOOBE every
+      // row at execution
       def intLit(e: Expression): Int = e.dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
-          e.eval().asInstanceOf[Number].intValue()
+          e.eval() match {
+            case null => throw new IllegalArgumentException(contract)
+            case n: Number => n.intValue()
+          }
         case _ => throw new IllegalArgumentException(contract)
       }
       if (es.length != 3 || !es(1).foldable || !es(2).foldable)
         throw new IllegalArgumentException(contract)
-      RollingWinnow(es(0), intLit(es(1)), intLit(es(2)))
+      val (k, w) = (intLit(es(1)), intLit(es(2)))
+      if (k <= 0 || w <= 0) throw new IllegalArgumentException(contract)
+      RollingWinnow(es(0), k, w)
     }),
     // PQ kernels: the codebook arrives as ONE foldable nested-array
     // literal, evaluated here at analysis time into a flattened
@@ -187,8 +198,18 @@ object GraftFunctions {
         case _ => false
       })
       if (!ok) throw new IllegalArgumentException(contract)
-      val ad = es(1).eval().asInstanceOf[ArrayData]
-      val cb = (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray()).toSeq
+      // eval() can still yield null / empty / null rows from legal SQL
+      // (cast(null as ...), array()) — keep those at analysis time too
+      val raw = es(1).eval()
+      if (raw == null) throw new IllegalArgumentException(contract + " (got NULL)")
+      val ad = raw.asInstanceOf[ArrayData]
+      if (ad.numElements() == 0)
+        throw new IllegalArgumentException(contract + " (got empty codebook)")
+      val cb = (0 until ad.numElements()).map { i =>
+        val r = ad.getArray(i)
+        if (r == null) throw new IllegalArgumentException(contract + " (null codeword row)")
+        r.toDoubleArray()
+      }.toSeq
       PqArgmin(es(0), PqKernels.book1(cb))
     }),
     "graft_pq_adc" -> ((es: Seq[Expression]) => {
@@ -199,10 +220,19 @@ object GraftFunctions {
         case _ => false
       })
       if (!ok) throw new IllegalArgumentException(contract)
-      val ad = es(2).eval().asInstanceOf[ArrayData]
+      val raw = es(2).eval()
+      if (raw == null) throw new IllegalArgumentException(contract + " (got NULL)")
+      val ad = raw.asInstanceOf[ArrayData]
+      if (ad.numElements() == 0)
+        throw new IllegalArgumentException(contract + " (got empty codebooks)")
       val cbs = (0 until ad.numElements()).map { j =>
         val mtx = ad.getArray(j)
-        (0 until mtx.numElements()).map(c => mtx.getArray(c).toDoubleArray()).toSeq
+        if (mtx == null) throw new IllegalArgumentException(contract + " (null codebook)")
+        (0 until mtx.numElements()).map { c =>
+          val row = mtx.getArray(c)
+          if (row == null) throw new IllegalArgumentException(contract + " (null codeword row)")
+          row.toDoubleArray()
+        }.toSeq
       }.toSeq
       PqAdc(es(0), es(1), PqKernels.book(cbs))
     }),

@@ -69,10 +69,23 @@ object DotProductRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** The zero must make the ACCUMULATOR double-typed: a bare float or
+    * int zero literal gives the aggregate a FloatType/IntegerType
+    * result, and rewriting that to the DoubleType [[DotProduct]] would
+    * change both the schema and the rounding of the running sum —
+    * exactly the semantics change this rule promises never to make.
+    * (Scala's `0.0f == 0` cooperative equality made the old bare
+    * `Literal(0, _)` case match a float zero.) */
   private def isZero(e: Expression): Boolean = e match {
     case Literal(v, DoubleType) => v == 0.0
-    case Cast(child, DoubleType, _, _) => isZero(child)
-    case Literal(0, _) => true
+    case Cast(child, DoubleType, _, _) => isZeroLit(child)
+    case _ => false
+  }
+
+  private def isZeroLit(e: Expression): Boolean = e match {
+    case Literal(null, _) => false
+    case Literal(v, _) => v == 0 || v == 0.0 || v == 0.0f
+    case Cast(child, _, _, _) => isZeroLit(child)
     case _ => false
   }
 

@@ -212,8 +212,10 @@ object Text {
     * 100 TB corpus in one codegen'd scan. */
   def classifierScoreOf(toks: Column): Column = {
     val w = typedlit(QualityModel.weights)
+    // THE corpus-standard bucket formula — one definition, not a copy
+    // (a drift between the two would silently break oracle parity)
     val bucket = (t: Column) =>
-      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % QualityModel.dim).cast("int")
+      graft.operators.Sampling.hashBucket(t, QualityModel.dim)
     val s = aggregate(toks, lit(0.0), (acc, t) => acc + element_at(w, bucket(t) + 1))
     val z = lit(QualityModel.bias) + s / greatest(size(toks), lit(1))
     lit(1.0) / (lit(1.0) + exp(-z))

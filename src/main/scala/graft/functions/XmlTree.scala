@@ -44,12 +44,21 @@ object XmlTree {
     * CharData tokens; DTD/external entities are disabled (untrusted
     * input safety). Returns null on null/malformed input — the
     * permissive-decode contract of a data-pipeline coder. */
-  private[functions] def xmlToJsonTree(xml: String): String = {
-    if (xml == null) return null
+  // one configured factory per executor thread, not per ROW: factory
+  // construction does a JAXP service-provider lookup — pure constant
+  // overhead multiplied by corpus row count on this 100 TB-scale parse
+  // path. ThreadLocal because StAX factories are not thread-safe.
+  private val factory = ThreadLocal.withInitial[XMLInputFactory](() => {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f
+  })
+
+  private[functions] def xmlToJsonTree(xml: String): String = {
+    if (xml == null) return null
+    val f = factory.get()
     def esc(s: String): String = {
       val sb = new StringBuilder(s.length + 8)
       s.foreach {
@@ -73,9 +82,16 @@ object XmlTree {
           case XMLStreamConstants.START_ELEMENT =>
             val head = new StringBuilder("{\"tag\":\"")
               .append(esc(r.getLocalName)).append("\",\"attrs\":{")
-            head.append((0 until r.getAttributeCount).map(i =>
-              "\"" + esc(r.getAttributeLocalName(i)) + "\":\"" +
-                esc(r.getAttributeValue(i)) + "\"").mkString(","))
+            // qualified names (prefix:local) for namespaced attributes:
+            // two legally-distinct attrs can share a local name
+            // (x:id / y:id), and duplicate JSON keys would fail the
+            // whole variant parse under allowDuplicateKeys=false
+            head.append((0 until r.getAttributeCount).map { i =>
+              val p = r.getAttributePrefix(i)
+              val n = if (p == null || p.isEmpty) r.getAttributeLocalName(i)
+                      else p + ":" + r.getAttributeLocalName(i)
+              "\"" + esc(n) + "\":\"" + esc(r.getAttributeValue(i)) + "\""
+            }.mkString(","))
             head.append("}")
             stack += ((head, ArrayBuffer.empty[String]))
           case XMLStreamConstants.END_ELEMENT =>
@@ -109,8 +125,11 @@ object XmlTree {
   def toJsonTree(c: Column): Column = xmlToJsonUdf(c)
 
   /** XML string → VARIANT tree: the schema-less root node. All
-    * navigation below is native variant path access. */
-  def tree(c: Column): Column = parse_json(xmlToJsonUdf(c))
+    * navigation below is native variant path access. try_parse_json,
+    * not parse_json: the documented contract is permissive decode
+    * (null on malformed) — one pathological document must not kill the
+    * whole scan. */
+  def tree(c: Column): Column = try_parse_json(xmlToJsonUdf(c))
 
   /** ≙ `Children()[i]` (node.go: child of root/tag nodes). */
   def child(v: Column, i: Int): Column =
@@ -122,9 +141,14 @@ object XmlTree {
   /** ≙ `TagName()` — null for non-tag nodes (ref returns ""). */
   def tagName(v: Column): Column = try_variant_get(v, "$.tag", "string")
 
-  /** ≙ `Attr()` lookup by name — null when absent / non-tag node. */
+  /** ≙ `Attr()` lookup by name — null when absent / non-tag node.
+    * Bracket-quoted path: a bare segment would split on '.' and choke
+    * on '[' (Spark's variant path grammar), so legal XML names like
+    * `data.value` or namespaced `x:id` navigate correctly. */
   def attr(v: Column, name: String): Column =
-    try_variant_get(v, s"$$.attrs.$name", "string")
+    try_variant_get(v,
+      "$.attrs['" + name.replace("\\", "\\\\").replace("'", "\\'") + "']",
+      "string")
 
   /** ≙ `Text()` — null for non-text nodes. */
   def text(v: Column): Column = try_variant_get(v, "$.text", "string")

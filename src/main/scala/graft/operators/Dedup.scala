@@ -663,8 +663,10 @@ object Dedup {
     // not be the active session
     graft.expressions.GraftFunctions.register(docs.sparkSession)
     val p0 = spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"),
-        explode(Text.winnow(Text.normalize(col("__text")), k, window)).as("p"))
+      // raw text: Text.winnow normalizes internally — wrapping it in
+      // normalize() again would run the full-text regex pass twice per
+      // row on this map-side hot path
+      .select(col("id"), explode(Text.winnow(col("__text"), k, window)).as("p"))
       .distinct()
     winnowJoin(p0, minShared, maxDocFreq, materialize)
   }
