@@ -242,13 +242,14 @@ object SparkEntry {
         |s6 AS (SELECT event_id, ub, hb,
         |  (xa | (xa << 1)) & 6148914691236517205 AS xa,
         |  (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s5)
-        |SELECT event_id, ub, hb, (xa | (xb << 1)) AS zkey
+        |SELECT event_id, ub, hb,
+        |  xor(xa | (xb << 1), -9223372036854775808) AS zkey
         |FROM s6 ORDER BY zkey, event_id""".stripMargin,
     // dense 16-bin histogram; every numeric literal cast to double so
     // both engines do IEEE arithmetic (DuckDB parses 5000.0 as DECIMAL)
     "q28_histogram" ->
       """WITH c AS (
-        |  SELECT floor(l_extendedprice::double / (80000::double / 16))::int AS bin,
+        |  SELECT least(floor(l_extendedprice::double / (80000::double / 16)), 15)::int AS bin,
         |         count(*) AS n
         |  FROM lineitem
         |  WHERE l_extendedprice::double >= 0 AND l_extendedprice::double < 80000

@@ -28,10 +28,15 @@ object Chunker {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need chunkSize > 0 and 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
-      // null text → null token array; without this the greatest(...)
-      // lower bound would fabricate one empty chunk for the doc
-      .filter(col("__toks").isNotNull)
+    docs
+      // null or whitespace-only docs have no tokens → zero chunks.
+      // (Text.tokens("") is [""], a one-element array of the empty
+      // string — without this filter such docs fabricated one empty
+      // chunk with a phantom n_tokens=1 that downstream token
+      // accounting would count. The DuckDB oracle applies the same
+      // predicate.)
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__toks"))
       .select(col("id"), col("__toks"),
         posexplode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
           lit(stride))).as(Seq("chunk_idx", "start")))

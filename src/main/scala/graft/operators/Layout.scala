@@ -25,10 +25,20 @@ object Layout {
     x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
-  /** 64-bit Morton key of two NON-NEGATIVE 32-bit dimensions: bit i of
-    * `a` lands at position 2i, bit i of `b` at 2i+1. Monotone per
+  /** 64-bit Morton SORT key of two NON-NEGATIVE 32-bit dimensions: bit
+    * i of `a` lands at position 2i, bit i of `b` at 2i+1. Monotone per
     * dimension within fixed other-dimension prefixes — the property
-    * that makes z-sorted row groups prunable on either column. */
+    * that makes z-sorted row groups prunable on either column.
+    *
+    * The returned value is the Morton code XOR Long.MinValue: bit 31
+    * of `b` interleaves to bit 63 — the long's SIGN bit — so the raw
+    * code sorts values of `b` ≥ 2^31 (e.g. IPv4 addresses as longs)
+    * BEFORE everything else under signed comparison, scattering them
+    * away from their z-curve neighbors. The sign flip maps unsigned
+    * code order onto signed long order, so sorting by this key is
+    * correct over the full 32-bit domain. It is a sort key, not the
+    * code itself — recover the code with `^ Long.MinValue` if needed. */
   def zorder2(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
+      .bitwiseXOR(lit(Long.MinValue))
 }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object MultiModal {
 
+  /** Crawl corpora routinely carry NULL blobs (failed fetches) and the
+    * per-partition decode loops would NPE on them (and a NULL id fails
+    * the non-nullable tuple encoder) — every operator here skips such
+    * rows up front instead of killing the job on the first one. */
+  private def nonNull(media: DataFrame, idCol: String, blobCol: String): DataFrame =
+    media.filter(col(idCol).isNotNull && col(blobCol).isNotNull)
+
   /** Typed metadata row produced per media blob. */
   final case class MediaMeta(doc_id: Long, byte_len: Long, content_md5: String,
                              width: Int, height: Int, n_frames: Int)
@@ -47,7 +54,8 @@ object MultiModal {
   def extractFeatures(media: DataFrame, bins: Int = 16,
                       idCol: String = "doc_id",
                       blobCol: String = "content"): DataFrame = {
-    val ds = media.select(col(idCol).cast("long"), col(blobCol))
+    val ds = nonNull(media, idCol, blobCol)
+      .select(col(idCol).cast("long"), col(blobCol))
       .as(Encoders.product[(Long, Array[Byte])])
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -77,7 +85,8 @@ object MultiModal {
     * exercisable without image libraries. */
   def resize(media: DataFrame, width: Int, height: Int,
              idCol: String = "doc_id", blobCol: String = "content"): DataFrame = {
-    val ds = media.select(col(idCol).cast("long"), col(blobCol))
+    val ds = nonNull(media, idCol, blobCol)
+      .select(col(idCol).cast("long"), col(blobCol))
       .as(Encoders.product[(Long, Array[Byte])])
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -100,7 +109,7 @@ object MultiModal {
     * opaque decode leaves codegen, which is unavoidable for media. */
   def extractMeta(media: DataFrame, idCol: String = "doc_id",
                   blobCol: String = "content"): DataFrame = {
-    val withHash = media.select(
+    val withHash = nonNull(media, idCol, blobCol).select(
       col(idCol).cast("long").as("doc_id"),
       col(blobCol).as("content"),
       length(col(blobCol)).cast("long").as("byte_len"),

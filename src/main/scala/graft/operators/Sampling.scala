@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Stable bucket in [0, buckets) from the row key: first 8 hex chars
-    * of md5 as an integer (identical formula in the DuckDB oracle). */
+    * of md5 as an integer (identical formula in the DuckDB oracle).
+    * NULL keys bucket deterministically too (md5 of a sentinel) — a
+    * NULL bucket would make every filter built on it evaluate to NULL
+    * and silently drop the row from BOTH sides of a split, breaking
+    * "disjoint and exhaustive" contracts. Non-null keys are untouched,
+    * so oracle parity holds on the fixtures. */
   def hashBucket(key: Column, buckets: Int = 100): Column =
-    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+    (conv(substring(md5(coalesce(key.cast("string"), lit("\u0000graft_null"))), 1, 8), 16, 10)
       .cast("long") % buckets).cast("int")
 
   /** Keep ~keepPct% of rows, deterministically by key. */
@@ -54,7 +59,9 @@ object Sampling {
       case (acc, (s, t)) => when(col(sourceCol) === s, lit(t)).otherwise(acc)
     }
     val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
-    val total = docs.agg(count(lit(1)).as("__tot"))
+    // total derives from the per-source counts — an agg over the tiny
+    // counts frame, NOT a second full-corpus scan
+    val total = counts.agg(sum("__n").as("__tot"))
     val rates = counts.crossJoin(broadcast(total))
       .withColumn("__rate",
         coalesce(least(lit(1.0), targetCase * col("__tot") / col("__n")), lit(1.0)))

@@ -19,6 +19,9 @@ object SkewJoin {
 
   def saltedInner(probe: DataFrame, build: DataFrame, key: String,
                   salts: Int): DataFrame = {
+    // salts=0 would make pmod(hash, 0) NULL on every probe row — a
+    // silently EMPTY join, not an error
+    require(salts > 0, s"saltedInner needs salts > 0 (got $salts)")
     // deterministic salt: stable under retries (hash of the whole probe
     // row modulo S would also work; positive pmod of a per-row hash)
     val salted = probe.withColumn("__salt",

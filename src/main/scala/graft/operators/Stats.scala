@@ -78,7 +78,12 @@ object Stats {
     val counts = df
       .select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v") >= lo && col("__v") < hi)
-      .select(floor((col("__v") - lo) / w).cast("int").as("bin"))
+      // clamped to the last bin: when (hi-lo)/bins rounds DOWN, an
+      // in-range value just below hi can compute quotient == bins and
+      // would otherwise vanish in the join to range(bins) — the DuckDB
+      // oracle applies the identical clamp
+      .select(least(floor((col("__v") - lo) / w), lit((bins - 1).toLong))
+        .cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
     spark.range(bins).select(col("id").cast("int").as("bin"))
       .join(broadcast(counts), Seq("bin"), "left")

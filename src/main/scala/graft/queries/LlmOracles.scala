@@ -659,7 +659,8 @@ object LlmOracles {
     // Chunker.chunkTokens (sequence inclusive end ≙ range exclusive +1)
     "t_chunks" ->
       s"""WITH tok AS (
-         |  SELECT doc_id AS id, $toks AS toks FROM documents),
+         |  SELECT doc_id AS id, $toks AS toks FROM documents
+         |  WHERE length(trim(text)) > 0),
          |st AS (
          |  SELECT id, toks, unnest(range(1, greatest(len(toks), 1) + 1, 40)) AS start
          |  FROM tok)

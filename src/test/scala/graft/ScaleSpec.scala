@@ -114,10 +114,18 @@ class ScaleSpec extends SparkSpec {
     val keyed = grid.select(col("x"), col("y"),
         Layout.zorder2(col("x"), col("y")).as("z"))
       .as[(Long, Long, Long)].collect()
-    // exact interleave: z = sum over bits of x at 2i and y at 2i+1
+    // exact interleave: z = (sum over bits of x at 2i and y at 2i+1),
+    // sign-flipped so signed long order == unsigned z-curve order
     def morton(x: Long, y: Long): Long =
-      (0 until 32).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+      (0 until 32).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum ^ Long.MinValue
     keyed.foreach { case (x, y, z) => assert(z == morton(x, y), s"($x,$y)") }
+    // the sign-flip property itself: a 32-bit-max second dimension must
+    // sort AFTER a zero one (the raw code put it first)
+    val big = Seq((0L, 0xFFFFFFFFL), (0L, 0L)).toDF("x", "y")
+      .select(Layout.zorder2(col("x"), col("y")).as("z"), col("y"))
+      .orderBy("z").as[(Long, Long)].collect()
+    assert(big.map(_._2).toSeq == Seq(0L, 0xFFFFFFFFL),
+      "b >= 2^31 must not sort before smaller dimensions")
     // locality: sorted by z, each aligned 4x4 quadrant of the 8x8 grid
     // occupies one CONTIGUOUS run of 16 rows — the row-group pruning
     // property (a plain (x,y) sort scatters y across the whole table)
