@@ -647,12 +647,13 @@ object Dedup {
   /** Production-throughput variant of [[winnowPairs]]: identical
     * winnowing SELECTION (min per sliding window, distinct, df cap,
     * print equi-join) over [[Text.winnow]]'s one-pass ROLLING-hash
-    * prints instead of per-position md5 k-grams. The md5 form exists
-    * because DuckDB computes it bit-identically (the gate's full hash
-    * check); the rolling hash is O(len) per doc instead of
-    * O(len·k) — measured 16.1 → 12.9 s end-to-end on the 10× soak
-    * (the join dominates; the hash step itself shrinks ~3×). Same
-    * pair-detection behavior; the prints differ, so no SQL oracle. */
+    * prints instead of per-position md5 k-grams. The rolling hash is
+    * O(len) per doc instead of O(len·k) — measured 16.1 → 12.9 s
+    * end-to-end on the 10× soak (the join dominates; the hash step
+    * itself shrinks ~3×). Both forms carry full hash oracles: md5 via
+    * DuckDB's md5(), the rolling form via positional HUGEINT recompute
+    * of the same base-257 mod-2^64 hash with SIGNED window minima
+    * (d_winnow_fast in [[graft.queries.LlmOracles]]). */
   def winnowPairsFast(docs: DataFrame, minShared: Long, k: Int = 8, window: Int = 4,
                       textCol: String = "text", idCol: String = "doc_id",
                       maxDocFreq: Option[Long] = None,

@@ -370,9 +370,12 @@ object LlmOps {
   /** The production-throughput rolling-hash variant of d_winnow_pairs —
     * same winnowing selection and join over [[graft.expressions]]'
     * one-pass `graft_winnow` prints (O(len) per doc vs O(len·k) md5).
-    * The prints differ from the md5 form, so there is no SQL oracle:
-    * the driver records a rows-only check, and OperatorSpec pins that
-    * the fast form finds the same planted passage as the md5 form. */
+    * Since round 10 this has a FULL hash oracle: DuckDB recomputes the
+    * base-257 mod-2^64 k-gram hashes positionally in HUGEINT with the
+    * power table pre-reduced mod 2^64, then takes signed window minima
+    * — bit-identical to the JVM kernel (see the d_winnow_fast entry in
+    * [[LlmOracles]]). OperatorSpec additionally pins that the fast form
+    * finds the same planted passage as the md5 form. */
   def dWinnowFast(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairsFast(Tables(spark, dir).documents, minShared = 10,
         k = 24, window = 8, maxDocFreq = Some(20L))

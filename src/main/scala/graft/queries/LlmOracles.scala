@@ -423,6 +423,52 @@ object LlmOracles {
         |GROUP BY 1, 2 HAVING count(*) >= 10
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // The rolling-hash production variant, oracled bit-for-bit: the
+    // JVM kernel (expressions/RollingWinnow.compute) is a base-257
+    // polynomial hash over chars with 64-bit WRAPPING arithmetic and
+    // SIGNED-long window minima. DuckDB has no wrapping bigint, so each
+    // k-gram hash is recomputed positionally in HUGEINT — c·257^e with
+    // the power table pre-reduced mod 2^64 (generated below with JVM
+    // Long wraparound, so the table IS the kernel's arithmetic), terms
+    // < 2^80 summed < 2^85 fit hugeint, one final mod — then mapped to
+    // signed BIGINT BEFORE list_min so minima order like Scala's `<`.
+    // Positional recompute is the oracle's O(len·k) price for the
+    // engine's O(len) rolled form; identical values, simpler SQL.
+    // ASCII fixture ⇒ DuckDB codepoints == JVM chars (surrogate-free).
+    "d_winnow_fast" -> {
+      val pows = (0 until 24).map { j =>        // exponent 23-j, mod 2^64
+        var p = 1L; (0 until (23 - j)).foreach(_ => p *= 257L)
+        java.lang.Long.toUnsignedString(p) + "::HUGEINT"
+      }.mkString("[", ",", "]")
+      s"""WITH t AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(t) AS n,
+        |    list_transform(range(len(t)), x -> unicode(substr(t, x + 1, 1))::HUGEINT) AS cs
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, list_transform(
+        |    list_transform(range(n - 23), i ->
+        |      list_sum(list_transform(range(24), j -> cs[i+j+1] * ($pows)[j+1]))
+        |        % 18446744073709551616::HUGEINT),
+        |    m -> CASE WHEN m >= 9223372036854775808::HUGEINT
+        |              THEN (m - 18446744073709551616::HUGEINT)::BIGINT ELSE m::BIGINT END) AS hs
+        |  FROM c WHERE n >= 24),
+        |p0 AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(hs) - 7),
+        |      w -> list_min(hs[(w + 1):(w + 8)]))) AS p
+        |    FROM h WHERE len(hs) >= 8)),
+        |p AS (
+        |  SELECT * FROM p0 WHERE p NOT IN (
+        |    SELECT p FROM p0 GROUP BY p HAVING count(*) > 20))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM p a JOIN p b ON a.p = b.p AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "d_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::bigint AS h
