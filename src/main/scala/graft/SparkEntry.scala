@@ -108,6 +108,7 @@ object SparkEntry {
     "q26_json_extract"  -> (LlmOps.q26JsonExtract _),
     "q27_stream_e2e"    -> (StreamQueries.q27StreamE2e _),
     "q30_late_data"     -> (StreamQueries.q30LateData _),
+    "q31_stream_join"   -> (StreamQueries.q31StreamJoin _),
     "q28_histogram"     -> (Relational.q28Histogram _),
     "q29_zorder"        -> (Relational.q29Zorder _),
   )
@@ -219,6 +220,17 @@ object SparkEntry {
         |SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stream-stream interval join recomputed as a plain batch interval
+    // join: the streamed result provably equals it (the replay splits
+    // by event time, so no pair's view state is evicted before its
+    // clicks arrive — see StreamQueries.q31StreamJoin)
+    "q31_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+        |ORDER BY click_id, view_id""".stripMargin,
     // Morton key: the same magic-number spread cascade as
     // Layout.zorder2, one CTE stage per shift (alias expressions bind
     // to the INPUT scope, so xa/xb rebind cleanly per stage)

@@ -63,6 +63,77 @@ object StreamQueries {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  /** q31: watermarked STREAM-STREAM interval join under oracle —
+    * [[Streams.intervalJoin]] (clicks paired with same-user views from
+    * the preceding hour) run as two real file streams over a 2-batch
+    * replay of the events table, with the full pair set hash-checked
+    * against a DuckDB batch interval join.
+    *
+    * The replay splits the fixture at its temporal midpoint, one file
+    * per micro-batch, so the join CROSSES a batch boundary: views
+    * buffered in batch 0's state must match clicks arriving in batch 1.
+    * Because the split is by event time, the streamed result equals the
+    * batch join exactly — eviction (watermark 1 h + lookback 1 h) can
+    * only drop view state whose entire match window closed inside an
+    * earlier batch (a view is evicted iff v_ts + 1 h < wm = max₀ − 1 h,
+    * and all its candidate clicks ≤ v_ts + 1 h then lie before the
+    * split), so completeness is provable, not incidental. State-store
+    * eviction itself (numRowsRemoved > 0) is asserted in StreamingSpec.
+    *
+    * Scale: both sides shuffle once on user_id; state per key is
+    * bounded by watermark + lookback — this plan pointed at two Kafka
+    * topics is the production impression-attribution join. */
+  def q31StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    // stage only the two event types that can join: the other three
+    // never produce pairs but would be scanned by BOTH stream sources
+    // every batch (each side reads the full staged file before its
+    // type filter)
+    val ev = graft.core.Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .filter(col("event_type").isin("click", "view"))
+    val Row(tMin: java.sql.Timestamp, tMax: java.sql.Timestamp) =
+      ev.agg(min("ts"), max("ts")).head()
+    val split = new java.sql.Timestamp((tMin.getTime + tMax.getTime) / 2)
+    val stage = Files.createTempDirectory("graft-sjoin").toString
+    val t0 = System.currentTimeMillis() - 120000L
+    stageOneFile(ev.filter(col("ts") < lit(split)), s"$stage/in/0.parquet", t0)
+    stageOneFile(ev.filter(col("ts") >= lit(split)), s"$stage/in/1.parquet", t0 + 10000L)
+    val schema = ev.schema
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // state partition count is fixed at the stream's first batch from
+    // spark.sql.shuffle.partitions, and every micro-batch (including
+    // the empty watermark-finalization one) pays a per-partition commit
+    // for each of the join's 4 state stores — measured 2.4 s/batch of
+    // pure store overhead at 32 partitions vs 0.8 s at 8. Set the conf
+    // BEFORE constructing the stream frames (the analyzed plan snapshots
+    // it) and restore after. At 100 TB the session default is what
+    // sizes state across executors; this override is gate-scale tuning.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      def src() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/in")
+      val clicks = src().filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = src().filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val joined = Streams.intervalJoin(clicks, views,
+          keyCol = "user_id", lookback = "1 hour", watermark = "1 hour")
+        .select(col("l.event_id").as("click_id"), col("r.event_id").as("view_id"),
+          col("l_key").as("user_id"))
+      Streams.runAvailableNow(joined, OutputMode.Append()) { b =>
+        emitted ++= b.collect() // inner join append mode: each pair exactly once
+      }
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(emitted.toSeq),
+          joined.schema)
+        .orderBy("click_id", "view_id")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+  }
+
   /** q30: watermark/late-data semantics under oracle — the engine's
     * append-mode windowed aggregation with REAL late rows, bounded so
     * DuckDB can recompute the exact emitted set.

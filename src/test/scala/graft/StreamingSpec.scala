@@ -354,6 +354,44 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._1 == "u2"))
   }
 
+  test("interval join matches across micro-batches and EVICTS expired state (bounded-state proof)") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val views = MemoryStream[(String, Timestamp)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("user", "ts"), views.toDF().toDF("user", "ts"),
+      keyCol = "user", lookback = "10 minutes", watermark = "5 minutes")
+    val out = ArrayBuffer.empty[(String, Timestamp, Timestamp)]
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        { out.synchronized { out ++= b.collect().map(r =>
+          (r.getString(0), r.getTimestamp(1), r.getTimestamp(4))) }; () })
+      .start()
+    // batch 0: a view only — it must be BUFFERED in state, no output yet
+    views.addData(("u1", ts(0)))
+    q.processAllAvailable()
+    assert(out.synchronized(out.isEmpty))
+    // batch 1: the matching click arrives in a LATER batch — the pair
+    // can only come from batch-0 state, proving cross-batch buffering
+    clicks.addData(("u1", ts(5)))
+    q.processAllAvailable()
+    assert(out.synchronized(out.toSet) == Set(("u1", ts(5), ts(0))))
+    // advance event time far past watermark + lookback on both sides so
+    // the u1 view's state (kept while it could still match a click in
+    // [v_ts, v_ts + 10 min]) becomes evictable, then trigger once more
+    views.addData(("u9", ts(59)))
+    clicks.addData(("u9", ts(59)))
+    q.processAllAvailable()
+    views.addData(("u8", ts(59)))
+    clicks.addData(("u8", ts(59)))
+    q.processAllAvailable()
+    val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+    assert(removed > 0, s"expected watermark eviction to remove state rows, progress said $removed")
+    // eviction must not have invented or lost pairs
+    assert(out.synchronized(out.count(_._1 == "u1")) == 1)
+  }
+
   test("unbounded Count() runs to a final value (ref kafka-count-stdout shape)") {
     import graft.core._
     // stream → countAll → complete-mode emission: the running count is
