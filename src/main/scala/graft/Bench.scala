@@ -106,10 +106,15 @@ object Bench {
     // adaptive fallbacks, tried in order, so the emitted line can never
     // outgrow the driver's 2000-byte capture: full precision → 1
     // decimal → drop the error excerpt (the count stays; the text is in
-    // BENCH_SELF.json)
+    // BENCH_SELF.json) → integer seconds (per-query precision lives in
+    // BENCH_SELF.json; the total keeps 2 decimals on every rung)
+    // threshold 1950: the hard cap is the 2000-byte window itself (the
+    // line prints last on a clean stdout, so only the newline follows);
+    // 1950 leaves real margin while letting a ~97-query line keep
+    // 1-decimal per-query times instead of degrading to integers
     val json = Seq(lineAt(2, logFirstAt(80)), lineAt(1, logFirstAt(80)),
-        lineAt(1, ""))
-      .find(_.length <= 1900).getOrElse(lineAt(1, ""))
+        lineAt(1, ""), lineAt(0, ""))
+      .find(_.length <= 1950).getOrElse(lineAt(0, ""))
     // file copy first (reliable channel regardless of stdout state) —
     // full fidelity: 3-decimal times, runs, the complete sf dir
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

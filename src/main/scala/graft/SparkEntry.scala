@@ -96,7 +96,11 @@ object SparkEntry {
     "c_xml_roundtrip"   -> (CoderQueries.cXmlRoundtrip _),
     "c_xml_tree"        -> (CoderQueries.cXmlTree _),
     "c_avro_roundtrip"  -> (CoderQueries.cAvroRoundtrip _),
+    "c_avro_project"    -> (CoderQueries.cAvroProject _),
     "c_json_roundtrip"  -> (CoderQueries.cJsonRoundtrip _),
+    "p_from_list"       -> (PipelineQueries.pFromList _),
+    "p_split_flatmap"   -> (PipelineQueries.pSplitFlatmap _),
+    "p_text_file"       -> (PipelineQueries.pTextFile _),
     "q18_scalar_funcs"  -> (CoderQueries.q18ScalarFuncs _),
     "q19_asof"          -> (CoderQueries.q19Asof _),
     "q20_outer_join"    -> (Relational.q20OuterJoin _),
@@ -136,8 +140,28 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c_avro_roundtrip" ->
       "SELECT doc_id AS id, text FROM documents ORDER BY id",
+    // reader-schema projection: text dropped, tag defaulted — the oracle
+    // is what Avro schema resolution must reconstruct
+    "c_avro_project" ->
+      "SELECT doc_id AS id, lang, 'x' AS tag FROM documents ORDER BY id",
     "c_json_roundtrip" ->
       "SELECT doc_id AS id, lang FROM documents ORDER BY id",
+    "p_from_list" ->
+      "SELECT i, i::varchar || '!' AS value FROM range(500) r(i) ORDER BY i",
+    // order-preserving flatMap: every token with its fan-out position
+    "p_split_flatmap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 40),
+        |e AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(toks)),
+        |    i -> {'pos': i, 'tok': toks[i+1]})) AS s
+        |  FROM t)
+        |SELECT doc_id, s.pos AS pos, s.tok AS tok FROM e
+        |ORDER BY doc_id, pos""".stripMargin,
+    "p_text_file" ->
+      """SELECT text AS value FROM documents WHERE doc_id < 200
+        |ORDER BY value""".stripMargin,
     "q18_scalar_funcs" ->
       """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         |  day(o_orderdate) AS dom,

@@ -83,6 +83,21 @@ final case class RoundRobinSource(n: Long, values: Seq[String]) extends Source {
   }
 }
 
+/** Columnar-table pipeline root: a parquet table projected onto the
+  * frame convention (`value` from `valueCol`, `uniq` from `uniqCol`) so
+  * the Flow combinators run over table rows. The reference's roots are
+  * lists and files (`io/list.go`, `io/file`); a table root is their
+  * natural lakehouse extension — the scan stays a distributed file
+  * source (pushdown/pruning reach parquet), and `uniq` rides an
+  * existing unique key instead of a synthesized id, keeping
+  * order-sensitive combinators deterministic across runs. */
+final case class TableSource(path: String, valueCol: String, uniqCol: String)
+  extends Source {
+  def read(spark: SparkSession): DataFrame =
+    Source.stamp(spark.read.parquet(path)
+      .select(col(valueCol).as("value"), col(uniqCol).as("uniq")))
+}
+
 /** Directory listing source (ref `file.Source`, `io/file/source.go:29-64`
   * — one Url row per file). Built on Spark's binaryFile source so listing
   * scales through the driver's parallel file index, not a single node. */

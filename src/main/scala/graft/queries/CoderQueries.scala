@@ -112,6 +112,33 @@ object CoderQueries {
       .orderBy("id")
   }
 
+  private val docWriterSchema =
+    """{"type":"record","name":"Doc3","fields":[
+      |{"name":"id","type":"long"},{"name":"text","type":"string"},
+      |{"name":"lang","type":"string"}]}""".stripMargin
+
+  private val docReaderSchema =
+    """{"type":"record","name":"Doc3","fields":[
+      |{"name":"id","type":"long"},{"name":"lang","type":"string"},
+      |{"name":"tag","type":"string","default":"x"}]}""".stripMargin
+
+  /** serde.GenericProjector under oracle: decode with a READER schema
+    * that differs from the writer — a field dropped (`text`), a field
+    * added with a default (`tag`) — exercising full Avro schema
+    * resolution (match-by-name, defaults), not just the identity
+    * round-trip of [[cAvroRoundtrip]]. Ref `serde/generic.go`'s
+    * projector semantics; resolution itself is Avro-spec behavior. */
+  def cAvroProject(spark: SparkSession, dir: String): DataFrame = {
+    val reg = new AvroSerde.InMemoryRegistry
+    Tables(spark, dir).documents
+      .select(AvroSerde.encodeConfluent(
+        struct(col("doc_id").as("id"), col("text"), col("lang")),
+        reg, "docs3", docWriterSchema).as("b"))
+      .select(AvroSerde.decodeConfluent(col("b"), reg, docReaderSchema).as("v"))
+      .select(col("v.id").as("id"), col("v.lang").as("lang"), col("v.tag").as("tag"))
+      .orderBy("id")
+  }
+
   /** JSON encode ∘ decode identity (serde.JsonEncoder ≙ to_json). */
   def cJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(

@@ -237,6 +237,18 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, plan has $hashEx")
   }
 
+  test("p_split_flatmap: the uniq.major filter collapses to the scan column and pushes past the explode") {
+    // the pipeline's order-carrying struct uniq must not block pushdown:
+    // struct(uniq,pos).major simplifies back to doc_id, and the filter
+    // commutes below Generate into the parquet scan — a regression here
+    // makes every table-rooted pipeline read the full table
+    val p = plan("p_split_flatmap")
+    assert(p.contains("LessThan(doc_id,40)"),
+      s"doc_id filter must reach PushedFilters:\n${p.take(600)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to the two used columns")
+  }
+
   test("d_incr_steady: corpus side reads the persisted index; Bloom probe is in-plan") {
     // the steady-state gate must NOT recompute the corpus line table:
     // its anti-join's right side scans the compacted graft-lineidx
