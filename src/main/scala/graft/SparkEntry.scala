@@ -101,6 +101,7 @@ object SparkEntry {
     "p_from_list"       -> (PipelineQueries.pFromList _),
     "p_split_flatmap"   -> (PipelineQueries.pSplitFlatmap _),
     "p_text_file"       -> (PipelineQueries.pTextFile _),
+    "p_binary_file"     -> (PipelineQueries.pBinaryFile _),
     "q18_scalar_funcs"  -> (CoderQueries.q18ScalarFuncs _),
     "q19_asof"          -> (CoderQueries.q19Asof _),
     "q20_outer_join"    -> (Relational.q20OuterJoin _),
@@ -161,6 +162,9 @@ object SparkEntry {
         |ORDER BY doc_id, pos""".stripMargin,
     "p_text_file" ->
       """SELECT text AS value FROM documents WHERE doc_id < 200
+        |ORDER BY value""".stripMargin,
+    "p_binary_file" ->
+      """SELECT text AS value FROM documents WHERE doc_id < 50
         |ORDER BY value""".stripMargin,
     "q18_scalar_funcs" ->
       """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,

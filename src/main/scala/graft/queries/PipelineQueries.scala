@@ -48,6 +48,37 @@ object PipelineQueries {
         col("value").as("tok"))
       .orderBy("doc_id", "pos")
 
+  /** file.Reader (BinaryFileSource) under oracle: a sample of documents
+    * staged as individual files, read back as whole-file BYTES through
+    * the binary root (`io/file/reader.go:30-74`: Url → ByteStream),
+    * str-decoded and compared to the table. Exercises the content
+    * column end-to-end, not just the listing.
+    *
+    * Scale: binaryFile is a distributed file source (one task per
+    * split); the 50-file stage is gate scratch, deleted after the
+    * eager materialization boundary like [[pTextFile]]. */
+  def pBinaryFile(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-binsrc").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text")).collect() // 50 bounded rows: staging only
+    docs.foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$stage/${r.getLong(0)}.txt"),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    try
+      Pipeline(spark)
+        .root(BinaryFileSource(stage))
+        .map(StringType)(v => graft.coders.Coders.strDecoder(v))
+        .df
+        .select(col("value"))
+        .orderBy("value")
+        .localCheckpoint(true)
+    finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+  }
+
   /** file.Text (TextFileSource) under oracle: documents staged to real
     * line-oriented text files, read back through the file root, lines
     * compared to the table they came from. The staged files are
