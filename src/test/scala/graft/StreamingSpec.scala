@@ -392,6 +392,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.synchronized(out.count(_._1 == "u1")) == 1)
   }
 
+  test("stateful streaming runs unchanged on the RocksDB state store (off-heap state at scale)") {
+    // the 100 TB state story: HDFS-backed stores keep state on the
+    // executor heap — RocksDB spills to local disk, which is what an
+    // hours-long watermark horizon over a real event stream needs. The
+    // provider is a conf swap; semantics must be identical. This pins
+    // that the engine's stateful ops actually RUN under RocksDB (the
+    // jar is on the classpath, the provider resolves, results match).
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val clicks = MemoryStream[(String, Timestamp)]
+      val views = MemoryStream[(String, Timestamp)]
+      val joined = Streams.intervalJoin(
+        clicks.toDF().toDF("user", "ts"), views.toDF().toDF("user", "ts"),
+        keyCol = "user", lookback = "10 minutes", watermark = "5 minutes")
+      val out = ArrayBuffer.empty[(String, Timestamp, Timestamp)]
+      val q = joined.writeStream.outputMode("append")
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          { out.synchronized { out ++= b.collect().map(r =>
+            (r.getString(0), r.getTimestamp(1), r.getTimestamp(4))) }; () })
+        .start()
+      views.addData(("u1", ts(0)), ("u2", ts(1)))
+      q.processAllAvailable()
+      clicks.addData(("u1", ts(5)), ("u1", ts(30)), ("u2", ts(20)))
+      q.processAllAvailable()
+      val usedRocks = q.lastProgress.stateOperators.exists(
+        _.customMetrics.keySet().toString.contains("rocksdb"))
+      q.stop()
+      assert(out.synchronized(out.toSet) == Set(("u1", ts(5), ts(0)))) // same pairs as default provider
+      assert(usedRocks, "state operator metrics must be RocksDB's, not the HDFS store's")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("unbounded Count() runs to a final value (ref kafka-count-stdout shape)") {
     import graft.core._
     // stream → countAll → complete-mode emission: the running count is
