@@ -110,11 +110,15 @@ object Bench {
     // BENCH_SELF.json; the total keeps 2 decimals on every rung)
     // threshold 1950: the hard cap is the 2000-byte window itself (the
     // line prints last on a clean stdout, so only the newline follows);
-    // 1950 leaves real margin while letting a ~97-query line keep
-    // 1-decimal per-query times instead of degrading to integers
+    // 1950 leaves real margin while letting a ~98-query line keep
+    // 1-decimal per-query times instead of degrading to integers.
+    // Measured in UTF-8 BYTES, not chars — the capture window is a byte
+    // window, and a log_first excerpt with multibyte characters would
+    // otherwise pass the char check yet overflow the capture
+    def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     val json = Seq(lineAt(2, logFirstAt(80)), lineAt(1, logFirstAt(80)),
         lineAt(1, ""), lineAt(0, ""))
-      .find(_.length <= 1950).getOrElse(lineAt(0, ""))
+      .find(bytes(_) <= 1950).getOrElse(lineAt(0, ""))
     // file copy first (reliable channel regardless of stdout state) —
     // full fidelity: 3-decimal times, runs, the complete sf dir
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -70,7 +70,7 @@ object PipelineQueries {
     try
       Pipeline(spark)
         .root(BinaryFileSource(stage))
-        .map(StringType)(v => graft.coders.Coders.strDecoder(v))
+        .via(graft.coders.Coders.strDecoder)
         .df
         .select(col("value"))
         .orderBy("value")
@@ -97,7 +97,6 @@ object PipelineQueries {
     try
       Pipeline(spark)
         .root(TextFileSource(s"$stage/txt"))
-        .filter(v => length(v) > 0)
         .df
         .select(col("value"))
         .orderBy("value")
