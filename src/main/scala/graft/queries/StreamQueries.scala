@@ -170,8 +170,11 @@ object StreamQueries {
     * semantics); unit specs cover the same path with synthetic rows,
     * this covers it against an independent engine at gate scale. */
   def q30LateData(spark: SparkSession, dir: String): DataFrame = {
+    // persisted once: the maxTs agg and three staged slices otherwise
+    // scan the source four times per invocation
     val ev = graft.core.Tables(spark, dir).events
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .persist()
     val stage = Files.createTempDirectory("graft-late").toString
     val bulk = ev.filter(col("event_id") % 10 =!= 0)
       .select("ts", "event_type", "value")
@@ -179,16 +182,23 @@ object StreamQueries {
       .select("ts", "event_type", "value")
     val late = ev.filter(col("event_id") % 20 === 0)
       .select("ts", "event_type", "value")
-    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
-    val sentinel = spark.range(1).select(
-      lit(new java.sql.Timestamp(maxTs.getTime + 36000000L)).as("ts"),
-      lit("__wm_flush").as("event_type"), lit(0.0).as("value"))
-    val t0 = System.currentTimeMillis() - 120000L
-    stageOneFile(bulk, s"$stage/in/0.parquet", t0)
-    stageOneFile(advance, s"$stage/in/1.parquet", t0 + 10000L)
-    stageOneFile(late, s"$stage/in/2.parquet", t0 + 20000L)
-    stageOneFile(sentinel, s"$stage/in/3.parquet", t0 + 30000L)
+    try {
+      val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+      val sentinel = spark.range(1).select(
+        lit(new java.sql.Timestamp(maxTs.getTime + 36000000L)).as("ts"),
+        lit("__wm_flush").as("event_type"), lit(0.0).as("value"))
+      val t0 = System.currentTimeMillis() - 120000L
+      stageOneFile(bulk, s"$stage/in/0.parquet", t0)
+      stageOneFile(advance, s"$stage/in/1.parquet", t0 + 10000L)
+      stageOneFile(late, s"$stage/in/2.parquet", t0 + 20000L)
+      stageOneFile(sentinel, s"$stage/in/3.parquet", t0 + 30000L)
+    } finally ev.unpersist()
     val schema = bulk.schema
+    // 8 state partitions for the gate run, same rationale (and same
+    // restore discipline) as q31StreamJoin: per-batch per-partition
+    // state commits dominate a 5-trigger replay at gate scale
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val streamed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$stage/in")
@@ -203,10 +213,12 @@ object StreamQueries {
       Streams.runAvailableNow(streamed, OutputMode.Append()) { b =>
         emitted ++= b.collect() // append mode: each window exactly once
       }
-    finally
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the staged replay files are per-call scratch — without cleanup
       // every bench/verify invocation leaks a 4-file dir into /tmp
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
     spark.createDataFrame(
         spark.sparkContext.parallelize(emitted.toSeq),
         streamed.schema)
