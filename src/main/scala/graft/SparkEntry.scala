@@ -69,6 +69,8 @@ object SparkEntry {
     "d_incremental"     -> (LlmOps.dIncremental _),
     "d_incr_lsh"        -> (LlmOps.dIncrLsh _),
     "d_passages"        -> (LlmOps.dPassages _),
+    "d_substr_spans"    -> (LlmOps.dSubstrSpans _),
+    "d_substr_removed"  -> (LlmOps.dSubstrRemoved _),
     "t_unigram_lp"      -> (LlmOps.tUnigramLp _),
     "t_dsir"            -> (LlmOps.tDsir _),
     "t_tfidf"           -> (LlmOps.tTfidf _),

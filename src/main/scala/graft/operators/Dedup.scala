@@ -729,6 +729,113 @@ object Dedup {
         (col("a_end") - col("d")).as("b_end"))
   }
 
+  /** (id, pos, h): md5 of each token k-gram (space-joined window of k
+    * tokens), one row per token position. Each stage is its own
+    * projection so the transform lambda captures only attributes (the
+    * per-element re-evaluation gotcha — see [[Text.shinglesOf]]). */
+  private def tokenGrams(docs: DataFrame, k: Int,
+                         textCol: String, idCol: String): DataFrame =
+    spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), Text.tokens(col("__text")).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => md5(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))))))
+      .select(col("id"), col("pos"), col("col").as("h"))
+
+  /** Corpus-wide EXACT duplicate spans — the per-document half of the
+    * exact-substring-dedup family (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": ExactSubstr finds
+    * every substring of ≥ L tokens occurring verbatim more than once
+    * in the corpus). [[sharedPassages]] answers "which doc PAIRS share
+    * a passage"; this answers "which token RANGES of each doc are
+    * duplicated anywhere" — the form needed to CUT spans out (the Lee
+    * et al. remediation) rather than drop or pair whole documents.
+    *
+    * Semantics: token k-grams hashed with md5 (oracle-computable); a
+    * gram is duplicated iff it occurs in ≥ 2 distinct docs (default
+    * `crossDocOnly` — intra-doc repetition is a quality signal, see
+    * [[Text.topFraction]]) or ≥ 2 times anywhere when false (Lee et
+    * al.'s exact rule). Maximal runs of ≥ `minRun` consecutive
+    * duplicated grams become spans; a run of r grams covers r + k − 1
+    * tokens, so the effective span threshold is `minRun + k − 1`
+    * tokens (the paper's 50-token rule ≙ e.g. k=25, minRun=26).
+    *
+    * Output: (idCol, start_tok, end_tok, n_grams), inclusive token
+    * indices, spans disjoint and maximal per doc.
+    *
+    * Scale: the one operator in the family whose state is linear in
+    * the TOKEN count, not the doc count — the same price Lee et al.
+    * pay for their corpus-wide suffix array, here as three
+    * hash-partitioned shuffles that cannot skew: the gram-frequency
+    * agg (partial-aggregated expand on (h, id)), a semi-join of grams
+    * against the duplicated-hash set (build side unique per h, so a
+    * boilerplate gram repeated a million times probes ONE build row —
+    * no quadratic output, the failure mode that rules out the pairwise
+    * operators for boilerplate at 100 TB), and the per-doc window for
+    * run detection (state = one doc's duplicated positions). Doc pairs
+    * never meet: a passage shared by 10k docs costs 10k rows, not
+    * 10k². */
+  def duplicateSpans(docs: DataFrame, k: Int = 5, minRun: Int = 4,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     crossDocOnly: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = tokenGrams(docs, k, textCol, idCol)
+    val dupHashes = (
+      if (crossDocOnly) grams.groupBy("h").agg(countDistinct("id").as("n"))
+      else grams.groupBy("h").agg(count(lit(1)).as("n"))
+      ).filter(col("n") >= 2).select("h")
+    val dup = grams.join(dupHashes, Seq("h"), "left_semi")
+    // gaps-and-islands: consecutive duplicated positions share
+    // (pos − row_number) — one keyed window, no self-join
+    val w = Window.partitionBy("id").orderBy("pos")
+    dup
+      .select(col("id"), col("pos"),
+        (col("pos") - row_number().over(w)).as("__grp"))
+      .groupBy("id", "__grp")
+      .agg(min("pos").as("start_tok"),
+        (max(col("pos")) + lit(k - 1)).as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= minRun)
+      .select(col("id").as(idCol),
+        col("start_tok"), col("end_tok"), col("n_grams"))
+  }
+
+  /** Cut every duplicated span found by [[duplicateSpans]] out of the
+    * corpus — keep the documents, remove the verbatim-repeated token
+    * ranges (Lee et al. 2021's ExactSubstr remediation). Output:
+    * (idCol, text [surviving tokens re-joined], n_kept, n_toks); a
+    * fully-duplicated doc survives with empty text so downstream
+    * length filters see it, mirroring [[dedupLines]].
+    *
+    * Scale: spans-per-doc is a short list of merged disjoint runs, so
+    * it rides a 1:1 equi-join back onto the docs and the cut is one
+    * higher-order filter over the token array — no token-level
+    * explosion or join beyond what [[duplicateSpans]] already does. */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 5, minRun: Int = 4,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           crossDocOnly: Boolean = true): DataFrame = {
+    val spans = duplicateSpans(docs, k, minRun, textCol, idCol, crossDocOnly)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    docs
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"),
+        col("__spans"))
+      // exists() over a NULL span list is NULL; coalesce to false so
+      // docs with no duplicated spans keep every token (a NULL filter
+      // predicate would silently DROP them)
+      .select(col(idCol),
+        filter(col("__toks"), (_, i) =>
+          not(coalesce(exists(col("__spans"), s =>
+            i.between(s("start_tok"), s("end_tok"))), lit(false)))).as("__kept"),
+        size(col("__toks")).cast("long").as("n_toks"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as(textCol),
+        size(col("__kept")).cast("long").as("n_kept"),
+        col("n_toks"))
+  }
+
   /** 32-bit SimHash per document: per-token md5 → first 8 hex chars as a
     * 32-bit hash; each bit votes ±1 weighted by token frequency; the
     * signature sets bits with positive vote.

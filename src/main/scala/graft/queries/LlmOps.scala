@@ -511,6 +511,20 @@ object LlmOps {
         k = 24, window = 8, maxDocFreq = Some(20L))
       .orderBy("id_a", "id_b", "a_start", "b_start")
 
+  /** Exact-substring duplicate spans (Lee et al. 2021 ExactSubstr):
+    * token ranges of each doc duplicated verbatim in ≥ 2 docs — k=5
+    * token grams, runs of ≥ 4 grams (spans ≥ 8 tokens at this corpus'
+    * ~50-token docs; the paper's 50-token rule at production scale). */
+  def dSubstrSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables(spark, dir).documents, k = 5, minRun = 4)
+      .orderBy("doc_id", "start_tok")
+
+  /** The ExactSubstr remediation: the corpus with every duplicated
+    * span cut out (same parameters as d_substr_spans). */
+  def dSubstrRemoved(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(Tables(spark, dir).documents, k = 5, minRun = 4)
+      .orderBy("doc_id")
+
   /** Incremental exact dedup ([[graft.operators.BloomDedup]]): the 20%
     * hash-bucket "new batch" against the 80% standing corpus — novel
     * batch docs take the broadcast bloom-prefilter fast path (map-side

@@ -826,6 +826,67 @@ object LlmOracles {
         |FROM pairs GROUP BY id_a, id_b, d HAVING count(*) >= 5
         |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
 
+    // ExactSubstr duplicate spans (Lee et al. 2021): md5 token 5-grams,
+    // a gram is duplicated iff seen in ≥ 2 distinct docs; maximal runs
+    // of ≥ 4 consecutive duplicated grams (gaps-and-islands on
+    // pos − row_number) → inclusive token spans of ≥ 8 tokens
+    "d_substr_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+         |    i -> {'pos': i::int, 'h': md5(array_to_string(toks[i+1:i+5], ' '))})) AS s
+         |  FROM t WHERE len(toks) >= 5),
+         |gr AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g),
+         |d AS (
+         |  SELECT doc_id, pos FROM gr WHERE h IN (
+         |    SELECT h FROM gr GROUP BY h HAVING count(DISTINCT doc_id) >= 2)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM d)
+         |SELECT doc_id, min(pos)::int AS start_tok, (max(pos) + 4)::int AS end_tok,
+         |  count(*) AS n_grams
+         |FROM isl GROUP BY doc_id, grp HAVING count(*) >= 4
+         |ORDER BY doc_id, start_tok""".stripMargin,
+
+    // the remediation: rebuild each doc from the tokens NOT covered by
+    // any duplicated span; a fully-duplicated doc survives with empty
+    // text (LEFT JOIN + coalesce mirrors the Spark null-span path)
+    "d_substr_removed" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+         |    i -> {'pos': i::int, 'h': md5(array_to_string(toks[i+1:i+5], ' '))})) AS s
+         |  FROM t WHERE len(toks) >= 5),
+         |gr AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g),
+         |d AS (
+         |  SELECT doc_id, pos FROM gr WHERE h IN (
+         |    SELECT h FROM gr GROUP BY h HAVING count(DISTINCT doc_id) >= 2)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM d),
+         |sp AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+         |  FROM isl GROUP BY doc_id, grp HAVING count(*) >= 4),
+         |tk AS (
+         |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(range(len(toks)),
+         |      i -> {'pos': i::int, 'tok': toks[i+1]})) AS u
+         |    FROM t)),
+         |kept AS (
+         |  SELECT tk.doc_id AS doc_id, tk.pos AS pos, tk.tok AS tok FROM tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = tk.doc_id AND tk.pos BETWEEN sp.s AND sp.e)),
+         |r AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(r.text, '') AS text,
+         |  coalesce(r.n_kept, 0)::bigint AS n_kept, len(t.toks)::bigint AS n_toks
+         |FROM t LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // incremental exact dedup: 20% hash-bucket batch vs 80% corpus
     // (same md5-bucket split as t_sample); dup_of = min corpus doc_id
     // sharing the normalized-text fingerprint, NULL when novel. The

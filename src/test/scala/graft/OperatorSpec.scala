@@ -504,6 +504,50 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Long]("prints") >= 3L)
   }
 
+  test("duplicateSpans localizes cross-doc verbatim token runs; removal cuts exactly those tokens") {
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 $passage z1 z2 z3"),
+      (2L, s"b1 b2 b3 $passage y1 y2 y3 y4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")
+    ).toDF("doc_id", "text")
+    // k=3 grams: the 10-token passage yields an 8-gram run in each doc;
+    // boundary grams mix in unique tokens and stay singletons
+    val spans = Dedup.duplicateSpans(docs, k = 3, minRun = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("start_tok"),
+        r.getAs[Int]("end_tok"), r.getAs[Long]("n_grams"))).toSet
+    assert(spans == Set((1L, 5, 14, 8L), (2L, 3, 12, 8L)))
+    val removed = Dedup.removeDuplicateSpans(docs, k = 3, minRun = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_toks"))).toSet
+    assert(removed == Set(
+      (1L, "a1 a2 a3 a4 a5 z1 z2 z3", 8L, 18L),
+      (2L, "b1 b2 b3 y1 y2 y3 y4", 7L, 17L),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12", 12L, 12L)))
+  }
+
+  test("duplicateSpans: fully-dup doc empties, intra-doc repeats need crossDocOnly=false, empty input ok") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, k = 3, minRun = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[Long]("n_kept"))).toSet
+    assert(out == Set((1L, "", 0L), (2L, "", 0L)))
+    // a phrase repeated inside ONE doc is invisible to the cross-doc
+    // rule (intra-doc repetition is a quality signal, not dedup) and
+    // caught by the Lee-et-al exact rule with crossDocOnly=false
+    val intra = Seq((1L, "q1 q2 q3 x1 x2 q1 q2 q3 x3 x4")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(intra, k = 3, minRun = 1).count() == 0)
+    val spans = Dedup.duplicateSpans(intra, k = 3, minRun = 1, crossDocOnly = false)
+      .collect().map(r => (r.getAs[Int]("start_tok"), r.getAs[Int]("end_tok"))).toSet
+    assert(spans == Set((0, 2), (5, 7)))
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(emptyDocs, 3, 1).count() == 0)
+  }
+
   test("sharedPassages: empty input and no-overlap docs produce no rows") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.sharedPassages(emptyDocs, 1).count() == 0)
