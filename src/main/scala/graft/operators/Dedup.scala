@@ -766,21 +766,28 @@ object Dedup {
     *
     * Scale: the one operator in the family whose state is linear in
     * the TOKEN count, not the doc count — the same price Lee et al.
-    * pay for their corpus-wide suffix array, here as three
-    * hash-partitioned shuffles that cannot skew: the gram-frequency
-    * agg (partial-aggregated expand on (h, id)), a semi-join of grams
-    * against the duplicated-hash set (build side unique per h, so a
-    * boilerplate gram repeated a million times probes ONE build row —
-    * no quadratic output, the failure mode that rules out the pairwise
-    * operators for boilerplate at 100 TB), and the per-doc window for
-    * run detection (state = one doc's duplicated positions). Doc pairs
-    * never meet: a passage shared by 10k docs costs 10k rows, not
-    * 10k². */
+    * pay for their corpus-wide suffix array, here as two
+    * hash-partitioned shuffles that cannot skew: the gram stream
+    * shuffled ONCE on the hash (materialized; the frequency agg —
+    * partial-aggregated expand on (h, id) — and the semi-join probe
+    * both reuse that layout exchange-free, and the join's build side
+    * is unique per h, so a boilerplate gram repeated a million times
+    * probes ONE build row — no quadratic output, the failure mode that
+    * rules out the pairwise operators for boilerplate at 100 TB), and
+    * the per-doc window for run detection (state = one doc's
+    * duplicated positions). Doc pairs never meet: a passage shared by
+    * 10k docs costs 10k rows, not 10k². */
   def duplicateSpans(docs: DataFrame, k: Int = 5, minRun: Int = 4,
                      textCol: String = "text", idCol: String = "doc_id",
-                     crossDocOnly: Boolean = true): DataFrame = {
+                     crossDocOnly: Boolean = true,
+                     materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = tokenGrams(docs, k, textCol, idCol)
+    // the gram stream (per-position md5 — the expensive map work) feeds
+    // both the frequency agg and the semi-join probe: materialize it
+    // ONCE, partitioned by the hash so the agg and the join both reuse
+    // the layout with zero further exchanges (the winnowJoin idiom)
+    val grams = shared(
+      tokenGrams(docs, k, textCol, idCol).repartition(col("h")), materialize)
     val dupHashes = (
       if (crossDocOnly) grams.groupBy("h").agg(countDistinct("id").as("n"))
       else grams.groupBy("h").agg(count(lit(1)).as("n"))
@@ -814,8 +821,10 @@ object Dedup {
     * explosion or join beyond what [[duplicateSpans]] already does. */
   def removeDuplicateSpans(docs: DataFrame, k: Int = 5, minRun: Int = 4,
                            textCol: String = "text", idCol: String = "doc_id",
-                           crossDocOnly: Boolean = true): DataFrame = {
-    val spans = duplicateSpans(docs, k, minRun, textCol, idCol, crossDocOnly)
+                           crossDocOnly: Boolean = true,
+                           materialize: Boolean = true): DataFrame = {
+    val spans = duplicateSpans(docs, k, minRun, textCol, idCol, crossDocOnly,
+      materialize)
       .groupBy(idCol)
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
     docs

@@ -263,6 +263,32 @@ class PlanSpec extends SparkSpec {
       "the serialized Bloom prefilter must appear as an in-plan predicate")
   }
 
+  test("d_substr_spans: ONE materialized gram stream feeds both semi-join sides") {
+    // duplicateSpans' expensive map work is the per-position md5 gram
+    // stream; it feeds the frequency agg AND the semi-join probe. The
+    // shared() boundary must make both plan legs read the SAME RDD —
+    // two independent gram recomputations here would double the map
+    // cost of the whole operator at 100 TB.
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def rddScans(p: SparkPlan): Seq[Int] = p.collect {
+      case a: AdaptiveSparkPlanExec => rddScans(a.executedPlan)
+      case q: QueryStageExec => rddScans(q.plan)
+      case r: RDDScanExec => Seq(r.inputRDD.id)
+    }.flatten
+    val df = SparkEntry.queries("d_substr_spans")(spark, dir)
+    df.collect()  // AQE: materialize so the final stage tree is inspectable
+    val rddIds = rddScans(df.queryExecution.executedPlan)
+    // 2 scans of one RDD, or 1 if ReuseExchange collapsed a leg outright
+    assert(rddIds.nonEmpty && rddIds.distinct.size == 1,
+      s"expected both semi-join legs on one shared gram RDD, got scans: $rddIds")
+    // and the semi-join itself must be a hash join (unique build side),
+    // never a nested loop over the gram stream
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi") && !p.contains("NestedLoop"),
+      s"gram-dup filter must be a semi hash join:\n${p.take(800)}")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline of q2") {
     // AQE hides codegen spans until execution: run the query, then
     // inspect the final adaptive plan for WholeStageCodegen operators.
