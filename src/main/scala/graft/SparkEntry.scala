@@ -71,6 +71,7 @@ object SparkEntry {
     "d_passages"        -> (LlmOps.dPassages _),
     "d_substr_spans"    -> (LlmOps.dSubstrSpans _),
     "d_substr_removed"  -> (LlmOps.dSubstrRemoved _),
+    "d_incr_substr"     -> (LlmOps.dIncrSubstr _),
     "t_unigram_lp"      -> (LlmOps.tUnigramLp _),
     "t_dsir"            -> (LlmOps.tDsir _),
     "t_tfidf"           -> (LlmOps.tTfidf _),

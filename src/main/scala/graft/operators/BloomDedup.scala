@@ -289,4 +289,57 @@ object BloomDedup {
         .select(col(idCol), col("pos"), col("line")))
     Dedup.reassembleLines(kept, batch, textCol, idCol, sep)
   }
+
+  /** Persistable corpus gram-hash table for incremental
+    * exact-substring span dedup ([[incrementalSpans]]) — the fifth
+    * member of the prebuilt-index family ([[corpusFingerprints]],
+    * [[lshIndex]], [[corpusLineHashes]], [[graft.operators.AnnIndex]]):
+    * the DISTINCT md5 token k-gram hashes of the standing corpus.
+    * Write it partitioned/bucketed by `h` once per corpus compaction;
+    * ~33 B per distinct gram. */
+  def corpusGrams(corpus: DataFrame, k: Int = 5, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    Dedup.tokenGrams(corpus, k, textCol, idCol).select("h").distinct()
+
+  /** Incremental ExactSubstr (Lee et al. 2021) — token spans of BATCH
+    * docs duplicating content that exists anywhere else: in the
+    * standing corpus ([[corpusGrams]]) or in ANOTHER batch doc. By
+    * construction this equals [[Dedup.duplicateSpans]] over
+    * corpus ∪ batch restricted to batch docs (a spec asserts the
+    * equivalence), without ever re-scanning the corpus text: the
+    * corpus side is the probed gram table, optionally fronted by a
+    * broadcast Bloom prefilter (built from the `h` column via
+    * [[buildFilter]]) so definite-novel grams never reach the
+    * semi-join — map-side only, the [[incrementalExactPrebuilt]]
+    * design. Cut the spans with [[Dedup.cutSpans]].
+    *
+    * Scale: batch grams shuffle once on the hash (shared
+    * materialization feeds the corpus probe AND the in-batch
+    * frequency agg); the corpus gram table is probed, never scanned
+    * into a shuffle wider than the batch's maybe-dup sliver. */
+  def incrementalSpans(batch: DataFrame, corpusGrams: DataFrame,
+                       filter: Option[Array[Byte]] = None,
+                       k: Int = 5, minRun: Int = 4,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       materialize: Boolean = true): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+    val grams = Dedup.shared(
+      Dedup.tokenGrams(batch, k, textCol, idCol).repartition(col("h")),
+      materialize)
+    val inCorpus = filter match {
+      case None => grams.join(corpusGrams, Seq("h"), "left_semi")
+      case Some(bytes) =>
+        grams.filter(call_function("graft_might_contain",
+            lit(bytes), xxhash64(col("h"))))
+          .join(corpusGrams, Seq("h"), "left_semi")
+    }
+    val inBatch = grams.join(
+      grams.groupBy("h").agg(countDistinct("id").as("n"))
+        .filter(col("n") >= 2).select("h"),
+      Seq("h"), "left_semi")
+    // a gram can be duplicated BOTH ways — distinct before run
+    // detection or the island walk would double-count positions
+    val dup = inCorpus.unionByName(inBatch).distinct()
+    Dedup.spansFromDupGrams(dup, k, minRun, idCol)
+  }
 }

@@ -733,8 +733,8 @@ object Dedup {
     * tokens), one row per token position. Each stage is its own
     * projection so the transform lambda captures only attributes (the
     * per-element re-evaluation gotcha — see [[Text.shinglesOf]]). */
-  private def tokenGrams(docs: DataFrame, k: Int,
-                         textCol: String, idCol: String): DataFrame =
+  private[operators] def tokenGrams(docs: DataFrame, k: Int,
+                                    textCol: String, idCol: String): DataFrame =
     spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), Text.tokens(col("__text")).as("__toks"))
       .filter(size(col("__toks")) >= k)
@@ -793,8 +793,16 @@ object Dedup {
       else grams.groupBy("h").agg(count(lit(1)).as("n"))
       ).filter(col("n") >= 2).select("h")
     val dup = grams.join(dupHashes, Seq("h"), "left_semi")
-    // gaps-and-islands: consecutive duplicated positions share
-    // (pos − row_number) — one keyed window, no self-join
+    spansFromDupGrams(dup, k, minRun, idCol)
+  }
+
+  /** Duplicated gram positions (id, pos) → maximal runs of ≥ `minRun`
+    * consecutive positions as inclusive token spans. Gaps-and-islands:
+    * consecutive positions share (pos − row_number) — one keyed
+    * window, no self-join; state = one doc's duplicated positions. */
+  private[operators] def spansFromDupGrams(dup: DataFrame, k: Int, minRun: Int,
+                                           idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("id").orderBy("pos")
     dup
       .select(col("id"), col("pos"),
@@ -808,27 +816,20 @@ object Dedup {
         col("start_tok"), col("end_tok"), col("n_grams"))
   }
 
-  /** Cut every duplicated span found by [[duplicateSpans]] out of the
-    * corpus — keep the documents, remove the verbatim-repeated token
-    * ranges (Lee et al. 2021's ExactSubstr remediation). Output:
-    * (idCol, text [surviving tokens re-joined], n_kept, n_toks); a
-    * fully-duplicated doc survives with empty text so downstream
-    * length filters see it, mirroring [[dedupLines]].
+  /** Cut token spans out of docs: `spans` is any (idCol, start_tok,
+    * end_tok) frame ([[duplicateSpans]], [[BloomDedup.incrementalSpans]],
+    * or hand-curated ranges); tokens covered by a span are removed and
+    * the survivors re-joined. Output: (idCol, text, n_kept, n_toks).
     *
-    * Scale: spans-per-doc is a short list of merged disjoint runs, so
-    * it rides a 1:1 equi-join back onto the docs and the cut is one
-    * higher-order filter over the token array — no token-level
-    * explosion or join beyond what [[duplicateSpans]] already does. */
-  def removeDuplicateSpans(docs: DataFrame, k: Int = 5, minRun: Int = 4,
-                           textCol: String = "text", idCol: String = "doc_id",
-                           crossDocOnly: Boolean = true,
-                           materialize: Boolean = true): DataFrame = {
-    val spans = duplicateSpans(docs, k, minRun, textCol, idCol, crossDocOnly,
-      materialize)
-      .groupBy(idCol)
+    * Scale: spans-per-doc is a short list, so it rides a 1:1 equi-join
+    * back onto the docs and the cut is one higher-order filter over
+    * the token array — no token-level explosion or extra shuffle. */
+  def cutSpans(docs: DataFrame, spans: DataFrame,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val perDoc = spans.groupBy(idCol)
       .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
     docs
-      .join(spans, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"),
         col("__spans"))
       // exists() over a NULL span list is NULL; coalesce to false so
@@ -844,6 +845,21 @@ object Dedup {
         size(col("__kept")).cast("long").as("n_kept"),
         col("n_toks"))
   }
+
+  /** Cut every duplicated span found by [[duplicateSpans]] out of the
+    * corpus — keep the documents, remove the verbatim-repeated token
+    * ranges (Lee et al. 2021's ExactSubstr remediation). Output:
+    * (idCol, text [surviving tokens re-joined], n_kept, n_toks); a
+    * fully-duplicated doc survives with empty text so downstream
+    * length filters see it, mirroring [[dedupLines]]. Composition of
+    * [[duplicateSpans]] and [[cutSpans]]. */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 5, minRun: Int = 4,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           crossDocOnly: Boolean = true,
+                           materialize: Boolean = true): DataFrame =
+    cutSpans(docs,
+      duplicateSpans(docs, k, minRun, textCol, idCol, crossDocOnly, materialize),
+      textCol, idCol)
 
   /** 32-bit SimHash per document: per-token md5 → first 8 hex chars as a
     * 32-bit hash; each bit votes ±1 weighted by token frequency; the

@@ -525,6 +525,22 @@ object LlmOps {
     Dedup.removeDuplicateSpans(Tables(spark, dir).documents, k = 5, minRun = 4)
       .orderBy("doc_id")
 
+  /** Incremental ExactSubstr: the 5% hash-bucket "new crawl" spanned
+    * against the 95% standing corpus' gram table (Bloom-prefiltered
+    * probe — the corpus text is never re-scanned) plus in-batch
+    * cross-doc duplication. */
+  def dIncrSubstr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BloomDedup, Sampling, Stage}
+    val docs = Tables(spark, dir).documents
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    // the gram table feeds the bloom build action AND the probe join;
+    // materialize once — in production this is the persisted index
+    val cg = Stage.reuse(BloomDedup.corpusGrams(docs.filter(bucket < 95), k = 5))
+    BloomDedup.incrementalSpans(docs.filter(bucket >= 95), cg,
+        BloomDedup.buildFilter(cg, hashCol = "h"), k = 5, minRun = 4)
+      .orderBy("doc_id", "start_tok")
+  }
+
   /** Incremental exact dedup ([[graft.operators.BloomDedup]]): the 20%
     * hash-bucket "new batch" against the 80% standing corpus — novel
     * batch docs take the broadcast bloom-prefilter fast path (map-side

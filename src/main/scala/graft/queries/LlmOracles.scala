@@ -849,6 +849,32 @@ object LlmOracles {
          |FROM isl GROUP BY doc_id, grp HAVING count(*) >= 4
          |ORDER BY doc_id, start_tok""".stripMargin,
 
+    // incremental ExactSubstr: batch = hash bucket ≥ 95 (the
+    // d_incr_lines split), duplicated iff the gram exists in the
+    // corpus slice OR in ≥ 2 distinct batch docs; same island rule
+    "d_incr_substr" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks,
+         |    (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100) AS b
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, b, unnest(list_transform(range(len(toks) - 4),
+         |    i -> {'pos': i::int, 'h': md5(array_to_string(toks[i+1:i+5], ' '))})) AS s
+         |  FROM t WHERE len(toks) >= 5),
+         |gr AS (SELECT doc_id, b, s.pos AS pos, s.h AS h FROM g),
+         |bg AS (SELECT doc_id, pos, h FROM gr WHERE b >= 95),
+         |d AS (
+         |  SELECT doc_id, pos FROM bg
+         |  WHERE h IN (SELECT h FROM gr WHERE b < 95)
+         |     OR h IN (SELECT h FROM bg GROUP BY h HAVING count(DISTINCT doc_id) >= 2)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM d)
+         |SELECT doc_id, min(pos)::int AS start_tok, (max(pos) + 4)::int AS end_tok,
+         |  count(*) AS n_grams
+         |FROM isl GROUP BY doc_id, grp HAVING count(*) >= 4
+         |ORDER BY doc_id, start_tok""".stripMargin,
+
     // the remediation: rebuild each doc from the tokens NOT covered by
     // any duplicated span; a fully-duplicated doc survives with empty
     // text (LEFT JOIN + coalesce mirrors the Spark null-span path)

@@ -217,6 +217,41 @@ class BloomDedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalSpans equals whole-corpus duplicateSpans restricted to batch docs; bloom parity") {
+    import graft.operators.Dedup
+    // passage shared corpus↔batch, another shared batch↔batch, and a
+    // batch doc with nothing repeated anywhere
+    val c = Seq(
+      (1L, "c1 c2 c3 s1 s2 s3 s4 s5 s6 c4 c5"),
+      (2L, "c6 c7 c8 c9 c10 c11 c12 c13 c14")
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "b1 b2 s1 s2 s3 s4 s5 s6 b3"),       // dup vs corpus doc 1
+      (11L, "b4 b5 b6 t1 t2 t3 t4 t5 b7"),       // dup vs batch doc 12
+      (12L, "b8 t1 t2 t3 t4 t5 b9 b10 b11"),
+      (13L, "n1 n2 n3 n4 n5 n6 n7 n8 n9")        // fully novel
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "start_tok", "end_tok", "n_grams")
+        .as[(Long, Int, Int, Long)].collect().toSet
+    val cg = BloomDedup.corpusGrams(c, k = 3)
+    val incr = canon(BloomDedup.incrementalSpans(b, cg, None, k = 3, minRun = 2))
+    // the contract: identical to running the whole-corpus operator on
+    // corpus ∪ batch and keeping only batch docs
+    val whole = canon(Dedup.duplicateSpans(c.unionByName(b), k = 3, minRun = 2)
+      .filter(col("doc_id") >= 10L))
+    assert(incr == whole && incr.nonEmpty, s"incr=$incr whole=$whole")
+    assert(!incr.exists(_._1 == 13L))
+    // bloom-prefiltered path is bit-identical (no false drops)
+    val bloomed = canon(BloomDedup.incrementalSpans(b, cg,
+      BloomDedup.buildFilter(cg, hashCol = "h"), k = 3, minRun = 2))
+    assert(bloomed == incr)
+    // and the cut composes: corpus-dup + batch-dup spans removed
+    val cut = Dedup.cutSpans(b, BloomDedup.incrementalSpans(b, cg, None, k = 3, minRun = 2))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(cut(10L) == "b1 b2 b3" && cut(13L) == "n1 n2 n3 n4 n5 n6 n7 n8 n9")
+  }
+
   test("incrementalLsh jaccard matches the whole-set operator's pair value") {
     val c = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
     val b = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda")).toDF("doc_id", "text")
