@@ -90,6 +90,7 @@ object SparkEntry {
     "s_ann_ivfpq"       -> (LlmOps.sAnnIvfPq _),
     "s_ann_index"       -> (LlmOps.sAnnIndex _),
     "s_ann_query"       -> (LlmOps.sAnnQuery _),
+    "s_ann_add"         -> (LlmOps.sAnnAdd _),
     "mm_meta"           -> (LlmOps.mmMeta _),
     "mm_frames"         -> (LlmOps.mmFrames _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "p_split_flatmap"   -> (PipelineQueries.pSplitFlatmap _),
     "p_text_file"       -> (PipelineQueries.pTextFile _),
     "p_binary_file"     -> (PipelineQueries.pBinaryFile _),
+    "p_fold_trigger"    -> (PipelineQueries.pFoldTrigger _),
     "q18_scalar_funcs"  -> (CoderQueries.q18ScalarFuncs _),
     "q19_asof"          -> (CoderQueries.q19Asof _),
     "q20_outer_join"    -> (Relational.q20OuterJoin _),
@@ -169,6 +171,19 @@ object SparkEntry {
     "p_binary_file" ->
       """SELECT text AS value FROM documents WHERE doc_id < 50
         |ORDER BY value""".stripMargin,
+    // fold trigger cadence: running accumulator at every 100th element
+    // plus the end-of-input flush
+    "p_fold_trigger" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::bigint AS c
+        |  FROM documents),
+        |r AS (
+        |  SELECT sum(c) OVER (ORDER BY doc_id) AS rt,
+        |    row_number() OVER (ORDER BY doc_id) AS n,
+        |    count(*) OVER () AS tot
+        |  FROM t)
+        |SELECT n, rt::bigint AS running_total FROM r
+        |WHERE n % 100 = 0 OR n = tot ORDER BY n""".stripMargin,
     "q18_scalar_funcs" ->
       """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
         |  day(o_orderdate) AS dom,

@@ -79,6 +79,33 @@ object AnnIndex {
       .parquet(s"$indexDir/corpus")
   }
 
+  /** FAISS's `add`: append a batch of NEW vectors to an existing
+    * persisted index without retraining and without touching the
+    * standing data — cells assigned with the TRAINED centroids, codes
+    * from the TRAINED codebooks, rows appended into the cell
+    * partitions. Parquet append on a partitioned table writes only
+    * new files under the touched `cell=` directories (existing files
+    * are never rewritten — AnnIndexSpec pins this), so the cost is one
+    * pass over the BATCH, independent of index size: the daily-crawl
+    * shape where yesterday's 100 TB index absorbs today's vectors.
+    *
+    * Re-[[load]] after adding: an already-loaded Model's lazy `table`
+    * captured the file listing at read time and will not see the new
+    * files. Like FAISS, added vectors use the ORIGINAL training — when
+    * the distribution drifts far enough that new cells are needed,
+    * re-[[compact]]. */
+  def add(batch: DataFrame, indexDir: String, model: Model,
+          idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Similarity.pqEncode(
+        Similarity.assignCells(
+          batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+          model.centroids, "cv"),
+        model.codebooks, "cv")
+      .select(col("cand_id"), col("cell"), col("code"),
+        col("cv").as("embedding"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/corpus")
+
   def load(spark: SparkSession, indexDir: String): Model = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select("cell", "pos", "val")

@@ -752,6 +752,31 @@ object LlmOps {
     annRecallGate(e, q, ann)
   }
 
+  /** FAISS add lifecycle under a recall gate: the index is compacted
+    * from 80% of the corpus, the remaining 20% is [[AnnIndex.add]]ed
+    * with the ORIGINAL training (no retrain, no rewrite of standing
+    * partitions — AnnIndexSpec pins the file-level contract), and the
+    * batch is answered against the combined index. Recall is measured
+    * against brute force over the FULL corpus, so the gate fails if
+    * added vectors were not searchable or were coded wrongly. */
+  def sAnnAdd(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val indexDir = annIndexLock.synchronized {
+      compactOnce("annadd", s"$dir/embeddings.parquet",
+          params = "c8:m8:k64:ci3:pi2:tb512:mod5:v1") { staging =>
+        AnnIndex.compact(e.filter(col("vec_id") % 5 =!= 0), staging,
+          cells = 8, m = 8, ksub = 64,
+          coarseIters = 3, pqIters = 2, trainBound = 512)
+        AnnIndex.add(e.filter(col("vec_id") % 5 === 0), staging,
+          AnnIndex.load(spark, staging))
+      }
+    }
+    val model = AnnIndex.load(spark, indexDir)
+    val q = e.filter(col("vec_id") < 10)
+    val ann = AnnIndex.queryBatch(q, model, k = 5, nprobe = 5, shortlist = 100)
+    annRecallGate(e, q, ann)
+  }
+
   /** In-plan recall gate shared by the persisted-index queries: brute
     * exact top-5 for the (broadcast-tiny) query batch, left-joined
     * against the ANN answer — emits (n_queries, recall_ok ≥ 0.5). */

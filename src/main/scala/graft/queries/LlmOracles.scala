@@ -996,6 +996,10 @@ object LlmOracles {
       """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    "s_ann_add" ->
+      """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
         |  (octet_length(encode(text)) % 640 + 1)::int AS width,

@@ -48,6 +48,27 @@ object PipelineQueries {
         col("value").as("tok"))
       .orderBy("doc_id", "pos")
 
+  /** FoldFn + .TriggerEach under oracle: the running fold emission
+    * cadence (`context.go:344-364,446-450` — emit the RUNNING
+    * accumulator every n inputs, plus the final flush at end of
+    * bounded input, `README.md:96`). A table root mapped to per-doc
+    * token counts, folded with sum, emitted every 100 elements: the
+    * oracle recomputes the prefix sums at exactly the trigger
+    * positions, so the hash check pins BOTH the accumulator values
+    * and the emission schedule.
+    *
+    * Scale: foldTriggered is the two-phase distributed prefix (range
+    * partition + per-partition window + P-row offset shift), never a
+    * single-partition global window — PrefixSpec covers the engine. */
+  def pFoldTrigger(spark: SparkSession, dir: String): DataFrame =
+    Pipeline(spark)
+      .root(TableSource(s"$dir/documents.parquet", "text", "doc_id"))
+      .map(LongType)(v => size(split(trim(v), "\\s+")).cast(LongType))
+      .foldTriggered(100)(sum)
+      .df
+      .select(col("uniq").as("n"), col("value").as("running_total"))
+      .orderBy("n")
+
   /** file.Reader (BinaryFileSource) under oracle: a sample of documents
     * staged as individual files, read back as whole-file BYTES through
     * the binary root (`io/file/reader.go:30-74`: Url → ByteStream),

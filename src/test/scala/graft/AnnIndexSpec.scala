@@ -109,6 +109,43 @@ class AnnIndexSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("add appends new vectors without retraining or rewriting standing files (FAISS add)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-add").toString
+    corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+    AnnIndex.compact(corpus, s"$dir/index", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val model = AnnIndex.load(spark, s"$dir/index")
+    def files(): Map[String, Long] = {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/index/corpus"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p))).toMap
+    }
+    val before = files()
+    val batch = (0 until 4).map(c => ((200 + c).toLong, member(bases(c), 9)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.add(batch, s"$dir/index", model)
+    // append wrote NEW files only; every standing file survives unchanged
+    val after = files()
+    assert(before.forall { case (p, sz) => after.get(p).contains(sz) },
+      "standing index files must not be rewritten by add")
+    assert(after.size > before.size, "add must append new data files")
+    val m2 = AnnIndex.load(spark, s"$dir/index")
+    assert(m2.table.count() == corpusRows.size + 4)
+    // trained artifacts are untouched — added vectors use the original
+    // training, the FAISS add contract
+    assert(m2.centroids.map(_.toSeq) == model.centroids.map(_.toSeq))
+    assert(m2.codebooks.map(_.map(_.toSeq)) == model.codebooks.map(_.map(_.toSeq)))
+    // a query identical to an added vector finds it at rank 1 via the
+    // exact refine (distance 0) — the new vector is really searchable
+    val q = Seq((999L, member(bases(1), 9))).toDF("vec_id", "embedding")
+    val top = AnnIndex.queryBatch(q, m2, k = 3, nprobe = 1, shortlist = 8)
+      .select("rnk", "cand_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(top.head == ((1L, 201L)), s"added vector must be the exact top-1: ${top.toSeq}")
+  }
+
   test("probing statically prunes partitions of the codes table (nprobe/cells scan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx-prune").toString
     corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
