@@ -46,6 +46,12 @@ object ScaleSoak {
     // the corpus) arrives as "today's crawl" against the 450k-doc rest
     val batch = docs.filter(col("doc_id") >= 9000000L)
     val corpus = docs.filter(col("doc_id") < 9000000L)
+    // ExactSubstr on the adversarial shape: EVERY gram is duplicated
+    // (9 copies per doc), so the dup-gram set is the whole token
+    // stream — the worst case for the semi-join and the island window
+    time("substr")   { Dedup.duplicateSpans(docs, k = 5, minRun = 4).count() }
+    time("incrSubstr") { BloomDedup.incrementalSpans(batch,
+      BloomDedup.corpusGrams(corpus, k = 5), k = 5, minRun = 4).count() }
     time("incrExact") { BloomDedup.incrementalExact(batch, corpus,
       expectedItems = 500000L).filter(col("dup_of").isNotNull).count() }
     time("decontam")  { Decontaminate.contaminatedPairs(corpus,
