@@ -83,6 +83,7 @@ object SparkEntry {
     "t_rebalance"       -> (LlmOps.tRebalance _),
     "t_cap_domain"      -> (LlmOps.tCapDomain _),
     "t_stratified"      -> (LlmOps.tStratified _),
+    "t_temperature"     -> (LlmOps.tTemperature _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),

@@ -78,6 +78,48 @@ object Sampling {
       .drop("__src", "__rate")
   }
 
+  /** Temperature / α-sampling of the source distribution — the
+    * multilingual data-mixing rule of mBERT and XLM-R (Devlin et al.
+    * 2019; Conneau & Lample 2019; Conneau et al. 2020): sampling
+    * probability q_s ∝ p_s^α, α < 1 flattening the mix toward
+    * low-resource sources. Deterministically realized as an integer
+    * per-doc replication count so UP-sampling works too: a source's
+    * expected copies-per-doc is c_s = round(epochs·q_s·total/n_s, 6)
+    * (q_s = n_s^α / Σ n_t^α — the p_s^α normalization with N^α
+    * cancelled); every doc gets ⌊c_s⌋ copies plus one more iff its
+    * md5 unit draw (1/granularity resolution) falls below frac(c_s).
+    * Output: input columns + `n_copies` (0 ⇒ dropped; ≥ 2 ⇒ the doc
+    * repeats, epoch-style); expected output mass is epochs·total.
+    * Materializing the repeats is the consumer's explode — kept out
+    * of the operator so counting/statistics uses stay copy-free.
+    *
+    * Scale: one count-by-source agg (tiny result), c_s derived on
+    * that tiny frame, rates broadcast back with the null-safe key of
+    * [[rebalanceBySource]] — the corpus is never shuffled and the
+    * copy decision is one map-side projection. */
+  def temperatureSample(docs: DataFrame, sourceCol: String, alpha: Double,
+                        epochs: Double = 1.0, keyCol: String = "doc_id",
+                        granularity: Int = 1000000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    require(epochs > 0, "epochs must be positive")
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    // totals derive from the tiny counts frame, not a second corpus scan
+    val stats = counts.agg(sum("__n").as("__tot"),
+      sum(pow(col("__n"), lit(alpha))).as("__powsum"))
+    val rates = counts.crossJoin(broadcast(stats))
+      .withColumn("__c", round(
+        lit(epochs) * pow(col("__n"), lit(alpha)) / col("__powsum")
+          * col("__tot") / col("__n"), 6))
+      .select(col(sourceCol).as("__src"), col("__c"))
+    docs.join(broadcast(rates), col(sourceCol) <=> col("__src"), "left")
+      .withColumn("n_copies",
+        (floor(col("__c")) +
+          when(hashBucket(col(keyCol), granularity) <
+            (col("__c") - floor(col("__c"))) * granularity, 1L)
+            .otherwise(0L)).cast("long"))
+      .drop("__src", "__c")
+  }
+
   /** Leakage-free train/test split: buckets by near-dup COMPONENT, not
     * by doc — a per-doc split leaks held-out content whenever a near
     * duplicate of a test doc lands in train (the standard eval

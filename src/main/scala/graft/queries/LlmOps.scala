@@ -511,6 +511,18 @@ object LlmOps {
         k = 24, window = 8, maxDocFreq = Some(20L))
       .orderBy("id_a", "id_b", "a_start", "b_start")
 
+  /** Temperature (α=0.3) sampling over the skewed lang distribution
+    * (en is 44% of the corpus): high-resource langs are down-sampled
+    * (n_copies 0/1), low-resource langs up-sampled (1/2) — the
+    * mBERT/XLM-R data-mixing rule as a deterministic replication
+    * count. */
+  def tTemperature(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.temperatureSample(Tables(spark, dir).documents, "lang", alpha = 0.3)
+      .select(col("doc_id"), col("lang"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-substring duplicate spans (Lee et al. 2021 ExactSubstr):
     * token ranges of each doc duplicated verbatim in ≥ 2 docs — k=5
     * token grams, runs of ≥ 4 grams (spans ≥ 8 tokens at this corpus'

@@ -632,6 +632,21 @@ object LlmOracles {
         |          ELSE 0.1 END) * 10000
         |ORDER BY doc_id""".stripMargin,
 
+    // temperature sampling: q_s ∝ n_s^0.3; copies-per-doc
+    // c_s = round(q_s·tot/n_s, 6); a doc takes the extra copy iff its
+    // md5 unit draw (1e-6 resolution, same formula as t_sample) falls
+    // below frac(c_s)
+    "t_temperature" ->
+      """WITH c AS (SELECT lang, count(*)::double AS n FROM documents GROUP BY lang),
+        |s AS (SELECT sum(n) AS tot, sum(pow(n, 0.3)) AS ps FROM c),
+        |r AS (SELECT lang, round(pow(n, 0.3) / ps * tot / n, 6) AS cc FROM c, s)
+        |SELECT d.doc_id, d.lang,
+        |  (floor(cc)::bigint +
+        |   CASE WHEN (('0x' || substr(md5(d.doc_id::varchar), 1, 8))::bigint % 1000000)
+        |        < (cc - floor(cc)) * 1000000 THEN 1 ELSE 0 END)::bigint AS n_copies
+        |FROM documents d JOIN r USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
     // seeded random projection: the oracle regenerates the identical
     // ±1 sign matrix from the same md5 formula (first byte < 0x80),
     // then sums v·sign per (vector, output dim) in double

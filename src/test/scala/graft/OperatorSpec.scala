@@ -504,6 +504,43 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Long]("prints") >= 3L)
   }
 
+  test("temperatureSample: α=1 is the identity mix, α<1 up-samples the small source, deterministic") {
+    import graft.operators.Sampling
+    val docs = ((1 to 8).map(i => (i.toLong, "A")) ++ Seq((9L, "B"), (10L, "B")))
+      .toDF("doc_id", "source").withColumn("text", lit("x"))
+    // α=1: q_s = p_s ⇒ c_s = 1.0 exactly for every source
+    val id = Sampling.temperatureSample(docs, "source", alpha = 1.0)
+      .select("n_copies").as[Long].collect()
+    assert(id.length == 10 && id.forall(_ == 1L))
+    // α=0.5: c_A = (8^.5/ps)·10/8 ≈ 0.833 ⇒ A docs get 0 or 1;
+    // c_B = (2^.5/ps)·10/2 ≈ 1.667 ⇒ B docs get 1 or 2 (UP-sampled)
+    val t = Sampling.temperatureSample(docs, "source", alpha = 0.5)
+      .select("doc_id", "source", "n_copies").as[(Long, String, Long)].collect()
+    val (a, b) = t.partition(_._2 == "A")
+    assert(a.forall(r => r._3 == 0L || r._3 == 1L), s"A: ${a.toSeq}")
+    assert(b.forall(r => r._3 == 1L || r._3 == 2L), s"B: ${b.toSeq}")
+    // deterministic: same result on re-evaluation
+    val t2 = Sampling.temperatureSample(docs, "source", alpha = 0.5)
+      .select("doc_id", "source", "n_copies").as[(Long, String, Long)].collect()
+    assert(t.sortBy(_._1).toSeq == t2.sortBy(_._1).toSeq)
+    // epochs scales the mass: every doc gains exactly +1 copy per
+    // whole epoch (floor shifts by 1, the fractional draw is shared)
+    val e2 = Sampling.temperatureSample(docs, "source", alpha = 0.5, epochs = 2.0)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    val base = t.map(r => (r._1, r._3)).toMap
+    // c doubles: frac(2c) may differ from frac(c) — only assert mass
+    // grows and stays within the [⌊2c⌋, ⌈2c⌉] envelope per source
+    assert(e2.values.sum > base.values.sum)
+    assert(e2.filter(_._1 <= 8).values.forall(n => n == 1L || n == 2L)) // 2c_A≈1.667
+    assert(e2.filter(_._1 > 8).values.forall(n => n == 3L || n == 4L))  // 2c_B≈3.333
+    // NULL source is its own group, never dropped
+    val withNull = docs.unionByName(Seq((99L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source").withColumn("text", lit("x")))
+    val nc = Sampling.temperatureSample(withNull, "source", alpha = 0.5)
+      .filter(col("doc_id") === 99L).select("n_copies").as[Long].collect()
+    assert(nc.length == 1)
+  }
+
   test("duplicateSpans localizes cross-doc verbatim token runs; removal cuts exactly those tokens") {
     val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
     val docs = Seq(
