@@ -781,7 +781,6 @@ object Dedup {
                      textCol: String = "text", idCol: String = "doc_id",
                      crossDocOnly: Boolean = true,
                      materialize: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the gram stream (per-position md5 — the expensive map work) feeds
     // both the frequency agg and the semi-join probe: materialize it
     // ONCE, partitioned by the hash so the agg and the join both reuse

@@ -22,6 +22,13 @@ object Sampling {
     * and silently drop the row from BOTH sides of a split, breaking
     * "disjoint and exhaustive" contracts. Non-null keys are untouched,
     * so oracle parity holds on the fixtures. */
+  /** CAVEAT (inherent to deterministic key-hashed sampling): a NULL
+    * key carries no entropy, so EVERY NULL-keyed row lands in the one
+    * sentinel bucket — a percentage filter then keeps the whole NULL
+    * slice or none of it, never a fraction. Rows with a key equal to
+    * the literal sentinel string share that bucket too. Callers
+    * sampling corpora with meaningful NULL-key populations should
+    * coalesce to a real secondary key first. */
   def hashBucket(key: Column, buckets: Int = 100): Column =
     (conv(substring(md5(coalesce(key.cast("string"), lit("\u0000graft_null"))), 1, 8), 16, 10)
       .cast("long") % buckets).cast("int")
