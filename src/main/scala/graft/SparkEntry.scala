@@ -84,6 +84,7 @@ object SparkEntry {
     "t_cap_domain"      -> (LlmOps.tCapDomain _),
     "t_stratified"      -> (LlmOps.tStratified _),
     "t_temperature"     -> (LlmOps.tTemperature _),
+    "t_budget"          -> (LlmOps.tBudget _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),

@@ -127,6 +127,35 @@ object Sampling {
       .drop("__src", "__c")
   }
 
+  /** Quality-ranked selection under a token budget — the selection
+    * step after quality scoring (classifier, perplexity, DSIR weight):
+    * keep the BEST documents until the training-token budget is
+    * filled. Docs rank by (`scoreCol` desc, `idCol` asc — fully
+    * deterministic, ties broken by id); a doc is kept iff its
+    * INCLUSIVE running token total is ≤ `budget`, so the doc that
+    * would overflow the budget is dropped along with everything below
+    * it. Output: input columns + `cumCol`. NULL scores sort first
+    * under the descending struct order — score them or filter them
+    * out upstream.
+    *
+    * Scale: the ranked running total is [[Prefix.runningSum]]'s
+    * two-phase prefix over a range partition of the negated score — a
+    * PARALLEL sort plus a P-row offset shift, never the single-task
+    * `Window.orderBy` cumsum — and the budget cut is a map-side
+    * filter after the broadcast offset join. */
+  def selectByTokenBudget(docs: DataFrame, scoreCol: String, tokenCol: String,
+                          budget: Long, idCol: String = "doc_id",
+                          cumCol: String = "cum_tokens"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val ord = Iterator.iterate("__ord")(_ + "_")
+      .dropWhile(docs.columns.contains).next()
+    val withOrd = docs.withColumn(ord,
+      struct((-col(scoreCol)).as("s"), col(idCol).as("i")))
+    graft.operators.Prefix.runningSum(withOrd, ord, tokenCol, cumCol)
+      .filter(col(cumCol) <= budget)
+      .drop(ord)
+  }
+
   /** Leakage-free train/test split: buckets by near-dup COMPONENT, not
     * by doc — a per-doc split leaks held-out content whenever a near
     * duplicate of a test doc lands in train (the standard eval

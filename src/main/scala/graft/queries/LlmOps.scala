@@ -508,6 +508,20 @@ object LlmOps {
         k = 24, window = 8, maxDocFreq = Some(20L))
       .orderBy("id_a", "id_b", "a_start", "b_start")
 
+  /** Quality-ranked token-budget selection: rank docs by alpha-ratio
+    * quality (desc, id tie-break), keep the best until 10k tokens —
+    * the post-scoring selection step, computed with the two-phase
+    * distributed prefix, never a single-task global cumsum. */
+  def tBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), Text.alphaRatio(col("text")).as("score"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.selectByTokenBudget(scored, "score", "n_tokens", budget = 10000)
+      .select("doc_id", "score", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
   /** Temperature (α=0.3) sampling over the skewed lang distribution
     * (en is 44% of the corpus): high-resource langs are down-sampled
     * (n_copies 0/1), low-resource langs up-sampled (1/2) — the

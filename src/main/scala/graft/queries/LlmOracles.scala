@@ -647,6 +647,22 @@ object LlmOracles {
         |FROM documents d JOIN r USING (lang)
         |ORDER BY doc_id""".stripMargin,
 
+    // token-budget selection: exact ranked cumsum (score desc, id) cut
+    // at the inclusive 10k-token budget — the oracle's single global
+    // window IS the semantics the distributed two-phase prefix must match
+    "t_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 4) AS score,
+         |    len($toks)::bigint AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, score, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, score, n_tokens, cum_tokens::bigint AS cum_tokens
+         |FROM c WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
+
     // seeded random projection: the oracle regenerates the identical
     // ±1 sign matrix from the same md5 formula (first byte < 0x80),
     // then sums v·sign per (vector, output dim) in double

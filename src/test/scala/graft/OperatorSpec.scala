@@ -504,6 +504,31 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Long]("prints") >= 3L)
   }
 
+  test("selectByTokenBudget: best-first inclusive cut, id tie-break, matches the global-window form") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, 0.9, 40L), (2L, 0.5, 30L), (3L, 0.7, 50L),
+      (4L, 0.7, 20L), (5L, 0.1, 10L)
+    ).toDF("doc_id", "score", "n_tokens")
+    // rank: 1(0.9,40) → 3(0.7,+50=90) → 4(0.7 tie, higher id, +20=110)
+    // → 2(0.5,+30=140) → 5(0.1,+10=150); budget 110 keeps 1,3,4 —
+    // the straddling doc 2 is dropped with everything below
+    val sel = Sampling.selectByTokenBudget(docs, "score", "n_tokens", budget = 110)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(sel == Map(1L -> 40L, 3L -> 90L, 4L -> 110L))
+    // equals the single-window formulation on the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val oracle = docs.withColumn("cum", sum("n_tokens").over(w))
+      .filter(col("cum") <= 110)
+      .select("doc_id", "cum").as[(Long, Long)].collect().toMap
+    assert(sel == oracle)
+    // budget below the best doc selects nothing; huge budget keeps all
+    assert(Sampling.selectByTokenBudget(docs, "score", "n_tokens", 39).count() == 0)
+    assert(Sampling.selectByTokenBudget(docs, "score", "n_tokens", 1000).count() == 5)
+  }
+
   test("temperatureSample: α=1 is the identity mix, α<1 up-samples the small source, deterministic") {
     import graft.operators.Sampling
     val docs = ((1 to 8).map(i => (i.toLong, "A")) ++ Seq((9L, "B"), (10L, "B")))
