@@ -73,6 +73,8 @@ object SparkEntry {
     "d_substr_removed"  -> (LlmOps.dSubstrRemoved _),
     "d_incr_substr"     -> (LlmOps.dIncrSubstr _),
     "t_unigram_lp"      -> (LlmOps.tUnigramLp _),
+    "t_bigram_lm"       -> (LlmOps.tBigramLm _),
+    "t_heavy"           -> (LlmOps.tHeavy _),
     "t_dsir"            -> (LlmOps.tDsir _),
     "t_tfidf"           -> (LlmOps.tTfidf _),
     "d_decontam"        -> (LlmOps.dDecontam _),
@@ -86,6 +88,7 @@ object SparkEntry {
     "t_temperature"     -> (LlmOps.tTemperature _),
     "t_budget"          -> (LlmOps.tBudget _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
+    "s_hamming"         -> (LlmOps.sHamming _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),
     "s_ann_pq"          -> (LlmOps.sAnnPq _),
@@ -123,9 +126,38 @@ object SparkEntry {
     "q31_stream_join"   -> (StreamQueries.q31StreamJoin _),
     "q28_histogram"     -> (Relational.q28Histogram _),
     "q29_zorder"        -> (Relational.q29Zorder _),
+    "q32_hilbert"       -> (Relational.q32Hilbert _),
   )
 
+  /** q32_hilbert oracle: the 10 reflect+swap stages of the Hilbert
+    * xy→d transform unrolled as chained CTEs (generated here so the
+    * constants provably match Layout.hilbert2's unrolled plan). */
+  private val hilbertOracleSql: String = {
+    val base =
+      """WITH h0 AS (
+        |  SELECT event_id, (user_id % 1024)::bigint AS ub, hour(ts)::bigint AS hb,
+        |    (user_id % 1024)::bigint AS x, hour(ts)::bigint AS y, 0::bigint AS d
+        |  FROM events)""".stripMargin
+    val stages = (9 to 0 by -1).zipWithIndex.map { case (level, idx) =>
+      val s = 1L << level
+      s"""h${idx + 1} AS (
+         |  SELECT event_id, ub, hb,
+         |    d + $s * $s * xor(3 * rx, ry) AS d,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+         |         ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+         |         ELSE y END AS y
+         |  FROM (SELECT *,
+         |      CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM h$idx))""".stripMargin
+    }
+    (base +: stages).mkString(",\n") + "\n" +
+      "SELECT event_id, ub, hb, d AS hkey FROM h10 ORDER BY hkey, event_id"
+  }
+
   private val coderOracles: Map[String, String] = Map(
+    "q32_hilbert" -> hilbertOracleSql,
     "c_str_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "c_gzip_roundtrip" ->

@@ -671,4 +671,80 @@ object Similarity {
         coalesce(col("comp"), col("id")).as("canonical_id"),
         (coalesce(col("comp"), col("id")) === col("id")).as("keep"))
   }
+
+  /** Sign-bit binary signature of a float vector: bit `i` of the
+    * signature is set iff `vec[i] > 0`. Packed as an ARRAY<BIGINT> of
+    * 32-bit words (word `w` holds dims `w*32 .. w*32+31`, bit `i mod
+    * 32` within the word) — 32 bits per word keeps every value in the
+    * positive BIGINT range on every engine (a full 64-bit pack needs
+    * `1 << 63`, which portable SQL rejects as overflow) and the layout
+    * generalizes past 64 dims.
+    *
+    * This is the classic binary embedding quantization: the sign of
+    * each coordinate survives dot-product geometry well enough that
+    * Hamming distance on signatures approximates angular distance
+    * (Charikar's hyperplane LSH with axis-aligned planes), at 1 bit
+    * per dim = 32x smaller than float32. */
+  def signBits(vec: Column, dim: Int): Column = {
+    require(dim > 0, "signBits: dim must be positive")
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      val n = math.min(32, dim - w * 32)
+      aggregate(
+        zip_with(slice(vec, w * 32 + 1, n), sequence(lit(0), lit(n - 1)),
+          (x, i) => when(x > lit(0d),
+            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }: _*)
+  }
+
+  /** Hamming distance between two [[signBits]] signatures (popcount of
+    * the XOR, summed over words). */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-quantized ANN: coarse top-`shortlist` by Hamming distance
+    * on sign-bit signatures, then exact-cosine refine of the shortlist
+    * — the standard two-stage design for embedding stores kept in
+    * compressed form (e.g. binary FAISS / vector-DB binary indexes
+    * with float rerank).
+    *
+    * Scale: the coarse pass scans (id, ceil(dim/32) longs) per corpus
+    * row — 32x less I/O than the float vectors — with the query
+    * signatures broadcast, so the corpus never shuffles; the popcount
+    * loop is a handful of native integer expressions per row. Only the
+    * |queries|·shortlist surviving rows join back to fetch their float
+    * vectors for the exact rerank (hash join on the candidate id).
+    * Both stages break ties deterministically (coarse: hamming asc,
+    * cand_id; final: cosine desc, cand_id), so the whole result is
+    * exactly reproducible — gate `s_hamming` pins it against a full
+    * DuckDB re-derivation, not just a recall bound. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+                  shortlist: Int = 30,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = queries.select(col(idCol).as("query_id"),
+      signBits(col(vecCol), dim).as("qsig"))
+    val cs = corpus.select(col(idCol).as("cand_id"),
+      signBits(col(vecCol), dim).as("csig"))
+    val coarse = broadcast(qs).join(cs, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        hammingDist(col("qsig"), col("csig")).as("ham"))
+    val wc = Window.partitionBy("query_id").orderBy(col("ham"), col("cand_id"))
+    val short = coarse.withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= shortlist)
+      .select("query_id", "cand_id", "ham")
+    val cv = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val refined = short.join(cv, "cand_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("cand_id"), col("ham"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    refined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("cand_id"), col("ham"), col("cos"))
+  }
 }

@@ -27,4 +27,31 @@ object Sketches {
   /** Frequent items (Karp et al.) — the heavy-hitters profile. */
   def frequentItems(df: DataFrame, cols: Seq[String], support: Double = 0.01): DataFrame =
     df.stat.freqItems(cols.toArray, support)
+
+  /** Heavy hitters with the sketch's guarantee made checkable: every
+    * key whose EXACT frequency exceeds `support`·N, with its exact
+    * count and a flag asserting the one property the Karp sketch
+    * promises — no false negatives (`in_sketch` must be true on every
+    * row; the sketch's false POSITIVES are permitted by contract and
+    * simply don't appear here). This is how a profiling pass validates
+    * a sketch against ground truth on a sample before trusting it on
+    * the full corpus.
+    *
+    * Scale: the sketch leg is one pass with ~1/support counters per
+    * partition (constant state); the exact leg is a partial+final
+    * count agg on the key. The threshold compare `cnt > N·support`
+    * multiplies in double on both engines so the oracle's arithmetic
+    * is bit-identical. */
+  def verifiedHeavyHitters(df: DataFrame, keyCol: String,
+                           support: Double): DataFrame = {
+    val sketch = df.stat.freqItems(Array(keyCol), support)
+      .withColumnRenamed(s"${keyCol}_freqItems", "__sketch_items")
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n_total") * lit(support))
+      .crossJoin(broadcast(sketch))
+      .select(col(keyCol), col("cnt"),
+        array_contains(col("__sketch_items"), col(keyCol)).as("in_sketch"))
+  }
 }

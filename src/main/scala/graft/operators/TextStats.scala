@@ -37,6 +37,54 @@ object TextStats {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Interpolated bigram language-model score per doc — one step up
+    * the n-gram ladder from [[unigramLogProb]] toward the 5-gram KenLM
+    * CCNet actually filters with (Wenzek et al. 2020): mean
+    * -ln( λ·p(t|prev) + (1-λ)·p_uni(t) ) over tokens, with a `<s>` BOS
+    * context for each doc's first token. The bigram term is MLE
+    * (self-scored corpus ⇒ every observed bigram is in the table); the
+    * unigram back-off is Laplace-smoothed so the mixture is never
+    * zero. Context totals are Σ bigram counts per `prev` — i.e. the
+    * occurrences of `prev` that HAVE a successor — so each p(·|prev)
+    * is a proper distribution.
+    *
+    * Scale: the (prev, token) pair stream is derived MAP-SIDE by
+    * zipping the token array with its shifted self (no lag window — a
+    * per-doc sort shuffle saved); then two vocab-sized aggs (unigram,
+    * bigram — the bigram table is the corpus's observed-bigram set,
+    * Zipf-bounded far below vocab²), a context roll-up of the bigram
+    * table, totals as a broadcast 1-row, and one hash join back onto
+    * the pair stream. Same shape as [[unigramLogProb]] plus one join.
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.7,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val arr = Text.tokens(lower(col(textCol)))
+    val pair = docs.select(col(idCol).as("id"),
+        explode(zip_with(arr,
+          concat(array(lit("<s>")), slice(arr, lit(1), greatest(size(arr) - 1, lit(0)))),
+          (t, p) => struct(p.as("prev"), t.as("t")))).as("pr"))
+      .select(col("id"), col("pr.prev").as("prev"), col("pr.t").as("t"))
+    val uni = pair.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum("cnt").as("n_total"), count(lit(1)).as("v"))
+    val big = pair.groupBy("prev", "t").agg(count(lit(1)).as("cnt2"))
+    val ctx = big.groupBy("prev").agg(sum("cnt2").as("prev_tot"))
+    // mixture written with the SAME literals and association as the
+    // oracle (λ and 1-λ both as plan literals; 1-0.7 in Scala is
+    // 0.30000000000000004 — the oracle computes (1 - 0.7::double) so
+    // the two engines multiply by the identical double)
+    pair.join(big, Seq("prev", "t"))
+      .join(ctx, Seq("prev"))
+      .join(uni, Seq("t"))
+      .crossJoin(broadcast(tot))
+      .groupBy("id")
+      .agg(round(avg(-log(
+          lit(lambda) * (col("cnt2") / col("prev_tot")) +
+          lit(1 - lambda) * ((col("cnt") + 1) / (col("n_total") + col("v"))))), 4)
+          .as("mean_nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Data-selection importance weights (DSIR, Xie et al. 2023, with a
     * unigram LM in place of their hashed n-grams): per-doc mean
     * log-likelihood RATIO of a target domain sample vs the raw corpus —

@@ -617,6 +617,36 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Interpolated bigram LM score (λ=0.7 bigram MLE + Laplace unigram
+    * back-off) — the next rung of the CCNet perplexity ladder above
+    * t_unigram_lp, with the (prev, token) pairs derived map-side. */
+  def tBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextStats
+    TextStats.bigramLogProb(Tables(spark, dir).documents).orderBy("id")
+  }
+
+  /** Verified heavy hitters over the lang column: exact counts of every
+    * key above 10% frequency, plus the in-plan assertion that the Karp
+    * frequent-items sketch contained each of them (its no-false-
+    * negatives guarantee — the one property the sketch promises). */
+  def tHeavy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    Sketches.verifiedHeavyHitters(Tables(spark, dir).documents, "lang",
+        support = 0.10)
+      .orderBy("lang")
+  }
+
+  /** Binary-quantized ANN: sign-bit signatures (2x32-bit words for the
+    * 64-dim fixture), coarse Hamming top-30 shortlist, exact-cosine
+    * rerank to top-5 — fully deterministic, so the DuckDB oracle
+    * re-derives the whole two-stage result bit-for-bit. */
+  def sHamming(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    Similarity.hammingTopK(e.filter(col("vec_id") < 10), e, dim = 64, k = 5,
+        shortlist = 30)
+      .orderBy("query_id", "rnk")
+  }
+
   /** IVF-bucketed ANN top-3 (probe own cell only) for vec_id < 10. */
   def sAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings

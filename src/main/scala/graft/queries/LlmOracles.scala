@@ -548,6 +548,39 @@ object LlmOracles {
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // binary-quantized ANN re-derived end to end: 32-bit sign-packed
+    // words (bit i of word w set iff v[w*32+i] > 0 — 1::BIGINT << i
+    // stays in positive range), coarse Hamming shortlist with
+    // (ham, cand_id) tie-break, exact-cosine rerank with
+    // (cos DESC, cand_id) — both stages deterministic, so this is a
+    // full hash oracle, not a recall bound
+    "s_hamming" ->
+      """WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+        |sig AS (SELECT vec_id, v,
+        |  [ list_sum(list_transform(range(32),
+        |      i -> CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT,
+        |    list_sum(list_transform(range(32),
+        |      i -> CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT ] AS s
+        |  FROM e),
+        |coarse AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    (bit_count(xor(q.s[1], c.s[1])) + bit_count(xor(q.s[2], c.s[2])))::BIGINT AS ham
+        |  FROM sig q JOIN sig c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |short AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ham, cand_id) AS crnk
+        |    FROM coarse)
+        |  WHERE crnk <= 30),
+        |refined AS (
+        |  SELECT s.query_id, s.cand_id, s.ham,
+        |    round(list_inner_product(q.v, c.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 6) AS cos
+        |  FROM short s JOIN e q ON s.query_id = q.vec_id JOIN e c ON s.cand_id = c.vec_id)
+        |SELECT query_id, rnk, cand_id, ham, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+        |  FROM refined)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "s_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::double[] AS v, label FROM embeddings),
         |scored AS (
@@ -769,6 +802,45 @@ object LlmOracles {
     // own lowercased-token distribution (mirrors
     // TextStats.unigramLogProb; both engines do float division and
     // natural log in double, rounded to 4)
+    // verified heavy hitters: exact keys above 10% frequency with
+    // in_sketch literally true (the Spark side computes it from the
+    // Karp sketch's no-false-negatives guarantee; a sketch regression
+    // flips the flag and fails the hash). Threshold multiplies in
+    // double on both engines.
+    "t_heavy" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT sum(cnt) AS n_total FROM c)
+        |SELECT lang, cnt, true AS in_sketch
+        |FROM c CROSS JOIN t WHERE cnt > n_total * 0.10::double
+        |ORDER BY lang""".stripMargin,
+
+    // interpolated bigram LM (λ=0.7 bigram MLE + 0.3 Laplace unigram):
+    // (prev, t) pairs from the token list zipped with its shifted self
+    // (BOS '<s>' for each doc's first token), context totals = Σ
+    // bigrams per prev; (1 - 0.7::double) reproduces Scala's 1-0.7
+    // IEEE subtraction so both engines mix with the identical double
+    "t_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT id, s.prev AS prev, s.t AS t FROM (
+        |    SELECT id, unnest(list_transform(range(len(toks)),
+        |      i -> {'prev': CASE WHEN i = 0 THEN '<s>' ELSE toks[i] END,
+        |            't': toks[i+1]})) AS s
+        |    FROM tok)),
+        |uni AS (SELECT t, count(*) AS cnt FROM p GROUP BY t),
+        |tot AS (SELECT sum(cnt) AS n_total, count(*) AS v FROM uni),
+        |big AS (SELECT prev, t, count(*) AS cnt2 FROM p GROUP BY prev, t),
+        |ctx AS (SELECT prev, sum(cnt2) AS prev_tot FROM big GROUP BY prev)
+        |SELECT id,
+        |  round(avg(-ln(0.7::double * (cnt2 / prev_tot) +
+        |               (1 - 0.7::double) * ((cnt + 1) / (n_total + v)))), 4) AS mean_nll,
+        |  count(*) AS n_tokens
+        |FROM p JOIN big USING (prev, t) JOIN ctx USING (prev) JOIN uni USING (t)
+        |CROSS JOIN tot
+        |GROUP BY id ORDER BY id""".stripMargin,
+
     "t_unigram_lp" ->
       """WITH tok AS (
         |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t

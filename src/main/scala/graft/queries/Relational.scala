@@ -327,4 +327,17 @@ object Relational {
       .select(col("event_id"), col("ub"), col("hb"),
         graft.operators.Layout.zorder2(col("ub"), col("hb")).as("zkey"))
       .orderBy("zkey", "event_id")
+
+  /** Hilbert-curve layout key over the same (user bucket, hour) pair as
+    * q29_zorder — the locality-tighter clustering key (unit-step curve,
+    * no Morton diagonal jumps); the oracle replays the 10 unrolled
+    * reflect+swap stages in SQL. */
+  def q32Hilbert(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_id"),
+        (col("user_id") % 1024).cast("long").as("ub"),
+        hour(col("ts")).cast("long").as("hb"))
+      .select(col("event_id"), col("ub"), col("hb"),
+        graft.operators.Layout.hilbert2(col("ub"), col("hb"), order = 10).as("hkey"))
+      .orderBy("hkey", "event_id")
 }

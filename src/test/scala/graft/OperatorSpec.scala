@@ -215,6 +215,52 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("signBits packs sign bits into 32-bit words; hamming counts differing signs") {
+    // dims 0,2 positive, 1,3 non-positive (0 counts as clear), plus a
+    // second word: dim 33 positive → word 1 bit 1
+    val vecs = Seq(
+      (0L, Array.tabulate(40)(i => if (i == 0 || i == 2 || i == 33) 1f else -1f)),
+      (1L, Array.tabulate(40)(i => if (i == 0 || i == 33) 1f else if (i == 5) 0f else -1f))
+    ).toDF("vec_id", "embedding")
+    val sigs = vecs.select(col("vec_id"),
+        Similarity.signBits(col("embedding"), 40).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) == Seq((1L << 0) | (1L << 2), 1L << 1))
+    assert(sigs(1L) == Seq(1L << 0, 1L << 1)) // exact 0 at dim 5 stays clear
+    val ham = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(Similarity.hammingDist(
+        Similarity.signBits(col("a.embedding"), 40),
+        Similarity.signBits(col("b.embedding"), 40)))
+      .as[Long].head()
+    assert(ham == 1L) // only dim 2 differs
+  }
+
+  test("hammingTopK with full-corpus shortlist equals brute force exactly") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    // shortlist >= corpus: the coarse stage keeps everything, so the
+    // cosine rerank must reproduce brute force bit-for-bit
+    val ham = Similarity.hammingTopK(queries, vecs, dim = 64, k = 3, shortlist = 60)
+      .select("query_id", "rnk", "cand_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, vecs, k = 3)
+      .select("query_id", "rnk", "cand_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(ham == brute)
+    // and with a tight shortlist the coarse Hamming stage still finds
+    // the exact duplicate (hamming 0 → always shortlisted → cosine 1 top)
+    val withDup = vecs.union(Seq((100L,
+      vecs.filter(col("vec_id") === 2).select("embedding")
+        .as[Array[Float]].head())).toDF("vec_id", "embedding"))
+    val top = Similarity.hammingTopK(withDup.filter(col("vec_id") === 100L),
+        withDup, dim = 64, k = 1, shortlist = 5)
+      .select("cand_id", "ham").as[(Long, Long)].head()
+    assert(top == (2L, 0L))
+  }
+
   test("cosine LSH finds the true nearest neighbor on clustered vectors (recall vs brute force)") {
     val rnd = new scala.util.Random(7)
     val centroids = Seq(Array.fill(32)(rnd.nextFloat() * 2 - 1),

@@ -136,6 +136,24 @@ class ScaleSpec extends SparkSpec {
     assert(runs.map(_.head).distinct.size == 4, "expected 4 distinct quadrants")
   }
 
+  test("Hilbert key: bijection onto [0, 4^order) with UNIT curve steps (tighter than Morton)") {
+    import graft.operators.Layout
+    val order = 3; val n = 1 << order
+    val grid = (for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val keyed = grid.select(col("x"), col("y"),
+        Layout.hilbert2(col("x"), col("y"), order).as("h"))
+      .as[(Long, Long, Long)].collect()
+    val byD = keyed.map { case (x, y, h) => h -> (x, y) }.toMap
+    assert(byD.keySet == (0L until (n.toLong * n)).toSet, "not a bijection")
+    // THE Hilbert property Morton lacks: consecutive curve positions
+    // are Manhattan-adjacent grid cells — no diagonal jumps anywhere
+    (0L until n.toLong * n - 1).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+  }
+
   test("histogram: dense bins, boundary assignment, out-of-range dropped") {
     val df = Seq(0.0, 4.99, 5.0, 14.99, -1.0, 20.0, 19.99, null.asInstanceOf[Any])
       .map(v => Tuple1(Option(v).map(_.asInstanceOf[Double])))
@@ -160,5 +178,19 @@ class ScaleSpec extends SparkSpec {
     val freq = Sketches.frequentItems(df, Seq("v"), support = 0.4)
       .as[Seq[String]].head()
     assert(freq.contains("hot"))
+  }
+
+  test("verifiedHeavyHitters: exact counts above threshold, sketch contains them, tail excluded") {
+    // hot1 40%, hot2 35%, 25 cold keys 1% each; support 0.2
+    val df = ((1 to 400).map(_ => "hot1") ++ (1 to 350).map(_ => "hot2") ++
+      (1 to 250).map(i => s"cold${i % 25}")).toDF("k")
+    val out = Sketches.verifiedHeavyHitters(df, "k", support = 0.2)
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("hot1", 400L, true), ("hot2", 350L, true)))
+    // threshold is strict: a key at exactly support*N is excluded
+    val border = ((1 to 20).map(_ => "edge") ++ (1 to 80).map(i => s"x$i")).toDF("k")
+    val names = Sketches.verifiedHeavyHitters(border, "k", support = 0.2)
+      .select("k").as[String].collect().toSeq
+    assert(!names.contains("edge")) // 20 == 0.2*100, not >
   }
 }

@@ -19,6 +19,33 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L)._1 == math.rint(d2 * 1e4) / 1e4 && out(2L)._2 == 2L)
   }
 
+  test("bigramLogProb: hand-computed interpolated mixture with BOS context") {
+    // pairs: doc1 (<s>,a)(a,b)(b,a); doc2 (<s>,b)(b,a)
+    // uni: a=3 b=2, total 5, v=2; big: (<s>,a)=1 (a,b)=1 (b,a)=2 (<s>,b)=1
+    // ctx: <s>=2 a=1 b=2
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogProb(docs)
+      .select("id", "mean_nll", "n_tokens").as[(Long, Double, Long)]
+      .collect().map { case (id, nll, n) => id -> (nll, n) }.toMap
+    val lam = 0.7; val om = 1 - lam
+    def mix(pbi: Double, puni: Double) = -math.log(lam * pbi + om * puni)
+    val pa = 4.0 / 7; val pb = 3.0 / 7 // Laplace: (cnt+1)/(5+2)
+    val d1 = (mix(1.0 / 2, pa) + mix(1.0, pb) + mix(1.0, pa)) / 3
+    val d2 = (mix(1.0 / 2, pb) + mix(1.0, pa)) / 2
+    assert(out(1L)._1 == math.rint(d1 * 1e4) / 1e4 && out(1L)._2 == 3L)
+    assert(out(2L)._1 == math.rint(d2 * 1e4) / 1e4 && out(2L)._2 == 2L)
+  }
+
+  test("bigramLogProb: common continuations score better than rare ones") {
+    // "the cat" appears 3x; "the dog" once — docs dominated by the
+    // frequent bigram should sit below the rare-bigram doc
+    val docs = Seq((1L, "the cat the cat the cat"), (2L, "the dog"),
+      (3L, "the cat")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogProb(docs)
+      .select("id", "mean_nll").as[(Long, Double)].collect().toMap
+    assert(out(3L) < out(2L))
+  }
+
   test("unigramLogProb: case-folding merges tokens; rare tokens score higher") {
     val docs = Seq((1L, "Common COMMON common"), (2L, "common rareword")).toDF("doc_id", "text")
     val out = TextStats.unigramLogProb(docs)
