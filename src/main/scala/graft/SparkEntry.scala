@@ -65,6 +65,7 @@ object SparkEntry {
     "d_winnow_pairs"    -> (LlmOps.dWinnowPairs _),
     "d_winnow_fast"     -> (LlmOps.dWinnowFast _),
     "d_components"      -> (LlmOps.dComponents _),
+    "d_survivor"        -> (LlmOps.dSurvivor _),
     "d_components_star" -> (LlmOps.dComponentsStar _),
     "d_incremental"     -> (LlmOps.dIncremental _),
     "d_incr_lsh"        -> (LlmOps.dIncrLsh _),

@@ -510,6 +510,40 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware survivor selection over a near-dup pair graph: label
+    * every doc with its transitive cluster ([[components]]; singletons
+    * are their own cluster), then keep the cluster member with the
+    * HIGHEST `scoreCol` (ties → lowest id) instead of the lowest-id
+    * member that plain dedup keeps. This is how production curation
+    * picks among near-duplicates — the longest / highest-quality copy
+    * survives, not an arbitrary one (e.g. keep the full article over
+    * its truncated syndication).
+    *
+    * Scale: the component labeling is the bounded-round propagation of
+    * [[components]]; the selection adds ONE keyed window over the
+    * cluster (score desc, id) — partitions are cluster-sized (small by
+    * construction: near-dup clusters), never a global sort. Docs
+    * outside every pair never enter the propagation; they join back
+    * `left` and survive trivially.
+    *
+    * Output: (id, cluster, survivor_id, keep). */
+  def keepBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+               idCol: String = "doc_id", maxIter: Int = 10,
+               strict: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = components(pairs, maxIter, strict).withColumnRenamed("id", "__cid")
+    val labeled = docs.select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(comp, col("id") === col("__cid"), "left")
+      .select(col("id"), col("__score"),
+        coalesce(col("comp"), col("id")).as("cluster"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("__score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labeled.withColumn("survivor_id", first("id").over(w))
+      .select(col("id"), col("cluster"), col("survivor_id"),
+        (col("id") === col("survivor_id")).as("keep"))
+  }
+
   /** Connected components by alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14): same output contract as [[components]] — every node

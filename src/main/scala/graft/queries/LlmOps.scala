@@ -393,6 +393,20 @@ object LlmOps {
         strict = true)
       .orderBy("id")
 
+  /** Quality-aware survivor per near-dup cluster: same capped-jaccard
+    * pair graph as d_components, survivor = the LONGEST member (length
+    * desc, id tie-break) instead of the lowest id — the production
+    * keep-the-best-copy policy, hash-oracled end to end. */
+  def dSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("__q", length(col("text")).cast("long"))
+    Dedup.keepBest(docs,
+        Dedup.ngramJaccard(docs, threshold = 0.5, maxDocFreq = Some(100L)),
+        scoreCol = "__q", strict = true)
+      .withColumn("keep", col("keep").cast("int"))
+      .orderBy("id")
+  }
+
   /** Same labels via large-star/small-star alternation — the O(log n)
     * rounds scale path for adversarial (deep-chain) pair graphs. */
   def dComponentsStar(spark: SparkSession, dir: String): DataFrame =

@@ -625,6 +625,49 @@ object LlmOracles {
          |SELECT id, min(comp)::bigint AS comp FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // quality-aware survivor: the d_components cluster derivation, then
+    // per-cluster survivor by (length(text) DESC, id) — singleton docs
+    // are their own cluster and survive trivially
+    "d_survivor" ->
+      s"""WITH RECURSIVE sh0 AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(greatest(len($toks) - 2, 1)),
+         |      i -> array_to_string(($toks)[(i+1):(i+3)], ' '))) AS sh
+         |    FROM documents)),
+         |shc AS (
+         |  SELECT * FROM sh0 WHERE sh NOT IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 100)),
+         |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |interc AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, round(i / (na.n + nb.n - i), 4) AS jaccard
+         |    FROM interc JOIN szc na ON id_a = na.doc_id JOIN szc nb ON id_b = nb.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |comp AS (SELECT id, min(comp)::bigint AS comp FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id AS id, coalesce(c.comp, d.doc_id) AS cluster,
+         |    length(d.text)::bigint AS sc
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |surv AS (
+         |  SELECT cluster, id AS survivor_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY cluster ORDER BY sc DESC, id) AS rk FROM lab)
+         |  WHERE rk = 1)
+         |SELECT l.id, l.cluster, s.survivor_id,
+         |  (l.id = s.survivor_id)::int AS keep
+         |FROM lab l JOIN surv s USING (cluster) ORDER BY l.id""".stripMargin,
+
     // domain rebalancing: keep_rate = min(1, target*total/n) per
     // source (src0 1%, src1 2%, others keep-all), selection by md5
     // bucket of doc_id at 1/10000 — identical arithmetic association

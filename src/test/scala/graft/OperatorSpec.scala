@@ -215,6 +215,23 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("keepBest: highest-score cluster member survives, id tie-break, singletons survive") {
+    val docs = Seq((1L, 10L), (2L, 99L), (3L, 50L), (4L, 1L), (5L, 7L), (6L, 7L))
+      .toDF("doc_id", "q")
+    // chain 1-2-3 (transitive cluster), pair 5-6 (tied scores), 4 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(docs, pairs, scoreCol = "q")
+      .select("id", "cluster", "survivor_id", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, false), // doc 2 outscores the whole chain
+      (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true),  // singleton survives trivially
+      (5L, 5L, 5L, true),  // tie 7 == 7 → lower id
+      (6L, 5L, 5L, false)))
+  }
+
   test("signBits packs sign bits into 32-bit words; hamming counts differing signs") {
     // dims 0,2 positive, 1,3 non-positive (0 counts as clear), plus a
     // second word: dim 33 positive → word 1 bit 1
