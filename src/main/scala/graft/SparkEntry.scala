@@ -75,6 +75,7 @@ object SparkEntry {
     "d_incr_substr"     -> (LlmOps.dIncrSubstr _),
     "t_unigram_lp"      -> (LlmOps.tUnigramLp _),
     "t_bigram_lm"       -> (LlmOps.tBigramLm _),
+    "t_bigram_incr"     -> (LlmOps.tBigramIncr _),
     "t_heavy"           -> (LlmOps.tHeavy _),
     "t_dsir"            -> (LlmOps.tDsir _),
     "t_tfidf"           -> (LlmOps.tTfidf _),

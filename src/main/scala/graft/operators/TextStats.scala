@@ -56,15 +56,25 @@ object TextStats {
     * table, totals as a broadcast 1-row, and one hash join back onto
     * the pair stream. Same shape as [[unigramLogProb]] plus one join.
     */
-  def bigramLogProb(docs: DataFrame, lambda: Double = 0.7,
-                    textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+  /** (id, prev, t) bigram pair stream with a `<s>` BOS context per doc
+    * — derived map-side by zipping the token array with its shifted
+    * self (no lag-window shuffle). Shared by the one-shot and
+    * steady-state bigram scorers so their arithmetic provably starts
+    * from the same stream. */
+  private def bigramPairs(docs: DataFrame, textCol: String,
+                          idCol: String): DataFrame = {
     val arr = Text.tokens(lower(col(textCol)))
-    val pair = docs.select(col(idCol).as("id"),
+    docs.select(col(idCol).as("id"),
         explode(zip_with(arr,
           concat(array(lit("<s>")), slice(arr, lit(1), greatest(size(arr) - 1, lit(0)))),
           (t, p) => struct(p.as("prev"), t.as("t")))).as("pr"))
       .select(col("id"), col("pr.prev").as("prev"), col("pr.t").as("t"))
+  }
+
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.7,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val pair = bigramPairs(docs, textCol, idCol)
     val uni = pair.groupBy("t").agg(count(lit(1)).as("cnt"))
     val tot = uni.agg(sum("cnt").as("n_total"), count(lit(1)).as("v"))
     val big = pair.groupBy("prev", "t").agg(count(lit(1)).as("cnt2"))
@@ -267,6 +277,49 @@ object TextStats {
       .groupBy("id")
       .agg(round(avg(-log((coalesce(col("cnt"), lit(0L)) + 1)
           / (col("n_total") + col("n_vocab")))), 4).as("mean_nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Persistable corpus BIGRAM table — the steady-state artifact for
+    * [[bigramLogProbAgainst]], sibling of [[corpusLm]]: one corpus
+    * pass, a (prev, t, cnt2) table bounded by the corpus's observed
+    * bigram set (Zipf-bounded far below vocab²). Write it with the
+    * vocab table at compaction; per-batch scoring then never touches
+    * the corpus. */
+  def corpusBigramLm(corpus: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    bigramPairs(corpus, textCol, idCol)
+      .groupBy("prev", "t").agg(count(lit(1)).as("cnt2"))
+
+  /** Score a batch against PREBUILT unigram + bigram tables — the
+    * steady-state twin of [[bigramLogProb]]: unseen bigrams (or unseen
+    * contexts) contribute 0 to the bigram term and the Laplace unigram
+    * back-off keeps the mixture finite, so scoring a batch the corpus
+    * never saw is well-defined. On a batch the corpus fully contains,
+    * the output is BIT-IDENTICAL to the one-shot self-scored form
+    * (spec-asserted) — same pair stream, same literals, same
+    * association.
+    *
+    * Scale: context totals are a roll-up of the bigram table (LM-sized,
+    * not corpus-sized), totals a 1-row broadcast; the batch pair stream
+    * hash-joins the two LM tables — the corpus is never scanned. */
+  def bigramLogProbAgainst(docs: DataFrame, lmVocab: DataFrame,
+                           lmBigrams: DataFrame, lambda: Double = 0.7,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val pair = bigramPairs(docs, textCol, idCol)
+    val ctx = lmBigrams.groupBy("prev").agg(sum("cnt2").as("prev_tot"))
+    val totals = lmVocab.agg(sum("cnt").as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    pair.join(lmBigrams, Seq("prev", "t"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(lmVocab, Seq("t"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("id")
+      .agg(round(avg(-log(
+          lit(lambda) * coalesce(col("cnt2") / col("prev_tot"), lit(0d)) +
+          lit(1 - lambda) * ((coalesce(col("cnt"), lit(0L)) + 1)
+            / (col("n_total") + col("n_vocab"))))), 4).as("mean_nll"),
         count(lit(1)).as("n_tokens"))
   }
 }

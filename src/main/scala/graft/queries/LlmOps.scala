@@ -91,6 +91,21 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Steady-state bigram LM scoring: the 95% corpus slice builds the
+    * persisted unigram + bigram tables once; the 5% batch is scored
+    * against them with zero corpus scans — unseen bigrams fall to the
+    * Laplace unigram back-off. */
+  def tBigramIncr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Sampling, TextStats}
+    val docs = Tables(spark, dir).documents
+    val bucket = Sampling.hashBucket(col("doc_id"))
+    val corpus = docs.filter(bucket < 95)
+    val batch = docs.filter(bucket >= 95)
+    TextStats.bigramLogProbAgainst(batch,
+        TextStats.corpusLm(corpus), TextStats.corpusBigramLm(corpus))
+      .orderBy("id")
+  }
+
   /** Gopher/C4 rule filter with per-rule attribution: keep flag + the
     * first failing rule name, one codegen'd scan. Thresholds tightened
     * to the synthetic corpus's ranges so EVERY rule branch fires at

@@ -884,6 +884,43 @@ object LlmOracles {
         |CROSS JOIN tot
         |GROUP BY id ORDER BY id""".stripMargin,
 
+    // steady-state bigram scoring: LM tables from the 95% md5-bucket
+    // corpus slice, batch = the 5% tail scored with LEFT joins — an
+    // unseen bigram/context contributes 0 (coalesce) and the Laplace
+    // unigram back-off keeps the mixture finite; identical literals
+    // and association to t_bigram_lm
+    "t_bigram_incr" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100) AS b
+        |  FROM documents),
+        |cp AS (
+        |  SELECT id, s.prev AS prev, s.t AS t FROM (
+        |    SELECT doc_id AS id, unnest(list_transform(range(len(toks)),
+        |      i -> {'prev': CASE WHEN i = 0 THEN '<s>' ELSE toks[i] END,
+        |            't': toks[i+1]})) AS s
+        |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |          FROM d WHERE b < 95))),
+        |bp AS (
+        |  SELECT id, s.prev AS prev, s.t AS t FROM (
+        |    SELECT doc_id AS id, unnest(list_transform(range(len(toks)),
+        |      i -> {'prev': CASE WHEN i = 0 THEN '<s>' ELSE toks[i] END,
+        |            't': toks[i+1]})) AS s
+        |    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |          FROM d WHERE b >= 95))),
+        |uni AS (SELECT t, count(*) AS cnt FROM cp GROUP BY t),
+        |tot AS (SELECT sum(cnt) AS n_total, count(*) AS v FROM uni),
+        |big AS (SELECT prev, t, count(*) AS cnt2 FROM cp GROUP BY prev, t),
+        |ctx AS (SELECT prev, sum(cnt2) AS prev_tot FROM big GROUP BY prev)
+        |SELECT id,
+        |  round(avg(-ln(0.7::double * coalesce(cnt2 / prev_tot, 0) +
+        |               (1 - 0.7::double) * ((coalesce(cnt, 0) + 1) / (n_total + v)))), 4)
+        |    AS mean_nll,
+        |  count(*) AS n_tokens
+        |FROM bp LEFT JOIN big USING (prev, t) LEFT JOIN ctx USING (prev)
+        |LEFT JOIN uni USING (t) CROSS JOIN tot
+        |GROUP BY id ORDER BY id""".stripMargin,
+
     "t_unigram_lp" ->
       """WITH tok AS (
         |  SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t

@@ -36,6 +36,37 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L)._1 == math.rint(d2 * 1e4) / 1e4 && out(2L)._2 == 2L)
   }
 
+  test("bigramLogProbAgainst: self-scored batch is bit-identical to the one-shot form") {
+    val docs = Seq((1L, "a b a c"), (2L, "b a b"), (3L, "c c a")).toDF("doc_id", "text")
+    val oneShot = TextStats.bigramLogProb(docs)
+      .select("id", "mean_nll", "n_tokens").as[(Long, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    val steady = TextStats.bigramLogProbAgainst(docs,
+        TextStats.corpusLm(docs), TextStats.corpusBigramLm(docs))
+      .select("id", "mean_nll", "n_tokens").as[(Long, Double, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(steady == oneShot)
+  }
+
+  test("bigramLogProbAgainst: unseen bigram falls to the unigram back-off, OOV stays finite") {
+    val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val lm = TextStats.corpusLm(corpus); val big = TextStats.corpusBigramLm(corpus)
+    // "b b": seen tokens, unseen bigram -> 0.7*0 + 0.3*laplace(b)
+    // "zzz": OOV token AND context -> pure laplace(0-count)
+    val batch = Seq((10L, "b b"), (11L, "zzz")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogProbAgainst(batch, lm, big)
+      .select("id", "mean_nll").as[(Long, Double)].collect().toMap
+    val lam = 0.7; val om = 1 - lam
+    // corpus: uni a=2 b=2 (total 4, v=2); big (<s>,a)=1 (a,b)=2 (b,a)=1
+    val pb = (2.0 + 1) / (4 + 2); val poov = (0.0 + 1) / (4 + 2)
+    // doc 10: (<s>,b) unseen bigram (ctx <s> exists), (b,b) unseen
+    val d10 = (-math.log(lam * 0 + om * pb) + -math.log(lam * 0 + om * pb)) / 2
+    val d11 = -math.log(lam * 0 + om * poov)
+    assert(out(10L) == math.rint(d10 * 1e4) / 1e4)
+    assert(out(11L) == math.rint(d11 * 1e4) / 1e4)
+    assert(out.values.forall(v => !v.isInfinite && !v.isNaN))
+  }
+
   test("bigramLogProb: common continuations score better than rare ones") {
     // "the cat" appears 3x; "the dog" once — docs dominated by the
     // frequent bigram should sit below the rare-bigram doc
