@@ -66,6 +66,7 @@ object SparkEntry {
     "d_winnow_fast"     -> (LlmOps.dWinnowFast _),
     "d_components"      -> (LlmOps.dComponents _),
     "d_survivor"        -> (LlmOps.dSurvivor _),
+    "d_linkage"         -> (LlmOps.dLinkage _),
     "d_components_star" -> (LlmOps.dComponentsStar _),
     "d_incremental"     -> (LlmOps.dIncremental _),
     "d_incr_lsh"        -> (LlmOps.dIncrLsh _),

@@ -343,6 +343,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-table fuzzy linkage (record linkage / entity resolution):
+    * match LEFT records to RIGHT records whose normalized text is
+    * char-trigram-Jaccard-similar ≥ `threshold` — the
+    * "same real-world entity, differently spelled" join that exact
+    * equi-joins can't express (name variants, typos, reformatting).
+    * Unlike the self-join near-dup family above, the two sides are
+    * different tables (new batch vs master, two sources to reconcile).
+    *
+    * Scale: candidate generation is an EQUI-join on the blocking
+    * trigram — never left×right. A trigram shared by more than
+    * `maxKeyFreq` records total (" co" in company names) is dropped
+    * from blocking AND from the jaccard sets via one broadcast
+    * anti-join per side (same consistent-cap argument as
+    * [[ngramJaccard]]'s [[capHotKeys]]); per-record trigram sets are
+    * deduped map-side (`charTrigrams` is distinct by construction), so
+    * set sizes are one keyed agg per side. */
+  def linkJaccard(left: DataFrame, right: DataFrame, threshold: Double,
+                  textCol: String = "text", idCol: String = "id",
+                  maxKeyFreq: Option[Long] = None): DataFrame = {
+    import graft.functions.Text
+    def tri(df: DataFrame, side: String) =
+      df.select(col(idCol).as(side),
+        explode(Text.charTrigrams(col(textCol))).as("sh"))
+    val lt0 = tri(left, "id_l"); val rt0 = tri(right, "id_r")
+    val hot = maxKeyFreq.map { c =>
+      lt0.select("sh").union(rt0.select("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > c).select("sh")
+    }
+    def cap(df: DataFrame) =
+      hot.fold(df)(h => df.join(broadcast(h), Seq("sh"), "left_anti"))
+    val lt = cap(lt0); val rt = cap(rt0)
+    val nl = lt.groupBy("id_l").agg(count(lit(1)).as("nl"))
+    val nr = rt.groupBy("id_r").agg(count(lit(1)).as("nr"))
+    lt.join(rt, "sh")
+      .groupBy("id_l", "id_r").agg(count(lit(1)).as("i"))
+      .join(nl, "id_l").join(nr, "id_r")
+      .select(col("id_l"), col("id_r"),
+        round(col("i") / (col("nl") + col("nr") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signature columns h0..h{perms-1}: h_i = min over shingles of
     * the 60-bit prefix of md5(i || '|' || shingle). md5-as-permutation
     * keeps the signature deterministic and engine-portable (the oracle

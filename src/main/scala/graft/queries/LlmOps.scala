@@ -408,6 +408,19 @@ object LlmOps {
         strict = true)
       .orderBy("id")
 
+  /** Cross-table fuzzy linkage: odd part keys < 120 (the "new batch")
+    * matched against ALL even part keys (the "master table") by
+    * char-trigram jaccard ≥ 0.5 on the part name — blocking equi-join,
+    * never batch×master. */
+  def dLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir).part
+    Dedup.linkJaccard(
+        part.filter(col("p_partkey") % 2 === 1 && col("p_partkey") < 120),
+        part.filter(col("p_partkey") % 2 === 0),
+        threshold = 0.5, textCol = "p_name", idCol = "p_partkey")
+      .orderBy("id_l", "id_r")
+  }
+
   /** Quality-aware survivor per near-dup cluster: same capped-jaccard
     * pair graph as d_components, survivor = the LONGEST member (length
     * desc, id tie-break) instead of the lowest id — the production

@@ -625,6 +625,29 @@ object LlmOracles {
          |SELECT id, min(comp)::bigint AS comp FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
 
+    // cross-table fuzzy linkage: char-trigram jaccard between the odd
+    // (<120) and even part-name sides; trigram derivation mirrors
+    // Text.charTrigrams (normalize -> distinct 3-char substrings,
+    // whole string when len < 3)
+    "d_linkage" ->
+      """WITH norm AS (
+        |  SELECT p_partkey, lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS t
+        |  FROM part),
+        |tri AS (
+        |  SELECT p_partkey, unnest(list_distinct(list_transform(
+        |    range(greatest(length(t) - 2, 1)), i -> substr(t, i+1, 3)))) AS sh
+        |  FROM norm),
+        |l AS (SELECT p_partkey AS id_l, sh FROM tri WHERE p_partkey % 2 = 1 AND p_partkey < 120),
+        |r AS (SELECT p_partkey AS id_r, sh FROM tri WHERE p_partkey % 2 = 0),
+        |nl AS (SELECT id_l, count(*) AS n FROM l GROUP BY id_l),
+        |nr AS (SELECT id_r, count(*) AS n FROM r GROUP BY id_r),
+        |inter AS (
+        |  SELECT id_l, id_r, count(*) AS i FROM l JOIN r USING (sh) GROUP BY 1, 2)
+        |SELECT id_l, id_r, jaccard FROM (
+        |  SELECT id_l, id_r, round(i / (nl.n + nr.n - i), 4) AS jaccard
+        |  FROM inter JOIN nl USING (id_l) JOIN nr USING (id_r))
+        |WHERE jaccard >= 0.5 ORDER BY id_l, id_r""".stripMargin,
+
     // quality-aware survivor: the d_components cluster derivation, then
     // per-cluster survivor by (length(text) DESC, id) — singleton docs
     // are their own cluster and survive trivially

@@ -215,6 +215,22 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("linkJaccard: cross-table fuzzy match on name variants, blocking cap drops hot trigrams") {
+    val master = Seq((1L, "Acme Corporation"), (2L, "Globex Inc"), (3L, "Initech LLC"))
+      .toDF("id", "name")
+    val batch = Seq((10L, "acme corporation"), (11L, "Acme Corporatian"), // typo
+      (12L, "Wayne Enterprises")).toDF("id", "name")
+    val out = Dedup.linkJaccard(batch, master, threshold = 0.5,
+        textCol = "name", idCol = "id")
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    // case-normalized exact + the typo both link to Acme; Wayne links nowhere
+    assert(out == Set((10L, 1L), (11L, 1L)))
+    // a blocking cap below every trigram's combined frequency empties the link set
+    val capped = Dedup.linkJaccard(batch, master, threshold = 0.1,
+        textCol = "name", idCol = "id", maxKeyFreq = Some(0L))
+    assert(capped.count() == 0)
+  }
+
   test("keepBest: highest-score cluster member survives, id tie-break, singletons survive") {
     val docs = Seq((1L, 10L), (2L, 99L), (3L, 50L), (4L, 1L), (5L, 7L), (6L, 7L))
       .toDF("doc_id", "q")
