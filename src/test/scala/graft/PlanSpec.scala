@@ -304,6 +304,29 @@ class PlanSpec extends SparkSpec {
     assert(rendered.contains("*("), s"no WholeStageCodegen span in:\n$rendered")
   }
 
+  test("session additions keep their scale shapes: hamming broadcast, map-side bigram pairs, linkage equi-join") {
+    // s_hamming: the coarse popcount pass streams the corpus against
+    // BROADCAST query signatures (non-equi self-exclusion ⇒ the
+    // broadcast nested-loop form — the designed every-row-scan, with
+    // the 32x-compressed signatures, never a shuffle of the corpus);
+    // the exact-cosine refine re-joins only the shortlist by hash join
+    val ph = plan("s_hamming")
+    assert(ph.contains("BroadcastNestedLoopJoin"), ph.take(800))
+    assert(ph.contains("BroadcastHashJoin") || ph.contains("SortMergeJoin"))
+    // t_bigram_lm / t_bigram_incr: the (prev, t) pair stream is derived
+    // by zipping the token array with its shifted self — NO per-doc lag
+    // window (a Window node here would be a data-scale sort shuffle)
+    assert(!plan("t_bigram_lm").contains("Window"), "bigram pairs must not use a window")
+    assert(!plan("t_bigram_incr").contains("Window"))
+    // d_linkage: candidate generation is an EQUI-join on the blocking
+    // trigram — a nested-loop/cartesian here would be batch x master
+    assert(!plan("d_linkage").contains("NestedLoop"))
+    // q32_hilbert: key derivation is a pure projection + the output
+    // sort — no join or aggregation anywhere in the plan
+    val phi = plan("q32_hilbert")
+    assert(!phi.contains("Join") && !phi.contains("HashAggregate"))
+  }
+
   test("partitioned parquet layout prunes partitions at the scan") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
