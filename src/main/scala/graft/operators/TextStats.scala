@@ -280,6 +280,42 @@ object TextStats {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Duplicate-n-gram token fraction (the Gopher repetition family,
+    * Rae et al. 2021 §A1.1): the fraction of a doc's tokens covered by
+    * any token n-gram that occurs MORE THAN ONCE within the doc —
+    * templated/looping text scores high even when no single n-gram
+    * dominates (which is what [[graft.functions.Text.topFraction]]
+    * measures; the two signals are complementary and Gopher thresholds
+    * both).
+    *
+    * Scale: grams with their positions are derived map-side from the
+    * token array; duplication is a doc-keyed window count on (id,
+    * gram) and coverage a count-distinct of expanded positions per doc
+    * — both shuffles are keyed by the doc (bounded partitions), never
+    * corpus-global. Docs shorter than n have no grams and score 0. */
+  def dupNgramFraction(docs: DataFrame, n: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(n >= 2, "dupNgramFraction: n must be >= 2")
+    val toks = docs.select(col(idCol).as("id"),
+      Text.tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), col("tk"), size(col("tk")).as("len"))
+    val grams = toks.filter(col("len") >= n)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), col("len") - n),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(n))))).as(Seq("pos", "g")))
+    val w = Window.partitionBy("id", "g")
+    val covered = grams.withColumn("c", count(lit(1)).over(w))
+      .filter(col("c") > 1)
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + n - 1)).as("p"))
+      .groupBy("id").agg(count_distinct(col("p")).as("dup_tokens"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / greatest(col("len"), lit(1)), 4)
+          .as("dup_frac"),
+        col("len").cast("long").as("n_tokens"))
+  }
+
   /** Persistable corpus BIGRAM table — the steady-state artifact for
     * [[bigramLogProbAgainst]], sibling of [[corpusLm]]: one corpus
     * pass, a (prev, t, cnt2) table bounded by the corpus's observed

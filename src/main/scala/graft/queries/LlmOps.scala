@@ -91,6 +91,15 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher duplicate-trigram token fraction: share of each doc's
+    * tokens covered by a within-doc repeated trigram — the templated-
+    * text signal complementary to t_repetition's top-fraction. */
+  def tDupGrams(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextStats
+    TextStats.dupNgramFraction(Tables(spark, dir).documents, n = 3)
+      .orderBy("id")
+  }
+
   /** Steady-state bigram LM scoring: the 95% corpus slice builds the
     * persisted unigram + bigram tables once; the 5% batch is scored
     * against them with zero corpus scans — unseen bigrams fall to the

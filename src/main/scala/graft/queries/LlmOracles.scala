@@ -907,6 +907,30 @@ object LlmOracles {
         |CROSS JOIN tot
         |GROUP BY id ORDER BY id""".stripMargin,
 
+    // Gopher duplicate-trigram token fraction: grams with positions
+    // from the token list, within-doc duplication via a (id, g) window
+    // count, coverage = distinct expanded positions; docs shorter than
+    // 3 tokens have no grams and score 0
+    "t_dupgrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |t2 AS (SELECT id, tk, len(tk) AS l FROM tok),
+        |ge AS (
+        |  SELECT id, s.pos AS pos, s.g AS g FROM (
+        |    SELECT id, unnest(list_transform(range(l - 2),
+        |      i -> {'pos': i, 'g': array_to_string(tk[(i+1):(i+3)], ' ')})) AS s
+        |    FROM t2 WHERE l >= 3)),
+        |dup AS (
+        |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY id, g) AS c FROM ge)
+        |  WHERE c > 1),
+        |cov AS (
+        |  SELECT id, count(DISTINCT p) AS dup_tokens FROM (
+        |    SELECT id, unnest(range(pos, pos + 3)) AS p FROM dup) GROUP BY id)
+        |SELECT t2.id, round(coalesce(dup_tokens, 0) / greatest(l, 1), 4) AS dup_frac,
+        |  l::bigint AS n_tokens
+        |FROM t2 LEFT JOIN cov USING (id) ORDER BY id""".stripMargin,
+
     // steady-state bigram scoring: LM tables from the 95% md5-bucket
     // corpus slice, batch = the 5% tail scored with LEFT joins — an
     // unseen bigram/context contributes 0 (coalesce) and the Laplace

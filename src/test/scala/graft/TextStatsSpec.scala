@@ -36,6 +36,22 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L)._1 == math.rint(d2 * 1e4) / 1e4 && out(2L)._2 == 2L)
   }
 
+  test("dupNgramFraction: overlapping repeats count each token once; short docs score 0") {
+    val docs = Seq(
+      (1L, "a b c a b c"),     // trigram "a b c" twice -> all 6 tokens covered
+      (2L, "a b c d e f"),     // no repeated trigram
+      (3L, "x y"),             // shorter than n -> no grams
+      (4L, "a a a a")          // "a a a" at pos 0 and 1 -> all 4 covered, once each
+    ).toDF("doc_id", "text")
+    val out = TextStats.dupNgramFraction(docs, n = 3)
+      .select("id", "dup_frac", "n_tokens").as[(Long, Double, Long)]
+      .collect().map { case (id, f, n) => id -> (f, n) }.toMap
+    assert(out(1L) == (1.0, 6L))
+    assert(out(2L) == (0.0, 6L))
+    assert(out(3L) == (0.0, 2L))
+    assert(out(4L) == (1.0, 4L)) // distinct positions, not 2x3/4
+  }
+
   test("bigramLogProbAgainst: self-scored batch is bit-identical to the one-shot form") {
     val docs = Seq((1L, "a b a c"), (2L, "b a b"), (3L, "c c a")).toDF("doc_id", "text")
     val oneShot = TextStats.bigramLogProb(docs)
