@@ -361,12 +361,17 @@ object Dedup {
     * set sizes are one keyed agg per side. */
   def linkJaccard(left: DataFrame, right: DataFrame, threshold: Double,
                   textCol: String = "text", idCol: String = "id",
-                  maxKeyFreq: Option[Long] = None): DataFrame = {
+                  maxKeyFreq: Option[Long] = None,
+                  materialize: Boolean = true): DataFrame = {
     import graft.functions.Text
     def tri(df: DataFrame, side: String) =
       df.select(col(idCol).as(side),
         explode(Text.charTrigrams(col(textCol))).as("sh"))
-    val lt0 = tri(left, "id_l"); val rt0 = tri(right, "id_r")
+    // each side's exploded trigram stream feeds up to three branches
+    // (hot-list union, size agg, intersection join) — materialize once
+    // like every sibling operator (see [[shared]])
+    val lt0 = shared(tri(left, "id_l"), materialize)
+    val rt0 = shared(tri(right, "id_r"), materialize)
     val hot = maxKeyFreq.map { c =>
       lt0.select("sh").union(rt0.select("sh"))
         .groupBy("sh").agg(count(lit(1)).as("df"))

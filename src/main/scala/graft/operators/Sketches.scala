@@ -47,7 +47,8 @@ object Sketches {
     val sketch = df.stat.freqItems(Array(keyCol), support)
       .withColumnRenamed(s"${keyCol}_freqItems", "__sketch_items")
     val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val total = df.agg(count(lit(1)).as("n_total"))
+    // N from the key-sized counts table, not a second corpus scan
+    val total = exact.agg(sum("cnt").as("n_total"))
     exact.crossJoin(broadcast(total))
       .filter(col("cnt") > col("n_total") * lit(support))
       .crossJoin(broadcast(sketch))

@@ -73,27 +73,17 @@ object TextStats {
 
   def bigramLogProb(docs: DataFrame, lambda: Double = 0.7,
                     textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
-    val pair = bigramPairs(docs, textCol, idCol)
-    val uni = pair.groupBy("t").agg(count(lit(1)).as("cnt"))
-    val tot = uni.agg(sum("cnt").as("n_total"), count(lit(1)).as("v"))
-    val big = pair.groupBy("prev", "t").agg(count(lit(1)).as("cnt2"))
-    val ctx = big.groupBy("prev").agg(sum("cnt2").as("prev_tot"))
-    // mixture written with the SAME literals and association as the
-    // oracle (λ and 1-λ both as plan literals; 1-0.7 in Scala is
-    // 0.30000000000000004 — the oracle computes (1 - 0.7::double) so
-    // the two engines multiply by the identical double)
-    pair.join(big, Seq("prev", "t"))
-      .join(ctx, Seq("prev"))
-      .join(uni, Seq("t"))
-      .crossJoin(broadcast(tot))
-      .groupBy("id")
-      .agg(round(avg(-log(
-          lit(lambda) * (col("cnt2") / col("prev_tot")) +
-          lit(1 - lambda) * ((col("cnt") + 1) / (col("n_total") + col("v"))))), 4)
-          .as("mean_nll"),
-        count(lit(1)).as("n_tokens"))
-  }
+                    idCol: String = "doc_id"): DataFrame =
+    // the self-scored form IS the steady-state form fed its own
+    // corpus tables (bit-identical — the pair stream, literals, and
+    // association all coincide; TextStatsSpec asserts the equality),
+    // so keep ONE copy of the mixture arithmetic. Every observed
+    // bigram/context/token is in its own tables, so the left joins
+    // never miss and the coalesce arms are inert here.
+    bigramLogProbAgainst(docs,
+      corpusLm(docs, textCol),
+      corpusBigramLm(docs, textCol, idCol),
+      lambda, textCol, idCol)
 
   /** Data-selection importance weights (DSIR, Xie et al. 2023, with a
     * unigram LM in place of their hashed n-grams): per-doc mean
