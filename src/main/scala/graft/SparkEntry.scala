@@ -131,6 +131,7 @@ object SparkEntry {
     "q28_histogram"     -> (Relational.q28Histogram _),
     "q29_zorder"        -> (Relational.q29Zorder _),
     "q32_hilbert"       -> (Relational.q32Hilbert _),
+    "q33_sketch_bounds" -> (Relational.q33SketchBounds _),
   )
 
   /** q32_hilbert oracle: the 10 reflect+swap stages of the Hilbert
@@ -162,6 +163,16 @@ object SparkEntry {
 
   private val coderOracles: Map[String, String] = Map(
     "q32_hilbert" -> hilbertOracleSql,
+    // exact values + literal-true sketch-bound flags (the Spark side
+    // computes the flags from its sketches; the oracle pins that they
+    // must hold)
+    "q33_sketch_bounds" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_distinct,
+        |  true AS hll_ok,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |  true AS gk_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "c_str_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "c_gzip_roundtrip" ->

@@ -328,6 +328,35 @@ object Relational {
         graft.operators.Layout.zorder2(col("ub"), col("hb")).as("zkey"))
       .orderBy("zkey", "event_id")
 
+  /** Sketch error bounds made driver-checkable: per return flag, the
+    * EXACT distinct-part count and EXACT median quantity (via the
+    * engine's own sort-based quantile op — not the map-state
+    * percentile aggregate), each paired with an in-plan flag that the
+    * corresponding sketch (HLL++ at rsd 0.05, Greenwald-Khanna at
+    * accuracy 10000) landed within its documented bound. The oracle
+    * pins the exact values and `true` flags — a sketch regression
+    * flips a flag and fails the hash, upgrading both sketch ops from
+    * unit-only to driver-gated without pretending sketches are
+    * engine-portable. */
+  def q33SketchBounds(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val sk = li.groupBy("l_returnflag").agg(
+      count_distinct(col("l_partkey")).as("n_distinct"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("__hll"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__ga"))
+    val ex = graft.operators.Stats.quantilesCont(
+      li, "l_returnflag", "l_quantity", Seq((0.5, "__med")))
+    sk.join(ex, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_distinct"),
+        (abs(col("__hll") - col("n_distinct")) <= col("n_distinct") * 0.15).as("hll_ok"),
+        round(col("__med"), 4).as("med_qty"),
+        // 1.0 = one step of the integer quantity domain: GK's rank
+        // error at accuracy 10000 stays within a single value step at
+        // every tested SF, while a real sketch regression lands far out
+        (abs(col("__ga") - col("__med")) <= lit(1.0)).as("gk_ok"))
+      .orderBy("l_returnflag")
+  }
+
   /** Hilbert-curve layout key over the same (user bucket, hour) pair as
     * q29_zorder — the locality-tighter clustering key (unit-step curve,
     * no Morton diagonal jumps); the oracle replays the 10 unrolled
