@@ -78,6 +78,7 @@ object SparkEntry {
     "t_bigram_lm"       -> (LlmOps.tBigramLm _),
     "t_bigram_incr"     -> (LlmOps.tBigramIncr _),
     "t_dupgrams"        -> (LlmOps.tDupGrams _),
+    "t_bm25"            -> (LlmOps.tBm25 _),
     "t_heavy"           -> (LlmOps.tHeavy _),
     "t_dsir"            -> (LlmOps.tDsir _),
     "t_tfidf"           -> (LlmOps.tTfidf _),

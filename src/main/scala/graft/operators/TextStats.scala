@@ -270,6 +270,52 @@ object TextStats {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** BM25 retrieval scoring (Robertson-Spärck Jones; the Okapi ranking
+    * function): top-k docs for a bag-of-words query — the lexical
+    * retrieval primitive behind search, retrieval-based
+    * decontamination, and the sparse side of hybrid (BM25 + vector)
+    * retrieval. idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term
+    * contribution tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+    *
+    * Scale: doc length is computed MAP-SIDE (size of the token array —
+    * no corpus-wide agg), corpus stats (N, avgdl) are a broadcast
+    * 1-row, and the token stream is filtered to the query's terms
+    * before any shuffle — the only keyed work is (id, term) tf
+    * aggregation over query-term OCCURRENCES, a stream many orders
+    * smaller than the corpus. df comes from the tf table (term-sized)
+    * and broadcasts back. Ranking orders by the ROUNDED score with the
+    * id tie-break, so ulp-level sum-order differences can't flip the
+    * top-k across engines. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: query must have at least one term")
+    val qt = queryTerms.map(_.toLowerCase).distinct
+    val base = docs.select(col(idCol).as("id"),
+        Text.tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), col("tk"), size(col("tk")).cast("double").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = base.select(col("id"), col("dl"), explode(col("tk")).as("t"))
+      .filter(col("t").isInCollection(qt))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    // constants composed in-plan ((k1 + 1), (1 - b)) so both engines
+    // run the identical IEEE ops on the identical literals
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * (col("tf") * (lit(k1) + 1)) /
+      (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(dft), "t")
+      .crossJoin(broadcast(stats))
+      .groupBy("id").agg(round(sum(contrib), 4).as("score"))
+    // top-k as TakeOrdered (no global sort of the scored set); the
+    // unpartitioned rank window then runs over k rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("id"), col("score"))
+  }
+
   /** Duplicate-n-gram token fraction (the Gopher repetition family,
     * Rae et al. 2021 §A1.1): the fraction of a doc's tokens covered by
     * any token n-gram that occurs MORE THAN ONCE within the doc —

@@ -91,6 +91,15 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 top-10 for a fixed bag-of-words query over the corpus — the
+    * lexical retrieval primitive (Okapi ranking, Robertson idf). */
+  def tBm25(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextStats
+    TextStats.bm25TopK(Tables(spark, dir).documents,
+        queryTerms = Seq("vector", "stream", "merge"), k = 10)
+      .orderBy("rnk")
+  }
+
   /** Gopher duplicate-trigram token fraction: share of each doc's
     * tokens covered by a within-doc repeated trigram — the templated-
     * text signal complementary to t_repetition's top-fraction. */

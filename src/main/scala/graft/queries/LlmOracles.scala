@@ -907,6 +907,31 @@ object LlmOracles {
         |CROSS JOIN tot
         |GROUP BY id ORDER BY id""".stripMargin,
 
+    // BM25 top-10 (Okapi ranking, Robertson idf) for the fixed query
+    // {vector, stream, merge}: identical literal composition to the
+    // Spark plan ((1.2::double + 1), (1 - 0.75::double)); scores
+    // rounded to 4 BEFORE the rank so sum-order ulps can't flip top-k
+    "t_bm25" ->
+      """WITH b2 AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS tk,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::double AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+        |occ AS (SELECT id, dl, unnest(tk) AS t FROM b2),
+        |tf AS (
+        |  SELECT id, t, count(*) AS tf, min(dl) AS dl FROM occ
+        |  WHERE t IN ('vector', 'stream', 'merge') GROUP BY id, t),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |scored AS (
+        |  SELECT id, round(sum(
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    (tf * (1.2::double + 1)) /
+        |    (tf + 1.2::double * (1 - 0.75::double + 0.75::double * dl / avgdl))), 4) AS score
+        |  FROM tf JOIN dft USING (t) CROSS JOIN stats GROUP BY id)
+        |SELECT row_number() OVER (ORDER BY score DESC, id) AS rnk, id, score
+        |FROM (SELECT * FROM scored ORDER BY score DESC, id LIMIT 10)
+        |ORDER BY rnk""".stripMargin,
+
     // Gopher duplicate-trigram token fraction: grams with positions
     // from the token list, within-doc duplication via a (id, g) window
     // count, coverage = distinct expanded positions; docs shorter than

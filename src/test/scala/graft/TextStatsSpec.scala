@@ -36,6 +36,22 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L)._1 == math.rint(d2 * 1e4) / 1e4 && out(2L)._2 == 2L)
   }
 
+  test("bm25TopK: hand-computed Okapi scores, k bound, docs without query terms excluded") {
+    // corpus: d1 has 'cat' x2 (dl 3), d2 'cat' x1 (dl 2), d3 none (dl 2)
+    val docs = Seq((1L, "cat cat dog"), (2L, "cat fish"), (3L, "bird fish"))
+      .toDF("doc_id", "text")
+    val out = TextStats.bm25TopK(docs, Seq("cat"), k = 10)
+      .select("rnk", "id", "score").as[(Long, Long, Double)].collect().toSeq
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = (3.0 + 2 + 2) / 3
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def s(tf: Double, dl: Double) =
+      math.rint(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl)) * 1e4) / 1e4
+    assert(out == Seq((1L, 1L, s(2, 3)), (2L, 2L, s(1, 2)))) // d3 absent
+    // higher tf wins despite the longer doc; k bound respected
+    assert(out.size == 2)
+  }
+
   test("dupNgramFraction: overlapping repeats count each token once; short docs score 0") {
     val docs = Seq(
       (1L, "a b c a b c"),     // trigram "a b c" twice -> all 6 tokens covered
