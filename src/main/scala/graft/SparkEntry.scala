@@ -77,6 +77,7 @@ object SparkEntry {
     "t_unigram_lp"      -> (LlmOps.tUnigramLp _),
     "t_bigram_lm"       -> (LlmOps.tBigramLm _),
     "t_bigram_incr"     -> (LlmOps.tBigramIncr _),
+    "t_trigram_lm"      -> (LlmOps.tTrigramLm _),
     "t_dupgrams"        -> (LlmOps.tDupGrams _),
     "t_bm25"            -> (LlmOps.tBm25 _),
     "t_heavy"           -> (LlmOps.tHeavy _),
@@ -94,6 +95,8 @@ object SparkEntry {
     "t_budget"          -> (LlmOps.tBudget _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_hamming"         -> (LlmOps.sHamming _),
+    "s_rrf"             -> (LlmOps.sRrf _),
+    "s_centroid"        -> (LlmOps.sCentroid _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),
     "s_ann_ivf_trained" -> (LlmOps.sAnnIvfTrained _),
     "s_ann_pq"          -> (LlmOps.sAnnPq _),

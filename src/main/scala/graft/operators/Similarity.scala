@@ -369,6 +369,60 @@ object Similarity {
         (round(col("val"), 4) + lit(0d)).as("val"))
   }
 
+  /** Per-label embedding centroids with FIXED-POINT accumulation:
+    * c[dim] = (Σ round(v[dim]·scale)) / (n·scale), the per-element
+    * quantization in long arithmetic. Exact integer sums are
+    * order-independent, so the centroid is bit-reproducible across
+    * partitionings, retries, and engines — a plain `avg` over doubles
+    * is not (partial-aggregation order varies run to run), which is
+    * why every float-mean gate before this one had to settle for a
+    * bound instead of a hash. scale=1e6 keeps 64-dim unit-ish vectors
+    * exact to ~1e-6 per element while a 2^63 budget allows ~9e12
+    * summed elements per (label, dim) — far beyond any real shard.
+    *
+    * Output: one row per label with the centroid as `cvec`
+    * (array<double>, dim order).
+    *
+    * Scale: the explode streams N·dim rows into a (labels×dims)-keyed
+    * agg — partial aggregation collapses each partition to
+    * labels×dims rows before the (tiny) shuffle; the array rebuild
+    * sorts labels×dims rows. One corpus scan, no corpus-sized
+    * shuffle. */
+  def labelCentroids(corpus: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding",
+                     scale: Long = 1000000L): DataFrame =
+    corpus.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(round(col("v") * scale, 0).cast("long")).cast("double") /
+            (count(lit(1)) * scale)).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x("c")).as("cvec"))
+
+  /** Cosine of every vector to ITS OWN label's centroid, plus the
+    * outlier flag (cos < threshold): the embedding-space audit pass —
+    * mislabeled, off-distribution, or contaminated items sit far from
+    * their cluster center (the distance-to-centroid prune step of
+    * SemDeDup-style curation, Abbas et al. 2023).
+    *
+    * Scale: [[labelCentroids]] is a labels-sized result, broadcast
+    * back onto the corpus — the scoring pass is ONE map-side scan
+    * (codegen'd [[dot]] per row), no shuffle of the corpus. */
+  def centroidOutliers(corpus: DataFrame, threshold: Double,
+                       labelCol: String = "label", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val cents = labelCentroids(corpus, labelCol, vecCol)
+    corpus.select(col(idCol).as("id"), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("dv"))
+      .join(broadcast(cents), "label")
+      // + 0: normalizes IEEE -0.0 to +0.0 (same fix as randomProject —
+      // a cosine that rounds to zero from below must not hash as "-0")
+      .select(col("id"), col("label"),
+        (round(cosine(col("dv"), col("cvec")), 6) + lit(0d)).as("cos"))
+      .withColumn("outlier", (col("cos") < threshold).cast("int"))
+  }
+
   /** Embedding-cosine near-duplicate pairs ≥ threshold, blocked by cell
     * to avoid the corpus×corpus cross join (same IVF partition-pruning
     * argument; near-dups land in the same or adjacent cells by

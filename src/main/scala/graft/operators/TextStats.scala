@@ -352,6 +352,59 @@ object TextStats {
         col("len").cast("long").as("n_tokens"))
   }
 
+  /** Shared (p2, p1, t) trigram triple stream — double-BOS padded,
+    * derived MAP-SIDE by slicing the BOS-prefixed token array to the
+    * token count (no lag window, same scale argument as
+    * [[bigramPairs]]: a per-doc sort shuffle saved at corpus scale). */
+  private def trigramTriples(docs: DataFrame, textCol: String,
+                             idCol: String): DataFrame = {
+    val arr = Text.tokens(lower(col(textCol)))
+    val n = size(arr)
+    val p1 = slice(concat(array(lit("<s>")), arr), lit(1), n)
+    val p2 = slice(concat(array(lit("<s>"), lit("<s>")), arr), lit(1), n)
+    docs.select(col(idCol).as("id"),
+        explode(zip_with(
+          zip_with(arr, p1, (t, a) => struct(a.as("p1"), t.as("t"))), p2,
+          (s, b) => struct(b.as("p2"), s("p1").as("p1"), s("t").as("t")))).as("tr"))
+      .select(col("id"), col("tr.p2").as("p2"), col("tr.p1").as("p1"),
+        col("tr.t").as("t"))
+  }
+
+  /** Interpolated TRIGRAM LM score per doc — rung 3 of the CCNet
+    * perplexity ladder above [[bigramLogProb]]:
+    * p(t|p2,p1) = λ3·MLE3 + λ2·MLE2 + (1−λ3−λ2)·Laplace-unigram, BOS
+    * context ⟨s⟩⟨s⟩, mean −ln p per doc. The lower-order arms keep the
+    * mixture finite exactly as in the bigram rung; the λ literals are
+    * composed in-plan so both engines run identical IEEE ops.
+    *
+    * Scale: the trigram/context tables are bounded by the corpus's
+    * OBSERVED trigram set (Zipf-bounded far below vocab³); the joins
+    * back onto the triple stream are hash equi-joins on trigram keys —
+    * unskewable (a boilerplate trigram is one build row), identical
+    * shape to the bigram rung with one more vocab-level table. */
+  def trigramLogProb(docs: DataFrame, lambda3: Double = 0.5,
+                     lambda2: Double = 0.3, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val tri = trigramTriples(docs, textCol, idCol)
+    val uni = tri.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val totals = uni.agg(sum("cnt").as("n_total"), count(lit(1)).as("n_vocab"))
+    val big = tri.groupBy("p1", "t").agg(count(lit(1)).as("cnt2"))
+    val ctx2 = big.groupBy("p1").agg(sum("cnt2").as("p1_tot"))
+    val trg = tri.groupBy("p2", "p1", "t").agg(count(lit(1)).as("cnt3"))
+    val ctx3 = trg.groupBy("p2", "p1").agg(sum("cnt3").as("p2_tot"))
+    tri.join(trg, Seq("p2", "p1", "t")).join(ctx3, Seq("p2", "p1"))
+      .join(big, Seq("p1", "t")).join(ctx2, Seq("p1"))
+      .join(uni, Seq("t"))
+      .crossJoin(broadcast(totals))
+      .groupBy("id")
+      .agg(round(avg(-log(
+          lit(lambda3) * (col("cnt3") / col("p2_tot")) +
+          lit(lambda2) * (col("cnt2") / col("p1_tot")) +
+          lit(1 - lambda3 - lambda2) * ((col("cnt") + 1)
+            / (col("n_total") + col("n_vocab"))))), 4).as("mean_nll"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Persistable corpus BIGRAM table — the steady-state artifact for
     * [[bigramLogProbAgainst]], sibling of [[corpusLm]]: one corpus
     * pass, a (prev, t, cnt2) table bounded by the corpus's observed

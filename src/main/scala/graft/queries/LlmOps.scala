@@ -100,6 +100,39 @@ object LlmOps {
       .orderBy("rnk")
   }
 
+  /** Hybrid retrieval: RRF fusion of the BM25 lexical leg (same fixed
+    * query as t_bm25, top-50) and a vector leg (brute-force cosine
+    * top-50 for query vec 0) — documents and embeddings share the
+    * 0..N-1 id space, so the two legs rank the same corpus. */
+  def sRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Retrieval, Similarity, TextStats}
+    val t = Tables(spark, dir)
+    val lex = TextStats.bm25TopK(t.documents,
+        queryTerms = Seq("vector", "stream", "merge"), k = 50)
+      .select(col("id"), col("rnk"))
+    val e = t.embeddings
+    val vec = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e, k = 50)
+      .select(col("cand_id").as("id"), col("rnk"))
+    Retrieval.rrfFuse(Seq(lex, vec), k = 10).orderBy("rnk")
+  }
+
+  /** Interpolated trigram LM score — rung 3 of the CCNet perplexity
+    * ladder (λ3=0.5 trigram MLE + λ2=0.3 bigram MLE + 0.2 Laplace
+    * unigram, double-BOS context). */
+  def tTrigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextStats
+    TextStats.trigramLogProb(Tables(spark, dir).documents).orderBy("id")
+  }
+
+  /** Embedding-space audit: cosine of every vector to its own label's
+    * fixed-point centroid, outliers flagged below 0 — the
+    * distance-to-centroid prune of SemDeDup-style curation. */
+  def sCentroid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.centroidOutliers(Tables(spark, dir).embeddings, threshold = 0.0)
+      .orderBy("id")
+  }
+
   /** Gopher duplicate-trigram token fraction: share of each doc's
     * tokens covered by a within-doc repeated trigram — the templated-
     * text signal complementary to t_repetition's top-fraction. */

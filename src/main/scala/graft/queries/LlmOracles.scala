@@ -907,6 +907,38 @@ object LlmOracles {
         |CROSS JOIN tot
         |GROUP BY id ORDER BY id""".stripMargin,
 
+    // interpolated trigram LM (CCNet ladder rung 3): double-BOS
+    // triples from the token list, observed-trigram/bigram tables with
+    // context roll-ups, λ mixture with the SAME literal composition
+    // ((1 - 0.5::double - 0.3::double)) as the Spark plan
+    "t_trigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT id, s.p2 AS p2, s.p1 AS p1, s.t AS t FROM (
+        |    SELECT id, unnest(list_transform(range(len(toks)),
+        |      i -> {'p2': CASE WHEN i <= 1 THEN '<s>' ELSE toks[i-1] END,
+        |            'p1': CASE WHEN i = 0 THEN '<s>' ELSE toks[i] END,
+        |            't': toks[i+1]})) AS s
+        |    FROM tok)),
+        |uni AS (SELECT t, count(*) AS cnt FROM p GROUP BY t),
+        |tot AS (SELECT sum(cnt) AS n_total, count(*) AS v FROM uni),
+        |big AS (SELECT p1, t, count(*) AS cnt2 FROM p GROUP BY p1, t),
+        |ctx2 AS (SELECT p1, sum(cnt2) AS p1_tot FROM big GROUP BY p1),
+        |tri AS (SELECT p2, p1, t, count(*) AS cnt3 FROM p GROUP BY p2, p1, t),
+        |ctx3 AS (SELECT p2, p1, sum(cnt3) AS p2_tot FROM tri GROUP BY p2, p1)
+        |SELECT id,
+        |  round(avg(-ln(0.5::double * (cnt3 / p2_tot) +
+        |               0.3::double * (cnt2 / p1_tot) +
+        |               (1 - 0.5::double - 0.3::double) *
+        |                 ((cnt + 1) / (n_total + v)))), 4) AS mean_nll,
+        |  count(*) AS n_tokens
+        |FROM p JOIN tri USING (p2, p1, t) JOIN ctx3 USING (p2, p1)
+        |  JOIN big USING (p1, t) JOIN ctx2 USING (p1) JOIN uni USING (t)
+        |CROSS JOIN tot
+        |GROUP BY id ORDER BY id""".stripMargin,
+
     // BM25 top-10 (Okapi ranking, Robertson idf) for the fixed query
     // {vector, stream, merge}: identical literal composition to the
     // Spark plan ((1.2::double + 1), (1 - 0.75::double)); scores
@@ -931,6 +963,74 @@ object LlmOracles {
         |SELECT row_number() OVER (ORDER BY score DESC, id) AS rnk, id, score
         |FROM (SELECT * FROM scored ORDER BY score DESC, id LIMIT 10)
         |ORDER BY rnk""".stripMargin,
+
+    // hybrid retrieval: RRF fusion (1/(60+rnk) per leg, fixed
+    // lex-then-vec add order) of the t_bm25 lexical leg at top-50 and
+    // the vec-0 brute-force cosine leg at top-50; every stage ranks by
+    // a ROUNDED score with the id tie-break, so the fused top-10 is a
+    // full hash oracle
+    "s_rrf" ->
+      """WITH b2 AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS tk,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::double AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+        |occ AS (SELECT id, dl, unnest(tk) AS t FROM b2),
+        |tf AS (
+        |  SELECT id, t, count(*) AS tf, min(dl) AS dl FROM occ
+        |  WHERE t IN ('vector', 'stream', 'merge') GROUP BY id, t),
+        |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |bscored AS (
+        |  SELECT id, round(sum(
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    (tf * (1.2::double + 1)) /
+        |    (tf + 1.2::double * (1 - 0.75::double + 0.75::double * dl / avgdl))), 4) AS bscore
+        |  FROM tf JOIN dft USING (t) CROSS JOIN stats GROUP BY id),
+        |lex AS (
+        |  SELECT row_number() OVER (ORDER BY bscore DESC, id) AS rnk, id
+        |  FROM (SELECT * FROM bscored ORDER BY bscore DESC, id LIMIT 50)),
+        |e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+        |cscored AS (
+        |  SELECT c.vec_id AS id,
+        |    round(list_inner_product(q.v, c.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0),
+        |vec AS (
+        |  SELECT row_number() OVER (ORDER BY cos DESC, id) AS rnk, id
+        |  FROM (SELECT * FROM cscored ORDER BY cos DESC, id LIMIT 50)),
+        |fused AS (
+        |  SELECT id,
+        |    round(coalesce(1.0::double / (60 + l.rnk), 0) +
+        |          coalesce(1.0::double / (60 + v.rnk), 0), 6) AS score
+        |  FROM lex l FULL OUTER JOIN vec v USING (id))
+        |SELECT row_number() OVER (ORDER BY score DESC, id) AS rnk, id, score
+        |FROM (SELECT * FROM fused ORDER BY score DESC, id LIMIT 10)
+        |ORDER BY rnk""".stripMargin,
+
+    // label-centroid outlier audit: centroids accumulated FIXED-POINT
+    // (sum of round(v*1e6) in BIGINT — exact, order-independent; the
+    // reason this is hashable while a double avg is not), cosine of
+    // each vector to its own-label centroid via the sequential
+    // list_inner_product, rounded 6 with the -0.0 normalization
+    "s_centroid" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding::double[]) AS v,
+        |    unnest(range(len(embedding))) AS dim FROM embeddings),
+        |cd AS (
+        |  SELECT label, dim,
+        |    (sum(CAST(round(v * 1000000) AS BIGINT)))::double /
+        |      (count(*) * 1000000) AS c
+        |  FROM ex GROUP BY label, dim),
+        |cent AS (SELECT label, list(c ORDER BY dim) AS cvec FROM cd GROUP BY label)
+        |SELECT e.vec_id AS id, e.label,
+        |  round(list_inner_product(e.embedding::double[], c.cvec) /
+        |    (sqrt(list_inner_product(e.embedding::double[], e.embedding::double[])) *
+        |     sqrt(list_inner_product(c.cvec, c.cvec))), 6) + 0 AS cos,
+        |  (round(list_inner_product(e.embedding::double[], c.cvec) /
+        |    (sqrt(list_inner_product(e.embedding::double[], e.embedding::double[])) *
+        |     sqrt(list_inner_product(c.cvec, c.cvec))), 6) + 0 < 0.0)::int AS outlier
+        |FROM embeddings e JOIN cent c USING (label)
+        |ORDER BY id""".stripMargin,
 
     // Gopher duplicate-trigram token fraction: grams with positions
     // from the token list, within-doc duplication via a (id, g) window

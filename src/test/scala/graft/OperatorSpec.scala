@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, Dedup, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Retrieval, Similarity}
 import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
@@ -979,6 +979,54 @@ class OperatorSpec extends SparkSpec {
     assert(uncapped.count() == 20L * 19 / 2)
     // ...and none survive with it (only the shared prefix overlapped)
     assert(capped.count() == 0)
+  }
+
+  test("rrfFuse: hand-computed fusion, absent-leg zero contribution, id tie-break, k bound") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lex = Seq((10L, 1L), (30L, 2L)).toDF("id", "rnk")
+    val vec = Seq((20L, 1L), (40L, 2L)).toDF("id", "rnk")
+    val out = Retrieval.rrfFuse(Seq(lex, vec), k = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    // 10 and 20 tie at 1/61 (id asc breaks it); 30 and 40 tie at 1/62
+    // but k=3 keeps only 30
+    assert(out == Seq(
+      (1L, 10L, r6(1.0 / 61)), (2L, 20L, r6(1.0 / 61)),
+      (3L, 30L, r6(1.0 / 62))))
+    // overlap sums across legs and outranks every single-leg doc
+    val both = Retrieval.rrfFuse(
+      Seq(lex, Seq((30L, 1L)).toDF("id", "rnk")), k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(both == Seq(
+      (1L, 30L, r6(1.0 / 62 + 1.0 / 61)), (2L, 10L, r6(1.0 / 61))))
+  }
+
+  test("centroidOutliers: fixed-point centroid math, own-label scoring, partition-invariant") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosv(v: Seq[Double], c: Seq[Double]) = {
+      def d(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      r6(d(v, c) / (math.sqrt(d(v, v)) * math.sqrt(d(c, c))))
+    }
+    val e = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 1f), 0), (3L, Seq(-1f, 0f), 0),
+      (4L, Seq(0f, 1f), 1), (5L, Seq(0f, 2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(e, threshold = 0.0)
+      .orderBy("id").as[(Long, Int, Double, Int)].collect().toSeq
+    // label 0 centroid = (1e6+1e6-1e6, 0+1e6+0)/(3·1e6) = (1/3, 1/3);
+    // label 1 centroid = (0, 1.5)
+    val c0 = Seq(1000000.0 / 3000000, 1000000.0 / 3000000)
+    val c1 = Seq(0.0, 1.5)
+    assert(out == Seq(
+      (1L, 0, cosv(Seq(1, 0), c0), 0), (2L, 0, cosv(Seq(1, 1), c0), 0),
+      (3L, 0, cosv(Seq(-1, 0), c0), 1),
+      (4L, 1, cosv(Seq(0, 1), c1), 0), (5L, 1, cosv(Seq(0, 2), c1), 0)))
+    // exact integer accumulation => bit-identical under repartitioning
+    val rep = Similarity.centroidOutliers(e.repartition(7), threshold = 0.0)
+      .orderBy("id").as[(Long, Int, Double, Int)].collect().toSeq
+    assert(rep == out)
   }
 
   test("streaming pipeline terminal returns a query handle") {
