@@ -48,16 +48,17 @@ object Bench {
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
         .getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // between queries: drop the previous query's localCheckpoint
-      // blocks (ContextCleaner reclaims them only after their frames
-      // are GC'd) so a checkpoint-heavy query 50 entries in isn't taxed
-      // by 49 predecessors' dead blocks — per-query numbers should
-      // measure the query's plan, not the session's residue
-      System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // between runs AND queries: deterministically drop dead
+        // localCheckpoint blocks + cached frames (r10's System.gc()
+        // approach did not hold in the driver's environment —
+        // d_components measured 14.9 s there vs its 3.4 s steady
+        // state; see SessionHygiene for why GC-mediated cleanup lags)
+        graft.core.SessionHygiene.flush(spark)
+        if (ok) elapsed else -1.0
       }
       val steady = times.drop(1).filter(_ >= 0)
       name -> (if (steady.nonEmpty) steady.min

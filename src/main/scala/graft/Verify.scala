@@ -18,13 +18,6 @@ object Verify {
     // real failure in 100+ identical stack traces
     graft.core.LogHygiene.install()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,9 +30,30 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json FIRST, before any query runs: if the query loop
+    // dies mid-way (OOM, disk full), the driver still has the full
+    // oracle map plus every parquet dir written so far — a partial
+    // correctness record instead of an empty one (the r10 failure
+    // mode, where one unrunnable ORACLE zeroed all 118 gates).
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // deterministic per-query cleanup: localCheckpoint blocks of
+      // iterative queries register as persistent RDDs; drop them now
+      // instead of waiting for driver GC + ContextCleaner (same
+      // hygiene as Bench — dead blocks from query 50 otherwise tax
+      // query 51's executors)
+      graft.core.SessionHygiene.flush(spark)
+    }
     spark.stop()
   }
 }

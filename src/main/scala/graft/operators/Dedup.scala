@@ -573,6 +573,14 @@ object Dedup {
     * outside every pair never enter the propagation; they join back
     * `left` and survive trivially.
     *
+    * NULL scores order LAST (explicit `desc_nulls_last`): a
+    * NULL-scored member never wins over any scored member, and a
+    * cluster whose members are ALL unscored falls back to lowest-id
+    * survivor selection — i.e. plain dedup semantics. Mixed
+    * NULL/non-NULL clusters therefore ignore the unscored members'
+    * quality entirely; score every doc (or filter unscored ones)
+    * upstream if that matters for the workload.
+    *
     * Output: (id, cluster, survivor_id, keep). */
   def keepBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
                idCol: String = "doc_id", maxIter: Int = 10,
@@ -584,7 +592,7 @@ object Dedup {
       .select(col("id"), col("__score"),
         coalesce(col("comp"), col("id")).as("cluster"))
     val w = Window.partitionBy("cluster")
-      .orderBy(col("__score").desc, col("id"))
+      .orderBy(col("__score").desc_nulls_last, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     labeled.withColumn("survivor_id", first("id").over(w))
       .select(col("id"), col("cluster"), col("survivor_id"),

@@ -21,7 +21,11 @@ object Retrieval {
     * normalization — the reason it is the default hybrid combiner.
     *
     * Each input leg must carry `(id, rnk)` (extra columns are ignored);
-    * legs are expected to be top-N results, i.e. already bounded.
+    * legs are expected to be top-N results, i.e. already bounded. A leg
+    * that violates the one-row-per-id contract is collapsed to each
+    * id's BEST (minimum) rank before fusing — without that guard a
+    * duplicated id would multiply rows through the full-outer join
+    * chain and silently corrupt every doc's fused score.
     *
     * Determinism: the per-leg contributions are combined as a FIXED
     * left-to-right coalesce chain over a full-outer join (not a
@@ -37,9 +41,13 @@ object Retrieval {
   def rrfFuse(legs: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse: need at least one ranked leg")
     val contribs = legs.zipWithIndex.map { case (df, i) =>
-      df.select(col("id"),
-        (lit(1.0) / (lit(kRrf.toDouble) + col("rnk").cast("double")))
-          .as(s"c_$i"))
+      // min(rnk) per id: enforces the one-row-per-id leg contract
+      // deterministically (duplicate ids keep their best rank); legs
+      // are top-N bounded so this agg is driver-trivial
+      df.groupBy(col("id"))
+        .agg(min(col("rnk").cast("double")).as("__rnk"))
+        .select(col("id"),
+          (lit(1.0) / (lit(kRrf.toDouble) + col("__rnk"))).as(s"c_$i"))
     }
     val joined = contribs.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
     val score = contribs.indices

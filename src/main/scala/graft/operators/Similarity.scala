@@ -773,7 +773,27 @@ object Similarity {
     * Both stages break ties deterministically (coarse: hamming asc,
     * cand_id; final: cosine desc, cand_id), so the whole result is
     * exactly reproducible — gate `s_hamming` pins it against a full
-    * DuckDB re-derivation, not just a recall bound. */
+    * DuckDB re-derivation, not just a recall bound.
+    *
+    * ID CONVENTION (same as [[bruteForceTopK]]): the coarse join
+    * excludes `cand_id === query_id` unconditionally, on the
+    * assumption that queries ARE corpus rows (self-match is never a
+    * useful neighbor). If the query table is disjoint from the corpus,
+    * its ids must not collide with corpus ids — a colliding id would
+    * silently drop one valid candidate per query.
+    *
+    * QUERY-SET BOUND: the coarse pass broadcasts the query signatures
+    * and scans the corpus once per query — right up to ~10⁵ queries
+    * (at dim 128 that is ~4 MB of signatures, and |Q|·|C| popcounts
+    * stay executor-bound). For query-heavy workloads (|Q| approaching
+    * |C|, e.g. full-corpus self-join semantics) switch to a banded
+    * signature join instead: split each signature's words into bands,
+    * equi-join corpus and queries on (band_idx, band_word) to generate
+    * candidates — the [[Dedup.simhashPairs]] shape generalized to
+    * multi-word signatures — then Hamming-filter and refine. That form
+    * shuffles on band buckets instead of broadcasting, at the price of
+    * missing pairs whose signatures differ in every band (recall knob:
+    * band count). */
   def hammingTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
                   shortlist: Int = 30,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -41,7 +41,15 @@ object Sketches {
     * partition (constant state); the exact leg is a partial+final
     * count agg on the key. The threshold compare `cnt > N·support`
     * multiplies in double on both engines so the oracle's arithmetic
-    * is bit-identical. */
+    * is bit-identical.
+    *
+    * NULL keys: a NULL key that clears the threshold reports
+    * `in_sketch = false` by convention — `array_contains(items, NULL)`
+    * is NULL in SQL semantics, so the sketch cannot attest NULL
+    * membership, and an unguarded flag would surface as a
+    * three-valued-logic NULL that silently diverges from the oracle's
+    * literal booleans. N still counts null-keyed rows (they are corpus
+    * mass either way). */
   def verifiedHeavyHitters(df: DataFrame, keyCol: String,
                            support: Double): DataFrame = {
     val sketch = df.stat.freqItems(Array(keyCol), support)
@@ -53,6 +61,7 @@ object Sketches {
       .filter(col("cnt") > col("n_total") * lit(support))
       .crossJoin(broadcast(sketch))
       .select(col(keyCol), col("cnt"),
-        array_contains(col("__sketch_items"), col(keyCol)).as("in_sketch"))
+        coalesce(array_contains(col("__sketch_items"), col(keyCol)),
+          lit(false)).as("in_sketch"))
   }
 }

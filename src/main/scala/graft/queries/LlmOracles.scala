@@ -173,17 +173,34 @@ object LlmOracles {
          |FROM s ORDER BY doc_id""".stripMargin
     },
 
-    "t_repetition" -> {
-      def topFrac(l: String) =
-        s"""round(list_max(list_transform(list_distinct($l),
-           |  x -> len(list_filter($l, y -> y = x)))) / len($l), 4)""".stripMargin
-      val bigrams =
-        s"""list_transform(range(greatest(len($toks) - 1, 1)),
-           |  i -> array_to_string(($toks)[(i+1):(i+2)], ' '))""".stripMargin
-      s"""SELECT doc_id, ${topFrac(toks)} AS top_token_frac,
-         |  ${topFrac(bigrams)} AS top_bigram_frac
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    // top-token / top-bigram fraction via unnest + GROUP BY rather
+    // than the r10 nested list_distinct×list_filter lambdas (those
+    // were O(distinct·len) per doc in the list VM — 24.6 s at sf0.01,
+    // ~70% of the whole oracle budget; this form is three vectorized
+    // hash aggregates, <0.5 s). Same values: max per-doc token count /
+    // token-list length, BIGINT/BIGINT → double division, round(4).
+    "t_repetition" ->
+      s"""WITH t2 AS (
+         |  SELECT doc_id, $toks AS tk, len($toks) AS l FROM documents),
+         |c1 AS (
+         |  SELECT doc_id, max(cnt) AS mx, max(l) AS l FROM (
+         |    SELECT doc_id, l, t, count(*) AS cnt
+         |    FROM (SELECT doc_id, l, unnest(tk) AS t FROM t2)
+         |    GROUP BY doc_id, l, t)
+         |  GROUP BY doc_id),
+         |c2 AS (
+         |  SELECT doc_id, max(cnt) AS mx, max(bl) AS bl FROM (
+         |    SELECT doc_id, bl, g, count(*) AS cnt FROM (
+         |      SELECT doc_id, greatest(l - 1, 1) AS bl,
+         |        unnest(list_transform(range(greatest(l - 1, 1)),
+         |          i -> array_to_string(tk[(i+1):(i+2)], ' '))) AS g
+         |      FROM t2)
+         |    GROUP BY doc_id, bl, g)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, round(c1.mx / c1.l, 4) AS top_token_frac,
+         |  round(c2.mx / c2.bl, 4) AS top_bigram_frac
+         |FROM documents d JOIN c1 USING (doc_id) JOIN c2 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "t_redact" ->
       """SELECT doc_id,
@@ -426,40 +443,67 @@ object LlmOracles {
     // The rolling-hash production variant, oracled bit-for-bit: the
     // JVM kernel (expressions/RollingWinnow.compute) is a base-257
     // polynomial hash over chars with 64-bit WRAPPING arithmetic and
-    // SIGNED-long window minima. DuckDB has no wrapping bigint, so each
-    // k-gram hash is recomputed positionally in HUGEINT — c·257^e with
-    // the power table pre-reduced mod 2^64 (generated below with JVM
-    // Long wraparound, so the table IS the kernel's arithmetic), terms
-    // < 2^80 summed < 2^85 fit hugeint, one final mod — then mapped to
-    // signed BIGINT BEFORE list_min so minima order like Scala's `<`.
-    // Positional recompute is the oracle's O(len·k) price for the
-    // engine's O(len) rolled form; identical values, simpler SQL.
-    // ASCII fixture ⇒ DuckDB codepoints == JVM chars (surrogate-free).
+    // SIGNED-long window minima. DuckDB has no wrapping bigint; the
+    // r10 oracle recomputed every k-gram positionally in HUGEINT list
+    // lambdas (O(len·k) per doc in the list VM — 17 s at sf0.01, 226 s
+    // at sf0.1). This form is O(len) and fully vectorized:
+    //   H_g = Σ_{m<24} c_{g+m}·257^{23−m}
+    //       = 257^{g+23} · Σ_{j=g..g+23} c_j·257^{−j}   (mod 2^64)
+    // 257 is odd ⇒ invertible mod 2^64; a recursive-CTE power table
+    // carries 257^i and 257^{−i} (both reduced mod 2^64, with a
+    // 32-bit-split mulmod so no intermediate exceeds 2^97), one window
+    // prefix-sum forms the Σ, and each gram hash is one subtraction +
+    // one mulmod. Every reduced value is identical to the r10 oracle's
+    // (and to the JVM kernel's wrapping arithmetic); signed-BIGINT
+    // mapping BEFORE the window-of-8 min so minima order like Scala's
+    // `<`. ASCII fixture ⇒ codepoints == JVM chars (surrogate-free).
     "d_winnow_fast" -> {
-      val pows = (0 until 24).map { j =>        // exponent 23-j, mod 2^64
-        var p = 1L; (0 until (23 - j)).foreach(_ => p *= 257L)
-        java.lang.Long.toUnsignedString(p) + "::HUGEINT"
-      }.mkString("[", ",", "]")
-      s"""WITH t AS (
+      val m64 = "18446744073709551616::HUGEINT"        // 2^64
+      val inv = (BigInt(257).modInverse(BigInt(1) << 64)).toString // 257^-1 mod 2^64
+      s"""WITH RECURSIVE t AS MATERIALIZED (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
         |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, len(t) AS n,
-        |    list_transform(range(len(t)), x -> unicode(substr(t, x + 1, 1))::HUGEINT) AS cs
-        |  FROM t),
-        |h AS (
-        |  SELECT doc_id, list_transform(
-        |    list_transform(range(n - 23), i ->
-        |      list_sum(list_transform(range(24), j -> cs[i+j+1] * ($pows)[j+1]))
-        |        % 18446744073709551616::HUGEINT),
-        |    m -> CASE WHEN m >= 9223372036854775808::HUGEINT
-        |              THEN (m - 18446744073709551616::HUGEINT)::BIGINT ELSE m::BIGINT END) AS hs
-        |  FROM c WHERE n >= 24),
+        |c AS MATERIALIZED (
+        |  SELECT doc_id, n, s.pos AS pos, s.ch AS ch FROM (
+        |    SELECT doc_id, len(t) AS n,
+        |      unnest(list_transform(range(len(t)),
+        |        i -> {'pos': i, 'ch': unicode(substr(t, i + 1, 1))})) AS s
+        |    FROM t WHERE len(t) >= 24)),
+        |mx AS (SELECT max(n) AS m FROM c),
+        |pr(i, pw, pinv) AS (
+        |  SELECT 0, 1::HUGEINT, 1::HUGEINT
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    (pw * 257) % $m64,
+        |    (((pinv // 4294967296) * $inv::HUGEINT) % 4294967296 * 4294967296
+        |      + (pinv % 4294967296) * $inv::HUGEINT) % $m64
+        |  FROM pr WHERE i < (SELECT m FROM mx)),
+        |s AS MATERIALIZED (
+        |  SELECT doc_id, n, pos,
+        |    sum(ch::HUGEINT * pinv) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS pre
+        |  FROM c JOIN pr ON pr.i = c.pos),
+        |hh AS MATERIALIZED (
+        |  SELECT doc_id, n, pos - 23 AS g,
+        |    (pre - coalesce(lag(pre, 24) OVER (PARTITION BY doc_id ORDER BY pos),
+        |                    0::HUGEINT)) % $m64 AS d
+        |  FROM s QUALIFY pos >= 23),
+        |sg AS MATERIALIZED (
+        |  SELECT doc_id, n, g,
+        |    CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN (h - $m64)::BIGINT ELSE h::BIGINT END AS h
+        |  FROM (
+        |    SELECT doc_id, n, g,
+        |      (((d // 4294967296) * pw) % 4294967296 * 4294967296
+        |        + (d % 4294967296) * pw) % $m64 AS h
+        |    FROM hh JOIN pr ON pr.i = hh.g + 23)),
         |p0 AS (
         |  SELECT DISTINCT doc_id, p FROM (
-        |    SELECT doc_id, unnest(list_transform(range(len(hs) - 7),
-        |      w -> list_min(hs[(w + 1):(w + 8)]))) AS p
-        |    FROM h WHERE len(hs) >= 8)),
+        |    SELECT doc_id, n, g,
+        |      min(h) OVER (PARTITION BY doc_id ORDER BY g
+        |        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS p
+        |    FROM sg)
+        |  WHERE g <= n - 31),
         |p AS (
         |  SELECT * FROM p0 WHERE p NOT IN (
         |    SELECT p FROM p0 GROUP BY p HAVING count(*) > 20))
@@ -910,32 +954,48 @@ object LlmOracles {
     // interpolated trigram LM (CCNet ladder rung 3): double-BOS
     // triples from the token list, observed-trigram/bigram tables with
     // context roll-ups, λ mixture with the SAME literal composition
-    // ((1 - 0.5::double - 0.3::double)) as the Spark plan
+    // ((1 - 0.5::double - 0.3::double)) as the Spark plan.
+    // SHAPE MATTERS: the r10 form joined p to five lookup tables in
+    // one FROM clause and DuckDB's optimizer cross-multiplied the
+    // context tables on hot tokens (>55 GB RSS, never finished —
+    // zeroed the round's correctness file). This form is a chain of
+    // strictly two-table many-to-one MATERIALIZED steps (context
+    // totals folded into tri/big as window sums), so there is no
+    // join-order freedom left to explode. Values are bit-identical:
+    // same operand types (BIGINT count / HUGEINT sum → double
+    // division), same mixture literals, one final round(4).
     "t_trigram_lm" ->
-      """WITH tok AS (
+      """WITH tok AS MATERIALIZED (
         |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS toks
         |  FROM documents),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT id, s.p2 AS p2, s.p1 AS p1, s.t AS t FROM (
         |    SELECT id, unnest(list_transform(range(len(toks)),
         |      i -> {'p2': CASE WHEN i <= 1 THEN '<s>' ELSE toks[i-1] END,
         |            'p1': CASE WHEN i = 0 THEN '<s>' ELSE toks[i] END,
         |            't': toks[i+1]})) AS s
         |    FROM tok)),
-        |uni AS (SELECT t, count(*) AS cnt FROM p GROUP BY t),
+        |uni AS MATERIALIZED (SELECT t, count(*) AS cnt FROM p GROUP BY t),
         |tot AS (SELECT sum(cnt) AS n_total, count(*) AS v FROM uni),
-        |big AS (SELECT p1, t, count(*) AS cnt2 FROM p GROUP BY p1, t),
-        |ctx2 AS (SELECT p1, sum(cnt2) AS p1_tot FROM big GROUP BY p1),
-        |tri AS (SELECT p2, p1, t, count(*) AS cnt3 FROM p GROUP BY p2, p1, t),
-        |ctx3 AS (SELECT p2, p1, sum(cnt3) AS p2_tot FROM tri GROUP BY p2, p1)
+        |tri AS MATERIALIZED (
+        |  SELECT p2, p1, t, cnt3, sum(cnt3) OVER (PARTITION BY p2, p1) AS p2_tot
+        |  FROM (SELECT p2, p1, t, count(*) AS cnt3 FROM p GROUP BY p2, p1, t)),
+        |big AS MATERIALIZED (
+        |  SELECT p1, t, cnt2, sum(cnt2) OVER (PARTITION BY p1) AS p1_tot
+        |  FROM (SELECT p1, t, count(*) AS cnt2 FROM p GROUP BY p1, t)),
+        |s3 AS MATERIALIZED (
+        |  SELECT id, p1, t, cnt3 / p2_tot AS pr3
+        |  FROM p JOIN tri USING (p2, p1, t)),
+        |s2 AS MATERIALIZED (
+        |  SELECT id, t, pr3, cnt2 / p1_tot AS pr2
+        |  FROM s3 JOIN big USING (p1, t))
         |SELECT id,
-        |  round(avg(-ln(0.5::double * (cnt3 / p2_tot) +
-        |               0.3::double * (cnt2 / p1_tot) +
+        |  round(avg(-ln(0.5::double * pr3 +
+        |               0.3::double * pr2 +
         |               (1 - 0.5::double - 0.3::double) *
         |                 ((cnt + 1) / (n_total + v)))), 4) AS mean_nll,
         |  count(*) AS n_tokens
-        |FROM p JOIN tri USING (p2, p1, t) JOIN ctx3 USING (p2, p1)
-        |  JOIN big USING (p1, t) JOIN ctx2 USING (p1) JOIN uni USING (t)
+        |FROM s2 JOIN uni USING (t)
         |CROSS JOIN tot
         |GROUP BY id ORDER BY id""".stripMargin,
 

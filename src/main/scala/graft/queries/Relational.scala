@@ -333,17 +333,31 @@ object Relational {
     * engine's own sort-based quantile op — not the map-state
     * percentile aggregate), each paired with an in-plan flag that the
     * corresponding sketch (HLL++ at rsd 0.05, Greenwald-Khanna at
-    * accuracy 10000) landed within its documented bound. The oracle
+    * accuracy 1000) landed within its documented bound. The oracle
     * pins the exact values and `true` flags — a sketch regression
     * flips a flag and fails the hash, upgrading both sketch ops from
     * unit-only to driver-gated without pretending sketches are
-    * engine-portable. */
+    * engine-portable.
+    *
+    * GK accuracy is sized to the GATE's tolerance, not beyond it:
+    * accuracy 1000 bounds rank error at n/1000 rows — on the integer
+    * 1..50 quantity domain that is ~0.05 value steps per flag at
+    * sf0.1, far inside the 1.0-step gate — while accuracy 10000 made
+    * the sketch under test cost more than the exact ground truth next
+    * to it (13.4 s at sf0.1, the corpus's second-slowest query).
+    *
+    * NOTE the hll_ok bound is EMPIRICAL, not analytic: 0.15 on a
+    * 5%-rsd HLL is a ~3σ margin that holds at every tested SF/seed,
+    * but a new scale factor could in principle land a healthy sketch
+    * outside it; if this gate ever fails alone (exact n_distinct and
+    * the gk/med columns still matching), widen the bound before
+    * suspecting the sketch. */
   def q33SketchBounds(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
     val sk = li.groupBy("l_returnflag").agg(
       count_distinct(col("l_partkey")).as("n_distinct"),
       approx_count_distinct(col("l_partkey"), 0.05).as("__hll"),
-      percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__ga"))
+      percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("__ga"))
     val ex = graft.operators.Stats.quantilesCont(
       li, "l_returnflag", "l_quantity", Seq((0.5, "__med")))
     sk.join(ex, Seq("l_returnflag"))
@@ -351,7 +365,7 @@ object Relational {
         (abs(col("__hll") - col("n_distinct")) <= col("n_distinct") * 0.15).as("hll_ok"),
         round(col("__med"), 4).as("med_qty"),
         // 1.0 = one step of the integer quantity domain: GK's rank
-        // error at accuracy 10000 stays within a single value step at
+        // error at accuracy 1000 stays within a single value step at
         // every tested SF, while a real sketch regression lands far out
         (abs(col("__ga") - col("__med")) <= lit(1.0)).as("gk_ok"))
       .orderBy("l_returnflag")
