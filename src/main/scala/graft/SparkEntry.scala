@@ -95,6 +95,7 @@ object SparkEntry {
     "t_budget"          -> (LlmOps.tBudget _),
     "s_cosine_topk"     -> (LlmOps.sCosineTopK _),
     "s_hamming"         -> (LlmOps.sHamming _),
+    "s_hamming_banded"  -> (LlmOps.sHammingBanded _),
     "s_rrf"             -> (LlmOps.sRrf _),
     "s_centroid"        -> (LlmOps.sCentroid _),
     "s_ann_ivf"         -> (LlmOps.sAnnIvf _),

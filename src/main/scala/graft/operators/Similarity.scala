@@ -821,4 +821,74 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("cand_id"), col("ham"), col("cos"))
   }
+
+  /** Hamming near-dup PAIRS over sign-bit signatures, banded — the
+    * query-heavy / full-corpus-self-join companion to [[hammingTopK]]
+    * (whose broadcast-query coarse scan caps out around ~10⁵ queries;
+    * see its Scaladoc). The [[Dedup.simhashPairs]] shape (Manku,
+    * Jakkula & Sarma, WWW'07 §3) generalized from one 32-bit simhash
+    * word to multi-word embedding signatures.
+    *
+    * Each signature's `dim` bits are split into `bands` contiguous
+    * chunks; rows equi-join on (band index, band value) to generate
+    * candidates, then the full Hamming distance filters to
+    * `maxHamming`. EXACTNESS: a pair within Hamming distance d < bands
+    * must agree on ≥ 1 band (pigeonhole), so with `maxHamming < bands`
+    * the result is EXACT — no missed pairs. With `maxHamming >=
+    * bands` the operator is recall-approximate (a pair differing in
+    * every band is missed) but still fully DETERMINISTIC: the
+    * candidate set is a pure function of the signatures, which is what
+    * gate `s_hamming_banded` pins bit-for-bit (bands is the recall
+    * knob; more/narrower bands = higher recall and fatter buckets).
+    *
+    * Scale: no broadcast anywhere — the banded table shuffles on
+    * (band, value) and self-joins per bucket, so the cost is
+    * Σ bucket² per band, not |C|². At 8-bit bands a uniform corpus
+    * puts n/256 ids per bucket; SKEW is the real-world risk (e.g. the
+    * all-zeros band of near-sparse vectors) — `maxBucket` drops
+    * buckets above a frequency cap via a broadcast anti-join, the
+    * standard df-cap trade (documented recall loss on hot buckets)
+    * also used by [[Dedup.winnowPairs]].
+    *
+    * Constraints: `bands` divides `dim`; band width `dim/bands` must
+    * divide the 32-bit word (no band straddles a signature word). */
+  def hammingBandedPairs(corpus: DataFrame, dim: Int, maxHamming: Int,
+                         bands: Int, maxBucket: Option[Long] = None,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(bands > 0 && dim % bands == 0,
+      s"hammingBandedPairs: bands ($bands) must divide dim ($dim)")
+    val bandBits = dim / bands
+    require(bandBits <= 32 && 32 % bandBits == 0,
+      s"hammingBandedPairs: band width $bandBits must divide the 32-bit word")
+    require(maxHamming >= 0, "hammingBandedPairs: maxHamming must be >= 0")
+    val sigs = corpus.select(col(idCol).as("id"), signBits(col(vecCol), dim).as("sig"))
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until bands).map { k =>
+      val w = (k * bandBits) / 32           // signBits packs 32 bits/word
+      val sh = (k * bandBits) % 32
+      struct(lit(k).as("band"),
+        shiftrightunsigned(element_at(col("sig"), w + 1), sh)
+          .bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val capped = maxBucket match {
+      case Some(cap) =>
+        // hot buckets are FEW by construction (they're the skew) —
+        // broadcast anti-join, same shape as the winnow df-cap
+        val hot = banded.groupBy("band", "bv").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > cap).select("band", "bv")
+        banded.join(broadcast(hot), Seq("band", "bv"), "left_anti")
+      case None => banded
+    }
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDist(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

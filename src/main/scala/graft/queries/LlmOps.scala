@@ -740,6 +740,19 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Banded Hamming near-dup pairs over the whole embedding corpus —
+    * the no-broadcast, shuffle-on-bucket form for query-heavy binary
+    * ANN ([[Similarity.hammingBandedPairs]]): 8 bands of 8 bits over
+    * the 64-dim sign signatures, full-Hamming filter at 15. With
+    * maxHamming >= bands the candidate set is recall-approximate but
+    * fully deterministic — the oracle re-derives banding, bucket join
+    * and popcount filter bit-for-bit, so this is a full hash gate on
+    * the operator's exact semantics. */
+  def sHammingBanded(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.hammingBandedPairs(
+        Tables(spark, dir).embeddings, dim = 64, maxHamming = 15, bands = 8)
+      .orderBy("id_a", "id_b")
+
   /** IVF-bucketed ANN top-3 (probe own cell only) for vec_id < 10. */
   def sAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings

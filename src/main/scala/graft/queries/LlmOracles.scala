@@ -625,6 +625,32 @@ object LlmOracles {
         |  FROM refined)
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // banded Hamming pairs re-derived end to end: same 32-bit
+    // sign-packing as s_hamming, 8-bit band values by shift+mask on
+    // the packed words (word = (k*8)//32, shift = (k*8)%32 — the exact
+    // arithmetic of hammingBandedPairs), bucket equi-join on
+    // (band, value), full-popcount filter at 15, DISTINCT pairs. The
+    // operator is recall-approximate at maxHamming >= bands but a pure
+    // function of the signatures, so the full pair set hash-matches.
+    "s_hamming_banded" ->
+      """WITH e AS (SELECT vec_id, embedding::double[] AS v FROM embeddings),
+        |sig AS (SELECT vec_id,
+        |  [ list_sum(list_transform(range(32),
+        |      i -> CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT,
+        |    list_sum(list_transform(range(32),
+        |      i -> CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT ] AS s
+        |  FROM e),
+        |banded AS (
+        |  SELECT vec_id, s, k, ((s[(k*8)//32 + 1] >> ((k*8)%32)) & 255) AS bv
+        |  FROM sig CROSS JOIN range(8) r(k))
+        |SELECT * FROM (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (bit_count(xor(a.s[1], b.s[1])) +
+        |     bit_count(xor(a.s[2], b.s[2])))::BIGINT AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.k = b.k AND a.bv = b.bv AND a.vec_id < b.vec_id)
+        |WHERE hamming <= 15 ORDER BY id_a, id_b""".stripMargin,
+
     "s_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::double[] AS v, label FROM embeddings),
         |scored AS (

@@ -294,6 +294,48 @@ class OperatorSpec extends SparkSpec {
     assert(top == (2L, 0L))
   }
 
+  test("hammingBandedPairs is EXACT below the pigeonhole bound and validates its banding constraints") {
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    // plant close pairs: clones of vec 3 with 2 and 6 sign flips —
+    // random 64-dim pairs sit near hamming ~32, far above any bound
+    def flipped(src: Array[Float], flips: Seq[Int]): Array[Float] =
+      src.zipWithIndex.map { case (v, i) => if (flips.contains(i)) -v else v }
+    val vecs = (base ++ Seq(
+      (100L, flipped(base(3)._2, Seq(0, 40))),
+      (101L, flipped(base(3)._2, Seq(1, 17, 33, 40, 55, 63))))
+      ).toDF("vec_id", "embedding")
+    // brute-force pair truth at the same threshold
+    val sigs = vecs.select(col("vec_id"),
+      Similarity.signBits(col("embedding"), 64).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Similarity.hammingDist(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= 7)
+      .as[(Long, Long, Long)].collect().toSet
+    // maxHamming 7 < bands 8 → pigeonhole: NO missed pairs, exact
+    val banded = Similarity.hammingBandedPairs(vecs, dim = 64,
+        maxHamming = 7, bands = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(banded.contains((3L, 100L, 2L)) && banded.contains((3L, 101L, 6L)))
+    // the clones differ from each other by the symmetric difference of
+    // their flip sets ({0,1,17,33,55,63} — 40 cancels): 6 bits
+    assert(banded.contains((100L, 101L, 6L)))
+    // a hot-bucket cap only ever removes pairs, never invents them
+    val capped = Similarity.hammingBandedPairs(vecs, dim = 64,
+        maxHamming = 7, bands = 8, maxBucket = Some(1L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(banded))
+    // constraint checks: band count must divide dim, width must divide
+    // the 32-bit signature word
+    intercept[IllegalArgumentException](
+      Similarity.hammingBandedPairs(vecs, dim = 64, maxHamming = 3, bands = 7))
+    intercept[IllegalArgumentException](
+      Similarity.hammingBandedPairs(vecs, dim = 96, maxHamming = 3, bands = 8))
+  }
+
   test("cosine LSH finds the true nearest neighbor on clustered vectors (recall vs brute force)") {
     val rnd = new scala.util.Random(7)
     val centroids = Seq(Array.fill(32)(rnd.nextFloat() * 2 - 1),

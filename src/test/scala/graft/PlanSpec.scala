@@ -325,6 +325,24 @@ class PlanSpec extends SparkSpec {
     // sort — no join or aggregation anywhere in the plan
     val phi = plan("q32_hilbert")
     assert(!phi.contains("Join") && !phi.contains("HashAggregate"))
+    // s_hamming_banded: the query-heavy twin must do the OPPOSITE of
+    // s_hamming — no nested loop anywhere: candidates come from an
+    // EQUI-join on the (band, value) bucket, with id_a < id_b as a
+    // post-join condition. Local fixture stats legitimately broadcast
+    // the tiny banded side (HashJoin either way proves the equi keys);
+    // with auto-broadcast off — the honest 100 TB statistics — the
+    // same plan must fall back to a partitioned join, never NLJ.
+    val pb = plan("s_hamming_banded")
+    assert(!pb.contains("BroadcastNestedLoopJoin") && !pb.contains("CartesianProduct"),
+      pb.take(800))
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pb2 = plan("s_hamming_banded")
+      assert(pb2.contains("SortMergeJoin") || pb2.contains("ShuffledHashJoin"),
+        "banded pairs must bucket-join under honest stats")
+      assert(!pb2.contains("BroadcastNestedLoopJoin") && !pb2.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
   }
 
   test("partitioned parquet layout prunes partitions at the scan") {
