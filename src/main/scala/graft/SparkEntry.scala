@@ -81,6 +81,7 @@ object SparkEntry {
     "t_dupgrams"        -> (LlmOps.tDupGrams _),
     "t_bm25"            -> (LlmOps.tBm25 _),
     "t_heavy"           -> (LlmOps.tHeavy _),
+    "t_entropy"         -> (LlmOps.tEntropy _),
     "t_dsir"            -> (LlmOps.tDsir _),
     "t_tfidf"           -> (LlmOps.tTfidf _),
     "d_decontam"        -> (LlmOps.dDecontam _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q29_zorder"        -> (Relational.q29Zorder _),
     "q32_hilbert"       -> (Relational.q32Hilbert _),
     "q33_sketch_bounds" -> (Relational.q33SketchBounds _),
+    "q34_cms"           -> (Relational.q34Cms _),
   )
 
   /** q32_hilbert oracle: the 10 reflect+swap stages of the Hilbert
@@ -178,6 +180,30 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
         |  true AS gk_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // full CMS re-derivation: same md5(i|key) 60-bit hash family, same
+    // depth×width cell counts, min-over-rows estimate — deterministic,
+    // so estimates are pinned exactly; ge_ok is the CMS structural
+    // no-underestimate guarantee (literal true; a regression flips it)
+    "q34_cms" ->
+      """WITH exact AS (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT l_partkey, cnt,
+        |      row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rnk
+        |    FROM exact)
+        |  WHERE rnk <= 20),
+        |cells AS (
+        |  SELECT i, ('0x' || substr(md5(i::varchar || '|' || l_partkey::varchar),
+        |      1, 15))::bigint % 256 AS cell, count(*) AS cnt
+        |  FROM lineitem CROSS JOIN range(4) t(i) GROUP BY 1, 2)
+        |SELECT top.l_partkey, top.rnk, top.cnt, min(c.cnt) AS cms_est,
+        |  true AS ge_ok
+        |FROM top CROSS JOIN range(4) t(i)
+        |JOIN cells c ON c.i = t.i
+        |  AND c.cell = ('0x' || substr(md5(t.i::varchar || '|' ||
+        |    top.l_partkey::varchar), 1, 15))::bigint % 256
+        |GROUP BY 1, 2, 3 ORDER BY rnk""".stripMargin,
     "c_str_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "c_gzip_roundtrip" ->

@@ -220,6 +220,27 @@ final case class Flow(spark: SparkSession, df: DataFrame,
   /** ≙ NetRoundRobin (`network/net_roundrobin.go:27-55`). */
   def scatter(n: Int): Flow = par(n)
 
+  /** ≙ the reference's ORDER-PRESERVING `.Par(n)` (`processor.go:64-280`:
+    * workers run in parallel, the reorder cache `processor.go:203-270`
+    * re-emits in input order) — the guarantee plain [[par]]
+    * deliberately drops (SURVEY §3.4's documented divergence; a
+    * migrating user who relied on it opts back in here). Spark-first,
+    * order is a PLAN property, not a runtime cache: range-repartition
+    * on the stamp + sort within partitions. Downstream NARROW stages
+    * (map/filter/flatMap) preserve intra-partition order and the range
+    * partitioning keeps partitions globally ordered, so a terminal
+    * consumer sees input order end to end; a later wide op (fold keys,
+    * [[par]]) drops order again — exactly the reference's semantics
+    * when a non-preserving stage follows.
+    *
+    * Scale: `repartitionByRange` samples the stamp for balanced
+    * ranges — n-way parallel and skew-resistant, where the reference
+    * serializes every element through one reorder-cache goroutine per
+    * stage (`processor.go:203-270`), a single-node throughput ceiling
+    * the plan form simply doesn't have. */
+  def parOrdered(n: Int): Flow =
+    next(_.repartitionByRange(n, col("uniq")).sortWithinPartitions("uniq"))
+
   /** ≙ NetMergeOrdered (`network/net_mergeordered.go:27-61`): restore
     * global stamp order. Spark-first: a range-partitioned global sort —
     * strictly more scalable than the reference's gather-to-one-node. */

@@ -447,4 +447,42 @@ object TextStats {
             / (col("n_total") + col("n_vocab"))))), 4).as("mean_nll"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Shannon entropy of the per-doc character and token distributions
+    * — the distribution-level repetitiveness signal that complements
+    * [[dupNgramFraction]]'s positional one (RefinedWeb/Gopher-class
+    * filters drop low-entropy docs: keyboard mash, boilerplate walls,
+    * `spam spam spam…` all score near zero regardless of WHERE the
+    * repetition sits). Computed in the one-agg closed form
+    * H = ln n − (Σ c·ln c)/n over the count table, so no per-element
+    * probability materialization. Char entropy is over the RAW text
+    * (case/punct carry signal); token entropy over the repo's
+    * lowercased whitespace tokens, matching [[unigramLogProb]].
+    *
+    * Scale: two (id, symbol)-keyed count aggs — partial+final, so each
+    * partition ships at most its distinct (id, symbol) pairs — then
+    * id-keyed roll-ups; one id equi-join reunites the two columns.
+    * Nothing is corpus-global: no vocab table, no broadcast, no window.
+    *
+    * round(4) + 0: the float sum can land an ulp below zero on
+    * single-symbol docs; the `+ 0` normalizes IEEE −0.0 to 0.0 on both
+    * engines (the repo's standard hash-stability trick). */
+  def entropyScores(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    def h(counts: DataFrame, out: String): DataFrame =
+      counts.groupBy("id")
+        .agg((round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
+          + lit(0d)).as(out))
+    // Java split with limit -1 keeps a trailing "" — drop it (the
+    // DuckDB side's char split never produces one)
+    val chars = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+    val toks = docs.select(col(idCol).as("id"),
+      explode(graft.functions.Text.tokens(lower(col(textCol)))).as("t"))
+    h(chars.groupBy("id", "ch").agg(count(lit(1)).as("c")), "h_char")
+      .join(h(toks.groupBy("id", "t").agg(count(lit(1)).as("c")), "h_token"),
+        Seq("id"))
+      .withColumnRenamed("id", idCol)
+  }
 }

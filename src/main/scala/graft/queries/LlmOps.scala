@@ -718,6 +718,14 @@ object LlmOps {
     TextStats.bigramLogProb(Tables(spark, dir).documents).orderBy("id")
   }
 
+  /** Shannon char/token entropy per doc — the distribution-level
+    * repetitiveness quality signal (low entropy = mash/boilerplate),
+    * complementing t_dupgrams' positional one. */
+  def tEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextStats
+    TextStats.entropyScores(Tables(spark, dir).documents).orderBy("doc_id")
+  }
+
   /** Verified heavy hitters over the lang column: exact counts of every
     * key above 10% frequency, plus the in-plan assertion that the Karp
     * frequent-items sketch contained each of them (its no-false-

@@ -202,6 +202,29 @@ object LlmOracles {
          |FROM documents d JOIN c1 USING (doc_id) JOIN c2 USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // Shannon entropy in the same one-agg closed form as the Spark
+    // plan (H = ln n − Σ c·ln c / n over the count table); char side
+    // on RAW text via the char split (DuckDB string_split with ''
+    // yields chars and no trailing empty — the Spark side drops Java's
+    // trailing ""), token side on the repo's lowercased tokens.
+    // round(4) + 0 normalizes the −0.0 a single-symbol doc can hit.
+    "t_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |hc AS (SELECT doc_id,
+        |    round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) + 0 AS h_char
+        |  FROM cc GROUP BY doc_id),
+        |tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS n FROM tk GROUP BY doc_id, t),
+        |ht AS (SELECT doc_id,
+        |    round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) + 0 AS h_token
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, h_char, h_token FROM hc JOIN ht USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "t_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(

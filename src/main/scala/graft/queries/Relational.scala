@@ -371,6 +371,19 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Count-Min sketch gate: the exact top-20 part keys by line count,
+    * each with its exact count, its CMS point estimate (depth 4 ×
+    * width 256 — small enough that ~20k part keys at sf0.1 really
+    * collide), and the structural no-underestimate flag. The md5-based
+    * hash family makes every estimate deterministic, so the oracle
+    * re-derives the whole sketch and pins the estimates EXACTLY —
+    * stronger than a bound check. */
+  def q34Cms(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.cmsVerified(
+        Tables(spark, dir).lineitem, "l_partkey", topN = 20,
+        depth = 4, width = 256)
+      .orderBy("rnk")
+
   /** Hilbert-curve layout key over the same (user bucket, hour) pair as
     * q29_zorder — the locality-tighter clustering key (unit-step curve,
     * no Morton diagonal jumps); the oracle replays the 10 unrolled

@@ -336,6 +336,26 @@ class OperatorSpec extends SparkSpec {
       Similarity.hammingBandedPairs(vecs, dim = 96, maxHamming = 3, bands = 8))
   }
 
+  test("count-min sketch never underestimates and is exact when collision-free") {
+    import graft.operators.Sketches
+    val df = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(5)("c") ++ Seq("d"))
+      .toDF("k")
+    // 4 keys in 1024 cells: collision-free at this scale → every
+    // estimate equals the exact count (and rnk breaks the tie by key)
+    val wide = Sketches.cmsVerified(df, "k", topN = 4, depth = 4, width = 1024)
+      .select("k", "cnt", "cms_est", "ge_ok")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(wide == Set(("a", 30L, 30L, true), ("b", 20L, 20L, true),
+      ("c", 5L, 5L, true), ("d", 1L, 1L, true)))
+    // width 1: every key lands in the one cell → the estimate collapses
+    // to the corpus total for every key — still an upper bound (ge_ok),
+    // never an underestimate
+    val narrow = Sketches.cmsVerified(df, "k", topN = 4, depth = 2, width = 1)
+      .select("cnt", "cms_est", "ge_ok").as[(Long, Long, Boolean)].collect()
+    assert(narrow.length == 4)
+    assert(narrow.forall { case (_, est, ge) => est == 56L && ge })
+  }
+
   test("cosine LSH finds the true nearest neighbor on clustered vectors (recall vs brute force)") {
     val rnd = new scala.util.Random(7)
     val centroids = Seq(Array.fill(32)(rnd.nextFloat() * 2 - 1),

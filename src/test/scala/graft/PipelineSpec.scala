@@ -211,6 +211,24 @@ class PipelineSpec extends SparkSpec {
     assert(new String(row.getAs[Array[Byte]](1), "UTF-8") == "x")
   }
 
+  test("parOrdered restores the reference's order-preserving Par guarantee through narrow stages") {
+    // plain par drops global order (documented divergence); parOrdered
+    // opts back in. Assert on the RAW frame in partition order (no
+    // sink-side sort — MemorySink re-sorts by uniq and would mask
+    // this): range partitions are globally ordered and the two narrow
+    // stages preserve intra-partition order, so collect() must yield
+    // exact input order
+    val flow = Pipeline(spark).root(ListSource((1 to 200).map(_.toString)))
+      .map(IntegerType)(_.cast(IntegerType))
+      .parOrdered(5)
+      .map(IntegerType)(_ * 3)
+      .filter(_ % 2 === 0)
+    val seen = flow.df.select("value").collect().map(_.getInt(0)).toSeq
+    assert(seen == (1 to 200).map(_ * 3).filter(_ % 2 == 0))
+    // and the fan-out is real: 5 range partitions carry the data
+    assert(flow.df.rdd.getNumPartitions == 5)
+  }
+
   test("ConsoleBatchedSink (Out2 done right): capacity flushes + termination flush, exact count") {
     // single partition so the flush sequence is deterministic: 7 rows
     // at capacity 3 must arrive as chunks of 3, 3, 1 — the last one

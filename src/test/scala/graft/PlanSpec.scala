@@ -343,6 +343,14 @@ class PlanSpec extends SparkSpec {
         "banded pairs must bucket-join under honest stats")
       assert(!pb2.contains("BroadcastNestedLoopJoin") && !pb2.contains("CartesianProduct"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    // q34_cms: the sketch build must partial-aggregate (map-side
+    // combine collapses each partition to ≤ depth·width cells before
+    // the shuffle — the whole point of a mergeable sketch), and the
+    // probe joins the BROADCAST sketch, never shuffling the probe side
+    // against the corpus
+    val pc = plan("q34_cms")
+    assert("HashAggregate".r.findAllIn(pc).size >= 2, "cms build must map-side combine")
+    assert(pc.contains("BroadcastHashJoin"), "cms probe must join the broadcast sketch")
   }
 
   test("partitioned parquet layout prunes partitions at the scan") {

@@ -19,6 +19,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L)._1 == math.rint(d2 * 1e4) / 1e4 && out(2L)._2 == 2L)
   }
 
+  test("entropyScores: hand-computed char and token entropy; zero floor normalized") {
+    val docs = Seq((1L, "aa bb aa"), (2L, "zzzz")).toDF("doc_id", "text")
+    val out = TextStats.entropyScores(docs)
+      .select("doc_id", "h_char", "h_token").as[(Long, Double, Double)]
+      .collect().map { case (id, hc, ht) => id -> (hc, ht) }.toMap
+    // doc1 chars: a×4 b×2 ' '×2, n=8 → H = ln8 − (4ln4 + 2ln2 + 2ln2)/8
+    val hc1 = math.log(8) - (4 * math.log(4) + 4 * math.log(2)) / 8
+    // doc1 tokens: aa×2 bb×1, n=3 → H = ln3 − 2ln2/3
+    val ht1 = math.log(3) - 2 * math.log(2) / 3
+    assert(out(1L)._1 == math.rint(hc1 * 1e4) / 1e4)
+    assert(out(1L)._2 == math.rint(ht1 * 1e4) / 1e4)
+    // doc2: one symbol / one token → exactly 0.0 (never −0.0: the +0
+    // normalization), the low-entropy floor a mash filter cuts at
+    assert(out(2L) == (0.0, 0.0))
+    assert(java.lang.Double.doubleToRawLongBits(out(2L)._1) == 0L)
+  }
+
   test("bigramLogProb: hand-computed interpolated mixture with BOS context") {
     // pairs: doc1 (<s>,a)(a,b)(b,a); doc2 (<s>,b)(b,a)
     // uni: a=3 b=2, total 5, v=2; big: (<s>,a)=1 (a,b)=1 (b,a)=2 (<s>,b)=1
