@@ -139,6 +139,7 @@ object SparkEntry {
     "q32_hilbert"       -> (Relational.q32Hilbert _),
     "q33_sketch_bounds" -> (Relational.q33SketchBounds _),
     "q34_cms"           -> (Relational.q34Cms _),
+    "q35_stream_cms"    -> (StreamQueries.q35StreamCms _),
   )
 
   /** q32_hilbert oracle: the 10 reflect+swap stages of the Hilbert
@@ -203,6 +204,30 @@ object SparkEntry {
         |JOIN cells c ON c.i = t.i
         |  AND c.cell = ('0x' || substr(md5(t.i::varchar || '|' ||
         |    top.l_partkey::varchar), 1, 15))::bigint % 256
+        |GROUP BY 1, 2, 3 ORDER BY rnk""".stripMargin,
+    // the STREAM-built sketch must equal the batch-built one (additive
+    // state merged across micro-batches), so the batch re-derivation
+    // is a complete oracle for the streaming gate — same hash family,
+    // depth 4 × width 64 over event user_id, exact top-15 probe
+    "q35_stream_cms" ->
+      """WITH exact AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, cnt,
+        |      row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk
+        |    FROM exact)
+        |  WHERE rnk <= 15),
+        |cells AS (
+        |  SELECT i, ('0x' || substr(md5(i::varchar || '|' || user_id::varchar),
+        |      1, 15))::bigint % 64 AS cell, count(*) AS cnt
+        |  FROM events CROSS JOIN range(4) t(i) GROUP BY 1, 2)
+        |SELECT top.user_id, top.rnk, top.cnt, min(c.cnt) AS cms_est,
+        |  true AS ge_ok
+        |FROM top CROSS JOIN range(4) t(i)
+        |JOIN cells c ON c.i = t.i
+        |  AND c.cell = ('0x' || substr(md5(t.i::varchar || '|' ||
+        |    top.user_id::varchar), 1, 15))::bigint % 64
         |GROUP BY 1, 2, 3 ORDER BY rnk""".stripMargin,
     "c_str_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",

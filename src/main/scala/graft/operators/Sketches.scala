@@ -85,14 +85,24 @@ object Sketches {
     * minhash arithmetic), so every estimate is a pure deterministic
     * function of the data — the gate pins estimates exactly, not just
     * within bounds. */
-  def cmsTable(df: DataFrame, keyCol: String, depth: Int = 4,
-               width: Int = 256): DataFrame = {
-    require(depth > 0 && width > 0, "cmsTable: depth and width must be positive")
+  /** The raw (i, cell) update stream for a key column — the stateless
+    * half of the sketch, shared by the batch [[cmsTable]] and streaming
+    * builds: because the cells table is a plain ADDITIVE groupBy-count,
+    * the identical plan runs as a streaming aggregation whose state IS
+    * the sketch, merged across micro-batches by the engine (gate
+    * `q35_stream_cms` pins stream-built == batch-built). */
+  def cmsCells(df: DataFrame, keyCol: String, depth: Int,
+               width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "cmsCells: depth and width must be positive")
     df.select(col(keyCol).cast("string").as("__k"))
       .select(col("__k"), explode(sequence(lit(0), lit(depth - 1))).as("i"))
       .select(col("i"), cmsCell(col("i"), col("__k"), width).as("cell"))
-      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
   }
+
+  def cmsTable(df: DataFrame, keyCol: String, depth: Int = 4,
+               width: Int = 256): DataFrame =
+    cmsCells(df, keyCol, depth, width)
+      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
 
   /** Point-frequency estimates from a [[cmsTable]]: est(k) = min over
     * hash rows of the k-cell's count — the classic CMS query, which

@@ -47,6 +47,54 @@ object StreamQueries {
       .orderBy("lang", "source")
   }
 
+  /** q35: a Count-Min sketch built BY THE STREAM — the cells table of
+    * [[graft.operators.Sketches.cmsCells]] is a plain additive
+    * groupBy-count, so it runs unchanged as a streaming aggregation
+    * whose keyed state IS the sketch, merged across micro-batches by
+    * the engine (the mergeability property that makes CMS the standard
+    * streaming-frequency structure). The final Complete-mode state is
+    * then probed batch-side for the exact top-15 event users: the
+    * stream-built estimates must equal the batch-built ones cell for
+    * cell, which is exactly what the (batch) oracle pins.
+    *
+    * The stream projects ONLY (event_id, user_id) via an explicit
+    * subset schema — the ts column (historically nanos-typed, see
+    * Tables.normalizeEventsTs) never enters the plan.
+    *
+    * Scale: stateless explode ×depth on the stream, then state bounded
+    * at depth·width rows per aggregation — constant regardless of
+    * stream length; the probe side is a batch join against the final
+    * sketch. */
+  def q35StreamCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val (depth, width) = (4, 64) // 150 users at sf0.01 ⇒ real collisions
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType)))
+    val cells = Sketches.cmsCells(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir),
+        "user_id", depth, width)
+      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+    var last: Array[Row] = Array.empty
+    Streams.runAvailableNow(cells, OutputMode.Complete()) { b =>
+      last = b.collect() // ≤ depth·width rows: the sketch itself
+    }
+    val sketch = spark.createDataFrame(
+      spark.sparkContext.parallelize(last.toSeq), cells.schema)
+    val exact = graft.core.Tables(spark, dir).events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val top = exact.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+      .filter(col("rnk") <= 15)
+    top.join(Sketches.cmsEstimate(sketch, top, "user_id", depth, width),
+        Seq("user_id"))
+      .select(col("user_id"), col("rnk"), col("cnt"), col("cms_est"),
+        (col("cms_est") >= col("cnt")).as("ge_ok"))
+      .orderBy("rnk")
+  }
+
   /** Write `df` as exactly ONE parquet file at `path` with a controlled
     * modification time — the unit of one micro-batch for a
     * maxFilesPerTrigger=1 file stream (FileStreamSource admits files in

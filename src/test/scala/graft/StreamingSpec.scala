@@ -27,6 +27,26 @@ class StreamingSpec extends SparkSpec {
     assert(out.last == 5050)
   }
 
+  test("stream-built count-min sketch equals the batch-built one (additive state merge)") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1 to 60).map(i => s"k${i % 7}") // 7 keys, skewed counts
+    val batch = keys.toDF("k")
+    val expected = Sketches.cmsTable(batch, "k", depth = 3, width = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // same cells plan over a MemoryStream, fed in THREE additions so
+    // the state provably merges across micro-batches
+    val mem = MemoryStream[String]
+    val cells = Sketches.cmsCells(mem.toDF().withColumnRenamed("value", "k"),
+        "k", depth = 3, width = 8)
+      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+    keys.grouped(20).foreach(chunk => mem.addData(chunk: _*))
+    var last: Array[org.apache.spark.sql.Row] = Array.empty
+    Streams.runAvailableNow(cells, OutputMode.Complete()) { b => last = b.collect() }
+    val streamed = last.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == expected)
+  }
+
   test("event-time tumbling window with watermark drops late data (beyond-reference M4)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
