@@ -24,8 +24,12 @@ import org.apache.spark.sql.SparkSession
 object SessionHygiene {
   def flush(spark: SparkSession): Unit = {
     try {
+      // blocking = true: the whole point is that the NEXT timed query
+      // starts with the blocks actually gone, not merely scheduled for
+      // eviction while its clock runs; at harness call frequency
+      // (once per query) the synchronous wait is noise
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
   }

@@ -104,6 +104,23 @@ object Sketches {
     cmsCells(df, keyCol, depth, width)
       .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
 
+  /** [[cmsTable]] built from a PRE-AGGREGATED (key, count) table
+    * instead of the raw row stream — identical sketch (cell counts are
+    * Σ over keys either way), but the hash work drops from
+    * rows×depth to DISTINCT-keys×depth digests. Use whenever a keyed
+    * counts table already exists in the pipeline (profiling passes
+    * compute one for the exact leg anyway — see [[cmsVerified]]); use
+    * the row form when keys are unbounded or the stream must stay
+    * un-aggregated (the streaming state build). */
+  def cmsTableFromCounts(counts: DataFrame, keyCol: String, cntCol: String,
+                         depth: Int, width: Int): DataFrame =
+    counts.select(col(keyCol).cast("string").as("__k"), col(cntCol).as("__cnt"))
+      .select(col("__k"), col("__cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .select(col("i"), cmsCell(col("i"), col("__k"), width).as("cell"),
+        col("__cnt"))
+      .groupBy("i", "cell").agg(sum("__cnt").cast("long").as("cnt"))
+
   /** Point-frequency estimates from a [[cmsTable]]: est(k) = min over
     * hash rows of the k-cell's count — the classic CMS query, which
     * NEVER underestimates (every cell k hashes into counts all of k's
@@ -143,7 +160,14 @@ object Sketches {
     val top = exact.withColumn("rnk",
         row_number().over(Window.orderBy(col("cnt").desc, col(keyCol))).cast("long"))
       .filter(col("rnk") <= topN)
-    val est = cmsEstimate(cmsTable(df, keyCol, depth, width), top, keyCol, depth, width)
+    // the exact leg already aggregates per key — build the sketch from
+    // that counts table too (distinct-keys×depth digests) rather than
+    // re-hashing every corpus row (rows×depth): identical cell counts,
+    // and the second corpus pass is a plain partial+final count agg
+    // instead of a 4×-exploded digest stream (persist `exact` upstream
+    // to make it one pass when profiling at scale)
+    val sketch = cmsTableFromCounts(exact, keyCol, "cnt", depth, width)
+    val est = cmsEstimate(sketch, top, keyCol, depth, width)
     top.join(est, Seq(keyCol))
       .select(col(keyCol), col("rnk"), col("cnt"), col("cms_est"),
         (col("cms_est") >= col("cnt")).as("ge_ok"))

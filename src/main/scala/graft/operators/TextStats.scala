@@ -474,7 +474,10 @@ object TextStats {
         .agg((round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
           + lit(0d)).as(out))
     // Java split with limit -1 keeps a trailing "" — drop it (the
-    // DuckDB side's char split never produces one)
+    // DuckDB side's char split never produces one). Side effect, by
+    // design: a text='' doc has no chars at all and is omitted from
+    // the output entirely (nothing to score; the oracle filters the
+    // same edge with c <> '').
     val chars = docs.select(col(idCol).as("id"),
         explode(split(col(textCol), "")).as("ch"))
       .filter(length(col("ch")) === 1)

@@ -208,10 +208,15 @@ object LlmOracles {
     // yields chars and no trailing empty — the Spark side drops Java's
     // trailing ""), token side on the repo's lowercased tokens.
     // round(4) + 0 normalizes the −0.0 a single-symbol doc can hit.
+    // `c <> ''` mirrors the Spark side's length==1 filter for the
+    // text='' edge (DuckDB splits '' to [''], Spark's filter drops it;
+    // with the guard BOTH engines omit empty-text docs from the
+    // output — they have no char distribution to score).
     "t_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
-        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch
+        |       WHERE c <> '' GROUP BY doc_id, c),
         |hc AS (SELECT doc_id,
         |    round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) + 0 AS h_char
         |  FROM cc GROUP BY doc_id),

@@ -71,11 +71,14 @@ object StreamQueries {
     val (depth, width) = (4, 64) // 150 users at sf0.01 ⇒ real collisions
     val schema = StructType(Seq(StructField("event_id", LongType),
       StructField("user_id", LongType)))
-    val cells = Sketches.cmsCells(
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir),
-        "user_id", depth, width)
-      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
+    // cmsTable itself: the batch build IS the streaming build (an
+    // additive groupBy-count runs unchanged as streaming state) — one
+    // definition, so the stream-built == batch-built invariant can't
+    // drift between two hand copies
+    val cells = Sketches.cmsTable(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir),
+      "user_id", depth, width)
     var last: Array[Row] = Array.empty
     Streams.runAvailableNow(cells, OutputMode.Complete()) { b =>
       last = b.collect() // ≤ depth·width rows: the sketch itself

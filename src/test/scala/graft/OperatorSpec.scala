@@ -354,6 +354,14 @@ class OperatorSpec extends SparkSpec {
       .select("cnt", "cms_est", "ge_ok").as[(Long, Long, Boolean)].collect()
     assert(narrow.length == 4)
     assert(narrow.forall { case (_, est, ge) => est == 56L && ge })
+    // the counts-table build must produce the IDENTICAL sketch as the
+    // row-stream build (cell counts are Σ over keys either way)
+    val counts = df.groupBy("k").agg(count(lit(1)).as("c"))
+    val fromRows = Sketches.cmsTable(df, "k", depth = 3, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val fromCounts = Sketches.cmsTableFromCounts(counts, "k", "c", depth = 3, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromRows == fromCounts)
   }
 
   test("cosine LSH finds the true nearest neighbor on clustered vectors (recall vs brute force)") {

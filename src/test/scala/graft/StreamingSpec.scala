@@ -29,20 +29,39 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-built count-min sketch equals the batch-built one (additive state merge)") {
     import graft.operators.Sketches
-    implicit val sqlCtx = spark.sqlContext
     val keys = (1 to 60).map(i => s"k${i % 7}") // 7 keys, skewed counts
     val batch = keys.toDF("k")
     val expected = Sketches.cmsTable(batch, "k", depth = 3, width = 8)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
-    // same cells plan over a MemoryStream, fed in THREE additions so
-    // the state provably merges across micro-batches
-    val mem = MemoryStream[String]
-    val cells = Sketches.cmsCells(mem.toDF().withColumnRenamed("value", "k"),
-        "k", depth = 3, width = 8)
-      .groupBy("i", "cell").agg(count(lit(1)).as("cnt"))
-    keys.grouped(20).foreach(chunk => mem.addData(chunk: _*))
+    // the SAME cmsTable call over a file stream fed one file per
+    // trigger — three REAL micro-batches (a MemoryStream under
+    // AvailableNow collapses to one batch regardless of addData
+    // grouping: latestOffset ignores the read limit), so the sketch
+    // state provably merges across batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream")
+    keys.grouped(20).zipWithIndex.foreach { case (chunk, idx) =>
+      chunk.toDF("k").coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/stage$idx")
+      val part = new java.io.File(s"$dir/stage$idx").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dir/in$idx.parquet"))
+      new java.io.File(s"$dir/in$idx.parquet").setLastModified(1700000000000L + idx * 60000)
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "in*.parquet")
+      .parquet(dir.toString)
+    val cells = Sketches.cmsTable(stream, "k", depth = 3, width = 8)
     var last: Array[org.apache.spark.sql.Row] = Array.empty
-    Streams.runAvailableNow(cells, OutputMode.Complete()) { b => last = b.collect() }
+    var batches = 0
+    Streams.runAvailableNow(cells, OutputMode.Complete()) { b =>
+      batches += 1; last = b.collect()
+    }
+    assert(batches >= 3, s"expected >= 3 micro-batches, saw $batches")
     val streamed = last.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == expected)
   }

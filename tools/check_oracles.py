@@ -51,12 +51,19 @@ def main():
                 failed.append(name)
                 print(f"FAIL {name}: {err[-1] if err else 'worker died'}")
             else:
-                # last stdout line only: a worker library may chat on
-                # stdout (duckdb progress, warnings) above the JSON
-                r = json.loads(p.stdout.strip().splitlines()[-1])
-                dt, rows = r["secs"], r["rows"]
-                results.append((dt, name))
-                print(f"ok   {name}: {dt:6.2f}s  {rows} rows")
+                try:
+                    # last stdout line only: a worker library may chat on
+                    # stdout (duckdb progress, warnings) above the JSON
+                    r = json.loads(p.stdout.strip().splitlines()[-1])
+                    dt, rows = r["secs"], r["rows"]
+                    results.append((dt, name))
+                    print(f"ok   {name}: {dt:6.2f}s  {rows} rows")
+                except (IndexError, KeyError, ValueError) as e:
+                    # rc 0 but unparseable stdout: mark THIS oracle
+                    # failed and keep going — one bad worker must never
+                    # abort the suite (the r10 lesson)
+                    failed.append(name)
+                    print(f"FAIL {name}: unparseable worker output ({e})")
         except subprocess.TimeoutExpired:
             failed.append(name)
             print(f"FAIL {name}: exceeded {PER_QUERY_TIMEOUT}s timeout (killed)")
