@@ -44,4 +44,16 @@ class VerifySpec extends SparkSpec {
       json.contains("\"bad_col\"") && json.contains("\"esc\""))
     assert(json.contains("\\t") && json.contains("\\\"quoted\\\""))
   }
+
+  test("SessionHygiene.flush empties the persistent-RDD registry synchronously") {
+    // the residue class behind the r9/r10 bench drift: localCheckpoint
+    // registers blocks that outlive their query; flush must leave the
+    // registry EMPTY when it returns (blocking unpersist), not merely
+    // scheduled-for-eviction
+    val df = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    assert(df.count() == 3)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    graft.core.SessionHygiene.flush(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
