@@ -81,6 +81,20 @@ object ScaleSoak {
       Dedup.ngramJaccard(docs.filter(col("doc_id") % 11 === 0), 0.5,
         maxDocFreq = Some(1000L))).count() }
 
+    // round-11 family at 10x: banded-Hamming pairs over 50k signatures
+    // (each vector appears 10x under distinct ids — the planted-dup
+    // worst case: every original contributes a 10-clique of hamming-0
+    // pairs, ~225k guaranteed pairs through the bucket join). At this
+    // corpus size 8-bit bands stop discriminating (50k ids over 256
+    // values/band ⇒ every bucket is hot); 16-bit bands (4 bands) keep
+    // background buckets ~1 — the width-vs-|C| sizing rule the
+    // operator doc prescribes. CMS profiling over the 500k-doc source
+    // column; entropy over the full doc set (pure two-agg map path).
+    time("hammingBand") { Similarity.hammingBandedPairs(embs, dim = 64,
+      maxHamming = 15, bands = 4, maxBucket = Some(500L)).count() }
+    time("cms")        { Sketches.cmsVerified(docs, "source", topN = 20).count() }
+    time("entropy")    { TextStats.entropyScores(docs).count() }
+
     // steady-state daily crawl: compaction persists the corpus index
     // once; the per-batch phase must then run BATCH-ONLY jobs — a
     // QueryExecutionListener proves the corpus parquet is never

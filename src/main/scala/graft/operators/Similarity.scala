@@ -843,11 +843,16 @@ object Similarity {
     *
     * Scale: no broadcast anywhere — the banded table shuffles on
     * (band, value) and self-joins per bucket, so the cost is
-    * Σ bucket² per band, not |C|². At 8-bit bands a uniform corpus
-    * puts n/256 ids per bucket; SKEW is the real-world risk (e.g. the
-    * all-zeros band of near-sparse vectors) — `maxBucket` drops
-    * buckets above a frequency cap via a broadcast anti-join, the
-    * standard df-cap trade (documented recall loss on hot buckets)
+    * Σ bucket² per band, not |C|². SIZE BANDS TO THE CORPUS: a band
+    * must carry enough bits that 2^bits ≫ |C| / acceptable-bucket-size
+    * (8-bit bands stop discriminating past ~10⁴ rows — every bucket
+    * goes hot and the join degenerates toward all-pairs; 16-bit bands
+    * hold to ~10⁷, and beyond that pair up bands into 32-bit compound
+    * keys). Fewer, wider bands trade recall (above the pigeonhole
+    * bound) for selectivity. Residual SKEW is the real-world risk
+    * (e.g. the all-zeros band of near-sparse vectors) — `maxBucket`
+    * drops buckets above a frequency cap via a broadcast anti-join,
+    * the standard df-cap trade (documented recall loss on hot buckets)
     * also used by [[Dedup.winnowPairs]].
     *
     * Constraints: `bands` divides `dim`; band width `dim/bands` must
