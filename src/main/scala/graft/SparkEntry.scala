@@ -117,6 +117,7 @@ object SparkEntry {
     "c_avro_roundtrip"  -> (CoderQueries.cAvroRoundtrip _),
     "c_avro_project"    -> (CoderQueries.cAvroProject _),
     "c_json_roundtrip"  -> (CoderQueries.cJsonRoundtrip _),
+    "c_jsonl_quarantine" -> (CoderQueries.cJsonlQuarantine _),
     "p_from_list"       -> (PipelineQueries.pFromList _),
     "p_split_flatmap"   -> (PipelineQueries.pSplitFlatmap _),
     "p_text_file"       -> (PipelineQueries.pTextFile _),
@@ -231,6 +232,15 @@ object SparkEntry {
         |GROUP BY 1, 2, 3 ORDER BY rnk""".stripMargin,
     "c_str_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    // quarantine semantics pinned WITHOUT comparing JSON text (each
+    // engine serializes its own): mangled rows (doc_id % 50 = 0) must
+    // be flagged with NULL fields, every other row round-trips
+    "c_jsonl_quarantine" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE source END AS source,
+        |  (doc_id % 50 = 0) AS quarantined
+        |FROM documents ORDER BY id""".stripMargin,
     "c_gzip_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "c_kv_roundtrip" ->

@@ -150,6 +150,38 @@ object CoderQueries {
       .orderBy("id")
   }
 
+  /** PERMISSIVE JSONL ingest with corrupt-record QUARANTINE — the
+    * messy-ingest path every production pipeline needs and the
+    * reference's strict coders lack (a bad record kills the ref's
+    * decode stage; here it lands in a quarantine column and the batch
+    * keeps flowing). Every 50th document's JSON line is
+    * deterministically mangled; `from_json` with
+    * `columnNameOfCorruptRecord` must fail EXACTLY those rows (fields
+    * NULL, quarantined flag true, the raw line preserved for replay)
+    * and round-trip every other row's values — which is what the
+    * oracle pins semantically, with no JSON-text comparison (each
+    * engine's serializer formatting is its own business).
+    *
+    * Scale: map-only — serialize, parse, flag; no shuffle at any
+    * size. The quarantine column is the splittable dead-letter
+    * channel: `.filter(quarantined)` IS the dead-letter queue. */
+  def cJsonlQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val jsonl = Tables(spark, dir).documents
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 50 === 0,
+          concat(lit("{\"doc_id\":"), col("doc_id"), lit(",INVALID")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"), col("source"))))
+          .as("line"))
+    val schema = StructType.fromDDL(
+      "doc_id LONG, lang STRING, source STRING, _corrupt STRING")
+    jsonl
+      .select(col("id"), from_json(col("line"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("r"))
+      .select(col("id"), col("r.lang").as("lang"), col("r.source").as("source"),
+        col("r._corrupt").isNotNull.as("quarantined"))
+      .orderBy("id")
+  }
+
   /** Scalar function surface: date/math/string functions (§2.7 — all
     * native, codegen'd; dtypes aligned with the oracle's bigint
     * defaults). */
