@@ -118,6 +118,7 @@ object SparkEntry {
     "c_avro_project"    -> (CoderQueries.cAvroProject _),
     "c_json_roundtrip"  -> (CoderQueries.cJsonRoundtrip _),
     "c_jsonl_quarantine" -> (CoderQueries.cJsonlQuarantine _),
+    "c_schema_evolution" -> (CoderQueries.cSchemaEvolution _),
     "p_from_list"       -> (PipelineQueries.pFromList _),
     "p_split_flatmap"   -> (PipelineQueries.pSplitFlatmap _),
     "p_text_file"       -> (PipelineQueries.pTextFile _),
@@ -241,6 +242,14 @@ object SparkEntry {
         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE source END AS source,
         |  (doc_id % 50 = 0) AS quarantined
         |FROM documents ORDER BY id""".stripMargin,
+    // merged-footer read pinned semantically: v1 rows (even ids, file
+    // written WITHOUT source) must surface source as NULL; v2 rows keep
+    // their values — evolution lost nothing, invented nothing
+    "c_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'v1' ELSE 'v2' END AS gen
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "c_gzip_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "c_kv_roundtrip" ->

@@ -182,6 +182,38 @@ object CoderQueries {
       .orderBy("id")
   }
 
+  /** Schema EVOLUTION across parquet generations — the other
+    * messy-ingest reality next to [[cJsonlQuarantine]]: a corpus
+    * written over months gains columns, and a reader must merge
+    * generations without rewriting history. Even docs are staged as a
+    * v1 file (doc_id, lang); odd docs as a v2 file that ADDED a
+    * column (doc_id, lang, source); `mergeSchema` must union the
+    * footers so v1 rows surface the new column as NULL and v2 rows
+    * keep their values — which the oracle pins semantically from the
+    * source table (parity = evolution lost nothing and invented
+    * nothing).
+    *
+    * Scale: schema merge is a FOOTER operation (per-file metadata, no
+    * data scan); the read itself stays one pass over both
+    * generations. The staged files are per-call scratch, deleted
+    * after the eager materialization. */
+  def cSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    val docs = Tables(spark, dir).documents
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(s"$stage/gen=v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .write.mode("overwrite").parquet(s"$stage/gen=v2")
+    try
+      spark.read.option("mergeSchema", "true").parquet(stage)
+        .select(col("doc_id"), col("lang"), col("source"), col("gen"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+  }
+
   /** Scalar function surface: date/math/string functions (§2.7 — all
     * native, codegen'd; dtypes aligned with the oracle's bigint
     * defaults). */
