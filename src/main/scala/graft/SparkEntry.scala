@@ -142,6 +142,7 @@ object SparkEntry {
     "q33_sketch_bounds" -> (Relational.q33SketchBounds _),
     "q34_cms"           -> (Relational.q34Cms _),
     "q35_stream_cms"    -> (StreamQueries.q35StreamCms _),
+    "q36_range_join"    -> (Relational.q36RangeJoin _),
   )
 
   /** q32_hilbert oracle: the 10 reflect+swap stages of the Hilbert
@@ -242,6 +243,16 @@ object SparkEntry {
         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE source END AS source,
         |  (doc_id % 50 = 0) AS quarantined
         |FROM documents ORDER BY id""".stripMargin,
+    // the oracle is the naive theta-join the operator exists to avoid:
+    // same pairs, same multi-match rows, any bucketWidth
+    "q36_range_join" ->
+      """WITH iv AS (
+        |  SELECT DISTINCT user_id AS iv_user, user_id * 40 AS s,
+        |    user_id * 40 + 60 AS e
+        |  FROM events)
+        |SELECT e.event_id, iv.iv_user, iv.s, iv.e
+        |FROM events e JOIN iv ON e.event_id >= iv.s AND e.event_id < iv.e
+        |ORDER BY event_id, iv_user""".stripMargin,
     // merged-footer read pinned semantically: v1 rows (even ids, file
     // written WITHOUT source) must surface source as NULL; v2 rows keep
     // their values — evolution lost nothing, invented nothing

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch point-in-interval RANGE JOIN — the lookup shape behind
+  * time-validity dimension joins, IP-range geolocation, and
+  * session-window attribution. Vanilla Spark plans a non-equi join as
+  * a broadcast nested loop (or a cartesian when neither side fits),
+  * which is |P|·|I| work — the classic scale-killer; engines with
+  * native range joins (and the reference, which has none either) solve
+  * it with binning. This is that binning, declaratively:
+  *
+  *   1. each interval [start, end) explodes into the fixed-width
+  *      buckets it covers (⌈len/bucketWidth⌉+1 rows per interval);
+  *   2. each point maps to its single bucket;
+  *   3. buckets EQUI-join (hash-partitioned — never a nested loop),
+  *      then the exact `start ≤ p < end` predicate refines.
+  *
+  * Correct for ANY overlap structure (a point landing in k intervals
+  * emits k rows). `bucketWidth` is the cost knob: the join processes
+  * Σ(points-per-bucket × intervals-covering-bucket); size it near the
+  * TYPICAL interval length so most intervals explode to ~2 buckets —
+  * too fine multiplies the interval side, too coarse piles points
+  * into hot buckets. Degenerate inputs (end ≤ start) are dropped
+  * up-front (Spark's `sequence` would otherwise generate a DESCENDING
+  * bucket range — garbage rows the refine filter would kill, but paid
+  * for).
+  *
+  * Scale: both sides shuffle ONCE on the bucket; no broadcast
+  * required (Catalyst may still choose one when the exploded interval
+  * side is small — that is the right plan at that size). Long-tail
+  * giant intervals (an interval spanning ~everything) are bucket-count
+  * skew: split them upstream or route them through a broadcast leg.
+  *
+  * Column contract: `points` keeps all its columns; `intervals` keeps
+  * all its columns; names must not collide (standard join rule). */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, startCol: String, endCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "pointInInterval: bucketWidth must be positive")
+    val iv = intervals
+      .filter(col(endCol) > col(startCol)) // end-exclusive ⇒ empty otherwise
+      .withColumn("__bucket", explode(sequence(
+        floor(col(startCol) / bucketWidth).cast("long"),
+        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+    val pt = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    pt.join(iv, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

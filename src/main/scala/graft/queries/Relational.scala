@@ -384,6 +384,26 @@ object Relational {
         depth = 4, width = 256)
       .orderBy("rnk")
 
+  /** Bucketized range join under oracle: every event whose event_id
+    * lands in any user's synthetic validity interval
+    * [user_id·40, user_id·40 + 60) — overlapping intervals by
+    * construction, so multi-match rows exercise the k-intervals case.
+    * The plan must be [[graft.operators.RangeJoin.pointInInterval]]'s
+    * bucket EQUI-join (PlanSpec pins no-nested-loop under honest
+    * stats); the oracle is the naive θ-join, cheap at oracle scale. */
+  def q36RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val intervals = ev.select(col("user_id")).distinct()
+      .select(col("user_id").as("iv_user"),
+        (col("user_id") * 40).as("s"),
+        (col("user_id") * 40 + 60).as("e"))
+    graft.operators.RangeJoin.pointInInterval(
+        ev.select(col("event_id")), intervals,
+        "event_id", "s", "e", bucketWidth = 64)
+      .select(col("event_id"), col("iv_user"), col("s"), col("e"))
+      .orderBy("event_id", "iv_user")
+  }
+
   /** Hilbert-curve layout key over the same (user bucket, hour) pair as
     * q29_zorder — the locality-tighter clustering key (unit-step curve,
     * no Morton diagonal jumps); the oracle replays the 10 unrolled

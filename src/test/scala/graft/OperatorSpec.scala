@@ -364,6 +364,34 @@ class OperatorSpec extends SparkSpec {
     assert(fromRows == fromCounts)
   }
 
+  test("pointInInterval range join equals the naive theta-join on boundaries, overlaps, negatives") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(31)
+    val pts = (0 until 300).map(i => (i.toLong, (rnd.nextInt(400) - 100).toLong))
+    val ivs = (0 until 40).map { i =>
+      val s = (rnd.nextInt(400) - 120).toLong
+      val len = Seq(0L, 1L, 7L, 50L, 200L)(i % 5) // incl. EMPTY intervals
+      (1000L + i, s, s + len)
+    }
+    // ground truth in plain Scala: end-exclusive containment
+    val expected = (for {
+      (pid, p) <- pts
+      (iid, s, e) <- ivs
+      if p >= s && p < e
+    } yield (pid, iid)).toSet
+    // several bucket widths, incl. one larger than every interval and
+    // one smaller than the shortest non-empty one — results must be
+    // IDENTICAL (bucketWidth is a cost knob, never a semantics knob)
+    for (w <- Seq(1L, 8L, 64L, 1000L)) {
+      val got = RangeJoin.pointInInterval(
+          pts.toDF("pid", "p"), ivs.toDF("iid", "s", "e"),
+          "p", "s", "e", bucketWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"bucketWidth=$w")
+    }
+    assert(expected.nonEmpty) // the fixture actually exercises matches
+  }
+
   test("cosine LSH finds the true nearest neighbor on clustered vectors (recall vs brute force)") {
     val rnd = new scala.util.Random(7)
     val centroids = Seq(Array.fill(32)(rnd.nextFloat() * 2 - 1),

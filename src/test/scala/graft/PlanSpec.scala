@@ -351,6 +351,14 @@ class PlanSpec extends SparkSpec {
     val pc = plan("q34_cms")
     assert("HashAggregate".r.findAllIn(pc).size >= 2, "cms build must map-side combine")
     assert(pc.contains("BroadcastHashJoin"), "cms probe must join the broadcast sketch")
+    // q36_range_join: the whole point of the bucketized form is that a
+    // non-equi containment predicate becomes an EQUI-join on the
+    // bucket — a nested loop here is the |P|·|I| scale-killer the
+    // operator exists to avoid (under local stats a broadcast HASH
+    // join is fine: the equi key exists; NLJ is not)
+    val pr = plan("q36_range_join")
+    assert(!pr.contains("BroadcastNestedLoopJoin") && !pr.contains("CartesianProduct"),
+      pr.take(800))
   }
 
   test("partitioned parquet layout prunes partitions at the scan") {
