@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * Σ(points-per-bucket × intervals-covering-bucket); size it near the
   * TYPICAL interval length so most intervals explode to ~2 buckets —
   * too fine multiplies the interval side, too coarse piles points
-  * into hot buckets. Degenerate inputs (end ≤ start) are dropped
-  * up-front (Spark's `sequence` would otherwise generate a DESCENDING
-  * bucket range — garbage rows the refine filter would kill, but paid
-  * for).
+  * into hot buckets. Works on any numeric domain, integral OR
+  * fractional (the bucket range is [floor(start/w), floor(end/w)] —
+  * see the in-code note on why the top bucket must not be
+  * end−1-based). Degenerate inputs (end ≤ start) are dropped up-front
+  * (Spark's `sequence` would otherwise generate a DESCENDING bucket
+  * range — garbage rows the refine filter would kill, but paid for).
   *
   * Scale: both sides shuffle ONCE on the bucket; no broadcast
   * required (Catalyst may still choose one when the exploded interval
@@ -41,11 +43,21 @@ object RangeJoin {
                       pointCol: String, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "pointInInterval: bucketWidth must be positive")
+    require(!points.columns.contains("__bucket") &&
+      !intervals.columns.contains("__bucket"),
+      "pointInInterval: __bucket is reserved; rename the input column")
+    // top bucket is floor(end/w), NOT floor((end-1)/w): the latter is
+    // only right on integral domains (p < end ⇒ p ≤ end−1); on a
+    // fractional column a point in the interval's last partial bucket
+    // would never meet its interval in the equi-join and the match
+    // would be SILENTLY lost. The occasional extra bucket this
+    // generates (end on a bucket boundary) produces candidates the
+    // exact refine filter kills — a correctness-for-a-row trade.
     val iv = intervals
       .filter(col(endCol) > col(startCol)) // end-exclusive ⇒ empty otherwise
       .withColumn("__bucket", explode(sequence(
         floor(col(startCol) / bucketWidth).cast("long"),
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+        floor(col(endCol) / bucketWidth).cast("long"))))
     val pt = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     pt.join(iv, Seq("__bucket"))

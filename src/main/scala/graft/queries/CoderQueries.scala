@@ -199,18 +199,21 @@ object CoderQueries {
     * after the eager materialization. */
   def cSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft-evolve").toString
-    val docs = Tables(spark, dir).documents
-    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
-      .write.mode("overwrite").parquet(s"$stage/gen=v1")
-    docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), col("lang"), col("source"))
-      .write.mode("overwrite").parquet(s"$stage/gen=v2")
-    try
+    // the try opens BEFORE the staging writes: a failed write (disk
+    // full) must still reach the finally, or retries accumulate
+    // orphaned corpus copies in /tmp
+    try {
+      val docs = Tables(spark, dir).documents
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$stage/gen=v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$stage/gen=v2")
       spark.read.option("mergeSchema", "true").parquet(stage)
         .select(col("doc_id"), col("lang"), col("source"), col("gen"))
         .orderBy("doc_id")
         .localCheckpoint(true)
-    finally
+    } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
   }
 

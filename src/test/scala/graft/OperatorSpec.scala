@@ -390,6 +390,18 @@ class OperatorSpec extends SparkSpec {
       assert(got == expected, s"bucketWidth=$w")
     }
     assert(expected.nonEmpty) // the fixture actually exercises matches
+    // FRACTIONAL domain: a point inside an interval's last partial
+    // bucket (10.2 in [9.0, 10.5) at width 1) sits in a bucket an
+    // end−1-based top bound would never generate — the review-found
+    // silent-miss case; also exercise fractional boundary exclusivity
+    val fpts = Seq((1L, 10.2), (2L, 10.5), (3L, 8.9999)).toDF("pid", "p")
+    val fivs = Seq((100L, 9.0, 10.5)).toDF("iid", "s", "e")
+    val fgot = RangeJoin.pointInInterval(fpts, fivs, "p", "s", "e", 1L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(fgot == Set((1L, 100L))) // 10.5 excluded (end), 8.9999 below start
+    // reserved internal column is rejected loudly, not clobbered
+    intercept[IllegalArgumentException](RangeJoin.pointInInterval(
+      fpts.withColumnRenamed("p", "__bucket"), fivs, "__bucket", "s", "e", 1L))
   }
 
   test("cosine LSH finds the true nearest neighbor on clustered vectors (recall vs brute force)") {

@@ -342,6 +342,15 @@ class PlanSpec extends SparkSpec {
       assert(pb2.contains("SortMergeJoin") || pb2.contains("ShuffledHashJoin"),
         "banded pairs must bucket-join under honest stats")
       assert(!pb2.contains("BroadcastNestedLoopJoin") && !pb2.contains("CartesianProduct"))
+      // q36_range_join under honest stats too: with broadcast
+      // impossible, the bucket equi-key must carry the join — a lost
+      // equi-key degrades to the |P|·|I| nested loop the operator
+      // exists to avoid, which the default-stats assert above would
+      // mask behind a trivially-fine BroadcastHashJoin
+      val pr2 = plan("q36_range_join")
+      assert(pr2.contains("SortMergeJoin") || pr2.contains("ShuffledHashJoin"),
+        "range join must bucket-join under honest stats")
+      assert(!pr2.contains("BroadcastNestedLoopJoin") && !pr2.contains("CartesianProduct"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     // q34_cms: the sketch build must partial-aggregate (map-side
     // combine collapses each partition to ≤ depth·width cells before
