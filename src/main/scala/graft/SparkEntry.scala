@@ -143,6 +143,7 @@ object SparkEntry {
     "q34_cms"           -> (Relational.q34Cms _),
     "q35_stream_cms"    -> (StreamQueries.q35StreamCms _),
     "q36_range_join"    -> (Relational.q36RangeJoin _),
+    "q37_interval_join" -> (Relational.q37IntervalJoin _),
   )
 
   /** q32_hilbert oracle: the 10 reflect+swap stages of the Hilbert
@@ -253,6 +254,17 @@ object SparkEntry {
         |SELECT e.event_id, iv.iv_user, iv.s, iv.e
         |FROM events e JOIN iv ON e.event_id >= iv.s AND e.event_id < iv.e
         |ORDER BY event_id, iv_user""".stripMargin,
+    // the oracle is the naive θ-join the overlap operator exists to
+    // avoid: same pairs (incl. multi-overlap rows), any bucketWidth
+    "q37_interval_join" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |l AS (SELECT user_id AS l_user, user_id * 50 AS ls,
+        |  user_id * 50 + 80 AS le FROM u),
+        |r AS (SELECT user_id AS r_user, user_id * 30 + 15 AS rs,
+        |  user_id * 30 + 95 AS re FROM u)
+        |SELECT l_user, ls, le, r_user, rs, re
+        |FROM l JOIN r ON ls < re AND rs < le
+        |ORDER BY l_user, r_user""".stripMargin,
     // merged-footer read pinned semantically: v1 rows (even ids, file
     // written WITHOUT source) must surface source as NULL; v2 rows keep
     // their values — evolution lost nothing, invented nothing

@@ -1,67 +1,157 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Batch point-in-interval RANGE JOIN — the lookup shape behind
-  * time-validity dimension joins, IP-range geolocation, and
-  * session-window attribution. Vanilla Spark plans a non-equi join as
-  * a broadcast nested loop (or a cartesian when neither side fits),
-  * which is |P|·|I| work — the classic scale-killer; engines with
+/** Batch RANGE JOINS — point-in-interval lookup and interval-interval
+  * overlap, the two shapes behind time-validity dimension joins,
+  * IP-range geolocation, session-window attribution and
+  * session-overlap analysis. Vanilla Spark plans a non-equi join as a
+  * broadcast nested loop (or a cartesian when neither side fits),
+  * which is |L|·|R| work — the classic scale-killer; engines with
   * native range joins (and the reference, which has none either) solve
   * it with binning. This is that binning, declaratively:
   *
   *   1. each interval [start, end) explodes into the fixed-width
   *      buckets it covers (⌈len/bucketWidth⌉+1 rows per interval);
-  *   2. each point maps to its single bucket;
+  *   2. a point maps to its single bucket (for the overlap join, the
+  *      other side explodes the same way);
   *   3. buckets EQUI-join (hash-partitioned — never a nested loop),
-  *      then the exact `start ≤ p < end` predicate refines.
+  *      then the exact range predicate refines.
   *
   * Correct for ANY overlap structure (a point landing in k intervals
-  * emits k rows). `bucketWidth` is the cost knob: the join processes
-  * Σ(points-per-bucket × intervals-covering-bucket); size it near the
+  * emits k rows; two interval sets emit one row per overlapping pair).
+  * `bucketWidth` is the cost knob: the join processes
+  * Σ(rows-per-bucket × rows-per-bucket) per bucket; size it near the
   * TYPICAL interval length so most intervals explode to ~2 buckets —
-  * too fine multiplies the interval side, too coarse piles points
-  * into hot buckets. Works on any numeric domain, integral OR
-  * fractional (the bucket range is [floor(start/w), floor(end/w)] —
-  * see the in-code note on why the top bucket must not be
-  * end−1-based). Degenerate inputs (end ≤ start) are dropped up-front
-  * (Spark's `sequence` would otherwise generate a DESCENDING bucket
-  * range — garbage rows the refine filter would kill, but paid for).
+  * too fine multiplies the interval side, too coarse piles rows into
+  * hot buckets. Works on any numeric domain, integral OR fractional
+  * (the bucket range is [floor(start/w), floor(end/w)] — see the
+  * in-code note on why the top bucket must not be end−1-based).
+  * Degenerate inputs (end ≤ start) are dropped up-front (Spark's
+  * `sequence` would otherwise generate a DESCENDING bucket range —
+  * garbage rows the refine filter would kill, but paid for).
   *
-  * Scale: both sides shuffle ONCE on the bucket; no broadcast
-  * required (Catalyst may still choose one when the exploded interval
-  * side is small — that is the right plan at that size). Long-tail
-  * giant intervals (an interval spanning ~everything) are bucket-count
-  * skew: split them upstream or route them through a broadcast leg.
+  * GIANT-INTERVAL SKEW is enforced by the operators themselves, not
+  * trusted to the caller (r11 verdict item #3): an interval covering
+  * more than `maxBucketsPerInterval` buckets (an adversarial
+  * domain-spanning validity row, a mis-sized bucketWidth) would (a)
+  * multiply into that many exploded rows — one hot row becomes a
+  * full-corpus multiplier, and (b) past Spark's `sequence` length cap
+  * (2^31 elements) kill the job with a runtime exception outright.
+  * Such intervals are split off by a plan-side predicate and routed
+  * through a BROADCAST leg (explicit hint — it survives honest
+  * statistics) that joins on the raw range predicate: they are few by
+  * construction (they ARE the skew; if many intervals are "giant",
+  * bucketWidth is mis-sized — raise it), so the nested-loop leg is
+  * tiny-side-broadcast × one corpus pass, and the bucket leg keeps its
+  * bounded fan-out invariant. The legs are disjoint (an interval is
+  * exactly one of small/giant), so the union is exactly the full
+  * result with no dedup.
   *
-  * Column contract: `points` keeps all its columns; `intervals` keeps
-  * all its columns; names must not collide (standard join rule). */
+  * Scale: the bucket leg shuffles each side ONCE on the bucket; no
+  * broadcast required (Catalyst may still choose one when the exploded
+  * interval side is small — that is the right plan at that size). The
+  * overlap join emits each pair exactly once BY CONSTRUCTION (a pair
+  * co-covering k buckets is kept only in the first common bucket,
+  * `max(floor(lStart/w), floor(rStart/w))` — both sides provably cover
+  * it when the intervals overlap), never by a `.distinct()` over the
+  * pair stream.
+  *
+  * Column contract: both inputs keep all their columns; names must not
+  * collide (standard join rule). */
 object RangeJoin {
+
+  /** Buckets covered by [s, e): floor(s/w) … floor(e/w) inclusive.
+    * The top bucket is floor(end/w), NOT floor((end-1)/w): the latter
+    * is only right on integral domains (p < end ⇒ p ≤ end−1); on a
+    * fractional column a point in the interval's last partial bucket
+    * would never meet its interval in the equi-join and the match
+    * would be SILENTLY lost. The occasional extra bucket this
+    * generates (end on a bucket boundary) produces candidates the
+    * exact refine filter kills — a correctness-for-a-row trade. */
+  private def bucketLo(c: Column, w: Long): Column =
+    floor(c / w).cast("long")
+
+  private def explodeBuckets(df: DataFrame, startCol: String, endCol: String,
+                             w: Long): DataFrame =
+    df.withColumn("__bucket", explode(sequence(
+      bucketLo(col(startCol), w), bucketLo(col(endCol), w))))
+
+  /** bucket-count of an interval, used to split small vs giant. */
+  private def nBuckets(startCol: String, endCol: String, w: Long): Column =
+    bucketLo(col(endCol), w) - bucketLo(col(startCol), w) + 1L
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, startCol: String, endCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, "pointInInterval: bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0,
+      "pointInInterval: maxBucketsPerInterval must be positive")
     require(!points.columns.contains("__bucket") &&
       !intervals.columns.contains("__bucket"),
       "pointInInterval: __bucket is reserved; rename the input column")
-    // top bucket is floor(end/w), NOT floor((end-1)/w): the latter is
-    // only right on integral domains (p < end ⇒ p ≤ end−1); on a
-    // fractional column a point in the interval's last partial bucket
-    // would never meet its interval in the equi-join and the match
-    // would be SILENTLY lost. The occasional extra bucket this
-    // generates (end on a bucket boundary) produces candidates the
-    // exact refine filter kills — a correctness-for-a-row trade.
-    val iv = intervals
-      .filter(col(endCol) > col(startCol)) // end-exclusive ⇒ empty otherwise
-      .withColumn("__bucket", explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        floor(col(endCol) / bucketWidth).cast("long"))))
+    val live = intervals.filter(col(endCol) > col(startCol)) // end-exclusive
+    val isGiant = nBuckets(startCol, endCol, bucketWidth) > maxBucketsPerInterval
+    val iv = explodeBuckets(live.filter(!isGiant), startCol, endCol, bucketWidth)
     val pt = points.withColumn("__bucket",
-      floor(col(pointCol) / bucketWidth).cast("long"))
-    pt.join(iv, Seq("__bucket"))
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
-      .drop("__bucket")
+      bucketLo(col(pointCol), bucketWidth))
+    val contains = col(pointCol) >= col(startCol) && col(pointCol) < col(endCol)
+    val outCols = (points.columns ++ intervals.columns).map(col).toSeq
+    val bucketLeg = pt.join(iv, Seq("__bucket")).filter(contains)
+      .select(outCols: _*)
+    // overflow leg: the few domain-spanning intervals broadcast whole
+    // (hint, so honest stats can't demote it) and nested-loop against
+    // the points — |points| × |giant| with |giant| tiny by construction
+    val giantLeg = points.join(broadcast(live.filter(isGiant)), contains)
+      .select(outCols: _*)
+    bucketLeg.unionAll(giantLeg)
+  }
+
+  /** Interval-interval OVERLAP join: one row per pair ([a,b) × [c,d))
+    * with a < d && c < b — the other half of the time-validity /
+    * session-attribution family (r11 verdict item #2). Same binning,
+    * both sides exploded; see the object Scaladoc for the exactly-once
+    * first-common-bucket rule and the giant-interval broadcast legs. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lStartCol: String, lEndCol: String,
+                      rStartCol: String, rEndCol: String,
+                      bucketWidth: Long,
+                      maxBucketsPerInterval: Long = 4096L): DataFrame = {
+    require(bucketWidth > 0, "intervalOverlap: bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0,
+      "intervalOverlap: maxBucketsPerInterval must be positive")
+    require(!left.columns.contains("__bucket") &&
+      !right.columns.contains("__bucket"),
+      "intervalOverlap: __bucket is reserved; rename the input column")
+    val l = left.filter(col(lEndCol) > col(lStartCol))
+    val r = right.filter(col(rEndCol) > col(rStartCol))
+    val lGiant = nBuckets(lStartCol, lEndCol, bucketWidth) > maxBucketsPerInterval
+    val rGiant = nBuckets(rStartCol, rEndCol, bucketWidth) > maxBucketsPerInterval
+    val overlaps = col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol)
+    val outCols = (left.columns ++ right.columns).map(col).toSeq
+    // bucket leg: small × small. Exactly-once: the pair is kept only
+    // in its first COMMON bucket, max(floor(lStart/w), floor(rStart/w))
+    // — each side covers its own start bucket, and overlap (lStart <
+    // rEnd, rStart < lEnd) puts the other side's start bucket inside
+    // this side's covered range, so both sides provably generated that
+    // bucket row: no pair is lost, none duplicated, no distinct.
+    val lb = explodeBuckets(l.filter(!lGiant), lStartCol, lEndCol, bucketWidth)
+    val rb = explodeBuckets(r.filter(!rGiant), rStartCol, rEndCol, bucketWidth)
+      .withColumnRenamed("__bucket", "__bucket_r")
+    val firstCommon = greatest(bucketLo(col(lStartCol), bucketWidth),
+      bucketLo(col(rStartCol), bucketWidth))
+    val bucketLeg = lb.join(rb, col("__bucket") === col("__bucket_r"))
+      .filter(overlaps && col("__bucket") === firstCommon)
+      .select(outCols: _*)
+    // overflow legs, disjoint by construction: giant-left × ALL right,
+    // then small-left × giant-right — each giant side broadcast whole
+    val glLeg = l.filter(lGiant)
+    val grLeg = r.filter(rGiant)
+    val giantL = r.join(broadcast(glLeg), overlaps).select(outCols: _*)
+    val giantR = l.filter(!lGiant).join(broadcast(grLeg), overlaps)
+      .select(outCols: _*)
+    bucketLeg.unionAll(giantL).unionAll(giantR)
   }
 }

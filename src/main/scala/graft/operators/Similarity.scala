@@ -851,9 +851,20 @@ object Similarity {
     * keys). Fewer, wider bands trade recall (above the pigeonhole
     * bound) for selectivity. Residual SKEW is the real-world risk
     * (e.g. the all-zeros band of near-sparse vectors) — `maxBucket`
-    * drops buckets above a frequency cap via a broadcast anti-join,
-    * the standard df-cap trade (documented recall loss on hot buckets)
-    * also used by [[Dedup.winnowPairs]].
+    * drops buckets above a frequency cap, the standard df-cap trade
+    * (documented recall loss on hot buckets) also used by
+    * [[Dedup.winnowPairs]]. The hot set is collected to the driver
+    * (it is tiny by construction — hot buckets ARE the skew) and
+    * applied as a literal filter, so the cap costs one count pass and
+    * zero extra exchanges; passing `maxBucket` therefore triggers that
+    * one eager Spark job at plan-build time.
+    *
+    * Output is exactly-once per pair BY CONSTRUCTION (first-surviving-
+    * matching-band emission — see the in-code note), not by a
+    * `distinct()` over the pair stream: at 100 TB with near-dup-heavy
+    * corpora the candidate-pair stream is the largest intermediate in
+    * the job, and shuffling it once more just to dedup band collisions
+    * was the old form's scale ceiling (r11 verdict item #1).
     *
     * Constraints: `bands` divides `dim`; band width `dim/bands` must
     * divide the 32-bit word (no band straddles a signature word). */
@@ -879,21 +890,53 @@ object Similarity {
     val banded = sigs
       .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.bv").as("bv"))
-    val capped = maxBucket match {
+    // hot buckets are FEW by construction (they're the skew): the set
+    // fits on the driver like the k×dim codebook collects do, which is
+    // what lets both the cap filter and the first-band rule below stay
+    // literal predicates — no broadcast exchange at all. Encoded as
+    // band<<32 | value (band values are < 2^32 by the bandBits bound).
+    val hotSet: Seq[java.lang.Long] = maxBucket match {
       case Some(cap) =>
-        // hot buckets are FEW by construction (they're the skew) —
-        // broadcast anti-join, same shape as the winnow df-cap
-        val hot = banded.groupBy("band", "bv").agg(count(lit(1)).as("__c"))
+        banded.groupBy("band", "bv").agg(count(lit(1)).as("__c"))
           .filter(col("__c") > cap).select("band", "bv")
-        banded.join(broadcast(hot), Seq("band", "bv"), "left_anti")
-      case None => banded
+          .collect().map(r => Long.box((r.getInt(0).toLong << 32) | r.getLong(1)))
+          .toSeq.sorted
+      case None => Seq.empty
     }
+    def notHot(j: Int, bv: Column): Column =
+      if (hotSet.isEmpty) lit(true)
+      else !lit(j.toLong << 32).bitwiseOR(bv).isin(hotSet: _*)
+    val capped =
+      if (hotSet.isEmpty) banded
+      else banded.filter(
+        !shiftleft(col("band").cast("long"), 32).bitwiseOR(col("bv"))
+          .isin(hotSet: _*))
+    // a pair agreeing in k bands would be emitted k times by the bucket
+    // join; instead of deduping the full pair stream with a shuffle
+    // (`.distinct()` — at near-dup-heavy corpora the pair stream is the
+    // job's largest intermediate), each pair is emitted ONLY from its
+    // FIRST surviving matching band: recompute every band value on both
+    // sides post-join (static shifts — `bands` is a plan-time constant)
+    // and keep the row iff this band is the least j where the values
+    // agree and bucket (j, value) was not dropped by the cap. Output is
+    // exactly-once BY CONSTRUCTION — no aggregate, no dedup exchange —
+    // and identical to the distinct-based form (gate-hash-pinned).
+    def bandValOf(sig: Column, j: Int): Column = {
+      val w = (j * bandBits) / 32
+      val sh = (j * bandBits) % 32
+      shiftrightunsigned(element_at(sig, w + 1), sh).bitwiseAND(lit(mask))
+    }
+    val firstMatchingBand = least((0 until bands).map { j =>
+      val av = bandValOf(col("a.sig"), j)
+      when(av === bandValOf(col("b.sig"), j) && notHot(j, av), lit(j))
+        .otherwise(lit(bands))
+    }: _*)
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.id") < col("b.id"))
+      .filter(col("a.band") === firstMatchingBand)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDist(col("a.sig"), col("b.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 }

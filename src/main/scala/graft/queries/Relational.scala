@@ -404,6 +404,27 @@ object Relational {
       .orderBy("event_id", "iv_user")
   }
 
+  /** Interval-interval overlap join under oracle: two synthetic
+    * per-user validity-interval sets with different spacings, so every
+    * left interval overlaps several right ones (multi-overlap rows by
+    * construction) and neighboring intervals on the SAME side overlap
+    * too. The plan must be [[graft.operators.RangeJoin.intervalOverlap]]'s
+    * bucket EQUI-join with exactly-once first-common-bucket emission
+    * (PlanSpec pins no-NLJ-beyond-the-overflow-leg under honest
+    * stats); the oracle is the naive θ-join, cheap at oracle scale
+    * (|users|² ≈ 2.2M comparisons at sf0.1). bucketWidth 64 ≈ the
+    * typical interval length — the documented sizing rule. */
+  def q37IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables(spark, dir).events.select(col("user_id")).distinct()
+    val left = u.select(col("user_id").as("l_user"),
+      (col("user_id") * 50).as("ls"), (col("user_id") * 50 + 80).as("le"))
+    val right = u.select(col("user_id").as("r_user"),
+      (col("user_id") * 30 + 15).as("rs"), (col("user_id") * 30 + 95).as("re"))
+    graft.operators.RangeJoin.intervalOverlap(left, right,
+        "ls", "le", "rs", "re", bucketWidth = 64)
+      .orderBy("l_user", "r_user")
+  }
+
   /** Hilbert-curve layout key over the same (user bucket, hour) pair as
     * q29_zorder — the locality-tighter clustering key (unit-step curve,
     * no Morton diagonal jumps); the oracle replays the 10 unrolled

@@ -323,10 +323,24 @@ class OperatorSpec extends SparkSpec {
     // the clones differ from each other by the symmetric difference of
     // their flip sets ({0,1,17,33,55,63} — 40 cancels): 6 bits
     assert(banded.contains((100L, 101L, 6L)))
-    // a hot-bucket cap only ever removes pairs, never invents them
-    val capped = Similarity.hammingBandedPairs(vecs, dim = 64,
+    // EXACTLY-ONCE emission (not just set equality): an identical
+    // clone matches vec 3 in all 8 bands — with the old distinct-based
+    // form it was generated 8 times then deduped; the first-matching-
+    // band rule must emit it (and every other pair) exactly once
+    val withClone = (base ++ Seq((200L, base(3)._2))).toDF("vec_id", "embedding")
+    val emitted = Similarity.hammingBandedPairs(withClone, dim = 64,
+        maxHamming = 7, bands = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(emitted.length == emitted.toSet.size, "a pair was emitted twice")
+    assert(emitted.contains((3L, 200L, 0L)))
+    // a hot-bucket cap only ever removes pairs, never invents them —
+    // and under the cap the survivors are STILL exactly-once and
+    // exactly the pairs matching in >= 1 surviving (non-hot) band
+    val cappedRows = Similarity.hammingBandedPairs(vecs, dim = 64,
         maxHamming = 7, bands = 8, maxBucket = Some(1L))
-      .as[(Long, Long, Long)].collect().toSet
+      .as[(Long, Long, Long)].collect()
+    val capped = cappedRows.toSet
+    assert(cappedRows.length == capped.size)
     assert(capped.subsetOf(banded))
     // constraint checks: band count must divide dim, width must divide
     // the 32-bit signature word
@@ -402,6 +416,63 @@ class OperatorSpec extends SparkSpec {
     // reserved internal column is rejected loudly, not clobbered
     intercept[IllegalArgumentException](RangeJoin.pointInInterval(
       fpts.withColumnRenamed("p", "__bucket"), fivs, "__bucket", "s", "e", 1L))
+    // ADVERSARIAL skew fixture: a domain-spanning interval that would
+    // explode into ~10^18/w buckets if the operator trusted the caller
+    // (r11 item #3) — the cap must route it through the broadcast leg
+    // and the union of legs must equal the naive theta-join exactly
+    val advIvs = ivs ++ Seq((9999L, Long.MinValue / 4, Long.MaxValue / 4))
+    val advExpected = (for {
+      (pid, p) <- pts
+      (iid, s, e) <- advIvs
+      if p >= s && p < e
+    } yield (pid, iid)).toSet
+    for (cap <- Seq(1L, 16L, 4096L)) {
+      val got = RangeJoin.pointInInterval(
+          pts.toDF("pid", "p"), advIvs.toDF("iid", "s", "e"),
+          "p", "s", "e", bucketWidth = 8L, maxBucketsPerInterval = cap)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got == advExpected, s"cap=$cap")
+    }
+  }
+
+  test("intervalOverlap equals the naive theta-join, exactly-once, across widths, caps and empties") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(47)
+    val ls = (0 until 120).map { i =>
+      val s = (rnd.nextInt(500) - 150).toLong
+      val len = Seq(0L, 1L, 9L, 40L, 170L)(i % 5) // incl. EMPTY intervals
+      (i.toLong, s, s + len)
+    }
+    val rs = (0 until 90).map { i =>
+      val s = (rnd.nextInt(500) - 180).toLong
+      val len = Seq(0L, 2L, 13L, 75L, 300L)(i % 5)
+      (500L + i, s, s + len)
+    }
+    // ground truth: strict overlap of half-open intervals
+    val expected = (for {
+      (lid, a, b) <- ls; (rid, c, d) <- rs
+      if b > a && d > c && a < d && c < b
+    } yield (lid, rid)).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1L, 8L, 64L, 1000L); cap <- Seq(2L, 4096L)) {
+      val rows = RangeJoin.intervalOverlap(
+          ls.toDF("lid", "ls", "le"), rs.toDF("rid", "rs", "re"),
+          "ls", "le", "rs", "re", bucketWidth = w,
+          maxBucketsPerInterval = cap)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      // exactly-once BY CONSTRUCTION: no pair may appear twice even
+      // when the pair co-covers many buckets (no distinct in the plan)
+      assert(rows.length == rows.toSet.size, s"dup pair at w=$w cap=$cap")
+      assert(rows.toSet == expected, s"w=$w cap=$cap")
+    }
+    // fractional domain: overlap only via the last partial bucket
+    val fl = Seq((1L, 9.0, 10.5)).toDF("lid", "ls", "le")
+    val fr = Seq((2L, 10.2, 11.0), (3L, 10.5, 12.0)).toDF("rid", "rs", "re")
+    val fgot = RangeJoin.intervalOverlap(fl, fr, "ls", "le", "rs", "re", 1L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(fgot == Set((1L, 2L))) // [9,10.5) meets [10.2,11) but not [10.5,12)
+    intercept[IllegalArgumentException](RangeJoin.intervalOverlap(
+      fl.withColumnRenamed("ls", "__bucket"), fr, "__bucket", "le", "rs", "re", 1L))
   }
 
   test("cosine LSH finds the true nearest neighbor on clustered vectors (recall vs brute force)") {

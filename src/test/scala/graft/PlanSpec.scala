@@ -335,6 +335,14 @@ class PlanSpec extends SparkSpec {
     val pb = plan("s_hamming_banded")
     assert(!pb.contains("BroadcastNestedLoopJoin") && !pb.contains("CartesianProduct"),
       pb.take(800))
+    // exactly-once pair emission is BY CONSTRUCTION (first-matching-
+    // band filter), not a `.distinct()` over the candidate-pair stream
+    // — at 100 TB that stream is the job's largest intermediate and
+    // must never pay a dedup exchange: NO aggregate node of any kind
+    // may appear in the banded-pairs plan (r11 verdict item #1)
+    assert(!pb.contains("HashAggregate") && !pb.contains("SortAggregate") &&
+      !pb.contains("ObjectHashAggregate"),
+      "banded pairs must not dedup/aggregate the pair stream")
     val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -350,7 +358,22 @@ class PlanSpec extends SparkSpec {
       val pr2 = plan("q36_range_join")
       assert(pr2.contains("SortMergeJoin") || pr2.contains("ShuffledHashJoin"),
         "range join must bucket-join under honest stats")
-      assert(!pr2.contains("BroadcastNestedLoopJoin") && !pr2.contains("CartesianProduct"))
+      // the ONLY nested loop allowed is the giant-interval overflow
+      // leg, whose build side is broadcast by explicit hint (so honest
+      // stats can't demote it to a shuffled cartesian) — r11 item #3
+      // (formatted explain names each node twice: tree + detail block)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(pr2).size == 2,
+        "exactly the one overflow-leg node may nested-loop, broadcast-side")
+      assert(!pr2.contains("CartesianProduct"))
+      // q37_interval_join under honest stats: the small×small pair
+      // stream must come from the bucket EQUI-join; the only nested
+      // loops are the two broadcast-hinted giant-interval overflow
+      // legs (empty at q37's widths; 2 nodes × 2 mentions each)
+      val p37 = plan("q37_interval_join")
+      assert(p37.contains("SortMergeJoin") || p37.contains("ShuffledHashJoin"),
+        "interval overlap must bucket-join under honest stats")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p37).size <= 4 &&
+        !p37.contains("CartesianProduct"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     // q34_cms: the sketch build must partial-aggregate (map-side
     // combine collapses each partition to ≤ depth·width cells before
@@ -362,12 +385,13 @@ class PlanSpec extends SparkSpec {
     assert(pc.contains("BroadcastHashJoin"), "cms probe must join the broadcast sketch")
     // q36_range_join: the whole point of the bucketized form is that a
     // non-equi containment predicate becomes an EQUI-join on the
-    // bucket — a nested loop here is the |P|·|I| scale-killer the
-    // operator exists to avoid (under local stats a broadcast HASH
-    // join is fine: the equi key exists; NLJ is not)
+    // bucket — a nested loop over the DATA is the |P|·|I| scale-killer
+    // the operator exists to avoid. The single permitted
+    // BroadcastNestedLoopJoin is the giant-interval overflow leg
+    // (broadcast-hinted, empty at q36's interval widths)
     val pr = plan("q36_range_join")
-    assert(!pr.contains("BroadcastNestedLoopJoin") && !pr.contains("CartesianProduct"),
-      pr.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pr).size <= 2 &&
+      !pr.contains("CartesianProduct"), pr.take(800))
   }
 
   test("partitioned parquet layout prunes partitions at the scan") {
