@@ -1,20 +1,35 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing (north star): media as opaque `BINARY`
-  * columns + typed metadata, with decode/feature-extract implemented as
-  * batched per-partition transforms — the Scala analogue of a
-  * mapInPandas pipeline: one iterator pass per partition, batch-shaped,
-  * no per-row driver involvement.
+/** Multimodal columns (north star): media as opaque `BINARY` columns +
+  * typed metadata, with decode / feature-extract / resize implemented
+  * as batched per-partition transforms — the Scala analogue of a
+  * mapInPandas pipeline: one iterator pass per partition, one
+  * decoder/codec instance per task, batch-shaped, no per-row driver
+  * involvement (ref capability lineage: the binary content column of
+  * `file.Reader`, `io/file/reader.go:30-74`).
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries): [[StubDecoder]] derives deterministic fake dimensions from
-  * the byte content. The Spark-side plumbing — binary schema, partition
-  * batching, metadata struct, partition-parallel extraction — is real
-  * and tested; swap [[StubDecoder]] for a JNI/javacv decoder in
-  * production.
+  * The decode payload is REAL: `javax.imageio` ships in every JDK
+  * (PNG/GIF/BMP/JPEG readers and writers, zero external codecs), so
+  * width/height/frame-count/pixel statistics come from actually
+  * decoding the bytes — gate `mm_decode` pins the decoded channel sums
+  * of deterministically synthesized images exactly against a DuckDB
+  * re-derivation of the generator formulas, i.e. the full
+  * synthesize → encode → decode round trip is hash-gated. A production
+  * pipeline swaps the per-partition loop body for a vision codec /
+  * embedding model, keeping the iterator-batch shape.
+  *
+  * Scale: decode is the bottleneck at 100 TB, and it is embarrassingly
+  * parallel — partition count (not these operators) is the tuning
+  * knob; every operator here is one `mapPartitions` pass with no
+  * shuffle, no driver collect, and the non-decode columns (md5,
+  * byte_len) stay codegen'd expressions.
   */
 object MultiModal {
 
@@ -25,32 +40,153 @@ object MultiModal {
   private def nonNull(media: DataFrame, idCol: String, blobCol: String): DataFrame =
     media.filter(col(idCol).isNotNull && col(blobCol).isNotNull)
 
-  /** Typed metadata row produced per media blob. */
+  /** One decoded image: first frame + total frame count in the stream.
+    * `None` when no installed ImageIO reader recognizes the bytes —
+    * the BROKEN-BLOB case every crawl corpus has; callers surface it
+    * as sentinel dims (-1) or drop the row, never by failing the job. */
+  private[operators] def decodeFirstFrame(bytes: Array[Byte]): Option[(BufferedImage, Int)] = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true) // allowSearch: count ALL frames
+          Some((r.read(0), n))
+        } catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Typed metadata row produced per media blob. Undecodable blobs get
+    * width = height = -1, n_frames = 0 (sentinels, not NULL — the row
+    * survives so broken-blob rates are queryable downstream). */
   final case class MediaMeta(doc_id: Long, byte_len: Long, content_md5: String,
                              width: Int, height: Int, n_frames: Int)
 
-  /** STUB: deterministic fake decode — dimensions derived from byte
-    * length, frame count from the id. Replace with a real decoder; the
-    * signature (bytes in, dims out) is the production contract. */
-  object StubDecoder {
-    def decode(id: Long, bytes: Array[Byte]): (Int, Int, Int) = {
-      val len = bytes.length
-      (len % 640 + 1, (len * 7) % 480 + 1, (id % 24 + 1).toInt)
-    }
+  /** Extract metadata from a (id, blob) frame via per-partition
+    * batches, REALLY decoding the image header/frames with the JDK's
+    * ImageIO (PNG/GIF/BMP/JPEG). md5/byte-length stay codegen'd
+    * expressions; only the opaque decode leaves codegen, which is
+    * unavoidable for media. */
+  def extractMeta(media: DataFrame, idCol: String = "doc_id",
+                  blobCol: String = "content"): DataFrame = {
+    val withHash = nonNull(media, idCol, blobCol).select(
+      col(idCol).cast("long").as("doc_id"),
+      col(blobCol).as("content"),
+      length(col(blobCol)).cast("long").as("byte_len"),
+      md5(col(blobCol)).as("content_md5"))
+    val ds: Dataset[MediaMeta] = withHash
+      .as(Encoders.product[(Long, Array[Byte], Long, String)])
+      .mapPartitions { it =>
+        // one decoder per partition ≙ one model/codec instance per task
+        it.map { case (id, bytes, len, hash) =>
+          decodeFirstFrame(bytes) match {
+            case Some((img, n)) => MediaMeta(id, len, hash, img.getWidth, img.getHeight, n)
+            case None           => MediaMeta(id, len, hash, -1, -1, 0)
+          }
+        }
+      }(Encoders.product[MediaMeta])
+    ds.toDF()
   }
 
-  /** Typed feature row: fixed-width byte-distribution histogram — the
-    * feature-extract step of a media pipeline (embedding-model stand-in;
-    * same batch shape as a real encoder). */
+  /** Decoded pixel statistics: dims, frame count, and EXACT per-channel
+    * integer sums over the first frame — the hash-gateable face of the
+    * decoder (floating-point means would be ulp-fragile; integer sums
+    * are exact). Undecodable → sentinel dims, zero sums. */
+  final case class MediaStats(doc_id: Long, width: Int, height: Int,
+                              n_frames: Int, n_px: Long,
+                              sum_r: Long, sum_g: Long, sum_b: Long)
+
+  def decodeStats(media: DataFrame, idCol: String = "doc_id",
+                  blobCol: String = "content"): DataFrame = {
+    val ds = nonNull(media, idCol, blobCol)
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeFirstFrame(bytes) match {
+            case Some((img, n)) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              MediaStats(id, w, h, n, w.toLong * h, sr, sg, sb)
+            case None => MediaStats(id, -1, -1, 0, 0L, 0L, 0L, 0L)
+          }
+        }
+      }(Encoders.product[MediaStats])
+    ds.toDF()
+  }
+
+  /** Typed feature row: fixed-width feature vector per blob. */
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Double])
 
+  /** REAL downsampled image features: mean channel intensity over a
+    * `grid`×`grid` cell partition of the decoded first frame —
+    * 3·grid² dims, the classic tiny-thumbnail embedding stand-in, fed
+    * straight into [[Similarity]] / IVF indexing. Undecodable blobs
+    * are DROPPED (features of garbage bytes poison an ANN index;
+    * decode-failure rates are [[extractMeta]]'s job to surface). Cell
+    * means are exact rational sums / counts — deterministic across
+    * partitionings because each image is processed whole in one task. */
+  def decodeFeatures(media: DataFrame, grid: Int = 4,
+                     idCol: String = "doc_id",
+                     blobCol: String = "content"): DataFrame = {
+    require(grid > 0, "decodeFeatures: grid must be positive")
+    val ds = nonNull(media, idCol, blobCol)
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeFirstFrame(bytes).map { case (img, _) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = new Array[Double](3 * grid * grid)
+            val counts = new Array[Long](grid * grid)
+            var y = 0
+            while (y < h) {
+              val cy = math.min(y * grid / h, grid - 1)
+              var x = 0
+              while (x < w) {
+                val cx = math.min(x * grid / w, grid - 1)
+                val cell = cy * grid + cx
+                val p = img.getRGB(x, y)
+                sums(cell * 3) += (p >> 16) & 0xff
+                sums(cell * 3 + 1) += (p >> 8) & 0xff
+                sums(cell * 3 + 2) += p & 0xff
+                counts(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val feats = Array.tabulate(3 * grid * grid) { i =>
+              val c = counts(i / 3)
+              if (c == 0) 0.0 else sums(i) / c / 255.0
+            }
+            MediaFeatures(id, bytes.length.toLong, feats)
+          }
+        }
+      }(Encoders.product[MediaFeatures])
+    ds.toDF()
+  }
+
   /** Per-blob byte-distribution features (`bins`-bucket normalized
-    * histogram). The histogram itself is real (not stubbed) — it is the
-    * deterministic, library-free feature extractor; a production
-    * pipeline swaps the per-partition loop body for a vision/audio
-    * model, keeping the iterator-batch shape: one model instance per
-    * task, rows streamed through, output a fixed-width vector column
-    * ready for [[Similarity]] / IVF indexing. */
+    * histogram) — the format-agnostic companion to [[decodeFeatures]]
+    * for blobs that are NOT decodable images (audio, video containers,
+    * arbitrary binaries): a real, library-free signal (byte-histogram
+    * cosine is the classic cheap near-dup/filetype feature), same
+    * batch shape as a model-based extractor. */
   def extractFeatures(media: DataFrame, bins: Int = 16,
                       idCol: String = "doc_id",
                       blobCol: String = "content"): DataFrame = {
@@ -74,55 +210,112 @@ object MultiModal {
     ds.toDF()
   }
 
-  /** Resized-media row: target dims + the (stubbed) resized payload. */
+  /** Resized-media row: target dims + the re-encoded PNG payload. */
   final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                                 content: Array[Byte])
 
-  /** STUB resize, real plumbing: output schema, per-partition batching
-    * and payload threading are the production contract; the stub
-    * "resized" payload is a deterministic function of (content, dims)
-    * so downstream stages (write, dedup by md5, re-extract) are fully
-    * exercisable without image libraries. */
+  /** REAL resize: decode, scale to (width, height) with
+    * NEAREST-NEIGHBOR interpolation (integer pixel selection — the
+    * deterministic choice; bilinear would be ulp-dependent), re-encode
+    * as PNG (lossless, so a re-decode recovers the scaled pixels
+    * exactly). Undecodable blobs are DROPPED — a resize of garbage is
+    * garbage; [[extractMeta]] surfaces the failure rate. */
   def resize(media: DataFrame, width: Int, height: Int,
              idCol: String = "doc_id", blobCol: String = "content"): DataFrame = {
+    require(width > 0 && height > 0, "resize: target dims must be positive")
     val ds = nonNull(media, idCol, blobCol)
       .select(col(idCol).cast("long"), col(blobCol))
       .as(Encoders.product[(Long, Array[Byte])])
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          // deterministic stand-in payload: dims header + content digest
-          val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-          val out = java.nio.ByteBuffer.allocate(8 + digest.length)
-            .putInt(width).putInt(height).put(digest).array()
-          ResizedMedia(id, width, height, out)
+        it.flatMap { case (id, bytes) =>
+          decodeFirstFrame(bytes).map { case (img, _) =>
+            val out = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+              g.drawImage(img, 0, 0, width, height, null)
+            } finally g.dispose()
+            val baos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", baos)
+            ResizedMedia(id, width, height, baos.toByteArray)
+          }
         }
       }(Encoders.product[ResizedMedia])
     ds.toDF()
   }
 
-  /** Extract metadata from a (id, blob) frame via per-partition batches.
+  /** Deterministic image synthesis — the fixture generator behind the
+    * `mm_*` gates (and a handy test-image source generally): every id
+    * maps to a small image whose dims, format and pixels are pure
+    * integer functions of the id, so a DuckDB oracle can re-derive the
+    * DECODED statistics without any image library:
     *
-    * Scale: mapPartitions keeps one decoder instance per task and
-    * streams the partition through it — the decode is the bottleneck at
-    * 100 TB, so partition count (not this operator) is the tuning knob.
-    * The md5/byte-length columns stay codegen'd expressions; only the
-    * opaque decode leaves codegen, which is unavoidable for media. */
-  def extractMeta(media: DataFrame, idCol: String = "doc_id",
-                  blobCol: String = "content"): DataFrame = {
-    val withHash = nonNull(media, idCol, blobCol).select(
-      col(idCol).cast("long").as("doc_id"),
-      col(blobCol).as("content"),
-      length(col(blobCol)).cast("long").as("byte_len"),
-      md5(col(blobCol)).as("content_md5"))
-    val ds: Dataset[MediaMeta] = withHash
-      .as(Encoders.product[(Long, Array[Byte], Long, String)])
-      .mapPartitions { it =>
-        // one decoder per partition ≙ one model/codec instance per task
-        it.map { case (id, bytes, len, hash) =>
-          val (w, h, f) = StubDecoder.decode(id, bytes)
-          MediaMeta(id, len, hash, w, h, f)
+    *  - id % 5 != 0 → PNG, w = 8 + id%9, h = 6 + id%7, pixel (x,y) =
+    *    (r,g,b) = ((7x+13y+id)%256, (3x+5y+2id)%256, (x+11y+5id)%256);
+    *    PNG is lossless ⇒ decode recovers these exactly.
+    *  - id % 5 == 0 → animated GIF, same dims, 2 + id%3 identical
+    *    solid-gray frames of value id%256 (a single exact palette
+    *    entry ⇒ lossless through GIF's 256-color quantizer), so
+    *    multi-frame counting is exercised with exact pixel sums too.
+    */
+  final case class SyntheticImage(doc_id: Long, content: Array[Byte])
+
+  private[operators] def synthesizeOne(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (6 + id % 7).toInt
+    val baos = new ByteArrayOutputStream()
+    if (id % 5 != 0) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((7 * x + 13 * y + id) % 256).toInt
+          val g = ((3 * x + 5 * y + 2 * id) % 256).toInt
+          val b = ((x + 11 * y + 5 * id) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
         }
-      }(Encoders.product[MediaMeta])
+        y += 1
+      }
+      ImageIO.write(img, "png", baos)
+    } else {
+      val c = (id % 256).toInt
+      val frame = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gfx = frame.createGraphics()
+      try {
+        gfx.setColor(new java.awt.Color(c, c, c))
+        gfx.fillRect(0, 0, w, h)
+      } finally gfx.dispose()
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(frame), writer.getDefaultWriteParam)
+        var f = 0
+        val n = (2 + id % 3).toInt
+        while (f < n) {
+          writer.writeToSequence(new IIOImage(frame, null, meta), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+    }
+    baos.toByteArray
+  }
+
+  /** Synthesize one image per id row (see [[synthesizeOne]]'s formula
+    * contract). One mapPartitions pass; encoder instance per task. */
+  def synthesize(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val ds = ids.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map(id => SyntheticImage(id, synthesizeOne(id)))
+      }(Encoders.product[SyntheticImage])
     ds.toDF()
   }
 }

@@ -3,23 +3,82 @@ package graft
 import graft.operators.{MultiModal, Similarity}
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: opaque binary columns through per-partition
-  * batch transforms — decode-meta, feature-extract, resize, and the
-  * handoff into the similarity operators.
+/** Multimodal operators over opaque binary columns: REAL javax.imageio
+  * decode (PNG gradients, multi-frame GIFs), pixel-exact stats,
+  * downsampled features, real nearest-neighbor resize, and the handoff
+  * into the similarity operators. Fixtures come from the deterministic
+  * synthesize→encode path the mm_* gates also use, plus non-image
+  * bytes for the broken-blob contract.
   */
 class MultiModalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def blobs = Seq(
-    (1L, Array.fill[Byte](100)(0)),            // all zeros → one histogram bin
-    (2L, (0 until 256).map(_.toByte).toArray), // uniform over all bytes
-    (3L, "hello media".getBytes("UTF-8"))
-  ).toDF("doc_id", "content")
+  private def imageIds = Seq(1L, 2L, 5L, 7L, 10L, 23L).toDF("doc_id")
 
-  test("byte-histogram features: fixed width, normalized, deterministic") {
+  test("synthesize → decode round trip recovers the generator formulas exactly") {
+    val stats = MultiModal.decodeStats(MultiModal.synthesize(imageIds))
+      .orderBy("doc_id").collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((8 + id % 9).toInt, (6 + id % 7).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"dims of $id")
+      assert(r.getLong(4) == w.toLong * h)
+      if (id % 5 == 0) { // solid-gray animated GIF
+        assert(r.getInt(3) == (2 + id % 3).toInt, s"n_frames of GIF $id")
+        val exp = w.toLong * h * (id % 256)
+        assert(r.getLong(5) == exp && r.getLong(6) == exp && r.getLong(7) == exp)
+      } else { // PNG gradient: re-derive the channel sums in Scala
+        assert(r.getInt(3) == 1)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          sr += (7 * x + 13 * y + id) % 256
+          sg += (3 * x + 5 * y + 2 * id) % 256
+          sb += (x + 11 * y + 5 * id) % 256
+        }
+        assert((r.getLong(5), r.getLong(6), r.getLong(7)) == ((sr, sg, sb)), s"sums of $id")
+      }
+    }
+  }
+
+  test("extractMeta decodes dims/frames; undecodable blobs get sentinel dims, never kill the job") {
+    val mixed = MultiModal.synthesize(imageIds)
+      .unionAll(Seq((99L, "not an image".getBytes("UTF-8")))
+        .toDF("doc_id", "content"))
+    val meta = MultiModal.extractMeta(mixed).orderBy("doc_id").collect()
+    assert(meta.length == 7)
+    val bad = meta.last
+    assert(bad.getLong(0) == 99L && bad.getInt(3) == -1 &&
+      bad.getInt(4) == -1 && bad.getInt(5) == 0)
+    val png = meta.find(_.getLong(0) == 1L).get
+    assert(png.getInt(3) == 9 && png.getInt(4) == 7 && png.getInt(5) == 1)
+    val gif = meta.find(_.getLong(0) == 10L).get
+    assert(gif.getInt(5) == 3) // 2 + 10%3
+  }
+
+  test("decodeFeatures: real grid features, identical images at cosine 1, garbage dropped") {
+    val dup = Seq(40L, 45L).toDF("doc_id") // distinct ids, then same bytes
+    val sameBytes = MultiModal.synthesize(Seq(7L).toDF("doc_id"))
+      .select(col("content")).as[Array[Byte]].head()
+    val two = Seq((40L, sameBytes), (41L, sameBytes),
+      (42L, "garbage".getBytes("UTF-8"))).toDF("doc_id", "content")
+    val feats = MultiModal.decodeFeatures(two, grid = 3)
+    assert(feats.count() == 2) // garbage dropped, not sentinel-ed
+    val vecs = feats.select(col("doc_id").as("vec_id"),
+      col("features").cast("array<double>").as("embedding"))
+    val cos = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 40), vecs, k = 1)
+      .select("cos").head().getDouble(0)
+    assert(cos == 1.0)
+    assert(dup.count() == 2) // (keep the fixture honest)
+  }
+
+  test("byte-histogram features: fixed width, normalized, deterministic (non-image binaries)") {
+    val blobs = Seq(
+      (1L, Array.fill[Byte](100)(0)),            // all zeros → one histogram bin
+      (2L, (0 until 256).map(_.toByte).toArray)  // uniform over all bytes
+    ).toDF("doc_id", "content")
     val f = MultiModal.extractFeatures(blobs, bins = 16)
       .orderBy("doc_id").collect()
-    assert(f.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     val rows = f.map(_.getSeq[Double](2))
     assert(rows.forall(_.length == 16))
     rows.foreach(h => assert(math.abs(h.sum - 1.0) < 1e-9))
@@ -27,29 +86,22 @@ class MultiModalSpec extends SparkSpec {
     assert(rows(1).forall(v => math.abs(v - 1.0 / 16) < 1e-9)) // uniform
   }
 
-  test("features flow into the similarity operators (cosine of identical blobs = 1)") {
-    val dup = Seq((10L, "same bytes".getBytes("UTF-8")),
-      (11L, "same bytes".getBytes("UTF-8"))).toDF("doc_id", "content")
-    val feats = MultiModal.extractFeatures(dup, bins = 8)
-      .select(col("doc_id").as("vec_id"),
-        col("features").cast("array<double>").as("embedding"))
-    val cos = Similarity.bruteForceTopK(
-        feats.filter(col("vec_id") === 10), feats, k = 1)
-      .select("cos").head().getDouble(0)
-    assert(cos == 1.0)
-  }
-
-  test("resize stub keeps real plumbing: dims set, payload deterministic per (content, dims)") {
-    val r1 = MultiModal.resize(blobs, 224, 224).orderBy("doc_id").collect()
-    val r2 = MultiModal.resize(blobs, 224, 224).orderBy("doc_id").collect()
-    assert(r1.map(_.getInt(1)).forall(_ == 224))
+  test("resize really rescales: target dims decode back exactly, payload deterministic, garbage dropped") {
+    val mixed = MultiModal.synthesize(imageIds)
+      .unionAll(Seq((99L, "hello media".getBytes("UTF-8")))
+        .toDF("doc_id", "content"))
+    val r1 = MultiModal.resize(mixed, 5, 4).orderBy("doc_id").collect()
+    assert(r1.length == 6) // the text blob is dropped
+    assert(r1.forall(r => r.getInt(1) == 5 && r.getInt(2) == 4))
+    val r2 = MultiModal.resize(mixed, 5, 4).orderBy("doc_id").collect()
     assert(r1.zip(r2).forall { case (a, b) =>
       a.getAs[Array[Byte]](3).sameElements(b.getAs[Array[Byte]](3)) })
-    val other = MultiModal.resize(blobs, 64, 64).orderBy("doc_id").collect()
-    assert(!r1(0).getAs[Array[Byte]](3).sameElements(other(0).getAs[Array[Byte]](3)))
-    // downstream re-extract works on the resized payloads
+    // the resized payload is a REAL PNG: re-decoding it yields the
+    // target dims (the old stub's payload was not decodable at all)
     val meta = MultiModal.extractMeta(
-      MultiModal.resize(blobs, 64, 64).select(col("doc_id"), col("content")))
-    assert(meta.count() == 3)
+        MultiModal.resize(mixed, 5, 4).select(col("doc_id"), col("content")))
+      .select("doc_id", "width", "height", "n_frames").collect()
+    assert(meta.length == 6)
+    assert(meta.forall(r => r.getInt(1) == 5 && r.getInt(2) == 4 && r.getInt(3) == 1))
   }
 }
