@@ -39,10 +39,12 @@ object AnnIndex {
 
   /** The loaded index: driver-tiny trained artifacts + the lazy
     * cell-partitioned table (cand_id, code, embedding; partition column
-    * `cell`). */
+    * `cell`), plus the tombstone set ([[remove]]d ids awaiting a
+    * [[vacuum]] — `None` when the index has no tombstone table). */
   final case class Model(centroids: Seq[Array[Double]],
                          codebooks: Seq[Seq[Array[Double]]],
-                         table: DataFrame)
+                         table: DataFrame,
+                         tombstones: Option[DataFrame] = None)
 
   /** One-off corpus compaction under `indexDir`: `centroids/` and
     * `codebooks/` (long-form, driver-tiny), and `corpus/` — one row per
@@ -106,6 +108,49 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/corpus")
 
+  /** FAISS's `remove_ids` as tombstones: a curation pipeline that
+    * drops documents (dedup, decontamination) must evict their vectors
+    * WITHOUT rewriting cells — so deletion appends the ids to a
+    * `tombstones/` parquet (one pass over the BATCH of ids; standing
+    * cell files untouched — AnnIndexSpec pins the file-level
+    * contract) and [[queryBatch]] anti-joins them at query time. The
+    * tombstone set is broadcast-small relative to the index (it is a
+    * deletion batch, not a corpus); when deletions accumulate,
+    * [[vacuum]] folds them into the cell files and resets the set.
+    * Removing an id not in the index is a no-op; double-removing is
+    * idempotent (the anti-join doesn't care). Like FAISS, removed ids
+    * can be re-[[add]]ed only after a vacuum — before it, the
+    * tombstone would keep shadowing the re-added row. */
+  def remove(ids: DataFrame, indexDir: String,
+             idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("cand_id")).distinct()
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  /** Fold accumulated tombstones into the standing cell files: rewrite
+    * `corpus/` minus the tombstoned ids (staged + swapped, so a reader
+    * never sees a half-written table) and drop `tombstones/`. The ONE
+    * full-index pass deletions ever cost — amortized across all the
+    * [[remove]] calls since the last vacuum. */
+  def vacuum(spark: SparkSession, indexDir: String): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombPath.getFileSystem(hadoopConf)
+    if (!fs.exists(tombPath)) return
+    val tombs = spark.read.parquet(s"$indexDir/tombstones")
+      .select(col("cand_id")).distinct()
+    val staged = new org.apache.hadoop.fs.Path(s"$indexDir/corpus.compacting")
+    spark.read.parquet(s"$indexDir/corpus")
+      .join(broadcast(tombs), Seq("cand_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(staged.toString)
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/corpus")
+    fs.delete(live, true)
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(
+        s"vacuum: could not swap $staged into place")
+    fs.delete(tombPath, true)
+  }
+
   def load(spark: SparkSession, indexDir: String): Model = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select("cell", "pos", "val")
@@ -125,7 +170,13 @@ object AnnIndex {
         arr
       }
     }
-    Model(cents, cbs, spark.read.parquet(s"$indexDir/corpus"))
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs =
+      if (fs.exists(tombPath))
+        Some(spark.read.parquet(tombPath.toString).select("cand_id").distinct())
+      else None
+    Model(cents, cbs, spark.read.parquet(s"$indexDir/corpus"), tombs)
   }
 
   /** Top-k per query against the prebuilt index: probe `nprobe` cells,
@@ -150,7 +201,15 @@ object AnnIndex {
         col(vecCol).cast("array<double>").as("qv")),
       model.centroids, nprobe, "qv")
     val probed = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val pruned = model.table.filter(col("cell").isin(probed: _*))
+    val prunedAll = model.table.filter(col("cell").isin(probed: _*))
+    // tombstoned ids are evicted HERE — a broadcast anti-join on the
+    // pruned partitions (the tombstone set is a deletion batch, tiny
+    // vs the index), so both the ADC scan and the refine read the
+    // live rows only and no removed vector can surface in results
+    val pruned = model.tombstones match {
+      case Some(t) => prunedAll.join(broadcast(t), Seq("cand_id"), "left_anti")
+      case None    => prunedAll
+    }
     val enc = pruned.select(col("cand_id"), col("cell"), col("code"))
     graft.expressions.GraftFunctions.registerKnownSessions()
     val dist = call_function("graft_pq_adc", col("qv"), col("code"),

@@ -146,6 +146,52 @@ class AnnIndexSpec extends SparkSpec {
     assert(top.head == ((1L, 201L)), s"added vector must be the exact top-1: ${top.toSeq}")
   }
 
+  test("remove tombstones vectors without touching cell files; vacuum folds them in (FAISS remove_ids)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-rm").toString
+    corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+    AnnIndex.compact(corpus, s"$dir/index", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    def corpusFiles(): Map[String, Long] = {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/index/corpus"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p))).toMap
+    }
+    val before = corpusFiles()
+    // the exact top-1 of a cluster-0 query is the smallest-jitter
+    // member; tombstone it and the next member must take rank 1
+    val q = Seq((999L, member(bases(0), 7))).toDF("vec_id", "embedding")
+    val full = AnnIndex.load(spark, s"$dir/index")
+    val fullTop = AnnIndex.queryBatch(q, full, k = 3, nprobe = 1, shortlist = 8)
+      .select("rnk", "cand_id").as[(Long, Long)].collect().sortBy(_._1)
+    val victim = fullTop.head._2
+    AnnIndex.remove(Seq(victim).toDF("vec_id"), s"$dir/index")
+    AnnIndex.remove(Seq(victim).toDF("vec_id"), s"$dir/index") // idempotent
+    // file-level contract: deletion rewrote NOTHING under corpus/
+    val after = corpusFiles()
+    assert(after == before, "remove must not rewrite standing cell files")
+    val m2 = AnnIndex.load(spark, s"$dir/index")
+    assert(m2.tombstones.isDefined && m2.tombstones.get.count() == 1)
+    val top2 = AnnIndex.queryBatch(q, m2, k = 3, nprobe = 1, shortlist = 8)
+      .select("rnk", "cand_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(!top2.map(_._2).contains(victim), "removed id surfaced in results")
+    // ranks shift up: the previous rank-2 is the new rank-1
+    assert(top2.head == ((1L, fullTop(1)._2)), s"got ${top2.toSeq}")
+    // vacuum: one rewrite folds the tombstones into the cell files
+    AnnIndex.vacuum(spark, s"$dir/index")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/index/tombstones")))
+    val m3 = AnnIndex.load(spark, s"$dir/index")
+    assert(m3.tombstones.isEmpty)
+    assert(m3.table.count() == corpusRows.size - 1)
+    assert(m3.table.filter(col("cand_id") === victim).count() == 0)
+    val top3 = AnnIndex.queryBatch(q, m3, k = 3, nprobe = 1, shortlist = 8)
+      .select("rnk", "cand_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(top3.toSeq == top2.toSeq, "vacuum must not change answers")
+  }
+
   test("probing statically prunes partitions of the codes table (nprobe/cells scan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx-prune").toString
     corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
