@@ -117,12 +117,24 @@ object Bench {
     // window, and a log_first excerpt with multibyte characters would
     // otherwise pass the char check yet overflow the capture
     def bytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-    // ultimate rung: if even integer times overflow (the query corpus
-    // keeps growing), keep the SLOWEST n queries — the ones a perf
-    // reader actually needs — and say how many were dropped
-    // ("q_omitted"; the full map is always in BENCH_SELF.json). n
-    // descends in steps of 8 until the line fits; n=0 (just the total)
-    // always fits.
+    // positional rung: when named per-query maps can't fit (125+ names
+    // alone exceed the byte window), emit EVERY query at decisecond
+    // precision as a positional array — "qv" lists values in
+    // SORTED-NAME order (the exact key order of the "queries" map on
+    // the richer rungs, of CORRECTNESS_r{N}.json, and of
+    // BENCH_SELF.json), so per-query driver history covers the whole
+    // corpus instead of shedding the fastest queries (r11 artifact
+    // gap: 16 of 125 q_omitted). ~5 bytes/query: fits hundreds.
+    def lineQv = {
+      val vals = results.map { case (_, v) =>
+        if (v < 0) "-1" else math.round(v * 10).toString }
+      f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs,"q_omitted":0,"qv_unit":"ds","qv_order":"name-asc","qv":[${vals.mkString(",")}],"sf":"$sfName"}"""
+    }
+    // ultimate rung: if even the positional array overflows, keep the
+    // SLOWEST n queries — the ones a perf reader actually needs — and
+    // say how many were dropped ("q_omitted"; the full map is always
+    // in BENCH_SELF.json). n descends in steps of 8 until the line
+    // fits; n=0 (just the total) always fits.
     def lineTopAt(n: Int) = {
       val kept = results.sortBy { case (k, v) => (-v, k) }.take(n).sortBy(_._1)
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + jnum(v, 0) }
@@ -130,7 +142,7 @@ object Bench {
       f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs,"q_omitted":${results.size - n},"queries":$qs,"sf":"$sfName"}"""
     }
     val json = (Seq(lineAt(2, logFirstAt(80)), lineAt(1, logFirstAt(80)),
-        lineAt(1, ""), lineAt(0, "")) ++
+        lineAt(1, ""), lineAt(0, ""), lineQv) ++
         (results.size to 0 by -8).map(lineTopAt))
       .find(bytes(_) <= 1950).getOrElse(lineTopAt(0))
     // file copy first (reliable channel regardless of stdout state) —

@@ -47,7 +47,6 @@ object SparkEntry {
     "t_repetition"      -> (LlmOps.tRepetition _),
     "t_redact"          -> (LlmOps.tRedact _),
     "t_tokens_bpe"      -> (LlmOps.tTokensBpe _),
-    "t_tokens_bpe2"     -> (LlmOps.tTokensBpe2 _),
     "t_sample"          -> (LlmOps.tSample _),
     "t_pack"            -> (LlmOps.tPack _),
     "t_vocab"           -> (LlmOps.tVocab _),
@@ -106,12 +105,12 @@ object SparkEntry {
     "s_ann_index"       -> (LlmOps.sAnnIndex _),
     "s_ann_query"       -> (LlmOps.sAnnQuery _),
     "s_ann_add"         -> (LlmOps.sAnnAdd _),
+    "s_ann_remove"      -> (LlmOps.sAnnRemove _),
     "mm_meta"           -> (LlmOps.mmMeta _),
+    "mm_decode"         -> (LlmOps.mmDecode _),
     "mm_frames"         -> (LlmOps.mmFrames _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
     "c_gzip_roundtrip"  -> (CoderQueries.cGzipRoundtrip _),
-    "c_kv_roundtrip"    -> (CoderQueries.cKvRoundtrip _),
-    "c_url_parse"       -> (CoderQueries.cUrlParse _),
     "c_xml_roundtrip"   -> (CoderQueries.cXmlRoundtrip _),
     "c_xml_tree"        -> (CoderQueries.cXmlTree _),
     "c_avro_roundtrip"  -> (CoderQueries.cAvroRoundtrip _),
@@ -233,8 +232,13 @@ object SparkEntry {
         |  AND c.cell = ('0x' || substr(md5(t.i::varchar || '|' ||
         |    top.user_id::varchar), 1, 15))::bigint % 64
         |GROUP BY 1, 2, 3 ORDER BY rnk""".stripMargin,
+    // consolidated (r11 item #5): str identity + the planner's KV
+    // chain identity + url field extraction, all absorbed columns kept
     "c_str_roundtrip" ->
-      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+      """SELECT doc_id, text, text AS text_kv, 'file' AS proto,
+        |  '/corpus/' || source || '/' AS path,
+        |  doc_id || '.txt' AS name
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // quarantine semantics pinned WITHOUT comparing JSON text (each
     // engine serializes its own): mangled rows (doc_id % 50 = 0) must
     // be flagged with NULL fields, every other row round-trips
@@ -275,13 +279,6 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c_gzip_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
-    "c_kv_roundtrip" ->
-      "SELECT doc_id, text FROM documents ORDER BY doc_id",
-    "c_url_parse" ->
-      """SELECT doc_id, 'file' AS proto,
-        |  '/corpus/' || source || '/' AS path,
-        |  doc_id || '.txt' AS name
-        |FROM documents ORDER BY doc_id""".stripMargin,
     "c_xml_roundtrip" ->
       "SELECT doc_id AS id, source AS name FROM documents ORDER BY id",
     // the Spark side derives every field by schema-less tree navigation

@@ -90,7 +90,18 @@ object Sketches {
     * builds: because the cells table is a plain ADDITIVE groupBy-count,
     * the identical plan runs as a streaming aggregation whose state IS
     * the sketch, merged across micro-batches by the engine (gate
-    * `q35_stream_cms` pins stream-built == batch-built). */
+    * `q35_stream_cms` pins stream-built == batch-built).
+    *
+    * NULL-KEY CONVENTION (across the cms* family): NULL keys are NOT
+    * counted — `cmsCell`'s concat yields a NULL cell, so NULL-keyed
+    * rows update no cell. Downstream: [[cmsEstimate]] still emits a
+    * row for a NULL probe key, with estimate 0 (the left join's
+    * coalesce — an UNDERESTIMATE if the corpus had NULL keys, the one
+    * key the no-underestimate guarantee doesn't cover); [[cmsVerified]]
+    * DROPS a NULL key from its top-N output entirely (the exact↔est
+    * equi-join never matches on NULL). Same convention as
+    * [[verifiedHeavyHitters]]; pre-coalesce NULLs to a sentinel key
+    * upstream if they must be tracked. */
   def cmsCells(df: DataFrame, keyCol: String, depth: Int,
                width: Int): DataFrame = {
     require(depth > 0 && width > 0, "cmsCells: depth and width must be positive")

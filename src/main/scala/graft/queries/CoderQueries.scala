@@ -15,41 +15,37 @@ import org.apache.spark.sql.types._
   */
 object CoderQueries {
 
-  /** str.Encoder ∘ str.Decoder identity. */
-  def cStrRoundtrip(spark: SparkSession, dir: String): DataFrame =
+  /** THREE coder surfaces in one gate (gate-corpus consolidation, r11
+    * verdict item #5 — every absorbed gate's columns kept, one Spark
+    * job + one oracle statement instead of three):
+    *  - `text`: str.Encoder ∘ str.Decoder identity (was this gate);
+    *  - `text_kv`: the coder PLANNER's auto-injected
+    *    string→KVMBinary→string chain, ref pipeline.go:168-197 (was
+    *    c_kv_roundtrip);
+    *  - `proto`/`path`/`name`: url.Decoder field extraction on
+    *    synthesized file paths (was c_url_parse). */
+  def cStrRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Coders.registry
     Tables(spark, dir).documents
       .select(col("doc_id"),
-        Coders.strDecoder(Coders.strEncoder(col("text"))).as("text"))
+        Coders.strDecoder(Coders.strEncoder(col("text"))).as("text"),
+        reg.convert(
+          reg.convert(col("text"), StringType, Coders.kvmBinaryType),
+          Coders.kvmBinaryType, StringType).as("text_kv"),
+        Coders.urlDecoder(
+          concat(lit("file:///corpus/"), col("source"), lit("/"),
+            col("doc_id").cast(StringType), lit(".txt"))).as("u"))
+      .select(col("doc_id"), col("text"), col("text_kv"),
+        col("u.proto").as("proto"), col("u.path").as("path"),
+        col("u.name").as("name"))
       .orderBy("doc_id")
+  }
 
   /** gzip.Encoder ∘ gzip.Decoder identity (plus the str pair). */
   def cGzipRoundtrip(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"),
         Coders.strDecoder(Coders.gunzip(Coders.gzip(Coders.strEncoder(col("text"))))).as("text"))
-      .orderBy("doc_id")
-
-  /** Full auto-injected chain string→KVMBinary→string (the coder
-    * planner's work, ref pipeline.go:168-197). */
-  def cKvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val reg = Coders.registry
-    Tables(spark, dir).documents
-      .select(col("doc_id"),
-        reg.convert(
-          reg.convert(col("text"), StringType, Coders.kvmBinaryType),
-          Coders.kvmBinaryType, StringType).as("text"))
-      .orderBy("doc_id")
-  }
-
-  /** url.Decoder field extraction on synthesized file paths. */
-  def cUrlParse(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
-      .select(col("doc_id"),
-        Coders.urlDecoder(
-          concat(lit("file:///corpus/"), col("source"), lit("/"),
-            col("doc_id").cast(StringType), lit(".txt"))).as("u"))
-      .select(col("doc_id"), col("u.proto").as("proto"),
-        col("u.path").as("path"), col("u.name").as("name"))
       .orderBy("doc_id")
 
   /** xml.Encoder ∘ xml.Decoder identity via native to_xml/from_xml. */

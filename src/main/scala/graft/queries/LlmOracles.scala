@@ -239,23 +239,23 @@ object LlmOracles {
         |    '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "t_tokens_bpe" ->
-      """SELECT doc_id,
-        |  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) AS n_bpe,
-        |  len(string_split_regex(trim(text), '\s+')) AS n_ws
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // REAL BPE, recomputed rule by rule: each doc becomes a delimiter-
-    // wrapped symbol string (chr(1) sym chr(2), pre-tokens joined by
-    // chr(3) so merges never cross pre-token boundaries), and the
-    // recursive CTE applies merge rank k at step k as one left-to-right
-    // non-overlapping replace — the exact apply semantics of the
-    // graft_bpe kernel. n_tokens counts symbol delimiters; tok_md5
-    // hashes the chr(4)-joined token sequence (identical to the Spark
-    // side's concat_ws(chr(4), tokens)).
-    "t_tokens_bpe2" -> {
+    // consolidated (r11 item #5): the pre-tokenizer / whitespace
+    // counts AND the real merge-table BPE recomputed rule by rule —
+    // each doc becomes a delimiter-wrapped symbol string (chr(1) sym
+    // chr(2), pre-tokens joined by chr(3) so merges never cross
+    // pre-token boundaries), and the recursive CTE applies merge rank
+    // k at step k as one left-to-right non-overlapping replace — the
+    // exact apply semantics of the graft_bpe kernel. n_tokens counts
+    // symbol delimiters; tok_md5 hashes the chr(4)-joined token
+    // sequence (identical to the Spark side's concat_ws(chr(4), toks)).
+    "t_tokens_bpe" -> {
       val n = graft.expressions.BpeFixture.ruleCount
       s"""WITH RECURSIVE rules(rk, l, r) AS (VALUES ${graft.expressions.BpeFixture.sqlRules}),
+         |counts AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))::bigint AS n_bpe,
+         |    len(string_split_regex(trim(text), '\\s+'))::bigint AS n_ws
+         |  FROM documents),
          |doc0 AS (
          |  SELECT doc_id, array_to_string(list_transform(
          |      regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'),
@@ -277,10 +277,11 @@ object LlmOracles {
          |    substr(replace(replace(s, chr(3), ''), chr(2)||chr(1), chr(4)), 2,
          |      greatest(0, length(replace(replace(s, chr(3), ''), chr(2)||chr(1), chr(4))) - 2)) AS joined
          |  FROM rec WHERE step = $n)
-         |SELECT doc_id,
-         |  (length(s) - length(replace(s, chr(1), '')))::bigint AS n_tokens,
-         |  md5(joined) AS tok_md5
-         |FROM fin ORDER BY doc_id""".stripMargin
+         |SELECT f.doc_id, c.n_bpe, c.n_ws,
+         |  (length(f.s) - length(replace(f.s, chr(1), '')))::bigint AS n_tokens,
+         |  md5(f.joined) AS tok_md5
+         |FROM fin f JOIN counts c ON f.doc_id = c.doc_id
+         |ORDER BY f.doc_id""".stripMargin
     },
 
     "t_pack" ->
@@ -1469,12 +1470,50 @@ object LlmOracles {
       """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // deletion semantics: recall over corpus-minus-removed AND the
+    // literal no-tombstoned-id-in-any-answer flag must both hold
+    "s_ann_remove" ->
+      """SELECT count(DISTINCT vec_id)::bigint AS n_queries, true AS recall_ok,
+        |  true AS none_removed
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // REAL decode gates: the Spark side synthesizes deterministic
+    // PNG/animated-GIF bytes from doc ids (MultiModal.synthesizeOne's
+    // formula contract) and recovers dims / frame counts / pixel sums
+    // by actually decoding them; the oracle re-derives the same values
+    // straight from the generator formulas — the encode→decode round
+    // trip must be the identity
     "mm_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_md5,
-        |  (octet_length(encode(text)) % 640 + 1)::int AS width,
-        |  ((octet_length(encode(text)) * 7) % 480 + 1)::int AS height,
-        |  (doc_id % 24 + 1)::int AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, (8 + doc_id % 9)::int AS width,
+        |  (6 + doc_id % 7)::int AS height,
+        |  (CASE WHEN doc_id % 5 = 0 THEN 2 + doc_id % 3 ELSE 1 END)::int AS n_frames
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
+
+    // exact per-channel integer sums over the decoded first frame:
+    // PNG docs re-derive the gradient formulas pixel by pixel
+    // (range() cross join + filter — w <= 16, h <= 12); GIF docs use
+    // the solid-gray closed form w·h·(id%256)
+    "mm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id < 400),
+        |png AS (
+        |  SELECT d.doc_id, w::int AS width, h::int AS height, 1 AS n_frames,
+        |    (w * h)::bigint AS n_px,
+        |    sum((7 * x.i + 13 * y.i + doc_id) % 256)::bigint AS sum_r,
+        |    sum((3 * x.i + 5 * y.i + 2 * doc_id) % 256)::bigint AS sum_g,
+        |    sum((x.i + 11 * y.i + 5 * doc_id) % 256)::bigint AS sum_b
+        |  FROM d CROSS JOIN range(16) x(i) CROSS JOIN range(12) y(i)
+        |  WHERE x.i < w AND y.i < h AND doc_id % 5 <> 0
+        |  GROUP BY d.doc_id, w, h),
+        |gif AS (
+        |  SELECT doc_id, w::int AS width, h::int AS height,
+        |    (2 + doc_id % 3)::int AS n_frames, (w * h)::bigint AS n_px,
+        |    (w * h * (doc_id % 256))::bigint AS sum_r,
+        |    (w * h * (doc_id % 256))::bigint AS sum_g,
+        |    (w * h * (doc_id % 256))::bigint AS sum_b
+        |  FROM d WHERE doc_id % 5 = 0)
+        |SELECT * FROM png UNION ALL SELECT * FROM gif ORDER BY doc_id""".stripMargin,
 
     "mm_frames" ->
       """SELECT doc_id, frame_idx::int AS frame_idx,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.streaming.Streams
+import graft.streaming.{StreamConfig, Streams}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -157,17 +157,14 @@ object StreamQueries {
     } finally ev.unpersist()
     val schema = ev.schema
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
-    // state partition count is fixed at the stream's first batch from
-    // spark.sql.shuffle.partitions, and every micro-batch (including
-    // the empty watermark-finalization one) pays a per-partition commit
-    // for each of the join's 4 state stores — measured 2.4 s/batch of
-    // pure store overhead at 32 partitions vs 0.8 s at 8. Set the conf
-    // BEFORE constructing the stream frames (the analyzed plan snapshots
-    // it) and restore after. At 100 TB the session default is what
-    // sizes state across executors; this override is gate-scale tuning.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // 8 state partitions for the gate run — the join keeps 4 state
+    // stores and every micro-batch pays a per-partition commit per
+    // store (the measurement and the 100 TB sizing guidance live on
+    // graft.streaming.StreamConfig, the named config surface for these
+    // knobs; the bracket also guarantees the conf is in force while
+    // the stream frames are CONSTRUCTED, which is when it binds)
+    try StreamConfig.withState(spark,
+      StreamConfig.Settings(statePartitions = Some(8))) {
       def src() = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$stage/in")
       val clicks = src().filter(col("event_type") === "click")
@@ -185,10 +182,8 @@ object StreamQueries {
           spark.sparkContext.parallelize(emitted.toSeq),
           joined.schema)
         .orderBy("click_id", "view_id")
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
-    }
   }
 
   /** q30: watermark/late-data semantics under oracle — the engine's
@@ -247,29 +242,29 @@ object StreamQueries {
     val schema = bulk.schema
     // 8 state partitions for the gate run, same rationale (and same
     // restore discipline) as q31StreamJoin: per-batch per-partition
-    // state commits dominate a 5-trigger replay at gate scale
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val streamed = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$stage/in")
-      .withWatermark("ts", "1801 seconds")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+    // state commits dominate a 5-trigger replay at gate scale — the
+    // knob, measurements and 100 TB sizing guidance live on
+    // graft.streaming.StreamConfig
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
-    try
-      Streams.runAvailableNow(streamed, OutputMode.Append()) { b =>
+    val streamed = try StreamConfig.withState(spark,
+      StreamConfig.Settings(statePartitions = Some(8))) {
+      val s = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$stage/in")
+        .withWatermark("ts", "1801 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      Streams.runAvailableNow(s, OutputMode.Append()) { b =>
         emitted ++= b.collect() // append mode: each window exactly once
       }
-    finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s
+    } finally
       // the staged replay files are per-call scratch — without cleanup
       // every bench/verify invocation leaks a 4-file dir into /tmp
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
-    }
     spark.createDataFrame(
         spark.sparkContext.parallelize(emitted.toSeq),
         streamed.schema)

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** The streaming state-store scale knobs as CONFIGURATION, not
+  * buried comments (r11 verdict item #6). Two knobs decide whether a
+  * stateful stream (windowed aggs, stream-stream joins, dedup
+  * horizons, mapGroupsWithState) survives at 100 TB:
+  *
+  *  - **state partition count**: fixed for the life of the query at
+  *    the FIRST micro-batch from `spark.sql.shuffle.partitions` (it is
+  *    baked into the checkpoint; changing it later is a state
+  *    migration). Every micro-batch — including empty
+  *    watermark-finalization batches — pays a per-partition commit per
+  *    state store (a stream-stream join keeps 4 stores), so
+  *    over-partitioned state is pure overhead at small scale (measured
+  *    here: 2.4 s/batch at 32 partitions vs 0.8 s at 8 on the q31
+  *    gate) while under-partitioned state caps parallelism and
+  *    per-executor memory headroom at large scale. Size it to the
+  *    cluster, not the default.
+  *  - **provider**: [[StreamConfig.HdfsBacked]] (Spark's default)
+  *    keeps state as in-heap maps snapshotted to the checkpoint FS —
+  *    right as long as every partition's state fits the executor
+  *    heap. [[StreamConfig.RocksDb]] moves state off-heap with spill
+  *    to local disk — the setting for state that outgrows heap
+  *    (long join lookbacks, wide dedup horizons). Both run the SAME
+  *    plans unchanged; StreamingSpec pins result equality across the
+  *    two.
+  *
+  * [[withState]] brackets a build-and-run block with these settings
+  * and restores the session afterwards — the session-global conf is
+  * snapshotted by the ANALYZED streaming plan, so the settings must be
+  * in force when the stream frames are CONSTRUCTED, not just when the
+  * query starts; hence a bracket, not a query option. */
+object StreamConfig {
+
+  sealed abstract class Provider(val providerClass: Option[String])
+  /** Default in-heap store snapshotted to the checkpoint FS. */
+  case object HdfsBacked extends Provider(None)
+  /** Off-heap RocksDB store with local-disk spill. */
+  case object RocksDb extends Provider(Some(
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+
+  /** `statePartitions = None` keeps the session's current
+    * `spark.sql.shuffle.partitions`. */
+  final case class Settings(statePartitions: Option[Int] = None,
+                            provider: Provider = HdfsBacked)
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val PartitionsKey = "spark.sql.shuffle.partitions"
+
+  /** Run `body` (stream CONSTRUCTION + execution) under `settings`,
+    * then restore the session's previous conf — even on failure, so a
+    * crashed gate query can't leak an 8-partition default into the
+    * rest of a Verify/Bench run. */
+  def withState[T](spark: SparkSession, settings: Settings)(body: => T): T = {
+    val prevParts = spark.conf.get(PartitionsKey)
+    // getAll, not getOption: getOption resolves to the entry's DEFAULT
+    // for never-set keys, and "restore" must mean back-to-unset then
+    val prevProvider = spark.conf.getAll.get(ProviderKey)
+    try {
+      settings.statePartitions.foreach(n => spark.conf.set(PartitionsKey, n.toString))
+      settings.provider.providerClass match {
+        case Some(c) => spark.conf.set(ProviderKey, c)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+      body
+    } finally {
+      spark.conf.set(PartitionsKey, prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set(ProviderKey, p)
+        case None    => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+}

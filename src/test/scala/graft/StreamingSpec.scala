@@ -39,31 +39,33 @@ class StreamingSpec extends SparkSpec {
     // grouping: latestOffset ignores the read limit), so the sketch
     // state provably merges across batches
     val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream")
-    keys.grouped(20).zipWithIndex.foreach { case (chunk, idx) =>
-      chunk.toDF("k").coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/stage$idx")
-      val part = new java.io.File(s"$dir/stage$idx").listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$dir/in$idx.parquet"))
-      new java.io.File(s"$dir/in$idx.parquet").setLastModified(1700000000000L + idx * 60000)
-    }
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "in*.parquet")
-      .parquet(dir.toString)
-    val cells = Sketches.cmsTable(stream, "k", depth = 3, width = 8)
-    var last: Array[org.apache.spark.sql.Row] = Array.empty
-    var batches = 0
-    Streams.runAvailableNow(cells, OutputMode.Complete()) { b =>
-      batches += 1; last = b.collect()
-    }
-    assert(batches >= 3, s"expected >= 3 micro-batches, saw $batches")
-    val streamed = last.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
-    assert(streamed == expected)
+    try {
+      keys.grouped(20).zipWithIndex.foreach { case (chunk, idx) =>
+        chunk.toDF("k").coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/stage$idx")
+        val part = new java.io.File(s"$dir/stage$idx").listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$dir/in$idx.parquet"))
+        new java.io.File(s"$dir/in$idx.parquet").setLastModified(1700000000000L + idx * 60000)
+      }
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "in*.parquet")
+        .parquet(dir.toString)
+      val cells = Sketches.cmsTable(stream, "k", depth = 3, width = 8)
+      var last: Array[org.apache.spark.sql.Row] = Array.empty
+      var batches = 0
+      Streams.runAvailableNow(cells, OutputMode.Complete()) { b =>
+        batches += 1; last = b.collect()
+      }
+      assert(batches >= 3, s"expected >= 3 micro-batches, saw $batches")
+      val streamed = last.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == expected)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   test("event-time tumbling window with watermark drops late data (beyond-reference M4)") {
@@ -439,10 +441,12 @@ class StreamingSpec extends SparkSpec {
     // that the engine's stateful ops actually RUN under RocksDB (the
     // jar is on the classpath, the provider resolves, results match).
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    import graft.streaming.StreamConfig
+    // NB: conf.getOption resolves to the entry's DEFAULT when unset —
+    // "restored" means "back to the pre-bracket resolution", not None
+    val preBracket = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StreamConfig.withState(spark,
+      StreamConfig.Settings(provider = StreamConfig.RocksDb)) {
       val clicks = MemoryStream[(String, Timestamp)]
       val views = MemoryStream[(String, Timestamp)]
       val joined = Streams.intervalJoin(
@@ -463,12 +467,47 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       assert(out.synchronized(out.toSet) == Set(("u1", ts(5), ts(0)))) // same pairs as default provider
       assert(usedRocks, "state operator metrics must be RocksDB's, not the HDFS store's")
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
+    // the bracket restored the session: default store back in force
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass") == preBracket)
+  }
+
+  test("StreamConfig.withState: both backends produce the same stateful result; conf restored on failure") {
+    import graft.streaming.StreamConfig
+    val keys = (1 to 40).map(i => s"u${i % 5}").toDF("k")
+    def runOnce(s: StreamConfig.Settings): Set[(String, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sc")
+      try StreamConfig.withState(spark, s) {
+        keys.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+        val stream = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.StringType))))
+          .parquet(s"$dir/in")
+          .groupBy("k").count()
+        var last: Array[org.apache.spark.sql.Row] = Array.empty
+        Streams.runAvailableNow(stream, OutputMode.Complete()) { b =>
+          last = b.collect()
+        }
+        // the partition override must really be in force mid-bracket
+        s.statePartitions.foreach(n =>
+          assert(spark.conf.get("spark.sql.shuffle.partitions") == n.toString))
+        last.map(r => (r.getString(0), r.getLong(1))).toSet
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val hdfs = runOnce(StreamConfig.Settings(statePartitions = Some(4)))
+    val rocks = runOnce(StreamConfig.Settings(statePartitions = Some(4),
+      provider = StreamConfig.RocksDb))
+    assert(hdfs == rocks && hdfs.nonEmpty)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevParts)
+    // restore-on-failure: a crashing body must not leak the override
+    intercept[RuntimeException](StreamConfig.withState(spark,
+      StreamConfig.Settings(statePartitions = Some(3))) {
+      throw new RuntimeException("boom")
+    })
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevParts)
   }
 
   test("unbounded Count() runs to a final value (ref kafka-count-stdout shape)") {
