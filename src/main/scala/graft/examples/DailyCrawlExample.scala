@@ -328,6 +328,29 @@ object DailyCrawlExample {
     Sampling.shuffleDeterministic(chunks, "id", shards = 8)
   }
 
+  /** Retroactive decontamination of a standing ANN index: when a NEW
+    * benchmark lands AFTER the embedding index was compacted, standing
+    * corpus docs that leak it must stop surfacing in similarity search
+    * TODAY — without rebuilding or rewriting the index. One
+    * broadcast-benchmark shingle pass flags the contaminated ids
+    * ([[Decontaminate.contaminatedPairs]] — the corpus side streams,
+    * the benchmark broadcasts), [[AnnIndex.remove]] tombstones their
+    * vectors (append-only; standing cell files untouched), and the
+    * next scheduled [[AnnIndex.vacuum]] folds them in. Returns the
+    * evicted ids (the caller typically also drops the docs from the
+    * text-side artifacts at its next compaction). The id space of
+    * `corpus` and the ANN index must be shared (vec_id == doc_id —
+    * the natural layout when the index is built from the corpus's
+    * embedding column). */
+  def evictContaminated(corpus: DataFrame, benchmark: DataFrame,
+                        annIndexDir: String, n: Int = 8,
+                        minShared: Long = 1): DataFrame = {
+    val flagged = Decontaminate.contaminatedPairs(corpus, benchmark, n, minShared)
+      .select(col("id")).distinct()
+    AnnIndex.remove(flagged, annIndexDir, idCol = "id")
+    flagged
+  }
+
   /** Streaming twin of [[labelBatch]]: today's crawl arrives as an
     * UNBOUNDED stream and each micro-batch is labeled against the same
     * prebuilt index. The near-dup path aggregates and self-joins the

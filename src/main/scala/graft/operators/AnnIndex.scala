@@ -127,10 +127,23 @@ object AnnIndex {
       .write.mode("append").parquet(s"$indexDir/tombstones")
 
   /** Fold accumulated tombstones into the standing cell files: rewrite
-    * `corpus/` minus the tombstoned ids (staged + swapped, so a reader
-    * never sees a half-written table) and drop `tombstones/`. The ONE
-    * full-index pass deletions ever cost — amortized across all the
-    * [[remove]] calls since the last vacuum. */
+    * `corpus/` minus the tombstoned ids into a staging dir, swap it in
+    * with two renames (never a delete-then-rename — that would leave a
+    * no-corpus window for the whole delete), and drop `tombstones/`.
+    * The ONE full-index pass deletions ever cost — amortized across
+    * all the [[remove]] calls since the last vacuum.
+    *
+    * Crash behavior: renames are atomic on HDFS-like filesystems, so a
+    * crash leaves one of three recoverable states — staging present +
+    * corpus live (vacuum simply re-runs), corpus absent with
+    * `corpus.old` + staging complete (the one instant between the two
+    * renames; finish by renaming staging in), or swapped with
+    * `corpus.old`/tombstones not yet deleted (re-run deletes them —
+    * the anti-join of an already-folded tombstone set is a no-op).
+    * Concurrent READERS of an already-[[load]]ed model are safe (their
+    * table captured the old file listing); loading DURING the swap
+    * instant can fail and should retry — same contract as any
+    * rename-swapped table layout. */
   def vacuum(spark: SparkSession, indexDir: String): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
@@ -144,10 +157,16 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(staged.toString)
     val live = new org.apache.hadoop.fs.Path(s"$indexDir/corpus")
-    fs.delete(live, true)
-    if (!fs.rename(staged, live))
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/corpus.old")
+    fs.delete(old, true) // leftover from a crashed prior vacuum
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"vacuum: could not retire $live")
+    if (!fs.rename(staged, live)) {
+      fs.rename(old, live) // roll back; staging kept for inspection
       throw new java.io.IOException(
-        s"vacuum: could not swap $staged into place")
+        s"vacuum: could not swap $staged into place (rolled back)")
+    }
+    fs.delete(old, true)
     fs.delete(tombPath, true)
   }
 

@@ -195,4 +195,65 @@ class DailyCrawlSpec extends SparkSpec {
       assert(out.select("__epoch").distinct().count() == 2)
     } finally q.stop()
   }
+
+  test("retroactive decontamination: contaminated vectors evicted from the ANN index, no cell rewrites") {
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft-crawl-evict").toString
+    // 4 direction clusters × 4 members (the AnnIndexSpec layout);
+    // vec_id == doc_id — the shared id space evictContaminated assumes
+    def member(base: Array[Float], i: Int): Seq[Float] =
+      base.map(x => x * (1f + i * 0.01f)).toSeq
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f))
+    val vecs = (0 until 4).flatMap { c =>
+      (0 until 4).map(i => ((1 + c + 4 * i).toLong, member(bases(c), i)))
+    }
+    // doc 6's text leaks into the benchmark (shares its 8-gram); every
+    // other doc's text is disjoint prose
+    val leaked = "the secret benchmark passage about aqueduct engineering marvels endures"
+    val texts = vecs.map { case (id, _) =>
+      (id, if (id == 6L) leaked
+           else s"standing corpus document number $id about topic $id with enough distinct tokens")
+    }
+    val corpus = texts.toDF("doc_id", "text")
+    val benchmark = Seq((900L, s"evaluation question cites $leaked verbatim"))
+      .toDF("doc_id", "text")
+    val annDir = s"$dir/ann"
+    AnnIndex.compact(vecs.toDF("vec_id", "embedding"), annDir,
+      cells = 4, m = 2, ksub = 4, coarseIters = 4, pqIters = 3, trainBound = 0L)
+    def cellFiles(): Map[String, Long] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$annDir/corpus"))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p))).toMap
+    val before = cellFiles()
+    // pre-eviction: a cluster-1 query sees doc 6 among its neighbors
+    val q = Seq((999L, member(bases(1), 9))).toDF("vec_id", "embedding")
+    val pre = AnnIndex.queryBatch(q, AnnIndex.load(spark, annDir),
+        k = 4, nprobe = 1, shortlist = 8)
+      .select("cand_id").as[Long].collect().toSet
+    assert(pre.contains(6L), s"fixture: doc 6 must be a neighbor pre-evict, got $pre")
+    val flagged = DailyCrawlExample
+      .evictContaminated(corpus, benchmark, annDir, n = 8)
+      .as[Long].collect().toSet
+    assert(flagged == Set(6L), s"exactly the leaked doc is flagged: $flagged")
+    assert(cellFiles() == before, "eviction must not rewrite standing cell files")
+    val post = AnnIndex.queryBatch(q, AnnIndex.load(spark, annDir),
+        k = 4, nprobe = 1, shortlist = 8)
+      .select("cand_id").as[Long].collect().toSet
+    assert(!post.contains(6L), s"evicted doc still surfaced: $post")
+    assert((pre - 6L).subsetOf(post), "eviction must not drop live neighbors")
+    // scheduled compaction folds the tombstones in; answers unchanged
+    AnnIndex.vacuum(spark, annDir)
+    val m3 = AnnIndex.load(spark, annDir)
+    assert(m3.tombstones.isEmpty && m3.table.count() == vecs.size - 1)
+    val post2 = AnnIndex.queryBatch(q, m3, k = 4, nprobe = 1, shortlist = 8)
+      .select("cand_id").as[Long].collect().toSet
+    assert(post2 == post)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
