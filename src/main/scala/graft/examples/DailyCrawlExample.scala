@@ -345,9 +345,15 @@ object DailyCrawlExample {
   def evictContaminated(corpus: DataFrame, benchmark: DataFrame,
                         annIndexDir: String, n: Int = 8,
                         minShared: Long = 1): DataFrame = {
+    // localCheckpoint: the flag pass is a corpus-side shingle join —
+    // compute it ONCE (the empty-check, the remove write, and the
+    // returned frame all read the materialized result, not three
+    // re-runs of the join)
     val flagged = Decontaminate.contaminatedPairs(corpus, benchmark, n, minShared)
-      .select(col("id")).distinct()
-    AnnIndex.remove(flagged, annIndexDir, idCol = "id")
+      .select(col("id")).distinct().localCheckpoint(true)
+    // a clean day must stay free: no tombstone file, no anti-join
+    // attached to every subsequent load, no pointless vacuum rewrite
+    if (!flagged.isEmpty) AnnIndex.remove(flagged, annIndexDir, idCol = "id")
     flagged
   }
 

@@ -95,6 +95,41 @@ object ScaleSoak {
     time("cms")        { Sketches.cmsVerified(docs, "source", topN = 20).count() }
     time("entropy")    { TextStats.entropyScores(docs).count() }
 
+    // round-12 family at 10x. Range joins: 500k points vs 50k
+    // intervals INCLUDING one adversarial domain-spanning row — the
+    // operator's own cap must route it through the broadcast overflow
+    // leg (every point matches it: +500k result rows, but never a
+    // 10^13-row bucket explosion); overlap joins two 50k-interval sets
+    // whose neighbors overlap by construction.
+    val pts = docs.select(col("doc_id").as("p"))
+    val ivs = embs.select(col("vec_id").as("iv_id"),
+        (col("vec_id") * 19).as("s"), (col("vec_id") * 19 + 40).as("e"))
+      .unionAll(spark.range(1).select(lit(-1L).as("iv_id"),
+        lit(Long.MinValue / 4).as("s"), lit(Long.MaxValue / 4).as("e")))
+    time("rangeJoin")  { graft.operators.RangeJoin.pointInInterval(
+      pts, ivs, "p", "s", "e", bucketWidth = 64).count() }
+    val ivsB = embs.select(col("vec_id").as("ivb_id"),
+      (col("vec_id") * 13 + 7).as("s2"), (col("vec_id") * 13 + 60).as("e2"))
+    time("overlapJoin") { graft.operators.RangeJoin.intervalOverlap(
+      ivs, ivsB, "s", "e", "s2", "e2", bucketWidth = 64).count() }
+    // real image decode at 100x the gate (40k synthesized PNG/GIFs
+    // through encode -> decode -> pixel stats; map-only, one codec per
+    // task — the shape whose only scale knob is partition count)
+    time("mmDecode")   { MultiModal.decodeStats(MultiModal.synthesize(
+      docs.select(col("doc_id")).filter(col("doc_id") % 12 === 0))).count() }
+    // ANN deletion lifecycle at 10x: compact 500k vectors, tombstone
+    // every 7th id (append-only), query against the live remainder —
+    // remove cost is O(batch); the query pays one broadcast anti-join
+    time("annCompact") { AnnIndex.compact(embs, "/tmp/soak/annidx",
+      cells = 16, m = 8, ksub = 64, trainBound = 4096); 0L }
+    time("annRemove")  { AnnIndex.remove(embs.filter(col("vec_id") % 7 === 3)
+      .select("vec_id"), "/tmp/soak/annidx"); 0L }
+    time("annQueryRm") {
+      val model = AnnIndex.load(spark, "/tmp/soak/annidx")
+      AnnIndex.queryBatch(embs.filter(col("vec_id") < 20), model,
+        k = 5, nprobe = 4, shortlist = 100).count() }
+    time("annVacuum")  { AnnIndex.vacuum(spark, "/tmp/soak/annidx"); 0L }
+
     // steady-state daily crawl: compaction persists the corpus index
     // once; the per-batch phase must then run BATCH-ONLY jobs — a
     // QueryExecutionListener proves the corpus parquet is never

@@ -57,6 +57,13 @@ object AnnIndex {
               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a rebuild starts from a CLEAN slate: stale tombstones from a
+    // previous index generation (removes never vacuumed before the
+    // re-compact) would otherwise silently shadow freshly indexed
+    // vectors that happen to reuse the ids
+    val tomb = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(tomb, true)
     val cents = Similarity.trainKMeans(corpus, cells, coarseIters, idCol, vecCol, trainBound)
     val cbs = Similarity.pqTrain(corpus, m, ksub, pqIters, idCol, vecCol, trainBound)
     cents.zipWithIndex.flatMap { case (c, i) =>
@@ -129,33 +136,60 @@ object AnnIndex {
   /** Fold accumulated tombstones into the standing cell files: rewrite
     * `corpus/` minus the tombstoned ids into a staging dir, swap it in
     * with two renames (never a delete-then-rename — that would leave a
-    * no-corpus window for the whole delete), and drop `tombstones/`.
-    * The ONE full-index pass deletions ever cost — amortized across
-    * all the [[remove]] calls since the last vacuum.
+    * no-corpus window for the whole delete), and delete EXACTLY the
+    * tombstone files that were read — a [[remove]] batch appended
+    * while the rewrite was running survives for the NEXT vacuum
+    * instead of being silently erased unfolded. The ONE full-index
+    * pass deletions ever cost — amortized across all the [[remove]]
+    * calls since the last one; an empty tombstone set (e.g. a [[remove]]
+    * of ids not present, or an empty eviction batch) short-circuits to
+    * file cleanup with no rewrite. A vacuum that tombstones EVERY
+    * remaining row writes a schema-bearing empty table (a partitioned
+    * overwrite of zero rows would leave a footer-less dir that bricks
+    * every subsequent [[load]]).
     *
     * Crash behavior: renames are atomic on HDFS-like filesystems, so a
     * crash leaves one of three recoverable states — staging present +
     * corpus live (vacuum simply re-runs), corpus absent with
     * `corpus.old` + staging complete (the one instant between the two
     * renames; finish by renaming staging in), or swapped with
-    * `corpus.old`/tombstones not yet deleted (re-run deletes them —
-    * the anti-join of an already-folded tombstone set is a no-op).
-    * Concurrent READERS of an already-[[load]]ed model are safe (their
-    * table captured the old file listing); loading DURING the swap
-    * instant can fail and should retry — same contract as any
-    * rename-swapped table layout. */
+    * `corpus.old`/read tombstone files not yet deleted (re-run: the
+    * anti-join of an already-folded tombstone set is a no-op).
+    *
+    * CONCURRENCY: vacuum is a MAINTENANCE operation — run it when no
+    * query is mid-flight against this index and re-[[load]] afterwards.
+    * An already-loaded Model captured file PATHS, not snapshots; its
+    * `table` dangles once the swap deletes the old files (same
+    * contract as compacting any rename-swapped table layout under a
+    * live reader). Concurrent [[remove]] appends ARE safe (see above). */
   def vacuum(spark: SparkSession, indexDir: String): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val fs = tombPath.getFileSystem(hadoopConf)
     if (!fs.exists(tombPath)) return
-    val tombs = spark.read.parquet(s"$indexDir/tombstones")
+    // snapshot the tombstone FILES first: only these are read, only
+    // these are deleted — later concurrent appends stay pending
+    val tombFiles = fs.listStatus(tombPath).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (tombFiles.isEmpty) { fs.delete(tombPath, true); return }
+    val tombs = spark.read.parquet(tombFiles.map(_.toString): _*)
       .select(col("cand_id")).distinct()
+    if (tombs.isEmpty) {
+      tombFiles.foreach(fs.delete(_, false))
+      return
+    }
     val staged = new org.apache.hadoop.fs.Path(s"$indexDir/corpus.compacting")
-    spark.read.parquet(s"$indexDir/corpus")
+    val survivors = spark.read.parquet(s"$indexDir/corpus")
       .join(broadcast(tombs), Seq("cand_id"), "left_anti")
-      .write.mode("overwrite").partitionBy("cell")
+    survivors.write.mode("overwrite").partitionBy("cell")
       .parquet(staged.toString)
+    // zero survivors ⇒ the partitioned overwrite wrote no parquet
+    // footers; re-write the empty table WITH schema (cell becomes a
+    // data column of the empty file — nothing to prune anyway)
+    if (!fs.listStatus(staged).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("cell=")))
+      survivors.limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(staged.toString)
     val live = new org.apache.hadoop.fs.Path(s"$indexDir/corpus")
     val old = new org.apache.hadoop.fs.Path(s"$indexDir/corpus.old")
     fs.delete(old, true) // leftover from a crashed prior vacuum
@@ -167,7 +201,11 @@ object AnnIndex {
         s"vacuum: could not swap $staged into place (rolled back)")
     }
     fs.delete(old, true)
-    fs.delete(tombPath, true)
+    tombFiles.foreach(fs.delete(_, false))
+    // drop the dir too if nothing arrived meanwhile
+    if (fs.exists(tombPath) && fs.listStatus(tombPath)
+        .forall(!_.getPath.getName.endsWith(".parquet")))
+      fs.delete(tombPath, true)
   }
 
   def load(spark: SparkSession, indexDir: String): Model = {
@@ -192,7 +230,8 @@ object AnnIndex {
     val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombs =
-      if (fs.exists(tombPath))
+      if (fs.exists(tombPath) && fs.listStatus(tombPath)
+          .exists(_.getPath.getName.endsWith(".parquet")))
         Some(spark.read.parquet(tombPath.toString).select("cand_id").distinct())
       else None
     Model(cents, cbs, spark.read.parquet(s"$indexDir/corpus"), tombs)

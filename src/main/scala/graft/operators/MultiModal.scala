@@ -262,18 +262,24 @@ object MultiModal {
   final case class SyntheticImage(doc_id: Long, content: Array[Byte])
 
   private[operators] def synthesizeOne(id: Long): Array[Byte] = {
-    val w = (8 + id % 9).toInt
-    val h = (6 + id % 7).toInt
+    // floorMod, not %: Scala's % is sign-preserving, and a negative id
+    // would yield width 0 (BufferedImage IAE) or negative channel
+    // values — the "every id maps to an image" contract must include
+    // negative ids. Identical to % for id >= 0, so the mm_* oracle
+    // formulas (which only see non-negative doc ids) are unaffected.
+    def mod(a: Long, m: Int): Int = java.lang.Math.floorMod(a, m.toLong).toInt
+    val w = 8 + mod(id, 9)
+    val h = 6 + mod(id, 7)
     val baos = new ByteArrayOutputStream()
-    if (id % 5 != 0) {
+    if (mod(id, 5) != 0) {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val r = ((7 * x + 13 * y + id) % 256).toInt
-          val g = ((3 * x + 5 * y + 2 * id) % 256).toInt
-          val b = ((x + 11 * y + 5 * id) % 256).toInt
+          val r = mod(7 * x + 13 * y + id, 256)
+          val g = mod(3 * x + 5 * y + 2 * id, 256)
+          val b = mod(x + 11 * y + 5 * id, 256)
           img.setRGB(x, y, (r << 16) | (g << 8) | b)
           x += 1
         }
@@ -281,7 +287,7 @@ object MultiModal {
       }
       ImageIO.write(img, "png", baos)
     } else {
-      val c = (id % 256).toInt
+      val c = mod(id, 256)
       val frame = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       val gfx = frame.createGraphics()
       try {
@@ -296,7 +302,7 @@ object MultiModal {
         val meta = writer.getDefaultImageMetadata(
           new ImageTypeSpecifier(frame), writer.getDefaultWriteParam)
         var f = 0
-        val n = (2 + id % 3).toInt
+        val n = 2 + mod(id, 3)
         while (f < n) {
           writer.writeToSequence(new IIOImage(frame, null, meta), null)
           f += 1

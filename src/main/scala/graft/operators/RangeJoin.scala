@@ -103,10 +103,20 @@ object RangeJoin {
       .select(outCols: _*)
     // overflow leg: the few domain-spanning intervals broadcast whole
     // (hint, so honest stats can't demote it) and nested-loop against
-    // the points — |points| × |giant| with |giant| tiny by construction
-    val giantLeg = points.join(broadcast(live.filter(isGiant)), contains)
-      .select(outCols: _*)
-    bucketLeg.unionAll(giantLeg)
+    // the points — |points| × |giant| with |giant| tiny by construction.
+    // Attached ONLY when giants actually exist, decided by one cheap
+    // plan-build-time pass over the (small) interval side: an
+    // unconditionally-unioned empty leg would still stream the ENTIRE
+    // points side past the empty build (measured — AQE does not
+    // empty-propagate a broadcast nested loop), i.e. a second
+    // full-corpus scan on every call for a case that usually never
+    // happens. Callers whose interval frame is an expensive derived
+    // plan should cache/localCheckpoint it (this probe evaluates it
+    // once at build time).
+    if (live.filter(isGiant).isEmpty) bucketLeg
+    else bucketLeg.unionAll(
+      points.join(broadcast(live.filter(isGiant)), contains)
+        .select(outCols: _*))
   }
 
   /** Interval-interval OVERLAP join: one row per pair ([a,b) × [c,d))
@@ -123,8 +133,10 @@ object RangeJoin {
     require(maxBucketsPerInterval > 0,
       "intervalOverlap: maxBucketsPerInterval must be positive")
     require(!left.columns.contains("__bucket") &&
-      !right.columns.contains("__bucket"),
-      "intervalOverlap: __bucket is reserved; rename the input column")
+      !right.columns.contains("__bucket") &&
+      !left.columns.contains("__bucket_r") &&
+      !right.columns.contains("__bucket_r"),
+      "intervalOverlap: __bucket/__bucket_r are reserved; rename the input column")
     val l = left.filter(col(lEndCol) > col(lStartCol))
     val r = right.filter(col(rEndCol) > col(rStartCol))
     val lGiant = nBuckets(lStartCol, lEndCol, bucketWidth) > maxBucketsPerInterval
@@ -146,12 +158,19 @@ object RangeJoin {
       .filter(overlaps && col("__bucket") === firstCommon)
       .select(outCols: _*)
     // overflow legs, disjoint by construction: giant-left × ALL right,
-    // then small-left × giant-right — each giant side broadcast whole
+    // then small-left × giant-right — each giant side broadcast whole.
+    // Each leg is attached only when its giant side is non-empty (one
+    // cheap build-time probe per side — see pointInInterval's note on
+    // why an empty unioned leg is NOT free: it re-streams the whole
+    // other side past the empty build on every execution)
     val glLeg = l.filter(lGiant)
     val grLeg = r.filter(rGiant)
-    val giantL = r.join(broadcast(glLeg), overlaps).select(outCols: _*)
-    val giantR = l.filter(!lGiant).join(broadcast(grLeg), overlaps)
-      .select(outCols: _*)
-    bucketLeg.unionAll(giantL).unionAll(giantR)
+    var out = bucketLeg
+    if (!glLeg.isEmpty)
+      out = out.unionAll(r.join(broadcast(glLeg), overlaps).select(outCols: _*))
+    if (!grLeg.isEmpty)
+      out = out.unionAll(l.filter(!lGiant).join(broadcast(grLeg), overlaps)
+        .select(outCols: _*))
+    out
   }
 }

@@ -867,7 +867,11 @@ object Similarity {
     * was the old form's scale ceiling (r11 verdict item #1).
     *
     * Constraints: `bands` divides `dim`; band width `dim/bands` must
-    * divide the 32-bit word (no band straddles a signature word). */
+    * divide the 32-bit word (no band straddles a signature word).
+    * IDs must be UNIQUE (the standard id contract across this file):
+    * with duplicate id rows the first-band rule dedups per ROW pair,
+    * so a duplicated id emits its pair rows multiply — dedup ids
+    * upstream, which a near-dup pipeline does anyway. */
   def hammingBandedPairs(corpus: DataFrame, dim: Int, maxHamming: Int,
                          bands: Int, maxBucket: Option[Long] = None,
                          idCol: String = "vec_id",

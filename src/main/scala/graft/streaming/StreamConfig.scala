@@ -41,10 +41,13 @@ object StreamConfig {
   case object RocksDb extends Provider(Some(
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
 
-  /** `statePartitions = None` keeps the session's current
-    * `spark.sql.shuffle.partitions`. */
+  /** `None` for either knob keeps the session's current setting — a
+    * bracket that only resizes state partitions must NOT silently
+    * force a session globally configured onto RocksDB back to the
+    * default in-heap store. Pass `Some(HdfsBacked)` to explicitly
+    * demand the default provider. */
   final case class Settings(statePartitions: Option[Int] = None,
-                            provider: Provider = HdfsBacked)
+                            provider: Option[Provider] = None)
 
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val PartitionsKey = "spark.sql.shuffle.partitions"
@@ -60,10 +63,10 @@ object StreamConfig {
     val prevProvider = spark.conf.getAll.get(ProviderKey)
     try {
       settings.statePartitions.foreach(n => spark.conf.set(PartitionsKey, n.toString))
-      settings.provider.providerClass match {
+      settings.provider.foreach(_.providerClass match {
         case Some(c) => spark.conf.set(ProviderKey, c)
         case None    => spark.conf.unset(ProviderKey)
-      }
+      })
       body
     } finally {
       spark.conf.set(PartitionsKey, prevParts)

@@ -358,22 +358,40 @@ class PlanSpec extends SparkSpec {
       val pr2 = plan("q36_range_join")
       assert(pr2.contains("SortMergeJoin") || pr2.contains("ShuffledHashJoin"),
         "range join must bucket-join under honest stats")
-      // the ONLY nested loop allowed is the giant-interval overflow
-      // leg, whose build side is broadcast by explicit hint (so honest
-      // stats can't demote it to a shuffled cartesian) — r11 item #3
-      // (formatted explain names each node twice: tree + detail block)
-      assert("BroadcastNestedLoopJoin".r.findAllIn(pr2).size == 2,
-        "exactly the one overflow-leg node may nested-loop, broadcast-side")
-      assert(!pr2.contains("CartesianProduct"))
+      // no giant intervals in the gate fixture ⇒ the operator's
+      // build-time probe must have attached NO overflow leg at all —
+      // an unconditional empty leg would re-stream the whole points
+      // side past an empty build on every execution (r12 review fix)
+      assert(!pr2.contains("BroadcastNestedLoopJoin") &&
+        !pr2.contains("CartesianProduct"))
       // q37_interval_join under honest stats: the small×small pair
-      // stream must come from the bucket EQUI-join; the only nested
-      // loops are the two broadcast-hinted giant-interval overflow
-      // legs (empty at q37's widths; 2 nodes × 2 mentions each)
+      // stream must come from the bucket EQUI-join, with no overflow
+      // legs attached (no giant intervals in the fixture)
       val p37 = plan("q37_interval_join")
       assert(p37.contains("SortMergeJoin") || p37.contains("ShuffledHashJoin"),
         "interval overlap must bucket-join under honest stats")
-      assert("BroadcastNestedLoopJoin".r.findAllIn(p37).size <= 4 &&
+      assert(!p37.contains("BroadcastNestedLoopJoin") &&
         !p37.contains("CartesianProduct"))
+      // and WITH a domain-spanning interval, the overflow leg appears
+      // as EXACTLY one broadcast-hinted nested loop (honest stats in
+      // force — only the hint can be carrying the broadcast), next to
+      // the intact bucket equi-join (node named twice in formatted
+      // explain: tree + detail block)
+      import org.apache.spark.sql.functions.{col => c, lit}
+      val ev = graft.core.Tables(spark, dir).events
+      val advIvs = ev.select(c("user_id").as("iv"),
+          (c("user_id") * 40).as("s"), (c("user_id") * 40 + 60).as("e"))
+        .unionAll(spark.range(1).select(lit(-1L).as("iv"),
+          lit(Long.MinValue / 4).as("s"), lit(Long.MaxValue / 4).as("e")))
+      val padv = graft.operators.RangeJoin.pointInInterval(
+          ev.select(c("event_id")), advIvs, "event_id", "s", "e",
+          bucketWidth = 64)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("BroadcastNestedLoopJoin".r.findAllIn(padv).size == 2, padv.take(800))
+      assert(padv.contains("SortMergeJoin") || padv.contains("ShuffledHashJoin") ||
+        padv.contains("BroadcastHashJoin"))
+      assert(!padv.contains("CartesianProduct"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     // q34_cms: the sketch build must partial-aggregate (map-side
     // combine collapses each partition to ≤ depth·width cells before
@@ -386,11 +404,10 @@ class PlanSpec extends SparkSpec {
     // q36_range_join: the whole point of the bucketized form is that a
     // non-equi containment predicate becomes an EQUI-join on the
     // bucket — a nested loop over the DATA is the |P|·|I| scale-killer
-    // the operator exists to avoid. The single permitted
-    // BroadcastNestedLoopJoin is the giant-interval overflow leg
-    // (broadcast-hinted, empty at q36's interval widths)
+    // the operator exists to avoid (and with no giant intervals in the
+    // fixture, the overflow leg must not even be attached)
     val pr = plan("q36_range_join")
-    assert("BroadcastNestedLoopJoin".r.findAllIn(pr).size <= 2 &&
+    assert(!pr.contains("BroadcastNestedLoopJoin") &&
       !pr.contains("CartesianProduct"), pr.take(800))
   }
 

@@ -446,7 +446,7 @@ class StreamingSpec extends SparkSpec {
     // "restored" means "back to the pre-bracket resolution", not None
     val preBracket = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StreamConfig.withState(spark,
-      StreamConfig.Settings(provider = StreamConfig.RocksDb)) {
+      StreamConfig.Settings(provider = Some(StreamConfig.RocksDb))) {
       val clicks = MemoryStream[(String, Timestamp)]
       val views = MemoryStream[(String, Timestamp)]
       val joined = Streams.intervalJoin(
@@ -497,9 +497,10 @@ class StreamingSpec extends SparkSpec {
       } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val hdfs = runOnce(StreamConfig.Settings(statePartitions = Some(4)))
+    val hdfs = runOnce(StreamConfig.Settings(statePartitions = Some(4),
+      provider = Some(StreamConfig.HdfsBacked)))
     val rocks = runOnce(StreamConfig.Settings(statePartitions = Some(4),
-      provider = StreamConfig.RocksDb))
+      provider = Some(StreamConfig.RocksDb)))
     assert(hdfs == rocks && hdfs.nonEmpty)
     assert(spark.conf.get("spark.sql.shuffle.partitions") == prevParts)
     // restore-on-failure: a crashing body must not leak the override
