@@ -1057,22 +1057,19 @@ object LlmOps {
       .orderBy("user_id", "session_id")
   }
 
-  /** Multimodal frame sampling: each blob expands to its n_frames
-    * deterministic frame signatures (stub decode; real explode-shaped
-    * plumbing — the video-pipeline batch shape). Scale: explode is a
-    * generator inside codegen; output is frames, never buffered per
-    * doc. */
+  /** REAL multimodal frame extraction (the video frame-sample shape):
+    * every synthesized blob expands to one row per DECODED frame —
+    * multi-frame GIFs yield all their frames through
+    * `ImageReader.read(i)`, PNGs yield one — with exact per-channel
+    * pixel sums per frame, which the oracle re-derives from the
+    * generator formulas (gradient sums for the PNG frame; the
+    * solid-gray closed form for every GIF frame). Replaced the
+    * synthetic md5 frame signatures of rounds ≤11: frame plumbing AND
+    * frame payloads are now both decode-real. */
   def mmFrames(spark: SparkSession, dir: String): DataFrame = {
-    val blobs = Tables(spark, dir).documents
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
-    blobs
-      .select(col("doc_id"), md5(col("content")).as("cmd5"),
-        (col("doc_id") % 24 + 1).cast("int").as("n_frames"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
-        col("cmd5"))
-      .select(col("doc_id"), col("frame_idx"),
-        md5(concat(col("cmd5"), lit(":"), col("frame_idx").cast("string"))).as("frame_sig"))
+    val ids = Tables(spark, dir).documents
+      .select(col("doc_id")).filter(col("doc_id") < 400)
+    MultiModal.decodeFrames(MultiModal.synthesize(ids))
       .orderBy("doc_id", "frame_idx")
   }
 

@@ -1515,11 +1515,29 @@ object LlmOracles {
         |  FROM d WHERE doc_id % 5 = 0)
         |SELECT * FROM png UNION ALL SELECT * FROM gif ORDER BY doc_id""".stripMargin,
 
+    // real per-frame decode: the PNG's single frame re-derives the
+    // gradient pixel sums; every GIF frame is the solid-gray closed
+    // form, one row per frame index
     "mm_frames" ->
-      """SELECT doc_id, frame_idx::int AS frame_idx,
-        |  md5(md5(text) || ':' || frame_idx::varchar) AS frame_sig
-        |FROM (SELECT doc_id, text, unnest(range((doc_id % 24 + 1)::int)) AS frame_idx
-        |      FROM documents)
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id < 400),
+        |png AS (
+        |  SELECT d.doc_id, 0 AS frame_idx, w::int AS width, h::int AS height,
+        |    sum((7 * x.i + 13 * y.i + doc_id) % 256)::bigint AS sum_r,
+        |    sum((3 * x.i + 5 * y.i + 2 * doc_id) % 256)::bigint AS sum_g,
+        |    sum((x.i + 11 * y.i + 5 * doc_id) % 256)::bigint AS sum_b
+        |  FROM d CROSS JOIN range(16) x(i) CROSS JOIN range(12) y(i)
+        |  WHERE x.i < w AND y.i < h AND doc_id % 5 <> 0
+        |  GROUP BY d.doc_id, w, h),
+        |gif AS (
+        |  SELECT doc_id, f.i::int AS frame_idx, w::int AS width, h::int AS height,
+        |    (w * h * (doc_id % 256))::bigint AS sum_r,
+        |    (w * h * (doc_id % 256))::bigint AS sum_g,
+        |    (w * h * (doc_id % 256))::bigint AS sum_b
+        |  FROM d CROSS JOIN range(4) f(i)
+        |  WHERE doc_id % 5 = 0 AND f.i < 2 + doc_id % 3)
+        |SELECT * FROM png UNION ALL SELECT * FROM gif
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q26_json_extract" ->

@@ -40,6 +40,37 @@ class MultiModalSpec extends SparkSpec {
     }
   }
 
+  test("decodeFrames expands multi-frame GIFs to per-frame rows with exact pixel sums; caps respected") {
+    val frames = MultiModal.decodeFrames(MultiModal.synthesize(imageIds))
+      .orderBy("doc_id", "frame_idx").collect()
+    // PNG ids (1,2,7,23): one frame each; GIF ids (5,10): 2+id%3 frames
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc(1L).length == 1 && byDoc(7L).length == 1)
+    assert(byDoc(5L).length == (2 + 5 % 3) && byDoc(10L).length == (2 + 10 % 3))
+    // every GIF frame carries the full solid-gray payload (the writer
+    // stores complete frames, and read(i) must return each whole)
+    byDoc(10L).zipWithIndex.foreach { case (r, i) =>
+      val (w, h) = ((8 + 10 % 9), (6 + 10 % 7))
+      assert(r.getInt(1) == i && r.getInt(2) == w && r.getInt(3) == h)
+      val exp = w.toLong * h * (10 % 256)
+      assert(r.getLong(4) == exp && r.getLong(5) == exp && r.getLong(6) == exp)
+    }
+    // the PNG frame's sums equal decodeStats' (same single frame)
+    val s7 = MultiModal.decodeStats(MultiModal.synthesize(Seq(7L).toDF("doc_id")))
+      .collect().head
+    val f7 = byDoc(7L).head
+    assert((f7.getLong(4), f7.getLong(5), f7.getLong(6)) ==
+      ((s7.getLong(5), s7.getLong(6), s7.getLong(7))))
+    // frame cap: a 4-frame GIF capped to 2 yields frames 0 and 1 only
+    val capped = MultiModal.decodeFrames(
+        MultiModal.synthesize(Seq(10L).toDF("doc_id")), maxFrames = 2)
+      .select("frame_idx").as[Int].collect().sorted
+    assert(capped.toSeq == Seq(0, 1))
+    // garbage blobs are dropped, not fatal
+    assert(MultiModal.decodeFrames(
+      Seq((9L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")).count() == 0)
+  }
+
   test("extractMeta decodes dims/frames; undecodable blobs get sentinel dims, never kill the job") {
     val mixed = MultiModal.synthesize(imageIds)
       .unionAll(Seq((99L, "not an image".getBytes("UTF-8")))
