@@ -111,10 +111,8 @@ object SparkEntry {
     "mm_frames"         -> (LlmOps.mmFrames _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
     "c_gzip_roundtrip"  -> (CoderQueries.cGzipRoundtrip _),
-    "c_xml_roundtrip"   -> (CoderQueries.cXmlRoundtrip _),
     "c_xml_tree"        -> (CoderQueries.cXmlTree _),
     "c_avro_roundtrip"  -> (CoderQueries.cAvroRoundtrip _),
-    "c_avro_project"    -> (CoderQueries.cAvroProject _),
     "c_json_roundtrip"  -> (CoderQueries.cJsonRoundtrip _),
     "c_jsonl_quarantine" -> (CoderQueries.cJsonlQuarantine _),
     "c_schema_evolution" -> (CoderQueries.cSchemaEvolution _),
@@ -279,21 +277,21 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "c_gzip_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
-    "c_xml_roundtrip" ->
-      "SELECT doc_id AS id, source AS name FROM documents ORDER BY id",
     // the Spark side derives every field by schema-less tree navigation
     // of reconstructed XML; the oracle recomputes from source columns —
-    // the round-trip through parse+navigate must be the identity
+    // the round-trip through parse+navigate must be the identity.
+    // rt_name = the TYPED to_xml/from_xml round trip (consolidated
+    // from c_xml_roundtrip, r12)
     "c_xml_tree" ->
       """SELECT doc_id, source, lang, substr(text, 1, 80) AS body,
-        |  2 AS n_children, 'meta' AS meta_tag
+        |  2 AS n_children, 'meta' AS meta_tag, source AS rt_name
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // id/text = the Confluent encode∘decode identity; lang/tag = the
+    // reader-schema projection (text dropped, tag defaulted) that Avro
+    // schema resolution must reconstruct (consolidated from
+    // c_avro_project, r12)
     "c_avro_roundtrip" ->
-      "SELECT doc_id AS id, text FROM documents ORDER BY id",
-    // reader-schema projection: text dropped, tag defaulted — the oracle
-    // is what Avro schema resolution must reconstruct
-    "c_avro_project" ->
-      "SELECT doc_id AS id, lang, 'x' AS tag FROM documents ORDER BY id",
+      "SELECT doc_id AS id, text, lang, 'x' AS tag FROM documents ORDER BY id",
     "c_json_roundtrip" ->
       "SELECT doc_id AS id, lang FROM documents ORDER BY id",
     "p_from_list" ->

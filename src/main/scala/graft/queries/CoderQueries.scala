@@ -48,38 +48,36 @@ object CoderQueries {
         Coders.strDecoder(Coders.gunzip(Coders.gzip(Coders.strEncoder(col("text"))))).as("text"))
       .orderBy("doc_id")
 
-  /** xml.Encoder ∘ xml.Decoder identity via native to_xml/from_xml. */
-  def cXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("id", LongType), StructField("name", StringType)))
-    Tables(spark, dir).documents
-      .select(to_xml(struct(col("doc_id").as("id"), col("source").as("name"))).as("x"))
-      .select(from_xml(col("x"), schema).as("v"))
-      .select(col("v.id").as("id"), col("v.name").as("name"))
-      .orderBy("id")
-  }
-
-  /** Schema-less XML tree navigation gate (ref `coder/xml/node.go` —
-    * NO user-supplied StructType anywhere): nested per-doc XML is built
-    * from the table (entity-escaped), parsed ONCE into a VARIANT tree,
-    * and every output field is extracted by pure node navigation —
-    * attr lookup, `Children()[i]` indexing two levels deep, text-node
-    * access, child counting — exactly the reference example's
-    * `Children()[0].Children()[0].Text()` access pattern. */
+  /** The full XML surface in ONE gate (r12 consolidation — absorbed
+    * c_xml_roundtrip's columns). Schema-less XML tree navigation (ref
+    * `coder/xml/node.go` — NO user-supplied StructType on this path):
+    * nested per-doc XML is built from the table (entity-escaped),
+    * parsed ONCE into a VARIANT tree, and every output field is
+    * extracted by pure node navigation — attr lookup, `Children()[i]`
+    * indexing two levels deep, text-node access, child counting —
+    * exactly the reference example's
+    * `Children()[0].Children()[0].Text()` access pattern. PLUS the
+    * TYPED xml.Encoder ∘ xml.Decoder identity (native
+    * to_xml/from_xml with a StructType) as `rt_name`, computed in the
+    * same single pass over the table. */
   def cXmlTree(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.XmlTree
     def escaped(c: org.apache.spark.sql.Column) =
       regexp_replace(regexp_replace(regexp_replace(c,
         "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val rtSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
     val xml = Tables(spark, dir).documents
       .select(col("doc_id").as("orig_id"),
         concat(
           lit("<doc id=\""), col("doc_id"), lit("\"><meta><source>"),
           escaped(col("source")), lit("</source><lang>"),
           escaped(col("lang")), lit("</lang></meta><body>"),
-          escaped(substring(col("text"), 1, 80)), lit("</body></doc>")).as("x"))
+          escaped(substring(col("text"), 1, 80)), lit("</body></doc>")).as("x"),
+        to_xml(struct(col("doc_id").as("id"), col("source").as("name"))).as("rx"))
     // parse once; navigate many (variant path access is columnar)
-    val t = xml.select(col("orig_id"), XmlTree.tree(col("x")).as("v"))
+    val t = xml.select(col("orig_id"), XmlTree.tree(col("x")).as("v"),
+      from_xml(col("rx"), rtSchema).as("rv"))
     val doc = XmlTree.child(col("v"), 0)          // <doc>
     val meta = XmlTree.child(doc, 0)              // <meta>
     t.select(
@@ -88,7 +86,8 @@ object CoderQueries {
         XmlTree.childText(meta, 1, 0).as("lang"),     // meta/lang/text()
         coalesce(XmlTree.childText(doc, 1, 0), lit("")).as("body"),
         XmlTree.numChildren(doc).cast(IntegerType).as("n_children"),
-        XmlTree.tagName(meta).as("meta_tag"))
+        XmlTree.tagName(meta).as("meta_tag"),
+        col("rv.name").as("rt_name"))
       .orderBy("doc_id")
   }
 
@@ -96,15 +95,27 @@ object CoderQueries {
     """{"type":"record","name":"Doc","fields":[
       |{"name":"id","type":"long"},{"name":"text","type":"string"}]}""".stripMargin
 
-  /** Confluent Avro encode ∘ decode identity over the documents table
-    * (SchemaRegistryEncoder → SchemaRegistryDecoder ∘ GenericDecoder). */
+  /** The full Confluent Avro surface in ONE gate (r12 consolidation —
+    * absorbed c_avro_project's columns): the encode ∘ decode identity
+    * (SchemaRegistryEncoder → SchemaRegistryDecoder ∘ GenericDecoder,
+    * columns `id`/`text`) AND serde.GenericProjector's reader-schema
+    * resolution — decode with a reader schema that differs from the
+    * writer (a field dropped, a field added with a default; Avro-spec
+    * match-by-name resolution; ref `serde/generic.go`) — as
+    * `lang`/`tag`, both computed in one pass over the table. */
   def cAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val reg = new AvroSerde.InMemoryRegistry
     Tables(spark, dir).documents
-      .select(AvroSerde.encodeConfluent(
-        struct(col("doc_id").as("id"), col("text")), reg, "docs", docSchema).as("b"))
-      .select(AvroSerde.decodeConfluent(col("b"), reg, docSchema).as("v"))
-      .select(col("v.id").as("id"), col("v.text").as("text"))
+      .select(
+        AvroSerde.encodeConfluent(
+          struct(col("doc_id").as("id"), col("text")), reg, "docs", docSchema).as("b"),
+        AvroSerde.encodeConfluent(
+          struct(col("doc_id").as("id"), col("text"), col("lang")),
+          reg, "docs3", docWriterSchema).as("b3"))
+      .select(AvroSerde.decodeConfluent(col("b"), reg, docSchema).as("v"),
+        AvroSerde.decodeConfluent(col("b3"), reg, docReaderSchema).as("v3"))
+      .select(col("v.id").as("id"), col("v.text").as("text"),
+        col("v3.lang").as("lang"), col("v3.tag").as("tag"))
       .orderBy("id")
   }
 
@@ -117,23 +128,6 @@ object CoderQueries {
     """{"type":"record","name":"Doc3","fields":[
       |{"name":"id","type":"long"},{"name":"lang","type":"string"},
       |{"name":"tag","type":"string","default":"x"}]}""".stripMargin
-
-  /** serde.GenericProjector under oracle: decode with a READER schema
-    * that differs from the writer — a field dropped (`text`), a field
-    * added with a default (`tag`) — exercising full Avro schema
-    * resolution (match-by-name, defaults), not just the identity
-    * round-trip of [[cAvroRoundtrip]]. Ref `serde/generic.go`'s
-    * projector semantics; resolution itself is Avro-spec behavior. */
-  def cAvroProject(spark: SparkSession, dir: String): DataFrame = {
-    val reg = new AvroSerde.InMemoryRegistry
-    Tables(spark, dir).documents
-      .select(AvroSerde.encodeConfluent(
-        struct(col("doc_id").as("id"), col("text"), col("lang")),
-        reg, "docs3", docWriterSchema).as("b"))
-      .select(AvroSerde.decodeConfluent(col("b"), reg, docReaderSchema).as("v"))
-      .select(col("v.id").as("id"), col("v.lang").as("lang"), col("v.tag").as("tag"))
-      .orderBy("id")
-  }
 
   /** JSON encode ∘ decode identity (serde.JsonEncoder ≙ to_json). */
   def cJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
