@@ -56,6 +56,7 @@ object SparkEntry {
     "d_incr_lines"      -> (LlmOps.dIncrLines _),
     "d_incr_steady"     -> (LlmOps.dIncrSteady _),
     "d_ngram_jaccard"   -> (LlmOps.dNgramJaccard _),
+    "d_ppjoin"          -> (LlmOps.dPpjoin _),
     "d_minhash_lsh"     -> (LlmOps.dMinhashLsh _),
     "d_simhash"         -> (LlmOps.dSimhash _),
     "d_simhash_pairs"   -> (LlmOps.dSimhashPairs _),

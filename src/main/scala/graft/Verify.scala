@@ -57,7 +57,13 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // driver contract: exactly (sfDir, outDir). Extra args are a
+    // builder-side convenience: gate names to restrict the dump to
+    // (iterating on one operator without paying the full corpus;
+    // oracle_sql.json still carries every oracle so check.py --only
+    // style comparisons keep working against the subset).
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,7 +75,9 @@ object Verify {
     // same hygiene as Bench: the benign accumulator spam would bury a
     // real failure in 100+ identical stack traces
     graft.core.LogHygiene.install()
-    runAll(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    val qs = if (only.isEmpty) SparkEntry.queries
+             else SparkEntry.queries.view.filterKeys(only).toMap
+    runAll(spark, sfDir, outDir, qs, SparkEntry.oracleSql)
     spark.stop()
   }
 }

@@ -343,6 +343,79 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact n-gram Jaccard pairs ≥ `threshold` via PREFIX FILTERING —
+    * the AllPairs/PPJoin candidate scheme (Bayardo et al., "Scaling Up
+    * All Pairs Similarity Search", WWW'07; Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW'08). IDENTICAL
+    * output contract to [[ngramJaccard]] and provably lossless: the
+    * filter cannot miss a qualifying pair, so this is the high-threshold
+    * scale twin, not an approximation (contrast [[minhashLsh]], whose
+    * recall is probabilistic).
+    *
+    * Why it scales where [[ngramJaccard]] strains: the all-shingles
+    * self-join meets docs on EVERY shared shingle — Σ_sh df(sh)²
+    * candidate rows, dominated by the medium-frequency shingles the
+    * doc-freq cap deliberately keeps. Under a global shingle order
+    * (rarest first), two sets with jaccard ≥ θ must share one of each
+    * other's first n−⌈θn⌉+1 shingles. Proof: jaccard ≥ θ forces
+    * |A∩B| ≥ θ|A∪B| ≥ ⌈θ·max(|A|,|B|)⌉ =: t; the SMALLEST common
+    * shingle (in the global order) has ≥ t−1 common successors inside
+    * each set, so it sits within the first |x|−t+1 positions of both
+    * sides; and the kept per-side prefix |x|−⌈θ|x|⌉+1 ≥ |x|−t+1 only
+    * extends that. So joining PREFIX occurrences only — at θ=0.8 the
+    * rarest ~20% of each set, rare-shingle-heavy by construction —
+    * finds every qualifying pair while bucket sizes collapse
+    * quadratically in the kept fraction. The AllPairs length filter
+    * (⌈θ·max(n_a,n_b)⌉ ≤ min(n_a,n_b), necessary because jaccard ≤
+    * min/max) prunes size-incompatible collisions before the pair row
+    * ever materializes.
+    *
+    * Scale shape: the df agg and its join-back reuse the checkpointed
+    * sh-partitioning (zero extra exchanges); the per-doc rank is one
+    * keyed window over doc-sized partitions; candidate generation is an
+    * equi-join on the shingle over the PREFIX stream only; verification
+    * joins candidates back to the full sets — the verified-candidates
+    * idiom of [[minhashLsh]], with an exact-complete candidate set. */
+  def jaccardJoinPrefix(docs: DataFrame, threshold: Double, n: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxDocFreq: Option[Long] = None,
+                        materialize: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // same capped shingle set as ngramJaccard: the cap applies before
+    // sizes AND intersections, so jaccard stays the same similarity
+    // over retained shingles — output equality with ngramJaccard holds
+    // cap for cap (spec-pinned)
+    val s = capHotKeys(
+      shared(shingleSet(docs, textCol, idCol, n).repartition(col("sh")), materialize),
+      "sh", count(lit(1)), maxDocFreq)
+    // global rarest-first total order: (doc freq, shingle) — the
+    // tie-break makes the order (and therefore the candidate set)
+    // deterministic across runs and partitionings
+    val dfreq = s.groupBy("sh").agg(count(lit(1)).as("df"))
+    val rk = row_number().over(Window.partitionBy("id").orderBy(col("df"), col("sh")))
+    val nW = count(lit(1)).over(Window.partitionBy("id"))
+    val prefix = s.join(dfreq, "sh")
+      .select(col("id"), col("sh"), rk.as("rk"), nW.as("n"))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("sh", "id", "n")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))) <=
+            least(col("a.n"), col("b.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val inter = cand
+      .join(s.as("sa"), col("id_a") === col("sa.id"))
+      .join(s.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("i"))
+    inter
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Cross-table fuzzy linkage (record linkage / entity resolution):
     * match LEFT records to RIGHT records whose normalized text is
     * char-trigram-Jaccard-similar ≥ `threshold` — the

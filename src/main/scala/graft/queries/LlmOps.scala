@@ -395,6 +395,19 @@ object LlmOps {
         maxDocFreq = Some(100L), materialize = materialize)
       .orderBy("id_a", "id_b")
 
+  /** Exact Jaccard pairs via PPJoin prefix filtering (θ=0.7 — the
+    * high-threshold regime where the prefix filter bites hardest). The
+    * oracle is the plain exact θ-join: the gate therefore verifies the
+    * prefix filter's COMPLETENESS (no qualifying pair missed), not just
+    * its precision. */
+  def dPpjoin(spark: SparkSession, dir: String): DataFrame =
+    dPpjoinImpl(spark, dir, materialize = true)
+
+  def dPpjoinImpl(spark: SparkSession, dir: String, materialize: Boolean): DataFrame =
+    Dedup.jaccardJoinPrefix(Tables(spark, dir).documents, threshold = 0.7,
+        maxDocFreq = Some(100L), materialize = materialize)
+      .orderBy("id_a", "id_b")
+
   /** MinHash+LSH near-dup pairs (16 perms × 4 bands, verify ≥ 0.5). */
   def dMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     dMinhashLshImpl(spark, dir, materialize = true)

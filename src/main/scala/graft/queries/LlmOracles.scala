@@ -420,6 +420,29 @@ object LlmOracles {
          |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
+    // d_ppjoin mirrors Dedup.jaccardJoinPrefix(threshold=0.7,
+    // maxDocFreq=100). The prefix filter is LOSSLESS, so the oracle is
+    // the plain exact jaccard theta-join at 0.7 over the same capped
+    // shingle sets — the gate pins the filter's completeness.
+    "d_ppjoin" ->
+      s"""WITH sh0 AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(range(greatest(len($toks) - 2, 1)),
+         |      i -> array_to_string(($toks)[(i+1):(i+3)], ' '))) AS sh
+         |    FROM documents)),
+         |sh AS (
+         |  SELECT * FROM sh0 WHERE sh NOT IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 100)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT id_a, id_b, round(i / (na.n + nb.n - i), 4) AS jaccard
+         |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id)
+         |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
     "d_minhash_lsh" ->
       s"""WITH $shingleCte,
          |h AS (

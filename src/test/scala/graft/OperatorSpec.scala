@@ -117,6 +117,44 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("ppjoin prefix filter equals the all-shingles jaccard join, threshold sweep") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),
+      (3L, "a b c d e f g h"),      // exact dup of 1
+      (4L, "q w e r t y u i"),
+      (5L, "q w e r t y u o p"),    // size-asymmetric near-dup of 4
+      (6L, "z z z")                 // degenerate single-shingle doc
+    ).toDF("doc_id", "text")
+    for (th <- Seq(0.3, 0.5, 0.7, 0.9, 1.0)) {
+      val ref = Dedup.ngramJaccard(docs, threshold = th).orderBy("id_a", "id_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      val pp = Dedup.jaccardJoinPrefix(docs, threshold = th).orderBy("id_a", "id_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(pp == ref, s"threshold $th")
+    }
+  }
+
+  test("ppjoin respects the hot-shingle cap identically to ngramJaccard") {
+    val boiler = "common header line always present"
+    val docs = (1L to 12L).map(i =>
+      (i, s"$boiler unique tail ${"w" * i.toInt} $i $i $i")).toDF("doc_id", "text")
+    for (th <- Seq(0.2, 0.6)) {
+      val ref = Dedup.ngramJaccard(docs, threshold = th, maxDocFreq = Some(5L))
+        .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+      val pp = Dedup.jaccardJoinPrefix(docs, threshold = th, maxDocFreq = Some(5L))
+        .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+      assert(pp == ref, s"threshold $th")
+    }
+  }
+
+  test("ppjoin on empty and pairless inputs yields no rows") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.jaccardJoinPrefix(emptyDocs, 0.5).count() == 0)
+    val disjoint = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    assert(Dedup.jaccardJoinPrefix(disjoint, 0.5).count() == 0)
+  }
+
   test("minhash LSH catches near-identical docs and skips disjoint ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
