@@ -47,7 +47,30 @@ object Bench {
     val runs = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
         .getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // drift forensics (r12 verdict #1): SPARK_GRAFT_BENCH_ORDER=desc
+    // runs the corpus in REVERSE name order — if per-query times track
+    // POSITION (late queries slow in both orders) the suite is leaking
+    // session residue; if they track the QUERY (same times both
+    // orders) the machine/session is the variable. Output artifacts
+    // are order-invariant: every rung reports in sorted-name order.
+    val runOrder = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "asc")
+    val ordered = {
+      val asc = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (runOrder == "desc") asc.reverse else asc
+    }
+    // per-query session snapshots (BENCH_SELF.json only): persistent
+    // RDD count + their memory footprint (dead localCheckpoint blocks
+    // — the r10 residue class) and driver JVM used heap, taken AFTER
+    // the query's hygiene flush. Monotonic growth across the suite =
+    // residue; flat = the flush is holding.
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long)]
+    def snapshot(name: String): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val rt = Runtime.getRuntime
+      snaps += ((name, infos.length, infos.map(_.memSize).sum,
+        rt.totalMemory() - rt.freeMemory()))
+    }
+    val resultsRun = ordered.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
@@ -60,11 +83,13 @@ object Bench {
         graft.core.SessionHygiene.flush(spark)
         if (ok) elapsed else -1.0
       }
+      snapshot(name)
       val steady = times.drop(1).filter(_ >= 0)
       name -> (if (steady.nonEmpty) steady.min
                else if (times.exists(_ >= 0)) times.filter(_ >= 0).min
                else -1.0)
     }
+    val results = resultsRun.sortBy(_._1)
     // stdout JSON must stay comfortably under the driver's 2000-byte
     // tail-capture window (BENCH r9 came back "parsed": null because the
     // 89-query line at 3 decimals + trailing sbt output overflowed it):
@@ -149,7 +174,11 @@ object Bench {
     // full fidelity: 3-decimal times, runs, the complete sf dir
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"sf":"$sfDir"}"""
+    // snapshots in RUN order (that's the axis residue accumulates on):
+    // [query, persistent RDD count, their bytes, driver used-heap bytes]
+    val snapsJson = snaps.map { case (k, n, b, h) =>
+      "[\"" + k + "\"," + n + "," + b + "," + h + "]" }.mkString("[", ",", "]")
+    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"order":"$runOrder","log_errors":$logErrs$logFirstFull,"queries":$qsFull,"session_snaps":$snapsJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), jsonFull + "\n")
     catch { case _: Throwable => }
     // ...then the driver's stdout line, printed AFTER spark.stop() so no

@@ -110,6 +110,7 @@ object SparkEntry {
     "mm_meta"           -> (LlmOps.mmMeta _),
     "mm_decode"         -> (LlmOps.mmDecode _),
     "mm_frames"         -> (LlmOps.mmFrames _),
+    "mm_neardup"        -> (LlmOps.mmNeardup _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
     "c_gzip_roundtrip"  -> (CoderQueries.cGzipRoundtrip _),
     "c_xml_tree"        -> (CoderQueries.cXmlTree _),

@@ -64,6 +64,14 @@ object Verify {
     // style comparisons keep working against the subset).
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
+    // fail FAST on unknown gate names: a typo'd filter would otherwise
+    // silently intersect to an empty/partial query map and dump a
+    // vacuously clean artifact — the exact empty-correctness shape that
+    // once masqueraded as a pass (r10)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"Verify: unknown gate name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        s"known gates are SparkEntry.queries' keys")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -373,9 +373,13 @@ object Dedup {
     * Scale shape: the df agg and its join-back reuse the checkpointed
     * sh-partitioning (zero extra exchanges); the per-doc rank is one
     * keyed window over doc-sized partitions; candidate generation is an
-    * equi-join on the shingle over the PREFIX stream only; verification
-    * joins candidates back to the full sets — the verified-candidates
-    * idiom of [[minhashLsh]], with an exact-complete candidate set. */
+    * equi-join on the shingle over the PREFIX stream only and emits
+    * each pair EXACTLY ONCE by construction (first-common-prefix-
+    * shingle rule — see the in-code note; no `.distinct()` over the
+    * candidate stream, the operator's largest intermediate);
+    * verification joins candidates back to the full sets — the
+    * verified-candidates idiom of [[minhashLsh]], with an
+    * exact-complete candidate set. */
   def jaccardJoinPrefix(docs: DataFrame, threshold: Double, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxDocFreq: Option[Long] = None,
@@ -393,19 +397,38 @@ object Dedup {
     // tie-break makes the order (and therefore the candidate set)
     // deterministic across runs and partitionings
     val dfreq = s.groupBy("sh").agg(count(lit(1)).as("df"))
-    val rk = row_number().over(Window.partitionBy("id").orderBy(col("df"), col("sh")))
+    val byDoc = Window.partitionBy("id").orderBy(col("df"), col("sh"))
+    val rk = row_number().over(byDoc)
     val nW = count(lit(1)).over(Window.partitionBy("id"))
+    // `before` = the prefix shingles ORDERED BEFORE this row's shingle
+    // in the same global (df, sh) order — the payload behind the
+    // exactly-once rule below. Same window spec as `rk`, so it rides
+    // the rank's sort for free (no extra exchange); average size is
+    // half the (short, rarest-~20%) prefix.
+    val before = collect_list(col("sh"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     val prefix = s.join(dfreq, "sh")
-      .select(col("id"), col("sh"), rk.as("rk"), nW.as("n"))
+      .select(col("id"), col("sh"), rk.as("rk"), nW.as("n"), before.as("before"))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("sh", "id", "n")
+      .select("sh", "id", "n", "before")
+    // exactly-once BY CONSTRUCTION (the hammingBandedPairs trick): a
+    // pair sharing k prefix shingles would be emitted k times by the
+    // equi-join; it is kept ONLY at its FIRST common prefix shingle.
+    // Both prefixes are sorted by the same global (df, sh) total
+    // order, so a common shingle earlier than this row's join shingle
+    // exists iff the two `before` slices overlap — no aggregate, no
+    // dedup shuffle over the candidate stream (the operator's largest
+    // intermediate at near-dup-heavy scale; pre-r13 this was a
+    // `.distinct()`). The trade — carrying the seen-so-far slice
+    // through the candidate join — is bounded by the prefix length,
+    // while the shuffle it removes grows with the near-dup pair count.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))) <=
-            least(col("a.n"), col("b.n")))
+            least(col("a.n"), col("b.n")) &&
+          !arrays_overlap(col("a.before"), col("b.before")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
-      .distinct()
     val inter = cand
       .join(s.as("sa"), col("id_a") === col("sa.id"))
       .join(s.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))

@@ -157,12 +157,7 @@ object MultiModal {
             val r = readers.next()
             try {
               r.setInput(iis)
-              val total = r.getNumImages(true)
-              val n = if (maxFrames > 0) math.min(total, maxFrames) else total
-              // materialize per-blob (n is the FRAME count of one blob,
-              // bounded by maxFrames): the reader/stream must not close
-              // before a lazy iterator is drained
-              (0 until n).map { f =>
+              def frameAt(f: Int): FrameStats = {
                 val img = r.read(f)
                 val (w, h) = (img.getWidth, img.getHeight)
                 var (sr, sg, sb) = (0L, 0L, 0L)
@@ -177,6 +172,30 @@ object MultiModal {
                   y += 1
                 }
                 FrameStats(id, f, w, h, sr, sg, sb)
+              }
+              // materialize per-blob (the buffer holds ONE blob's frames,
+              // bounded by maxFrames): the reader/stream must not close
+              // before a lazy iterator is drained
+              if (maxFrames > 0) {
+                // capped path: read frames INCREMENTALLY — no
+                // getNumImages(true), which is allowSearch = a full
+                // stream scan to count frames, i.e. the runaway
+                // container the cap exists to defend against would be
+                // fully scanned before the first frame was emitted.
+                // read(f) past the last frame raises
+                // IndexOutOfBoundsException per the ImageReader spec —
+                // that is the loop's end signal, not an error.
+                val buf = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
+                var f = 0
+                var more = true
+                while (more && f < maxFrames) {
+                  try { buf += frameAt(f); f += 1 }
+                  catch { case _: IndexOutOfBoundsException => more = false }
+                }
+                buf.toSeq
+              } else {
+                val total = r.getNumImages(true)
+                (0 until total).map(frameAt)
               }
             } catch { case _: Exception => Seq.empty[FrameStats] }
             finally { r.dispose(); iis.close() }
@@ -295,6 +314,47 @@ object MultiModal {
             val baos = new ByteArrayOutputStream()
             ImageIO.write(out, "png", baos)
             ResizedMedia(id, width, height, baos.toByteArray)
+          }
+        }
+      }(Encoders.product[ResizedMedia])
+    ds.toDF()
+  }
+
+  /** Integer-factor NEAREST-NEIGHBOR upscale: decode, replicate each
+    * pixel into a `factor`×`factor` block with an explicit loop, and
+    * re-encode as lossless PNG. Unlike [[resize]] (which targets fixed
+    * dims through the AWT `drawImage` pipeline), the scaling here is
+    * bit-exact BY CONSTRUCTION — `out(x, y) = in(x/factor, y/factor)`
+    * is the operator's contract, not a property of a rendering hint —
+    * which is what lets the `mm_neardup` oracle treat an upscaled twin
+    * as feature-identical to its base (grid-cell means are invariant
+    * under integer replication whenever the grid divides the base
+    * dims; nested-floor identity `⌊⌊x/s⌋/m⌋ = ⌊x/(s·m)⌋`).
+    * Undecodable blobs are DROPPED, same contract as [[resize]]. */
+  def resizeScale(media: DataFrame, factor: Int,
+                  idCol: String = "doc_id", blobCol: String = "content"): DataFrame = {
+    require(factor >= 1, "resizeScale: factor must be >= 1")
+    val ds = nonNull(media, idCol, blobCol)
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeFirstFrame(bytes).map { case (img, _) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val out = new BufferedImage(w * factor, h * factor,
+              BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h * factor) {
+              var x = 0
+              while (x < w * factor) {
+                out.setRGB(x, y, img.getRGB(x / factor, y / factor))
+                x += 1
+              }
+              y += 1
+            }
+            val baos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", baos)
+            ResizedMedia(id, w * factor, h * factor, baos.toByteArray)
           }
         }
       }(Encoders.product[ResizedMedia])

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Batch RANGE JOINS — point-in-interval lookup and interval-interval
   * overlap, the two shapes behind time-validity dimension joins,
@@ -69,18 +70,39 @@ object RangeJoin {
     * would never meet its interval in the equi-join and the match
     * would be SILENTLY lost. The occasional extra bucket this
     * generates (end on a bucket boundary) produces candidates the
-    * exact refine filter kills — a correctness-for-a-row trade. */
-  private def bucketLo(c: Column, w: Long): Column =
-    floor(c / w).cast("long")
+    * exact refine filter kills — a correctness-for-a-row trade.
+    *
+    * INTEGRAL columns take an exact-arithmetic path: Spark promotes
+    * long/long division to double, and past 2^53 (nanosecond epoch
+    * timestamps sit at ~1.7e18) the quotient loses ULPs — a point and
+    * its containing interval could land in INCONSISTENT buckets and
+    * the equi-join would silently drop the match (and the
+    * exactly-once first-common rule / giant split would misclassify).
+    * Exact floor division: subtract the non-negative `pmod` remainder
+    * (making the numerator an exact multiple of w), then integral
+    * `div` — truncation equals floor on an exact multiple, and no
+    * double ever enters the pipeline. (Caveat: `c - pmod(c, w)` can
+    * underflow only for c within w of Long.MinValue — not a value a
+    * real domain produces.) Fractional domains keep the double floor:
+    * their values carry double rounding by nature and the refine
+    * filter is the exact authority. */
+  private def bucketLo(c: Column, w: Long, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      call_function("div", c.cast("long") - pmod(c.cast("long"), lit(w)), lit(w))
+    case _ => floor(c / w).cast("long")
+  }
 
   private def explodeBuckets(df: DataFrame, startCol: String, endCol: String,
                              w: Long): DataFrame =
     df.withColumn("__bucket", explode(sequence(
-      bucketLo(col(startCol), w), bucketLo(col(endCol), w))))
+      bucketLo(col(startCol), w, df.schema(startCol).dataType),
+      bucketLo(col(endCol), w, df.schema(endCol).dataType))))
 
   /** bucket-count of an interval, used to split small vs giant. */
-  private def nBuckets(startCol: String, endCol: String, w: Long): Column =
-    bucketLo(col(endCol), w) - bucketLo(col(startCol), w) + 1L
+  private def nBuckets(df: DataFrame, startCol: String, endCol: String,
+                       w: Long): Column =
+    bucketLo(col(endCol), w, df.schema(endCol).dataType) -
+      bucketLo(col(startCol), w, df.schema(startCol).dataType) + 1L
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, startCol: String, endCol: String,
@@ -93,10 +115,10 @@ object RangeJoin {
       !intervals.columns.contains("__bucket"),
       "pointInInterval: __bucket is reserved; rename the input column")
     val live = intervals.filter(col(endCol) > col(startCol)) // end-exclusive
-    val isGiant = nBuckets(startCol, endCol, bucketWidth) > maxBucketsPerInterval
+    val isGiant = nBuckets(intervals, startCol, endCol, bucketWidth) > maxBucketsPerInterval
     val iv = explodeBuckets(live.filter(!isGiant), startCol, endCol, bucketWidth)
     val pt = points.withColumn("__bucket",
-      bucketLo(col(pointCol), bucketWidth))
+      bucketLo(col(pointCol), bucketWidth, points.schema(pointCol).dataType))
     val contains = col(pointCol) >= col(startCol) && col(pointCol) < col(endCol)
     val outCols = (points.columns ++ intervals.columns).map(col).toSeq
     val bucketLeg = pt.join(iv, Seq("__bucket")).filter(contains)
@@ -139,8 +161,8 @@ object RangeJoin {
       "intervalOverlap: __bucket/__bucket_r are reserved; rename the input column")
     val l = left.filter(col(lEndCol) > col(lStartCol))
     val r = right.filter(col(rEndCol) > col(rStartCol))
-    val lGiant = nBuckets(lStartCol, lEndCol, bucketWidth) > maxBucketsPerInterval
-    val rGiant = nBuckets(rStartCol, rEndCol, bucketWidth) > maxBucketsPerInterval
+    val lGiant = nBuckets(left, lStartCol, lEndCol, bucketWidth) > maxBucketsPerInterval
+    val rGiant = nBuckets(right, rStartCol, rEndCol, bucketWidth) > maxBucketsPerInterval
     val overlaps = col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol)
     val outCols = (left.columns ++ right.columns).map(col).toSeq
     // bucket leg: small × small. Exactly-once: the pair is kept only
@@ -152,8 +174,9 @@ object RangeJoin {
     val lb = explodeBuckets(l.filter(!lGiant), lStartCol, lEndCol, bucketWidth)
     val rb = explodeBuckets(r.filter(!rGiant), rStartCol, rEndCol, bucketWidth)
       .withColumnRenamed("__bucket", "__bucket_r")
-    val firstCommon = greatest(bucketLo(col(lStartCol), bucketWidth),
-      bucketLo(col(rStartCol), bucketWidth))
+    val firstCommon = greatest(
+      bucketLo(col(lStartCol), bucketWidth, left.schema(lStartCol).dataType),
+      bucketLo(col(rStartCol), bucketWidth, right.schema(rStartCol).dataType))
     val bucketLeg = lb.join(rb, col("__bucket") === col("__bucket_r"))
       .filter(overlaps && col("__bucket") === firstCommon)
       .select(outCols: _*)

@@ -857,7 +857,11 @@ object Similarity {
     * (it is tiny by construction — hot buckets ARE the skew) and
     * applied as a literal filter, so the cap costs one count pass and
     * zero extra exchanges; passing `maxBucket` therefore triggers that
-    * one eager Spark job at plan-build time.
+    * one eager Spark job at plan-build time. The collect is GUARDED
+    * (limit 4096+1): a mis-sized cap on a degenerate corpus falls back
+    * to the broadcast-anti-join + distinct form — identical results,
+    * graceful degradation instead of an unbounded driver collect or a
+    * plan linear in |hotSet|×bands.
     *
     * Output is exactly-once per pair BY CONSTRUCTION (first-surviving-
     * matching-band emission — see the in-code note), not by a
@@ -899,11 +903,40 @@ object Similarity {
     // what lets both the cap filter and the first-band rule below stay
     // literal predicates — no broadcast exchange at all. Encoded as
     // band<<32 | value (band values are < 2^32 by the bandBits bound).
-    val hotSet: Seq[java.lang.Long] = maxBucket match {
-      case Some(cap) =>
-        banded.groupBy("band", "bv").agg(count(lit(1)).as("__c"))
-          .filter(col("__c") > cap).select("band", "bv")
-          .collect().map(r => Long.box((r.getInt(0).toLong << 32) | r.getLong(1)))
+    // guard the driver collect: a mis-sized cap on a skewed corpus can
+    // make the "tiny by construction" hot set arbitrarily large — a
+    // limit(N+1) bounds both the collect and the per-row literal
+    // predicate cost (the isin is evaluated per band per row). Past the
+    // threshold the operator FALLS BACK to the broadcast-anti-join +
+    // distinct form below instead of failing or building a plan that
+    // grows linearly in |hotSet|×bands.
+    val maxHotLiteral = 4096
+    val hotBuckets: Option[DataFrame] = maxBucket.map { cap =>
+      banded.groupBy("band", "bv").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > cap).select("band", "bv")
+    }
+    val hotCollected: Option[Array[org.apache.spark.sql.Row]] =
+      hotBuckets.map(_.limit(maxHotLiteral + 1).collect())
+    if (hotCollected.exists(_.length > maxHotLiteral)) {
+      // degenerate-skew fallback: too many hot buckets for a literal
+      // predicate. Cap via broadcast anti-join (one small-side
+      // exchange), then dedup the pair stream with a distinct — the
+      // pre-r12 shape: it degrades gracefully instead of inlining an
+      // unbounded literal list into the plan. Results are identical to
+      // the literal path (same surviving buckets, same pair set).
+      val capped = banded.join(broadcast(hotBuckets.get),
+        Seq("band", "bv"), "left_anti")
+      return capped.as("a").join(capped.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          hammingDist(col("a.sig"), col("b.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    }
+    val hotSet: Seq[java.lang.Long] = hotCollected match {
+      case Some(rows) =>
+        rows.map(r => Long.box((r.getInt(0).toLong << 32) | r.getLong(1)))
           .toSeq.sorted
       case None => Seq.empty
     }

@@ -1086,6 +1086,53 @@ object LlmOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** IMAGE NEAR-DUP DEDUP, end to end (r12 verdict item #2) — the
+    * multimodal north-star composition: real decode → grid-mean
+    * features ([[MultiModal.decodeFeatures]]) → sign-bit signatures →
+    * banded Hamming pair generation
+    * ([[Similarity.hammingBandedPairs]]), over a fixture of PLANTED
+    * near-duplicate images: each gradient PNG also appears as a
+    * decode→2× nearest-neighbor upscale→PNG re-encode twin
+    * ([[MultiModal.resizeScale]], twin id = base + 100000). The
+    * fixture keeps docs whose dims are multiples of the grid (grid=4
+    * cells align with the 2× replication blocks), so twin features
+    * equal base features EXACTLY (nested-floor identity — see
+    * resizeScale's doc) and every planted twin pair surfaces at
+    * hamming 0; 48-bit signatures keep unrelated gradients apart
+    * (grid=2's 12 bits drowned the planted pairs in background
+    * collisions — measured, 2000 pairs from 202 ids).
+    *
+    * Features are centered at 0.5 (decodeFeatures normalizes means to
+    * [0,1]) so signBits' x>0 threshold splits at mid-gray; all bit
+    * decisions are sign-safe under IEEE rounding (identical op
+    * sequence on both engines). With 48-dim signatures in 6 bands,
+    * maxHamming=5 sits AT the pigeonhole bound (5 mismatches can spoil
+    * at most 5 of 6 bands), so banding has provably FULL recall and
+    * the oracle is the plain hamming≤5 θ-join over bits re-derived
+    * from the generator formulas — the gate pins decode, feature,
+    * signature, banding and pairing bit-for-bit.
+    *
+    * Scale: the fixture is small, the SHAPE is the 100 TB one — one
+    * decode pass per side, no shuffle before the banded equi-join,
+    * exactly-once pair emission, no distinct. */
+  def mmNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents
+      .select(col("doc_id"))
+      .filter(col("doc_id") < 500 && col("doc_id") % 5 =!= 0 &&
+        (lit(8) + col("doc_id") % 9) % 4 === 0 &&
+        (lit(6) + col("doc_id") % 7) % 4 === 0)
+    val base = MultiModal.synthesize(ids)
+    val twins = MultiModal.resizeScale(base, 2)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("content"))
+    val feats = MultiModal.decodeFeatures(
+      base.select("doc_id", "content").unionByName(twins), grid = 4)
+    val centered = feats.select(col("doc_id"),
+      transform(col("features"), f => f - lit(0.5)).as("fv"))
+    Similarity.hammingBandedPairs(centered, dim = 48, maxHamming = 5,
+        bands = 6, idCol = "doc_id", vecCol = "fv")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Semi-structured JSON column processing (§2.7 / serde surface):
     * extract + aggregate a JSON field from the events props column.
     * Scale: get_json_object is a codegen'd path expression — no full

@@ -1563,6 +1563,55 @@ object LlmOracles {
         |SELECT * FROM png UNION ALL SELECT * FROM gif
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // image near-dup: bits re-derived from the generator formulas —
+    // grid=4 cell means of the gradient channels, normalized /255,
+    // thresholded at 0.5 with the EXACT Spark op sequence
+    // ((s/c)/255 - 0.5 > 0). Twins (2× NN upscale re-encodes, id+1e5)
+    // have IDENTICAL features (integer replication is mean-invariant
+    // when the grid divides the base dims — the fixture's dims%4=0
+    // predicate), so their bit rows are the base rows re-keyed. With 6
+    // bands over 48 bits, maxHamming=5 is pigeonhole-complete: every
+    // hamming≤5 pair shares a band, so the oracle is the plain θ-join.
+    "mm_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 500 AND doc_id % 5 <> 0
+        |    AND (8 + doc_id % 9) % 4 = 0 AND (6 + doc_id % 7) % 4 = 0),
+        |d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM ids),
+        |px AS (
+        |  SELECT doc_id,
+        |    least((y.i * 4) // h, 3) * 4 + least((x.i * 4) // w, 3) AS cell,
+        |    (7 * x.i + 13 * y.i + doc_id) % 256 AS r,
+        |    (3 * x.i + 5 * y.i + 2 * doc_id) % 256 AS g,
+        |    (x.i + 11 * y.i + 5 * doc_id) % 256 AS b
+        |  FROM d CROSS JOIN range(16) x(i) CROSS JOIN range(12) y(i)
+        |  WHERE x.i < w AND y.i < h),
+        |cells AS (
+        |  SELECT doc_id, cell, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+        |    count(*) AS cnt
+        |  FROM px GROUP BY doc_id, cell),
+        |bits0 AS (
+        |  SELECT doc_id, cell * 3 AS i,
+        |    CASE WHEN sr::double / cnt / 255.0 - 0.5 > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM cells
+        |  UNION ALL SELECT doc_id, cell * 3 + 1,
+        |    CASE WHEN sg::double / cnt / 255.0 - 0.5 > 0 THEN 1 ELSE 0 END
+        |  FROM cells
+        |  UNION ALL SELECT doc_id, cell * 3 + 2,
+        |    CASE WHEN sb::double / cnt / 255.0 - 0.5 > 0 THEN 1 ELSE 0 END
+        |  FROM cells),
+        |allbits AS (
+        |  SELECT doc_id, i, bit FROM bits0
+        |  UNION ALL SELECT doc_id + 100000, i, bit FROM bits0),
+        |sig AS (SELECT doc_id, list(bit ORDER BY i) AS bits
+        |        FROM allbits GROUP BY doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    list_sum(list_transform(range(48),
+        |      i -> abs(a.bits[i + 1] - b.bits[i + 1])))::bigint AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 5 ORDER BY id_a, id_b""".stripMargin,
+
     "q26_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(json_extract_string(props, '$.k')::int), 4) AS avg_k,

@@ -135,4 +135,47 @@ class MultiModalSpec extends SparkSpec {
     assert(meta.length == 6)
     assert(meta.forall(r => r.getInt(1) == 5 && r.getInt(2) == 4 && r.getInt(3) == 1))
   }
+
+  test("resizeScale: exact integer NN replication — pixel sums scale by s², features invariant, AWT path agrees") {
+    // PNG gradient docs only (id % 5 != 0): exact known pixels
+    val ids = Seq(1L, 2L, 7L, 13L).toDF("doc_id")
+    val base = MultiModal.synthesize(ids)
+    val up = MultiModal.resizeScale(base, 3)
+    // decoded stats of the upscaled twin: dims ×3, channel sums ×9 —
+    // pinned against the BASE decode, i.e. out(x,y) = in(x/3, y/3)
+    val b = MultiModal.decodeStats(base).orderBy("doc_id").collect()
+    val u = MultiModal.decodeStats(up.select(col("doc_id"), col("content")))
+      .orderBy("doc_id").collect()
+    b.zip(u).foreach { case (bb, uu) =>
+      assert(uu.getInt(1) == 3 * bb.getInt(1) && uu.getInt(2) == 3 * bb.getInt(2))
+      assert(uu.getLong(5) == 9 * bb.getLong(5), s"sum_r of ${bb.getLong(0)}")
+      assert(uu.getLong(6) == 9 * bb.getLong(6) && uu.getLong(7) == 9 * bb.getLong(7))
+    }
+    // feature invariance (the mm_neardup contract): when grid divides
+    // the base dims, grid-mean features are EXACTLY invariant under
+    // integer replication. doc 13: w = 8+13%9 = 12, h = 6+13%7 = 12 —
+    // divisible by grid 4 (and 2)
+    val thirteen = Seq(13L).toDF("doc_id")
+    val fBase = MultiModal.decodeFeatures(MultiModal.synthesize(thirteen), grid = 4)
+      .select("features").head().getSeq[Double](0)
+    val fUp = MultiModal.decodeFeatures(
+        MultiModal.resizeScale(MultiModal.synthesize(thirteen), 2)
+          .select(col("doc_id"), col("content")), grid = 4)
+      .select("features").head().getSeq[Double](0)
+    assert(fBase == fUp, "grid-mean features must be bit-identical under 2× replication")
+    // the AWT drawImage NEAREST path (resize) agrees with the explicit
+    // replication loop on integer upscales — pins the JVM rendering
+    // behavior resizeScale deliberately does NOT depend on
+    val one = Seq(1L).toDF("doc_id")
+    val viaAwt = MultiModal.decodeStats(
+      MultiModal.resize(MultiModal.synthesize(one),
+          (8 + 1 % 9) * 2, (6 + 1 % 7) * 2)
+        .select(col("doc_id"), col("content"))).head()
+    val viaLoop = MultiModal.decodeStats(
+      MultiModal.resizeScale(MultiModal.synthesize(one), 2)
+        .select(col("doc_id"), col("content"))).head()
+    assert(viaAwt.getLong(5) == viaLoop.getLong(5) &&
+      viaAwt.getLong(6) == viaLoop.getLong(6) &&
+      viaAwt.getLong(7) == viaLoop.getLong(7))
+  }
 }
