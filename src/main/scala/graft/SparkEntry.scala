@@ -111,6 +111,7 @@ object SparkEntry {
     "mm_decode"         -> (LlmOps.mmDecode _),
     "mm_frames"         -> (LlmOps.mmFrames _),
     "mm_neardup"        -> (LlmOps.mmNeardup _),
+    "mm_audio"          -> (LlmOps.mmAudio _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
     "c_gzip_roundtrip"  -> (CoderQueries.cGzipRoundtrip _),
     "c_xml_tree"        -> (CoderQueries.cXmlTree _),

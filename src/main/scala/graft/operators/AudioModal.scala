@@ -1,0 +1,183 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** AUDIO as a second real modality (beyond the reference's binary
+  * content pipeline, `io/file/reader.go:30-74`; north star "multimodal
+  * columns at scale") — JDK-only `javax.sound.sampled` WAV decode,
+  * the audio twin of [[MultiModal]]'s `javax.imageio` image decode:
+  * blobs are opaque `binary` columns, decode runs as ONE
+  * `mapPartitions` pass per batch (no shuffle, no driver
+  * involvement), undecodable blobs surface as sentinel rows / are
+  * dropped (the [[MultiModal.extractMeta]] / `decodeFeatures`
+  * split), and every decoded number is an exact INTEGER (sample sums,
+  * sum of squares) so gates pin the decoder by hash, never by float
+  * tolerance.
+  *
+  * PCM contract: 16-bit signed little-endian WAV (the universally
+  * readable interchange shape). [[decodeStats]] parses the frames of
+  * the first two channels; [[features]] emits per-window ENERGY
+  * (sum of squared samples, channel 0) — the windowed-RMS shape with
+  * the sqrt left to the consumer, because Σs² is an exact integer
+  * while RMS is ulp-fragile. The feature vector feeds [[Similarity]]
+  * exactly like an embedding column.
+  */
+object AudioModal {
+
+  private def nonNull(media: DataFrame, idCol: String, blobCol: String): DataFrame =
+    media.filter(col(idCol).isNotNull && col(blobCol).isNotNull)
+
+  /** Decoded per-channel integer statistics; sentinel row
+    * (sample_rate = -1, channels = -1, zeros) for undecodable blobs —
+    * failure RATES are data, failures are not job-kills. Channels
+    * beyond the first two contribute to n_frames only. */
+  final case class AudioStats(doc_id: Long, sample_rate: Int, channels: Int,
+                              n_frames: Long, sum_c0: Long, sum_c1: Long,
+                              ssq_c0: Long, ssq_c1: Long)
+
+  /** Parse a WAV blob into (format, pcm bytes); None when the blob is
+    * not decodable audio or not 16-bit PCM. */
+  private def decodePcm(bytes: Array[Byte]): Option[(AudioFormat, Array[Byte])] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val buf = new ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          Some((fmt, buf.toByteArray))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  private def sampleAt(pcm: Array[Byte], off: Int): Long =
+    ((pcm(off) & 0xff) | (pcm(off + 1) << 8)).toLong // little-endian signed 16-bit
+
+  def decodeStats(media: DataFrame, idCol: String = "doc_id",
+                  blobCol: String = "content"): DataFrame = {
+    val ds = nonNull(media, idCol, blobCol)
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodePcm(bytes) match {
+            case Some((fmt, pcm)) =>
+              val ch = fmt.getChannels
+              val frameBytes = 2 * ch
+              val frames = pcm.length / frameBytes
+              var (s0, s1, q0, q1) = (0L, 0L, 0L, 0L)
+              var t = 0
+              while (t < frames) {
+                val v0 = sampleAt(pcm, t * frameBytes)
+                s0 += v0; q0 += v0 * v0
+                if (ch > 1) {
+                  val v1 = sampleAt(pcm, t * frameBytes + 2)
+                  s1 += v1; q1 += v1 * v1
+                }
+                t += 1
+              }
+              AudioStats(id, fmt.getSampleRate.toInt, ch, frames, s0, s1, q0, q1)
+            case None => AudioStats(id, -1, -1, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }(Encoders.product[AudioStats])
+    ds.toDF()
+  }
+
+  /** Typed feature row: per-window channel-0 energy vector. */
+  final case class AudioFeatures(doc_id: Long, n_frames: Long, features: Array[Double])
+
+  /** Windowed ENERGY features: channel-0 Σs² over `windows` equal
+    * frame windows (frame t lands in window t·windows/n — integer
+    * division, the same exact cell rule as
+    * [[MultiModal.decodeFeatures]]). Values are exact integers stored
+    * as doubles (≤ 2000²·frames ≪ 2^53 for any real clip), so
+    * downstream signatures are deterministic. Undecodable blobs are
+    * DROPPED (garbage energy poisons a similarity index). */
+  def features(media: DataFrame, windows: Int = 4, idCol: String = "doc_id",
+               blobCol: String = "content"): DataFrame = {
+    require(windows > 0, "features: windows must be positive")
+    val ds = nonNull(media, idCol, blobCol)
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodePcm(bytes).map { case (fmt, pcm) =>
+            val ch = fmt.getChannels
+            val frameBytes = 2 * ch
+            val frames = pcm.length / frameBytes
+            val w = new Array[Double](windows)
+            var t = 0
+            while (t < frames) {
+              val v = sampleAt(pcm, t * frameBytes)
+              w(math.min((t.toLong * windows / frames).toInt, windows - 1)) +=
+                (v * v).toDouble
+              t += 1
+            }
+            AudioFeatures(id, frames, w)
+          }
+        }
+      }(Encoders.product[AudioFeatures])
+    ds.toDF()
+  }
+
+  /** Deterministic WAV synthesis — the fixture generator behind the
+    * `mm_audio` gate (and a general test-clip source): every id maps
+    * to a 16-bit PCM WAV whose format and samples are pure integer
+    * functions of the id, so a DuckDB oracle re-derives the DECODED
+    * statistics sample by sample:
+    *
+    *  - channels  = 1 + id%2 (mono / stereo alternating)
+    *  - rate      = 8000 + 1000·(id%3)
+    *  - frames    = 200 + id%57
+    *  - sample(t, c) = (13t + 7c + id) % 4001 − 2000
+    *
+    * (floorMod, so negative ids still map to a valid clip — same
+    * contract as [[MultiModal.synthesizeOne]].) */
+  final case class SyntheticClip(doc_id: Long, content: Array[Byte])
+
+  private[operators] def synthesizeWavOne(id: Long): Array[Byte] = {
+    def mod(a: Long, m: Int): Int = java.lang.Math.floorMod(a, m.toLong).toInt
+    val ch = 1 + mod(id, 2)
+    val rate = 8000 + 1000 * mod(id, 3)
+    val frames = 200 + mod(id, 57)
+    val pcm = new Array[Byte](frames * 2 * ch)
+    var t = 0
+    while (t < frames) {
+      var c = 0
+      while (c < ch) {
+        val s = mod(13L * t + 7L * c + id, 4001) - 2000
+        val off = (t * ch + c) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      t += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Synthesize one WAV clip per id row (see [[synthesizeWavOne]]'s
+    * formula contract). One mapPartitions pass. */
+  def synthesizeWav(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val ds = ids.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map(id => SyntheticClip(id, synthesizeWavOne(id)))
+      }(Encoders.product[SyntheticClip])
+    ds.toDF()
+  }
+}

@@ -1133,6 +1133,32 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** AUDIO as a second real modality (r12 verdict item #4): the full
+    * synthesize → WAV-encode → `javax.sound.sampled` decode round
+    * trip, pinned EXACTLY — sample rate / channel layout / frame
+    * count, per-channel integer sample sums and sums of squares, and
+    * 4-window channel-0 energy features
+    * ([[graft.operators.AudioModal]]), all re-derived by the DuckDB
+    * oracle sample by sample from the generator formulas. The clip
+    * table materializes ONCE ([[graft.operators.Stage.reuse]]) and
+    * feeds both decode passes. Energy windows are exact integers
+    * (Σs² of 16-bit samples), so the hash pins the decoder and the
+    * windowing rule with no float tolerance. */
+  def mmAudio(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AudioModal, Stage}
+    val ids = Tables(spark, dir).documents
+      .select(col("doc_id")).filter(col("doc_id") < 400)
+    val clips = Stage.reuse(AudioModal.synthesizeWav(ids))
+    val stats = AudioModal.decodeStats(clips)
+    val feats = AudioModal.features(clips, windows = 4)
+      .select(col("doc_id"),
+        element_at(col("features"), 1).cast("long").as("w0"),
+        element_at(col("features"), 2).cast("long").as("w1"),
+        element_at(col("features"), 3).cast("long").as("w2"),
+        element_at(col("features"), 4).cast("long").as("w3"))
+    stats.join(feats, "doc_id").orderBy("doc_id")
+  }
+
   /** Semi-structured JSON column processing (§2.7 / serde surface):
     * extract + aggregate a JSON field from the events props column.
     * Scale: get_json_object is a codegen'd path expression — no full

@@ -1612,6 +1612,32 @@ object LlmOracles {
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 5 ORDER BY id_a, id_b""".stripMargin,
 
+    // audio decode: the WAV round trip re-derived sample by sample
+    // from the generator formulas (AudioModal.synthesizeWavOne) —
+    // channels 1+id%2, rate 8000+1000*(id%3), frames 200+id%57,
+    // sample(t,c) = (13t+7c+id)%4001-2000. Energy windows use the
+    // same integer cell rule as the image grid (t*4//n, capped).
+    "mm_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch,
+        |    8000 + 1000 * (doc_id % 3) AS rate, 200 + doc_id % 57 AS n
+        |  FROM documents WHERE doc_id < 400),
+        |s AS (
+        |  SELECT d.doc_id, ch, rate, n, t.i AS t,
+        |    (13 * t.i + doc_id) % 4001 - 2000 AS s0,
+        |    CASE WHEN ch = 2 THEN (13 * t.i + 7 + doc_id) % 4001 - 2000
+        |         ELSE 0 END AS s1
+        |  FROM d CROSS JOIN range(257) t(i) WHERE t.i < n)
+        |SELECT doc_id, max(rate)::int AS sample_rate, max(ch)::int AS channels,
+        |  max(n)::bigint AS n_frames,
+        |  sum(s0)::bigint AS sum_c0, sum(s1)::bigint AS sum_c1,
+        |  sum(s0 * s0)::bigint AS ssq_c0, sum(s1 * s1)::bigint AS ssq_c1,
+        |  sum(CASE WHEN least((t * 4) // n, 3) = 0 THEN s0 * s0 ELSE 0 END)::bigint AS w0,
+        |  sum(CASE WHEN least((t * 4) // n, 3) = 1 THEN s0 * s0 ELSE 0 END)::bigint AS w1,
+        |  sum(CASE WHEN least((t * 4) // n, 3) = 2 THEN s0 * s0 ELSE 0 END)::bigint AS w2,
+        |  sum(CASE WHEN least((t * 4) // n, 3) = 3 THEN s0 * s0 ELSE 0 END)::bigint AS w3
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q26_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(json_extract_string(props, '$.k')::int), 4) AS avg_k,

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.AudioModal
+import org.apache.spark.sql.functions._
+
+/** Audio modality: real javax.sound.sampled WAV decode — the
+  * synthesize→encode→decode round trip must be the identity on
+  * format metadata and exact integer sample statistics; broken blobs
+  * sentinel (stats) or drop (features), never kill the job.
+  */
+class AudioModalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clipIds = Seq(0L, 1L, 2L, 3L, 7L, 56L, 57L).toDF("doc_id")
+
+  test("synthesize → WAV decode round trip recovers the generator formulas exactly") {
+    val stats = AudioModal.decodeStats(AudioModal.synthesizeWav(clipIds))
+      .orderBy("doc_id").collect()
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val ch = 1 + (id % 2).toInt
+      val n = 200 + (id % 57).toInt
+      assert(r.getInt(1) == 8000 + 1000 * (id % 3).toInt, s"rate of $id")
+      assert(r.getInt(2) == ch && r.getLong(3) == n.toLong, s"layout of $id")
+      def s(t: Int, c: Int): Long = (13L * t + 7L * c + id) % 4001 - 2000
+      val exp0 = (0 until n).map(t => s(t, 0))
+      assert(r.getLong(4) == exp0.sum, s"sum_c0 of $id")
+      assert(r.getLong(6) == exp0.map(v => v * v).sum, s"ssq_c0 of $id")
+      if (ch == 2) {
+        val exp1 = (0 until n).map(t => s(t, 1))
+        assert(r.getLong(5) == exp1.sum && r.getLong(7) == exp1.map(v => v * v).sum)
+      } else assert(r.getLong(5) == 0L && r.getLong(7) == 0L)
+    }
+  }
+
+  test("undecodable blobs: sentinel row in stats, dropped from features") {
+    val mixed = AudioModal.synthesizeWav(Seq(4L).toDF("doc_id"))
+      .unionAll(Seq((99L, "not a wav".getBytes("UTF-8"))).toDF("doc_id", "content"))
+    val stats = AudioModal.decodeStats(mixed).orderBy("doc_id").collect()
+    assert(stats.length == 2)
+    assert(stats(1).getInt(1) == -1 && stats(1).getInt(2) == -1 &&
+      stats(1).getLong(3) == 0L)
+    assert(AudioModal.features(mixed).count() == 1)
+  }
+
+  test("windowed energy features: exact integers, window sums total the clip energy, similarity-ready") {
+    val clips = AudioModal.synthesizeWav(clipIds)
+    val f = AudioModal.features(clips, windows = 4).orderBy("doc_id").collect()
+    val stats = AudioModal.decodeStats(clips).orderBy("doc_id").collect()
+    f.zip(stats).foreach { case (fr, sr) =>
+      val w = fr.getSeq[Double](2)
+      assert(w.length == 4)
+      assert(w.forall(v => v == math.rint(v)), "energies must be exact integers")
+      assert(w.sum.toLong == sr.getLong(6), s"windows must total ssq_c0 of ${fr.getLong(0)}")
+    }
+    // identical ids → identical feature vectors (the similarity handoff)
+    val twice = AudioModal.features(
+      AudioModal.synthesizeWav(Seq(7L, 7L).toDF("doc_id")), windows = 4)
+      .select("features").collect()
+    assert(twice(0).getSeq[Double](0) == twice(1).getSeq[Double](0))
+  }
+}
