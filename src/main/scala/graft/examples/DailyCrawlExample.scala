@@ -73,17 +73,25 @@ object DailyCrawlExample {
                     pplBy: String = "source",
                     pplSamplePct: Int = 20): Unit = {
     val spark = corpus.sparkSession
+    // the WHOLE artifact set lands in one IndexGen generation and
+    // publishes atomically at the end: a mid-recompaction reader
+    // resolves the previous generation and sees a CONSISTENT index
+    // (pre-IndexGen, each artifact overwrote in place — a reader could
+    // mix yesterday's fp map with today's bloom filter, or catch an
+    // artifact dir mid-overwrite). Crash before promote = invisible
+    // staging, GC'd by the next successful compaction.
+    val gen = IndexGen.begin(spark, indexDir)
     BloomDedup.corpusFingerprints(corpus)
-      .write.mode("overwrite").parquet(s"$indexDir/fp")
-    BloomDedup.buildFilter(spark.read.parquet(s"$indexDir/fp"), expectedItems)
-      .foreach(writeBytes(spark, s"$indexDir/bloom.bin", _))
+      .write.mode("overwrite").parquet(s"$gen/fp")
+    BloomDedup.buildFilter(spark.read.parquet(s"$gen/fp"), expectedItems)
+      .foreach(writeBytes(spark, s"$gen/bloom.bin", _))
     val idx = BloomDedup.lshIndex(corpus)
-    idx.shingles.write.mode("overwrite").parquet(s"$indexDir/sh")
-    idx.bands.write.mode("overwrite").parquet(s"$indexDir/bands")
+    idx.shingles.write.mode("overwrite").parquet(s"$gen/sh")
+    idx.bands.write.mode("overwrite").parquet(s"$gen/bands")
     // set sizes persisted too: without this table every batch run
     // re-aggregates the corpus shingle long form for the jaccard
     // denominator — a corpus-scale groupBy that compaction can pay once
-    idx.sizesOf.write.mode("overwrite").parquet(s"$indexDir/sizes")
+    idx.sizesOf.write.mode("overwrite").parquet(s"$gen/sizes")
     // line-hash table + bloom: the corpus-wide LINE dedup artifact
     // (CCNet step) — fourth member of the index family. Sized by
     // `expectedLines`, NOT `expectedItems`: distinct lines run tens of
@@ -91,27 +99,29 @@ object DailyCrawlExample {
     // fp-rate 1, sending every batch line down the anti-join and
     // defeating the map-side fast path
     BloomDedup.corpusLineHashes(corpus)
-      .write.mode("overwrite").parquet(s"$indexDir/lh")
-    BloomDedup.buildFilter(spark.read.parquet(s"$indexDir/lh"),
+      .write.mode("overwrite").parquet(s"$gen/lh")
+    BloomDedup.buildFilter(spark.read.parquet(s"$gen/lh"),
         expectedLines, hashCol = "lh")
-      .foreach(writeBytes(spark, s"$indexDir/lh_bloom.bin", _))
+      .foreach(writeBytes(spark, s"$gen/lh_bloom.bin", _))
     // LM vocab + per-`pplBy` perplexity cutoffs: the steady-state
     // scoring artifacts — future batches score and bucket against
     // these without a corpus scan (see [[scoreBatch]]). Written only
     // when the grouping column exists (a (doc_id, text)-only corpus
-    // still compacts its dedup index; the cuts write comes LAST so a
-    // crashed compaction cannot leave lm-without-cuts passing
-    // scoreBatch's guard — it checks cuts, the final artifact)
+    // still compacts its dedup index). Intra-generation write order no
+    // longer carries crash semantics — an unpromoted generation is
+    // invisible whole — but cuts still writes last so the gen's
+    // content order mirrors the scoring dependency.
     if (corpus.columns.contains(pplBy)) {
       TextStats.corpusLm(corpus)
-        .write.mode("overwrite").parquet(s"$indexDir/lm")
+        .write.mode("overwrite").parquet(s"$gen/lm")
       val scoredCorpus = TextStats
-        .unigramLogProbAgainst(corpus, spark.read.parquet(s"$indexDir/lm"))
+        .unigramLogProbAgainst(corpus, spark.read.parquet(s"$gen/lm"))
         .join(corpus.select(col("doc_id").as("id"), col(pplBy)), "id")
         .select(col("id"), col(pplBy), col("mean_nll"))
       TextStats.pplCutoffs(scoredCorpus, pplBy, samplePct = pplSamplePct)
-        .write.mode("overwrite").parquet(s"$indexDir/cuts")
+        .write.mode("overwrite").parquet(s"$gen/cuts")
     }
+    IndexGen.promote(spark, indexDir, gen)
   }
 
   /** Steady-state perplexity scoring: today's batch against the
@@ -124,11 +134,14 @@ object DailyCrawlExample {
   def scoreBatch(batch: DataFrame, indexDir: String,
                  pplBy: String = "source"): DataFrame = {
     val spark = batch.sparkSession
-    if (!pathExists(spark, s"$indexDir/lm") || !pathExists(spark, s"$indexDir/cuts"))
+    // resolve the live generation ONCE: both artifacts come from the
+    // same consistent snapshot even if a recompaction promotes mid-call
+    val root = IndexGen.live(spark, indexDir).getOrElse(indexDir)
+    if (!pathExists(spark, s"$root/lm") || !pathExists(spark, s"$root/cuts"))
       throw new IllegalStateException(
         s"$indexDir has no LM artifacts — re-run compactCorpus on a corpus with '$pplBy'")
-    scoreBatchLoaded(batch, spark.read.parquet(s"$indexDir/lm"),
-      spark.read.parquet(s"$indexDir/cuts"), pplBy)
+    scoreBatchLoaded(batch, spark.read.parquet(s"$root/lm"),
+      spark.read.parquet(s"$root/cuts"), pplBy)
   }
 
   /** [[scoreBatch]] against ALREADY-LOADED artifacts — the shared core
@@ -159,25 +172,30 @@ object DailyCrawlExample {
     * index was compacted with them; None for a pre-round-8 index
     * (line dedup then simply skips). */
   def loadLineIndex(spark: SparkSession, indexDir: String)
-      : Option[(DataFrame, Option[Array[Byte]])] =
-    if (pathExists(spark, s"$indexDir/lh")) {
-      val bloom = if (pathExists(spark, s"$indexDir/lh_bloom.bin"))
-        Some(readBytes(spark, s"$indexDir/lh_bloom.bin")) else None
-      Some((spark.read.parquet(s"$indexDir/lh"), bloom))
+      : Option[(DataFrame, Option[Array[Byte]])] = {
+    val root = IndexGen.live(spark, indexDir).getOrElse(indexDir)
+    if (pathExists(spark, s"$root/lh")) {
+      val bloom = if (pathExists(spark, s"$root/lh_bloom.bin"))
+        Some(readBytes(spark, s"$root/lh_bloom.bin")) else None
+      Some((spark.read.parquet(s"$root/lh"), bloom))
     } else None
+  }
 
-  /** The persisted artifacts of [[compactCorpus]], reloaded. Tolerates
-    * a pre-round-7 index without the `sizes` table (sizes then derive
-    * from the shingle long form at run time). */
+  /** The persisted artifacts of [[compactCorpus]], reloaded — all from
+    * ONE [[IndexGen]]-resolved generation, so the fp map, bloom bytes
+    * and LSH tables are always a mutually consistent snapshot.
+    * Tolerates a pre-round-7 index without the `sizes` table (sizes
+    * then derive from the shingle long form at run time). */
   def loadIndex(spark: SparkSession, indexDir: String)
       : (DataFrame, Option[Array[Byte]], LshIndex) = {
-    val bloom = if (pathExists(spark, s"$indexDir/bloom.bin"))
-      Some(readBytes(spark, s"$indexDir/bloom.bin")) else None
-    val sizes = if (pathExists(spark, s"$indexDir/sizes"))
-      Some(spark.read.parquet(s"$indexDir/sizes")) else None
-    (spark.read.parquet(s"$indexDir/fp"), bloom,
-      LshIndex(spark.read.parquet(s"$indexDir/sh"),
-        spark.read.parquet(s"$indexDir/bands"), sizes))
+    val root = IndexGen.live(spark, indexDir).getOrElse(indexDir)
+    val bloom = if (pathExists(spark, s"$root/bloom.bin"))
+      Some(readBytes(spark, s"$root/bloom.bin")) else None
+    val sizes = if (pathExists(spark, s"$root/sizes"))
+      Some(spark.read.parquet(s"$root/sizes")) else None
+    (spark.read.parquet(s"$root/fp"), bloom,
+      LshIndex(spark.read.parquet(s"$root/sh"),
+        spark.read.parquet(s"$root/bands"), sizes))
   }
 
   /** Cluster-layout variant of [[compactCorpus]]: the index lands as

@@ -50,32 +50,32 @@ object AnnIndex {
     * `codebooks/` (long-form, driver-tiny), and `corpus/` — one row per
     * vector with its coarse `cell` (the partition column), PQ `code`,
     * and float embedding. One trainer-sample scan pair + ONE full
-    * corpus scan (the assign+encode+write pass). */
+    * corpus scan (the assign+encode+write pass).
+    *
+    * The payload lands in a fresh [[IndexGen]] GENERATION and is
+    * promoted atomically at the end: a reader that [[load]]ed the
+    * previous generation keeps reading its own (untouched) files while
+    * this compaction runs and after it publishes — no torn index, the
+    * vacuum swap contract generalized to every rebuild. */
   def compact(corpus: DataFrame, indexDir: String, cells: Int,
               m: Int, ksub: Int, coarseIters: Int = 3, pqIters: Int = 2,
               trainBound: Long = 1L << 20,
               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // a rebuild starts from a CLEAN slate: stale tombstones from a
-    // previous index generation (removes never vacuumed before the
-    // re-compact) would otherwise silently shadow freshly indexed
-    // vectors that happen to reuse the ids
-    val tomb = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(tomb, true)
     val cents = Similarity.trainKMeans(corpus, cells, coarseIters, idCol, vecCol, trainBound)
     val cbs = Similarity.pqTrain(corpus, m, ksub, pqIters, idCol, vecCol, trainBound)
+    val gen = IndexGen.begin(spark, indexDir)
     cents.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (v, p) => (i, p, v) }
     }.toDF("cell", "pos", "val")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids")
     cbs.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.flatMap { case (c, cw) =>
         c.zipWithIndex.map { case (v, p) => (j, cw, p, v) }
       }
     }.toDF("j", "codeword", "pos", "val")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/codebooks")
     // the one full pass: coarse cell + m code words + the float vector
     Similarity.pqEncode(
         Similarity.assignCells(
@@ -85,7 +85,14 @@ object AnnIndex {
       .select(col("cand_id"), col("cell"), col("code"),
         col("cv").as("embedding"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/corpus")
+      .parquet(s"$gen/corpus")
+    IndexGen.promote(spark, indexDir, gen)
+    // NOTE a rebuild starts from a clean slate BY CONSTRUCTION now:
+    // tombstones live INSIDE their generation (a generation + its
+    // tombstones are a consistent immutable pair), so stale removes
+    // from the previous index can never shadow freshly indexed vectors
+    // that reuse the ids — the pre-IndexGen explicit tombstone
+    // clearing is structurally unnecessary.
   }
 
   /** FAISS's `add`: append a batch of NEW vectors to an existing
@@ -113,7 +120,64 @@ object AnnIndex {
       .select(col("cand_id"), col("cell"), col("code"),
         col("cv").as("embedding"))
       .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/corpus")
+      .parquet(s"${IndexGen.liveRequired(batch.sparkSession, indexDir)}/corpus")
+
+  /** One maintenance micro-batch of [[addStream]], callable directly —
+    * the IDEMPOTENT-PER-EPOCH twin of [[add]]: the encoded batch lands
+    * in the live generation's `additions/` table under its epoch
+    * partition via DYNAMIC partition overwrite, so a micro-batch
+    * REPLAYED after a failure (same epochId — the Structured Streaming
+    * replay contract) overwrites its own partition instead of
+    * appending a duplicate copy. `additions/` is partitioned by
+    * (__epoch, cell): cell pruning works exactly as on the main
+    * corpus, and [[load]] unions the two tables into one Model.
+    * [[vacuum]] folds additions into the next generation's corpus. */
+  def addEpoch(batch: DataFrame, indexDir: String, model: Model, epochId: Long,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    Similarity.pqEncode(
+        Similarity.assignCells(
+          batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+          model.centroids, "cv"),
+        model.codebooks, "cv")
+      .select(col("cand_id"), lit(epochId).as("__epoch"), col("cell"),
+        col("code"), col("cv").as("embedding"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__epoch", "cell")
+      .parquet(s"${IndexGen.liveRequired(batch.sparkSession, indexDir)}/additions")
+
+  /** STREAMING index maintenance (the [[graft.examples.DailyCrawlExample]]
+    * `labelStream` pattern applied to the index lifecycle): each
+    * micro-batch of new vectors is encoded with the trained artifacts
+    * loaded ONCE per stream and folded in via [[addEpoch]] — replay
+    * after a simulated failure neither double-adds (epoch partition
+    * overwrite) nor resurrects removed ids (tombstones are consulted
+    * at query time regardless of where the row lives). Re-[[load]] to
+    * observe new additions, as with [[add]]. */
+  def addStream(stream: DataFrame, indexDir: String, checkpoint: String,
+                idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val model = load(stream.sparkSession, indexDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        addEpoch(batch, indexDir, model, epochId, idCol, vecCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Streaming deletion twin: [[remove]] per micro-batch. Naturally
+    * replay-tolerant — a re-appended tombstone batch is duplicate ids
+    * in an anti-join set (distinct at load), not corruption. */
+  def removeStream(stream: DataFrame, indexDir: String, checkpoint: String,
+                   idCol: String = "vec_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        remove(batch, indexDir, idCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 
   /** FAISS's `remove_ids` as tombstones: a curation pipeline that
     * drops documents (dedup, decontamination) must evict their vectors
@@ -130,45 +194,48 @@ object AnnIndex {
     * tombstone would keep shadowing the re-added row. */
   def remove(ids: DataFrame, indexDir: String,
              idCol: String = "vec_id"): Unit =
+    // tombstones live INSIDE the live generation: a generation and its
+    // deletions are one consistent immutable-by-rewrite pair (load
+    // resolves both from the same gen; a recompact starts clean with
+    // no clearing step; removes against a superseded generation are
+    // obsolete by definition — the rebuild indexed the current corpus)
     ids.select(col(idCol).cast("long").as("cand_id")).distinct()
-      .write.mode("append").parquet(s"$indexDir/tombstones")
+      .write.mode("append")
+      .parquet(s"${IndexGen.liveRequired(ids.sparkSession, indexDir)}/tombstones")
 
   /** Fold accumulated tombstones into the standing cell files: rewrite
-    * `corpus/` minus the tombstoned ids into a staging dir, swap it in
-    * with two renames (never a delete-then-rename — that would leave a
-    * no-corpus window for the whole delete), and delete EXACTLY the
-    * tombstone files that were read — a [[remove]] batch appended
-    * while the rewrite was running survives for the NEXT vacuum
-    * instead of being silently erased unfolded. The ONE full-index
-    * pass deletions ever cost — amortized across all the [[remove]]
-    * calls since the last one; an empty tombstone set (e.g. a [[remove]]
-    * of ids not present, or an empty eviction batch) short-circuits to
-    * file cleanup with no rewrite. A vacuum that tombstones EVERY
+    * the live generation's corpus minus the tombstoned ids into a NEW
+    * [[IndexGen]] generation (trained artifacts byte-copied across —
+    * vacuum never retrains) and promote it atomically. The ONE
+    * full-index pass deletions ever cost — amortized across all the
+    * [[remove]] calls since the last one; an empty tombstone set
+    * short-circuits with no rewrite. A vacuum that tombstones EVERY
     * remaining row writes a schema-bearing empty table (a partitioned
     * overwrite of zero rows would leave a footer-less dir that bricks
     * every subsequent [[load]]).
     *
-    * Crash behavior: renames are atomic on HDFS-like filesystems, so a
-    * crash leaves one of three recoverable states — staging present +
-    * corpus live (vacuum simply re-runs), corpus absent with
-    * `corpus.old` + staging complete (the one instant between the two
-    * renames; finish by renaming staging in), or swapped with
-    * `corpus.old`/read tombstone files not yet deleted (re-run: the
-    * anti-join of an already-folded tombstone set is a no-op).
+    * Crash behavior is [[IndexGen]]'s matrix: an unpromoted staging
+    * generation is invisible and GC'd later; the manifest swap is the
+    * two-rename with a `.prev` fallback. A [[remove]] appended to the
+    * OLD generation while the rewrite ran is carried into the new
+    * generation after the promote (file moves — the ids were not in
+    * the fold, so they stay pending for the next vacuum).
     *
-    * CONCURRENCY: vacuum is a MAINTENANCE operation — run it when no
-    * query is mid-flight against this index and re-[[load]] afterwards.
-    * An already-loaded Model captured file PATHS, not snapshots; its
-    * `table` dangles once the swap deletes the old files (same
-    * contract as compacting any rename-swapped table layout under a
-    * live reader). Concurrent [[remove]] appends ARE safe (see above). */
+    * CONCURRENCY: an already-loaded Model keeps answering from its own
+    * generation during AND after the vacuum (the old generation
+    * survives one promote — IndexGen keeps the predecessor); re-[[load]]
+    * to see the folded index. A LEGACY flat-layout index is migrated
+    * to the generational layout by its first vacuum (old top-level
+    * payload dirs are removed after the promote). */
   def vacuum(spark: SparkSession, indexDir: String): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
-    val fs = tombPath.getFileSystem(hadoopConf)
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(hadoopConf)
+    val liveGen = IndexGen.liveRequired(spark, indexDir)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$liveGen/tombstones")
     if (!fs.exists(tombPath)) return
-    // snapshot the tombstone FILES first: only these are read, only
-    // these are deleted — later concurrent appends stay pending
+    // snapshot the tombstone FILES first: only these are folded —
+    // later concurrent appends stay pending (carried over below)
     val tombFiles = fs.listStatus(tombPath).map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     if (tombFiles.isEmpty) { fs.delete(tombPath, true); return }
@@ -178,38 +245,69 @@ object AnnIndex {
       tombFiles.foreach(fs.delete(_, false))
       return
     }
-    val staged = new org.apache.hadoop.fs.Path(s"$indexDir/corpus.compacting")
-    val survivors = spark.read.parquet(s"$indexDir/corpus")
+    // the fold consumes the corpus AND any streamed additions — the
+    // next generation's corpus is the consolidated table (additions
+    // are not carried; their rows move into cell files proper)
+    val basePlusAdds = {
+      val corpus = spark.read.parquet(s"$liveGen/corpus")
+      val addPath = new org.apache.hadoop.fs.Path(s"$liveGen/additions")
+      if (fs.exists(addPath))
+        corpus.unionByName(spark.read.parquet(addPath.toString)
+          .drop("__epoch").select(corpus.columns.map(col).toSeq: _*))
+      else corpus
+    }
+    val survivors = basePlusAdds
       .join(broadcast(tombs), Seq("cand_id"), "left_anti")
+    val gen = IndexGen.begin(spark, indexDir)
     survivors.write.mode("overwrite").partitionBy("cell")
-      .parquet(staged.toString)
+      .parquet(s"$gen/corpus")
     // zero survivors ⇒ the partitioned overwrite wrote no parquet
     // footers; re-write the empty table WITH schema (cell becomes a
     // data column of the empty file — nothing to prune anyway)
-    if (!fs.listStatus(staged).exists(s =>
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$gen/corpus")
+    if (!fs.listStatus(corpusPath).exists(s =>
         s.isDirectory && s.getPath.getName.startsWith("cell=")))
       survivors.limit(0).coalesce(1)
-        .write.mode("overwrite").parquet(staged.toString)
-    val live = new org.apache.hadoop.fs.Path(s"$indexDir/corpus")
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/corpus.old")
-    fs.delete(old, true) // leftover from a crashed prior vacuum
-    if (!fs.rename(live, old))
-      throw new java.io.IOException(s"vacuum: could not retire $live")
-    if (!fs.rename(staged, live)) {
-      fs.rename(old, live) // roll back; staging kept for inspection
-      throw new java.io.IOException(
-        s"vacuum: could not swap $staged into place (rolled back)")
+        .write.mode("overwrite").parquet(corpusPath.toString)
+    // trained artifacts carry over byte-identical — vacuum folds
+    // deletions, it never retrains
+    Seq("centroids", "codebooks").foreach { d =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$liveGen/$d"), fs,
+        new org.apache.hadoop.fs.Path(s"$gen/$d"),
+        false, hadoopConf)
     }
-    fs.delete(old, true)
-    tombFiles.foreach(fs.delete(_, false))
-    // drop the dir too if nothing arrived meanwhile
-    if (fs.exists(tombPath) && fs.listStatus(tombPath)
-        .forall(!_.getPath.getName.endsWith(".parquet")))
-      fs.delete(tombPath, true)
+    IndexGen.promote(spark, indexDir, gen)
+    // carry tombstone files that arrived DURING the rewrite (not in
+    // the folded snapshot) into the new generation — they stay pending
+    // for the next vacuum instead of dying with the old generation
+    val folded = tombFiles.map(_.getName).toSet
+    if (fs.exists(tombPath)) {
+      val newTomb = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
+      fs.listStatus(tombPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !folded(p.getName))
+        .foreach { p =>
+          fs.mkdirs(newTomb)
+          fs.rename(p, new org.apache.hadoop.fs.Path(newTomb, p.getName))
+        }
+    }
+    // legacy flat layout: this vacuum migrated it into gen-00001 —
+    // retire the superseded top-level payload (readers resolve the
+    // manifest from here on; IndexGen's GC never touches non-gen dirs)
+    if (new org.apache.hadoop.fs.Path(liveGen).toUri.getPath == root.toUri.getPath)
+      Seq("corpus", "centroids", "codebooks", "tombstones", "corpus.old",
+          "corpus.compacting").foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
+      }
   }
 
   def load(spark: SparkSession, indexDir: String): Model = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    // everything — corpus, trained artifacts AND tombstones — resolves
+    // from ONE generation: the Model is a consistent snapshot that
+    // keeps answering identically while a concurrent compact/vacuum
+    // publishes the next generation (IndexGen keeps the predecessor)
+    val gen = IndexGen.liveRequired(spark, indexDir)
+    val cents = spark.read.parquet(s"$gen/centroids")
       .select("cell", "pos", "val")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       .groupBy(_._1).toSeq.sortBy(_._1).map { case (_, dims) =>
@@ -217,7 +315,7 @@ object AnnIndex {
         dims.foreach { case (_, p, v) => arr(p) = v }
         arr
       }
-    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
+    val cbRows = spark.read.parquet(s"$gen/codebooks")
       .select("j", "codeword", "pos", "val")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
     val cbs = cbRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, byBook) =>
@@ -227,14 +325,24 @@ object AnnIndex {
         arr
       }
     }
-    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
     val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombs =
       if (fs.exists(tombPath) && fs.listStatus(tombPath)
           .exists(_.getPath.getName.endsWith(".parquet")))
         Some(spark.read.parquet(tombPath.toString).select("cand_id").distinct())
       else None
-    Model(cents, cbs, spark.read.parquet(s"$indexDir/corpus"), tombs)
+    // streamed additions (addEpoch's epoch-partitioned table) extend
+    // the corpus; the epoch is a replay-idempotency artifact, not data
+    val addPath = new org.apache.hadoop.fs.Path(s"$gen/additions")
+    val corpus = spark.read.parquet(s"$gen/corpus")
+    val table =
+      if (fs.exists(addPath))
+        corpus.unionByName(
+          spark.read.parquet(addPath.toString).drop("__epoch")
+            .select(corpus.columns.map(col).toSeq: _*))
+      else corpus
+    Model(cents, cbs, table, tombs)
   }
 
   /** Top-k per query against the prebuilt index: probe `nprobe` cells,

@@ -57,16 +57,22 @@ object SemanticIndex {
     val survivors = celled.join(
       labels.filter(col("keep")).select(col("id").as(idCol)), idCol)
     import spark.implicits._
+    // fresh IndexGen generation + atomic promote: a reader loaded at
+    // the previous generation keeps its consistent snapshot while this
+    // recompaction writes and publishes (see IndexGen's object doc)
+    val gen = IndexGen.begin(spark, indexDir)
     cents.zipWithIndex.flatMap { case (c, i) =>
       c.zipWithIndex.map { case (v, p) => (i, p, v) }
     }.toDF("cell", "pos", "val")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids")
     survivors.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/survivors")
+      .parquet(s"$gen/survivors")
+    IndexGen.promote(spark, indexDir, gen)
   }
 
   def load(spark: SparkSession, indexDir: String): Model = {
-    val rows = spark.read.parquet(s"$indexDir/centroids")
+    val gen = IndexGen.liveRequired(spark, indexDir)
+    val rows = spark.read.parquet(s"$gen/centroids")
       .select("cell", "pos", "val")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     val cents = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, dims) =>
@@ -74,7 +80,7 @@ object SemanticIndex {
       dims.foreach { case (_, p, v) => arr(p) = v }
       arr
     }
-    Model(cents, spark.read.parquet(s"$indexDir/survivors"))
+    Model(cents, spark.read.parquet(s"$gen/survivors"))
   }
 
   /** Label one batch against the loaded index: `dup_of` = the

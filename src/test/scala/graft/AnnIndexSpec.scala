@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnnIndex, Similarity}
+import graft.operators.{AnnIndex, IndexGen, Similarity}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -117,7 +117,8 @@ class AnnIndexSpec extends SparkSpec {
       coarseIters = 4, pqIters = 3, trainBound = 0L)
     val model = AnnIndex.load(spark, s"$dir/index")
     def files(): Map[String, Long] = {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/index/corpus"))
+      java.nio.file.Files.walk(java.nio.file.Paths.get(
+          s"${IndexGen.liveRequired(spark, s"$dir/index")}/corpus"))
         .iterator().asScala
         .filter(p => java.nio.file.Files.isRegularFile(p) &&
           p.toString.endsWith(".parquet"))
@@ -153,7 +154,8 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.compact(corpus, s"$dir/index", cells = 4, m = 2, ksub = 4,
       coarseIters = 4, pqIters = 3, trainBound = 0L)
     def corpusFiles(): Map[String, Long] = {
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/index/corpus"))
+      java.nio.file.Files.walk(java.nio.file.Paths.get(
+          s"${IndexGen.liveRequired(spark, s"$dir/index")}/corpus"))
         .iterator().asScala
         .filter(p => java.nio.file.Files.isRegularFile(p) &&
           p.toString.endsWith(".parquet"))
@@ -181,8 +183,8 @@ class AnnIndexSpec extends SparkSpec {
     assert(top2.head == ((1L, fullTop(1)._2)), s"got ${top2.toSeq}")
     // vacuum: one rewrite folds the tombstones into the cell files
     AnnIndex.vacuum(spark, s"$dir/index")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/index/tombstones")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${IndexGen.liveRequired(spark, s"$dir/index")}/tombstones")))
     val m3 = AnnIndex.load(spark, s"$dir/index")
     assert(m3.tombstones.isEmpty)
     assert(m3.table.count() == corpusRows.size - 1)
@@ -190,6 +192,56 @@ class AnnIndexSpec extends SparkSpec {
     val top3 = AnnIndex.queryBatch(q, m3, k = 3, nprobe = 1, shortlist = 8)
       .select("rnk", "cand_id").as[(Long, Long)].collect().sortBy(_._1)
     assert(top3.toSeq == top2.toSeq, "vacuum must not change answers")
+  }
+
+  test("streamed maintenance: a replayed epoch neither double-adds nor resurrects removed ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-stream").toString
+    corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+    AnnIndex.compact(corpus, s"$dir/index", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val model = AnnIndex.load(spark, s"$dir/index")
+    val batch = (0 until 4).map(c => ((300 + c).toLong, member(bases(c), 11)))
+      .toDF("vec_id", "embedding")
+    // one real stream round: two micro-batches through addStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = AnnIndex.addStream(mem.toDF().toDF("vec_id", "embedding"),
+      s"$dir/index", s"$dir/ckpt")
+    try {
+      mem.addData((300L, member(bases(0), 11)), (301L, member(bases(1), 11)))
+      q.processAllAvailable()
+      mem.addData((302L, member(bases(2), 11)), (303L, member(bases(3), 11)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size + 4)
+    // simulated FAILURE REPLAY: the same epoch id runs again (the
+    // foreachBatch body, exactly what a restarted stream re-invokes) —
+    // the epoch partition overwrites itself, count must not move
+    AnnIndex.addEpoch(batch.filter(col("vec_id") < 302), s"$dir/index", model, 0L)
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size + 4,
+      "replayed epoch must overwrite its own partition, not append")
+    // remove a streamed-in vector, then replay its add epoch again:
+    // the tombstone must keep shadowing it (no resurrection)
+    AnnIndex.remove(Seq(301L).toDF("vec_id"), s"$dir/index")
+    AnnIndex.addEpoch(batch.filter(col("vec_id") < 302), s"$dir/index", model, 0L)
+    val m2 = AnnIndex.load(spark, s"$dir/index")
+    // probe each planted cluster: 301 (cluster 1) must stay hidden,
+    // 300 (cluster 0) must stay searchable
+    val probes = Seq((998L, member(bases(0), 11)), (999L, member(bases(1), 11)))
+      .toDF("vec_id", "embedding")
+    val res = AnnIndex.queryBatch(probes, m2, k = 5, nprobe = 4, shortlist = 16)
+      .select("cand_id").as[Long].collect().toSet
+    assert(!res.contains(301L), "removed id resurfaced after an epoch replay")
+    assert(res.contains(300L), "the surviving streamed add must stay searchable")
+    // vacuum folds streamed additions + tombstones into the next
+    // generation: additions table gone, consolidated corpus correct
+    AnnIndex.vacuum(spark, s"$dir/index")
+    val m3 = AnnIndex.load(spark, s"$dir/index")
+    assert(m3.tombstones.isEmpty)
+    assert(m3.table.count() == corpusRows.size + 3)
+    assert(m3.table.filter(col("cand_id") === 301L).count() == 0)
   }
 
   test("probing statically prunes partitions of the codes table (nprobe/cells scan)") {

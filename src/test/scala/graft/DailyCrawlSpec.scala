@@ -150,9 +150,10 @@ class DailyCrawlSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-crawl-nolm").toString
     val corpus = Seq((1L, "plain corpus text only")).toDF("doc_id", "text")
     DailyCrawlExample.compactCorpus(corpus, s"$dir/index")   // must not throw
-    // dedup artifacts present, LM artifacts absent
-    assert(new java.io.File(s"$dir/index/fp").exists())
-    assert(!new java.io.File(s"$dir/index/lm").exists())
+    // dedup artifacts present, LM artifacts absent (in the live generation)
+    val live = graft.operators.IndexGen.liveRequired(spark, s"$dir/index")
+    assert(new java.io.File(s"$live/fp").exists())
+    assert(!new java.io.File(s"$live/lm").exists())
     val batch = Seq((10L, "batch text", "src1")).toDF("doc_id", "text", "source")
     val e = intercept[IllegalStateException] {
       DailyCrawlExample.scoreBatch(batch, s"$dir/index")
@@ -225,7 +226,8 @@ class DailyCrawlSpec extends SparkSpec {
     AnnIndex.compact(vecs.toDF("vec_id", "embedding"), annDir,
       cells = 4, m = 2, ksub = 4, coarseIters = 4, pqIters = 3, trainBound = 0L)
     def cellFiles(): Map[String, Long] =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$annDir/corpus"))
+      java.nio.file.Files.walk(java.nio.file.Paths.get(
+          s"${graft.operators.IndexGen.liveRequired(spark, annDir)}/corpus"))
         .iterator().asScala
         .filter(p => java.nio.file.Files.isRegularFile(p) &&
           p.toString.endsWith(".parquet"))

@@ -154,6 +154,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("writeClustered: a 2-D range predicate reads ≤ 1/4 the row groups of the unclustered twin") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-zcluster").toString
+    // 100k points, x/y decorrelated pseudo-random over [0, 1024)
+    val pts = spark.range(100000L).select(
+      col("id"),
+      (col("id") * 2654435761L % 1024).cast("long").as("x"),
+      ((col("id") * 40503L + 7L) % 1024).cast("long").as("y"))
+    // clustered by the Morton key vs the same data in id order — same
+    // file count, same (small) row-group size so the fixture spans
+    // many prunable groups on both sides
+    Layout.writeClustered(pts, s"$dir/clustered",
+      Layout.zorder2(col("x"), col("y")), files = 4, rowGroupBytes = 64 * 1024)
+    pts.repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+      .write.option("parquet.block.size", (64 * 1024).toString)
+      .parquet(s"$dir/rowid")
+    // rows SURVIVING parquet row-group skipping = the scan node's
+    // output rows (Spark re-filters them exactly afterwards)
+    def scanned(path: String): (Long, Long) = {
+      val q = spark.read.parquet(path).filter(col("x") < 64 && col("y") < 64)
+      val n = q.count()
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }
+      (n, scan.getOrElse(fail("no FileSourceScanExec in the plan")))
+    }
+    val (nC, scanC) = scanned(s"$dir/clustered")
+    val (nU, scanU) = scanned(s"$dir/rowid")
+    assert(nC == nU, "layouts must agree on the answer")
+    assert(nC > 0, "fixture must select something")
+    // unclustered: x/y are uncorrelated with id, so nearly every row
+    // group spans the full x/y range and nothing is skipped; clustered:
+    // the [0,64)² corner is a compact curve segment — the scan must
+    // read at most a quarter of what the unclustered twin reads (in
+    // practice far less; 4× keeps the assert robust to group-boundary
+    // effects at this fixture size)
+    assert(scanC * 4 <= scanU,
+      s"z-clustered scan read $scanC rows vs unclustered $scanU — no pruning win")
+  }
+
   test("histogram: dense bins, boundary assignment, out-of-range dropped") {
     val df = Seq(0.0, 4.99, 5.0, 14.99, -1.0, 20.0, 19.99, null.asInstanceOf[Any])
       .map(v => Tuple1(Option(v).map(_.asInstanceOf[Double])))
