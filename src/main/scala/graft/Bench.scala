@@ -63,33 +63,48 @@ object Bench {
     // — the r10 residue class) and driver JVM used heap, taken AFTER
     // the query's hygiene flush. Monotonic growth across the suite =
     // residue; flat = the flush is holding.
-    val snaps = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long)]
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long, Double)]
+    // contention forensics (r13, closing the r12 drift question for good):
+    // process-CPU seconds per query and the host 1-min load average per
+    // snapshot. A query whose WALL time inflates while its process-CPU
+    // stays at the clean-run floor was starved by something outside this
+    // JVM — attributable from the artifact alone, no re-run needed.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def processCpuSec: Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
     def snapshot(name: String): Unit = {
       val infos = spark.sparkContext.getRDDStorageInfo
       val rt = Runtime.getRuntime
       snaps += ((name, infos.length, infos.map(_.memSize).sum,
-        rt.totalMemory() - rt.freeMemory()))
+        rt.totalMemory() - rt.freeMemory(), osBean.getSystemLoadAverage))
     }
     val resultsRun = ordered.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
+        val c0 = processCpuSec
         val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 >= 0) processCpuSec - c0 else -1.0
         // between runs AND queries: deterministically drop dead
         // localCheckpoint blocks + cached frames (r10's System.gc()
         // approach did not hold in the driver's environment —
         // d_components measured 14.9 s there vs its 3.4 s steady
         // state; see SessionHygiene for why GC-mediated cleanup lags)
         graft.core.SessionHygiene.flush(spark)
-        if (ok) elapsed else -1.0
+        (if (ok) elapsed else -1.0, cpu)
       }
       snapshot(name)
-      val steady = times.drop(1).filter(_ >= 0)
-      name -> (if (steady.nonEmpty) steady.min
-               else if (times.exists(_ >= 0)) times.filter(_ >= 0).min
-               else -1.0)
+      val steady = times.drop(1).filter(_._1 >= 0)
+      val best =
+        if (steady.nonEmpty) steady.minBy(_._1)
+        else if (times.exists(_._1 >= 0)) times.filter(_._1 >= 0).minBy(_._1)
+        else (-1.0, -1.0)
+      name -> best
     }
-    val results = resultsRun.sortBy(_._1)
+    val resultsCpu = resultsRun.sortBy(_._1)
+    val results = resultsCpu.map { case (k, (w, _)) => (k, w) }
     // stdout JSON must stay comfortably under the driver's 2000-byte
     // tail-capture window (BENCH r9 came back "parsed": null because the
     // 89-query line at 3 decimals + trailing sbt output overflowed it):
@@ -127,8 +142,16 @@ object Bench {
     // sf as basename only: the dir prefix is constant and the window is
     // byte-budgeted (see jnum note above)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // "cpu" (whole process-CPU seconds of the selected runs) rides every
+    // stdout rung: a driver artifact whose total inflates over the clean
+    // baseline while cpu does NOT is contention-poisoned by definition —
+    // the r12 drift question answered inside the artifact itself
+    def cpuField = {
+      val c = resultsCpu.map(_._2._2).filter(_ >= 0).sum
+      if (c > 0) ",\"cpu\":" + math.round(c) else ""
+    }
     def lineAt(dec: Int, lf: String) =
-      f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs$lf,"queries":${qsAt(dec)},"sf":"$sfName"}"""
+      f"""{"metric":"total","value":${jnum(total)},"unit":"sec"$cpuField,"log_errors":$logErrs$lf,"queries":${qsAt(dec)},"sf":"$sfName"}"""
     // adaptive fallbacks, tried in order, so the emitted line can never
     // outgrow the driver's 2000-byte capture: full precision → 1
     // decimal → drop the error excerpt (the count stays; the text is in
@@ -153,7 +176,7 @@ object Bench {
     def lineQv = {
       val vals = results.map { case (_, v) =>
         if (v < 0) "-1" else math.round(v * 10).toString }
-      f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs,"q_omitted":0,"qv_unit":"ds","qv_order":"name-asc","qv":[${vals.mkString(",")}],"sf":"$sfName"}"""
+      f"""{"metric":"total","value":${jnum(total)},"unit":"sec"$cpuField,"log_errors":$logErrs,"q_omitted":0,"qv_unit":"ds","qv_order":"name-asc","qv":[${vals.mkString(",")}],"sf":"$sfName"}"""
     }
     // ultimate rung: if even the positional array overflows, keep the
     // SLOWEST n queries — the ones a perf reader actually needs — and
@@ -164,7 +187,7 @@ object Bench {
       val kept = results.sortBy { case (k, v) => (-v, k) }.take(n).sortBy(_._1)
       val qs = kept.map { case (k, v) => "\"" + k + "\":" + jnum(v, 0) }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":${jnum(total)},"unit":"sec","log_errors":$logErrs,"q_omitted":${results.size - n},"queries":$qs,"sf":"$sfName"}"""
+      f"""{"metric":"total","value":${jnum(total)},"unit":"sec"$cpuField,"log_errors":$logErrs,"q_omitted":${results.size - n},"queries":$qs,"sf":"$sfName"}"""
     }
     val json = (Seq(lineAt(2, logFirstAt(80)), lineAt(1, logFirstAt(80)),
         lineAt(1, ""), lineAt(0, ""), lineQv) ++
@@ -175,10 +198,17 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // snapshots in RUN order (that's the axis residue accumulates on):
-    // [query, persistent RDD count, their bytes, driver used-heap bytes]
-    val snapsJson = snaps.map { case (k, n, b, h) =>
-      "[\"" + k + "\"," + n + "," + b + "," + h + "]" }.mkString("[", ",", "]")
-    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"order":"$runOrder","log_errors":$logErrs$logFirstFull,"queries":$qsFull,"session_snaps":$snapsJson,"sf":"$sfDir"}"""
+    // [query, persistent RDD count, their bytes, driver used-heap bytes,
+    //  host 1-min load average]
+    val snapsJson = snaps.map { case (k, n, b, h, l) =>
+      "[\"" + k + "\"," + n + "," + b + "," + h + "," + f"$l%.1f" + "]" }
+      .mkString("[", ",", "]")
+    // per-query process-CPU seconds of the SELECTED (min-wall) run:
+    // wall >> clean floor while cpu == clean floor = external contention
+    val qsCpu = resultsCpu.map { case (k, (_, c)) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val cpuTotal = resultsCpu.map(_._2._2).filter(_ >= 0).sum
+    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"order":"$runOrder","cpu_total":$cpuTotal%.1f,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"query_cpu":$qsCpu,"session_snaps":$snapsJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), jsonFull + "\n")
     catch { case _: Throwable => }
     // ...then the driver's stdout line, printed AFTER spark.stop() so no

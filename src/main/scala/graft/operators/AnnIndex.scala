@@ -203,23 +203,27 @@ object AnnIndex {
       .write.mode("append")
       .parquet(s"${IndexGen.liveRequired(ids.sparkSession, indexDir)}/tombstones")
 
-  /** Fold accumulated tombstones into the standing cell files: rewrite
-    * the live generation's corpus minus the tombstoned ids into a NEW
-    * [[IndexGen]] generation (trained artifacts byte-copied across —
-    * vacuum never retrains) and promote it atomically. The ONE
-    * full-index pass deletions ever cost — amortized across all the
-    * [[remove]] calls since the last one; an empty tombstone set
-    * short-circuits with no rewrite. A vacuum that tombstones EVERY
-    * remaining row writes a schema-bearing empty table (a partitioned
-    * overwrite of zero rows would leave a footer-less dir that bricks
-    * every subsequent [[load]]).
+  /** Fold accumulated tombstones AND streamed additions into the
+    * standing cell files: rewrite the live generation's corpus, plus
+    * [[addEpoch]]'s per-epoch additions, minus the tombstoned ids,
+    * into a NEW [[IndexGen]] generation (trained artifacts byte-copied
+    * across — vacuum never retrains) and promote it atomically. The
+    * ONE full-index pass maintenance ever costs — amortized across all
+    * the [[remove]]/[[addEpoch]] calls since the last one. An
+    * ADD-ONLY index vacuums too (consolidating the per-epoch small
+    * files IS the point at streaming scale); with neither pending set
+    * the call short-circuits with no rewrite. A vacuum that tombstones
+    * EVERY remaining row writes a schema-bearing empty table (a
+    * partitioned overwrite of zero rows would leave a footer-less dir
+    * that bricks every subsequent [[load]]).
     *
     * Crash behavior is [[IndexGen]]'s matrix: an unpromoted staging
     * generation is invisible and GC'd later; the manifest swap is the
-    * two-rename with a `.prev` fallback. A [[remove]] appended to the
-    * OLD generation while the rewrite ran is carried into the new
-    * generation after the promote (file moves — the ids were not in
-    * the fold, so they stay pending for the next vacuum).
+    * two-rename with a `.prev` fallback. A [[remove]] or [[addEpoch]]
+    * landed in the OLD generation while the rewrite ran is carried
+    * into the new generation after the promote (file/dir moves — that
+    * data was not in the folded snapshot, so it stays pending for the
+    * next vacuum).
     *
     * CONCURRENCY: an already-loaded Model keeps answering from its own
     * generation during AND after the vacuum (the old generation
@@ -233,31 +237,53 @@ object AnnIndex {
     val fs = root.getFileSystem(hadoopConf)
     val liveGen = IndexGen.liveRequired(spark, indexDir)
     val tombPath = new org.apache.hadoop.fs.Path(s"$liveGen/tombstones")
-    if (!fs.exists(tombPath)) return
-    // snapshot the tombstone FILES first: only these are folded —
-    // later concurrent appends stay pending (carried over below)
-    val tombFiles = fs.listStatus(tombPath).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-    if (tombFiles.isEmpty) { fs.delete(tombPath, true); return }
-    val tombs = spark.read.parquet(tombFiles.map(_.toString): _*)
-      .select(col("cand_id")).distinct()
-    if (tombs.isEmpty) {
-      tombFiles.foreach(fs.delete(_, false))
+    val addPath = new org.apache.hadoop.fs.Path(s"$liveGen/additions")
+    // snapshot BOTH pending sets first — tombstone FILES and addition
+    // EPOCH partitions: only the snapshot is folded; anything appended
+    // while the rewrite runs is carried into the new generation after
+    // the promote (below) and stays pending for the next vacuum
+    val tombFiles =
+      if (fs.exists(tombPath))
+        fs.listStatus(tombPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+      else Array.empty[org.apache.hadoop.fs.Path]
+    val addEpochs =
+      if (fs.exists(addPath))
+        fs.listStatus(addPath).map(_.getPath)
+          .filter(p => p.getName.startsWith("__epoch="))
+      else Array.empty[org.apache.hadoop.fs.Path]
+    val tombs =
+      if (tombFiles.isEmpty) None
+      else Some(spark.read.parquet(tombFiles.map(_.toString): _*)
+        .select(col("cand_id")).distinct()).filter(!_.isEmpty)
+    if (tombs.isEmpty && addEpochs.isEmpty) {
+      // nothing to fold — an ADD-ONLY index still vacuums (the per-epoch
+      // additions ARE the small-file debt this pass exists to retire),
+      // but with neither pending set there is only residue to clear
+      if (tombFiles.nonEmpty) tombFiles.foreach(fs.delete(_, false))
+      else if (fs.exists(tombPath)) fs.delete(tombPath, true)
       return
     }
-    // the fold consumes the corpus AND any streamed additions — the
-    // next generation's corpus is the consolidated table (additions
-    // are not carried; their rows move into cell files proper)
+    // the fold consumes the corpus AND the snapshotted streamed
+    // additions — the next generation's corpus is the consolidated
+    // table (additions are not carried; their rows move into cell
+    // files proper). Epoch dirs are read explicitly so a concurrent
+    // addEpoch's new partition is never half-read.
     val basePlusAdds = {
       val corpus = spark.read.parquet(s"$liveGen/corpus")
-      val addPath = new org.apache.hadoop.fs.Path(s"$liveGen/additions")
-      if (fs.exists(addPath))
-        corpus.unionByName(spark.read.parquet(addPath.toString)
-          .drop("__epoch").select(corpus.columns.map(col).toSeq: _*))
-      else corpus
+      if (addEpochs.isEmpty) corpus
+      else corpus.unionByName(
+        // basePath anchors partition discovery at the additions root so
+        // the snapshot of epoch dirs parses as one (__epoch, cell)
+        // partitioned table; __epoch is replay plumbing, not data
+        spark.read.option("basePath", addPath.toString)
+          .parquet(addEpochs.map(_.toString): _*)
+          .select(corpus.columns.map(col).toSeq: _*))
     }
-    val survivors = basePlusAdds
-      .join(broadcast(tombs), Seq("cand_id"), "left_anti")
+    val survivors = tombs match {
+      case Some(t) => basePlusAdds.join(broadcast(t), Seq("cand_id"), "left_anti")
+      case None    => basePlusAdds
+    }
     val gen = IndexGen.begin(spark, indexDir)
     survivors.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$gen/corpus")
@@ -278,9 +304,10 @@ object AnnIndex {
         false, hadoopConf)
     }
     IndexGen.promote(spark, indexDir, gen)
-    // carry tombstone files that arrived DURING the rewrite (not in
-    // the folded snapshot) into the new generation — they stay pending
-    // for the next vacuum instead of dying with the old generation
+    // carry tombstone files / addition epochs that arrived DURING the
+    // rewrite (not in the folded snapshot) into the new generation —
+    // they stay pending for the next vacuum instead of dying with the
+    // old generation
     val folded = tombFiles.map(_.getName).toSet
     if (fs.exists(tombPath)) {
       val newTomb = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
@@ -289,6 +316,16 @@ object AnnIndex {
         .foreach { p =>
           fs.mkdirs(newTomb)
           fs.rename(p, new org.apache.hadoop.fs.Path(newTomb, p.getName))
+        }
+    }
+    val foldedEpochs = addEpochs.map(_.getName).toSet
+    if (fs.exists(addPath)) {
+      val newAdd = new org.apache.hadoop.fs.Path(s"$gen/additions")
+      fs.listStatus(addPath).map(_.getPath)
+        .filter(p => p.getName.startsWith("__epoch=") && !foldedEpochs(p.getName))
+        .foreach { p =>
+          fs.mkdirs(newAdd)
+          fs.rename(p, new org.apache.hadoop.fs.Path(newAdd, p.getName))
         }
     }
     // legacy flat layout: this vacuum migrated it into gen-00001 —

@@ -244,6 +244,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(m3.table.filter(col("cand_id") === 301L).count() == 0)
   }
 
+  test("ADD-ONLY vacuum consolidates streamed epoch additions into cell files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-addonly").toString
+    corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+    AnnIndex.compact(corpus, s"$dir/index", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val model = AnnIndex.load(spark, s"$dir/index")
+    val batch = (0 until 4).map(c => ((300 + c).toLong, member(bases(c), 11)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.addEpoch(batch, s"$dir/index", model, 0L)
+    val before = AnnIndex.load(spark, s"$dir/index").table
+      .select("cand_id").as[Long].collect().sorted.toSeq
+    // with ZERO tombstones the vacuum must still run — an add-only
+    // streaming index accumulates per-epoch small files, and retiring
+    // them is the whole point of the consolidation pass
+    AnnIndex.vacuum(spark, s"$dir/index")
+    val gen = IndexGen.liveRequired(spark, s"$dir/index")
+    val fs = new org.apache.hadoop.fs.Path(gen)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen/additions")),
+      "add-only vacuum must fold the epoch additions into cell files")
+    val m2 = AnnIndex.load(spark, s"$dir/index")
+    assert(m2.table.select("cand_id").as[Long].collect().sorted.toSeq == before,
+      "consolidation must not change the indexed id set")
+    // the streamed rows now live in cell partitions proper (prunable)
+    assert(m2.table.filter(col("cand_id") >= 300L).count() == 4)
+  }
+
   test("probing statically prunes partitions of the codes table (nprobe/cells scan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx-prune").toString
     corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
