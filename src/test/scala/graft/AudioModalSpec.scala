@@ -59,4 +59,53 @@ class AudioModalSpec extends SparkSpec {
       .select("features").collect()
     assert(twice(0).getSeq[Double](0) == twice(1).getSeq[Double](0))
   }
+
+  // externally-produced WAV with per-id pseudo-random PCM: unlike the
+  // synthesizeWav ramp (whose windowed-energy profile is U-shaped for
+  // EVERY id — sign-vs-mean signatures collide by design), random
+  // samples give each clip an independent ~random 32-bit signature
+  private def noiseWav(id: Long, frames: Int = 320): Array[Byte] = {
+    val rnd = new java.util.Random(id)
+    val pcm = new Array[Byte](frames * 2)
+    var t = 0
+    while (t < frames) {
+      val s = rnd.nextInt(4001) - 2000
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("audio near-dup composition: windowed energies → sign bits → banded hamming pairs") {
+    // the mm_neardup story on the SECOND modality: every clip also
+    // appears as a re-keyed twin (same PCM bytes, new doc_id — the
+    // audio analog of a re-encoded copy), and the decode → feature →
+    // signature → banded-pair chain must surface exactly the planted
+    // twin set. windows=32 gives a 32-bit signature; centering each
+    // vector at its own mean makes signBits split windows into
+    // above/below the clip's average energy; maxHamming=0 with any
+    // band count has full recall by construction (identical
+    // signatures share every band).
+    val baseIds = Seq(0L, 1L, 2L, 3L, 7L, 21L, 40L, 56L)
+    val base = baseIds.map(i => (i, noiseWav(i))).toDF("doc_id", "content")
+    val twins = base.select((col("doc_id") + 1000L).as("doc_id"), col("content"))
+    val feats = AudioModal.features(base.unionByName(twins), windows = 32)
+    val mean = aggregate(col("features"), lit(0d), (a, b) => a + b) / lit(32d)
+    val centered = feats.select(col("doc_id"),
+      transform(col("features"), x => x - mean).as("fv"))
+    val pairs = graft.operators.Similarity
+      .hammingBandedPairs(centered, dim = 32, maxHamming = 0, bands = 4,
+        idCol = "doc_id", vecCol = "fv")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = baseIds.map(i => (i, i + 1000L)).toSet
+    assert(planted.subsetOf(pairs), "every planted twin must pair at hamming 0")
+    assert(pairs == planted, s"unrelated clips collided: ${pairs -- planted}")
+  }
 }
