@@ -1,0 +1,122 @@
+package graft.examples
+
+import graft.core.Tables
+import graft.operators.{AudioModal, Curation, MultiModal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CROSS-MODALITY curation — the finished north-star pieces composed
+  * into ONE run: the text funnel (quality gates → exact dedup →
+  * MinHash near-dup → PII redaction → split, [[Curation]]), image
+  * near-dup removal (real `javax.imageio` decode → grid-mean features
+  * → sign bits → banded Hamming pairs — the `mm_neardup` chain), and
+  * audio near-dup removal (WAV decode → windowed energies → the same
+  * signature chain), folded into a single survivor corpus. A document
+  * survives iff every modality it carries survives its lane; a doc
+  * with no media passes those lanes vacuously.
+  *
+  * Capability lineage: the reference processes text and opaque binary
+  * content through one pipeline graph (`io/file/reader.go:30-74`,
+  * `examples/` text pipelines); this composes the same idea across
+  * typed modalities at training-corpus scale.
+  *
+  * Scale shape (the 100 TB contract): each media lane is ONE decode
+  * pass (`mapPartitions`, no shuffle) into fixed-width feature
+  * vectors; pair generation is the banded equi-join (never all-pairs,
+  * exactly-once emission by the first-surviving-band rule, no
+  * pair-stream distinct); the loser sets are dup-rate-sized and
+  * anti-join back against the curated text with the strategy left to
+  * statistics/AQE — at a 1% dup rate on a 100 TB corpus the loser set
+  * is far too big to force a broadcast hint, and at spec scale AQE
+  * broadcasts it anyway. Lanes are independent until the final
+  * anti-joins, so no lane re-reads another lane's inputs.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+  *     sbt "runMain graft.examples.MultiModalCurationExample"
+  */
+object MultiModalCurationExample {
+
+  /** The larger id of every surviving near-dup pair is the DROP set;
+    * the smaller id is the canonical survivor (the repo-wide
+    * min-id-wins convention, cf. [[Curation]]'s exact dedup). */
+  private def losers(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_b").as("doc_id")).distinct()
+
+  /** Image lane: decode → grid-mean features centered at mid-gray →
+    * 3·grid² sign bits → banded Hamming pairs. Defaults are the
+    * `mm_neardup` gate's proven setting: 48-bit signatures in 6
+    * bands, maxHamming=5 AT the pigeonhole bound (full recall). */
+  def imageLosers(media: DataFrame, grid: Int = 4, bands: Int = 6,
+                  maxHamming: Int = 5): DataFrame = {
+    val centered = MultiModal.decodeFeatures(media, grid)
+      .select(col("doc_id"),
+        transform(col("features"), f => f - lit(0.5)).as("fv"))
+    losers(Similarity.hammingBandedPairs(centered, dim = 3 * grid * grid,
+      maxHamming = maxHamming, bands = bands, idCol = "doc_id", vecCol = "fv"))
+  }
+
+  /** Audio lane: WAV decode → windowed channel-0 energies centered at
+    * the clip's own mean → `windows` sign bits → banded Hamming
+    * pairs. maxHamming=0 pairs exact signature twins (re-encoded /
+    * re-keyed copies) with full recall at any band count. */
+  def audioLosers(clips: DataFrame, windows: Int = 32, bands: Int = 4,
+                  maxHamming: Int = 0): DataFrame = {
+    val mean = aggregate(col("features"), lit(0d), (a, b) => a + b) /
+      lit(windows.toDouble)
+    val centered = AudioModal.features(clips, windows)
+      .select(col("doc_id"),
+        transform(col("features"), x => x - mean).as("fv"))
+    losers(Similarity.hammingBandedPairs(centered, dim = windows,
+      maxHamming = maxHamming, bands = bands, idCol = "doc_id", vecCol = "fv"))
+  }
+
+  /** One curated corpus across all three modalities: the text lane's
+    * output (doc_id, redacted text, n_tokens, split) minus the image
+    * and audio near-dup losers. */
+  def curateAll(docs: DataFrame, images: DataFrame, clips: DataFrame,
+                cfg: Curation.Config = Curation.Config()): DataFrame =
+    Curation.curate(docs, cfg)
+      .join(imageLosers(images), Seq("doc_id"), "left_anti")
+      .join(audioLosers(clips), Seq("doc_id"), "left_anti")
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables(spark, dir).documents
+    // demo media (a real corpus reads its own blob columns here):
+    // coverage is SPARSE — most docs carry no media — and near-dup
+    // twins are PLANTED so the lanes have real work: every doc at
+    // id%14==7 carries a re-encoded 2× upscale of its predecessor's
+    // image; every doc at id%22==11 carries its predecessor's exact
+    // PCM re-keyed. (Gradient images for EVERY doc would be wrong as
+    // a demo: adjacent ids shift all channels by a constant, so the
+    // whole corpus reads as one near-dup cluster — dense synthetic
+    // similarity, not a lane bug.)
+    val ids = docs.select("doc_id")
+    val imgBase = MultiModal.synthesize(ids.filter(col("doc_id") % 14 === 0))
+    val imgTwins = MultiModal.resizeScale(imgBase, 2)
+      .select((col("doc_id") + 7L).as("doc_id"), col("content"))
+    val images = imgBase.select("doc_id", "content").unionByName(imgTwins)
+    val audBase = AudioModal.synthesizeNoiseWav(
+      ids.filter(col("doc_id") % 22 === 0))
+    val audTwins = audBase.select((col("doc_id") + 11L).as("doc_id"),
+      col("content"))
+    val clips = audBase.unionByName(audTwins)
+    val text = Curation.curate(docs)
+    val imgDrop = imageLosers(images).count()
+    val audDrop = audioLosers(clips).count()
+    val out = curateAll(docs, images, clips)
+    println(s"text lane survivors : ${text.count()}")
+    println(s"image near-dups     : $imgDrop")
+    println(s"audio near-dups     : $audDrop")
+    println(s"cross-modal corpus  : ${out.count()} docs")
+    out.show(5, truncate = 60)
+    spark.stop()
+  }
+}

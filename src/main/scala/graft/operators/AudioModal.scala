@@ -180,4 +180,40 @@ object AudioModal {
       }(Encoders.product[SyntheticClip])
     ds.toDF()
   }
+
+  /** Deterministic NOISE clip: mono 16-bit PCM whose samples come from
+    * `java.util.Random(id)` — the JDK-SPECIFIED LCG, so the bytes are
+    * stable across platforms and JVM versions. Unlike
+    * [[synthesizeWavOne]]'s ramp (whose windowed-energy profile is
+    * U-shaped for EVERY id, so sign-vs-mean signatures collide across
+    * unrelated clips by construction), noise clips have independent
+    * energy profiles — the fixture a similarity pipeline needs. */
+  private[graft] def noiseWavOne(id: Long, frames: Int = 320): Array[Byte] = {
+    val rnd = new java.util.Random(id)
+    val pcm = new Array[Byte](frames * 2)
+    var t = 0
+    while (t < frames) {
+      val s = rnd.nextInt(4001) - 2000
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** One [[noiseWavOne]] clip per id row. One mapPartitions pass. */
+  def synthesizeNoiseWav(ids: DataFrame, frames: Int = 320,
+                         idCol: String = "doc_id"): DataFrame = {
+    val ds = ids.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map(id => SyntheticClip(id, noiseWavOne(id, frames)))
+      }(Encoders.product[SyntheticClip])
+    ds.toDF()
+  }
 }

@@ -60,28 +60,11 @@ class AudioModalSpec extends SparkSpec {
     assert(twice(0).getSeq[Double](0) == twice(1).getSeq[Double](0))
   }
 
-  // externally-produced WAV with per-id pseudo-random PCM: unlike the
-  // synthesizeWav ramp (whose windowed-energy profile is U-shaped for
-  // EVERY id — sign-vs-mean signatures collide by design), random
-  // samples give each clip an independent ~random 32-bit signature
-  private def noiseWav(id: Long, frames: Int = 320): Array[Byte] = {
-    val rnd = new java.util.Random(id)
-    val pcm = new Array[Byte](frames * 2)
-    var t = 0
-    while (t < frames) {
-      val s = rnd.nextInt(4001) - 2000
-      pcm(2 * t) = (s & 0xff).toByte
-      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
-      t += 1
-    }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
-  }
+  // per-id pseudo-random PCM: unlike the synthesizeWav ramp (whose
+  // windowed-energy profile is U-shaped for EVERY id — sign-vs-mean
+  // signatures collide by design), random samples give each clip an
+  // independent ~random 32-bit signature
+  private def noiseWav(id: Long): Array[Byte] = AudioModal.noiseWavOne(id)
 
   test("audio near-dup composition: windowed energies → sign bits → banded hamming pairs") {
     // the mm_neardup story on the SECOND modality: every clip also
