@@ -70,14 +70,22 @@ object MultiModalCurationExample {
       maxHamming = maxHamming, bands = bands, idCol = "doc_id", vecCol = "fv"))
   }
 
+  /** Compose already-computed lanes: the curated text minus each media
+    * lane's losers. Callers computing lane counts too should persist
+    * the (dup-rate-sized) loser frames and pass them here, so each
+    * decode pass runs ONCE — see [[main]]. */
+  def compose(curatedText: DataFrame, imgLosers: DataFrame,
+              audLosers: DataFrame): DataFrame =
+    curatedText
+      .join(imgLosers, Seq("doc_id"), "left_anti")
+      .join(audLosers, Seq("doc_id"), "left_anti")
+
   /** One curated corpus across all three modalities: the text lane's
     * output (doc_id, redacted text, n_tokens, split) minus the image
     * and audio near-dup losers. */
   def curateAll(docs: DataFrame, images: DataFrame, clips: DataFrame,
                 cfg: Curation.Config = Curation.Config()): DataFrame =
-    Curation.curate(docs, cfg)
-      .join(imageLosers(images), Seq("doc_id"), "left_anti")
-      .join(audioLosers(clips), Seq("doc_id"), "left_anti")
+    compose(Curation.curate(docs, cfg), imageLosers(images), audioLosers(clips))
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -91,15 +99,25 @@ object MultiModalCurationExample {
     val docs = Tables(spark, dir).documents
     // demo media (a real corpus reads its own blob columns here):
     // coverage is SPARSE — most docs carry no media — and near-dup
-    // twins are PLANTED so the lanes have real work: every doc at
-    // id%14==7 carries a re-encoded 2× upscale of its predecessor's
-    // image; every doc at id%22==11 carries its predecessor's exact
-    // PCM re-keyed. (Gradient images for EVERY doc would be wrong as
-    // a demo: adjacent ids shift all channels by a constant, so the
-    // whole corpus reads as one near-dup cluster — dense synthetic
+    // twins are PLANTED so the lanes have real work: planted docs
+    // carry a re-encoded 2× upscale of their predecessor's image
+    // (id%14==7) or their predecessor's exact PCM re-keyed
+    // (id%22==11). The image bases mirror the mm_neardup gate's
+    // proven fixture filters: id%5!=0 keeps out the solid-gray GIFs
+    // (two grays on the same side of mid-gray have IDENTICAL all-zero
+    // sign signatures — unrelated docs would pair at hamming 0), and
+    // grid-aligned dims (w,h multiples of grid=4) make the 2× upscale
+    // twin feature-EXACT (nested-floor identity, resizeScale's doc)
+    // so every planted twin is guaranteed caught at hamming 0.
+    // (Gradient images for EVERY doc would also be wrong as a demo:
+    // adjacent ids shift all channels by a constant, so the whole
+    // corpus reads as one near-dup cluster — dense synthetic
     // similarity, not a lane bug.)
     val ids = docs.select("doc_id")
-    val imgBase = MultiModal.synthesize(ids.filter(col("doc_id") % 14 === 0))
+    val imgBase = MultiModal.synthesize(ids.filter(
+      col("doc_id") % 14 === 0 && col("doc_id") % 5 =!= 0 &&
+        (lit(8) + col("doc_id") % 9) % 4 === 0 &&
+        (lit(6) + col("doc_id") % 7) % 4 === 0))
     val imgTwins = MultiModal.resizeScale(imgBase, 2)
       .select((col("doc_id") + 7L).as("doc_id"), col("content"))
     val images = imgBase.select("doc_id", "content").unionByName(imgTwins)
@@ -108,13 +126,17 @@ object MultiModalCurationExample {
     val audTwins = audBase.select((col("doc_id") + 11L).as("doc_id"),
       col("content"))
     val clips = audBase.unionByName(audTwins)
-    val text = Curation.curate(docs)
-    val imgDrop = imageLosers(images).count()
-    val audDrop = audioLosers(clips).count()
-    val out = curateAll(docs, images, clips)
+    // each lane runs ONCE: the loser sets are dup-rate-sized, so they
+    // persist cheaply and feed both the printed counts and the final
+    // composition — without this, counting and composing would re-run
+    // every decode pass and the full text funnel a second time
+    val text = Curation.curate(docs).persist()
+    val imgLosers0 = imageLosers(images).persist()
+    val audLosers0 = audioLosers(clips).persist()
+    val out = compose(text, imgLosers0, audLosers0)
     println(s"text lane survivors : ${text.count()}")
-    println(s"image near-dups     : $imgDrop")
-    println(s"audio near-dups     : $audDrop")
+    println(s"image near-dups     : ${imgLosers0.count()}")
+    println(s"audio near-dups     : ${audLosers0.count()}")
     println(s"cross-modal corpus  : ${out.count()} docs")
     out.show(5, truncate = 60)
     spark.stop()

@@ -109,7 +109,15 @@ object AnnIndex {
     * captured the file listing at read time and will not see the new
     * files. Like FAISS, added vectors use the ORIGINAL training — when
     * the distribution drifts far enough that new cells are needed,
-    * re-[[compact]]. */
+    * re-[[compact]].
+    *
+    * NOT safe concurrent with [[vacuum]]: a plain corpus append cannot
+    * tell whether a racing vacuum's fold snapshot included it (re-apply
+    * would double the rows; not re-applying can lose them), so corpus
+    * appends and vacuums must be serialized by the caller. Streaming /
+    * unattended maintenance should use [[addEpoch]]/[[addStream]],
+    * whose epoch-overwrite idempotency makes the same race
+    * self-healing. */
   def add(batch: DataFrame, indexDir: String, model: Model,
           idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     Similarity.pqEncode(
@@ -133,18 +141,62 @@ object AnnIndex {
     * corpus, and [[load]] unions the two tables into one Model.
     * [[vacuum]] folds additions into the next generation's corpus. */
   def addEpoch(batch: DataFrame, indexDir: String, model: Model, epochId: Long,
-               idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    Similarity.pqEncode(
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val encoded = Similarity.pqEncode(
         Similarity.assignCells(
           batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
           model.centroids, "cv"),
         model.codebooks, "cv")
       .select(col("cand_id"), lit(epochId).as("__epoch"), col("cell"),
         col("code"), col("cv").as("embedding"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__epoch", "cell")
-      .parquet(s"${IndexGen.liveRequired(batch.sparkSession, indexDir)}/additions")
+    // self-healing against a concurrent [[vacuum]] — two races closed:
+    //
+    // 1. REPLAY ACROSS A FOLD: a vacuum that already folded this epoch
+    //    into the new generation's corpus makes a replayed write a
+    //    DOUBLE-add (the epoch-partition overwrite only dedups within
+    //    one additions table). The vacuum records its folded epoch
+    //    high-water mark (`_max_folded_epoch` — sound because
+    //    Structured Streaming batch ids are monotonic per stream);
+    //    an epoch at or below it is already in the corpus: skip.
+    // 2. LOST PENDING WRITE: a write that resolved generation N before
+    //    a vacuum promoted N+1 can commit AFTER the vacuum's
+    //    carry-forward scan of N — stranded, destroyed at the next
+    //    promote's GC. Re-resolving AFTER the commit catches this:
+    //    either the carry scan ran after our commit (carried), or it
+    //    ran before — then the promote preceded it, our re-resolve
+    //    sees N+1, and the epoch overwrite re-applies idempotently.
+    //    Loop until the resolved generation is stable across the
+    //    write; each retry requires a full vacuum to have landed
+    //    within one batch-write window, so it terminates in practice.
+    var gen = IndexGen.liveRequired(spark, indexDir)
+    var done = false
+    while (!done) {
+      if (epochId <= maxFoldedEpoch(spark, gen)) return
+      encoded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch", "cell")
+        .parquet(s"$gen/additions")
+      val now = IndexGen.liveRequired(spark, indexDir)
+      if (now == gen) done = true else gen = now
+    }
+  }
+
+  private val MaxFoldedEpoch = "_max_folded_epoch"
+
+  /** The highest epoch id a [[vacuum]] has folded into this
+    * generation's corpus (Long.MinValue when none has). */
+  private def maxFoldedEpoch(spark: SparkSession, gen: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$gen/$MaxFoldedEpoch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Long.MinValue
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
 
   /** STREAMING index maintenance (the [[graft.examples.DailyCrawlExample]]
     * `labelStream` pattern applied to the index lifecycle): each
@@ -193,15 +245,31 @@ object AnnIndex {
     * can be re-[[add]]ed only after a vacuum — before it, the
     * tombstone would keep shadowing the re-added row. */
   def remove(ids: DataFrame, indexDir: String,
-             idCol: String = "vec_id"): Unit =
+             idCol: String = "vec_id"): Unit = {
     // tombstones live INSIDE the live generation: a generation and its
     // deletions are one consistent immutable-by-rewrite pair (load
     // resolves both from the same gen; a recompact starts clean with
     // no clearing step; removes against a superseded generation are
     // obsolete by definition — the rebuild indexed the current corpus)
-    ids.select(col(idCol).cast("long").as("cand_id")).distinct()
-      .write.mode("append")
-      .parquet(s"${IndexGen.liveRequired(ids.sparkSession, indexDir)}/tombstones")
+    val spark = ids.sparkSession
+    val batch = ids.select(col(idCol).cast("long").as("cand_id")).distinct()
+    // self-healing against a concurrent [[vacuum]]: a tombstone batch
+    // that resolved generation N before the vacuum promoted N+1 can
+    // commit AFTER the vacuum's carry-forward scan of N — stranded
+    // there, it dies at the next promote's GC and the ids silently
+    // RESURFACE. Re-resolve after the commit: either the carry scan
+    // ran after our commit (file carried to N+1), or the promote
+    // preceded the scan and the re-resolve sees N+1 — re-append there.
+    // Worst case the batch lands twice (carried AND re-applied):
+    // duplicate ids in an anti-join set, distinct at load, harmless.
+    var gen = IndexGen.liveRequired(spark, indexDir)
+    var done = false
+    while (!done) {
+      batch.write.mode("append").parquet(s"$gen/tombstones")
+      val now = IndexGen.liveRequired(spark, indexDir)
+      if (now == gen) done = true else gen = now
+    }
+  }
 
   /** Fold accumulated tombstones AND streamed additions into the
     * standing cell files: rewrite the live generation's corpus, plus
@@ -223,7 +291,12 @@ object AnnIndex {
     * landed in the OLD generation while the rewrite ran is carried
     * into the new generation after the promote (file/dir moves — that
     * data was not in the folded snapshot, so it stays pending for the
-    * next vacuum).
+    * next vacuum); a write that commits AFTER that carry scan is
+    * caught by the writer itself (remove/addEpoch re-resolve the live
+    * generation post-commit and re-apply idempotently — between the
+    * two mechanisms no pending write can strand in a doomed
+    * generation). [[add]]'s plain corpus append has no idempotent
+    * re-apply: serialize it against vacuums (see its doc).
     *
     * CONCURRENCY: an already-loaded Model keeps answering from its own
     * generation during AND after the vacuum (the old generation
@@ -302,6 +375,22 @@ object AnnIndex {
         new org.apache.hadoop.fs.Path(s"$liveGen/$d"), fs,
         new org.apache.hadoop.fs.Path(s"$gen/$d"),
         false, hadoopConf)
+    }
+    // record the folded-epoch high-water mark (part of the payload —
+    // must land before promote): a micro-batch REPLAYED after this
+    // vacuum must not re-write an epoch whose rows are now corpus rows
+    // (the epoch-partition overwrite only dedups within one additions
+    // table) — [[addEpoch]] consults this and skips. Monotonic across
+    // vacuums: max of the predecessor's mark and the epochs folded now.
+    val foldedMark = (addEpochs.flatMap(p =>
+        p.getName.stripPrefix("__epoch=").toLongOption) :+
+      maxFoldedEpoch(spark, liveGen)).max
+    if (foldedMark > Long.MinValue) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$gen/$MaxFoldedEpoch"), true)
+      try out.write(foldedMark.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     IndexGen.promote(spark, indexDir, gen)
     // carry tombstone files / addition epochs that arrived DURING the

@@ -86,16 +86,34 @@ object IndexGen {
       .flatMap(s => genCounter(s.getPath.getName).map(c => (c, s.getPath)))
       .sortBy(_._1)
 
+  private val Claim = "_CLAIM"
+
   /** Start a new generation: returns the created staging dir. Nothing
     * under any standing generation is touched; the staging dir is
-    * invisible to readers until [[promote]]. */
+    * invisible to readers until [[promote]]. The counter is CLAIMED by
+    * an exclusive-create marker (`_CLAIM`, overwrite=false) — two
+    * concurrent writers can race `listGens`+`mkdirs` to the same
+    * counter (mkdirs succeeds on an existing dir), and without the
+    * claim they would interleave payload writes in ONE staging dir and
+    * publish a torn generation; the claim loser moves to the next
+    * counter instead. Concurrent compactions are last-promoter-wins
+    * (see [[promote]]); run one maintainer per index for a
+    * deterministic outcome. */
   def begin(spark: SparkSession, indexDir: String): String = {
     val (f, root) = fs(spark, indexDir)
     f.mkdirs(root)
-    val next = listGens(f, root).lastOption.map(_._1).getOrElse(0L) + 1L
-    val gen = new Path(root, f"$GenPrefix$next%05d")
-    f.mkdirs(gen)
-    gen.toString
+    var next = listGens(f, root).lastOption.map(_._1).getOrElse(0L) + 1L
+    while (true) {
+      val gen = new Path(root, f"$GenPrefix$next%05d")
+      f.mkdirs(gen)
+      try {
+        f.create(new Path(gen, Claim), false).close()
+        return gen.toString
+      } catch {
+        case _: java.io.IOException => next += 1 // claimed by a rival writer
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Publish a fully-written generation: commit marker, manifest
@@ -107,16 +125,41 @@ object IndexGen {
     require(gen.getParent == root ||
       gen.getParent.toUri.getPath == root.toUri.getPath,
       s"promote: $genPath is not a generation of $indexDir")
+    // a rival promote's GC may have reaped this staging (it is
+    // uncommitted with a lower counter = indistinguishable from a
+    // crashed writer) — fail LOUDLY here rather than publish a
+    // generation whose payload is gone (writeSmall would silently
+    // re-create the dir via create()'s implicit parent mkdirs)
+    require(f.exists(gen),
+      s"promote: staging $genPath no longer exists — a concurrent " +
+        "promote garbage-collected it (last-promoter-wins); re-run the " +
+        "compaction")
     writeSmall(f, new Path(gen, Commit), "")
     val manifest = new Path(root, Manifest)
     val prev = new Path(root, s"$Manifest.prev")
     val tmp = new Path(root, s"$Manifest.tmp")
     writeSmall(f, tmp, gen.getName)
+    // the generation readers CURRENTLY resolve — through the same
+    // fallback chain as [[live]], not just the manifest: after a crash
+    // between the two renames, the live generation is named only by
+    // MANIFEST.prev (or, double-crash, by nothing but its commit
+    // marker), and a keep-set built from the missing manifest alone
+    // would GC it out from under every Model loaded from it
     val prevLive = readSmall(f, manifest)
+      .orElse(readSmall(f, prev))
+      .orElse(listGens(f, root).reverse.collectFirst {
+        case (_, p) if p.getName != gen.getName &&
+          f.exists(new Path(p, Commit)) => p.getName
+      })
     if (f.exists(manifest)) {
       f.delete(prev, false)
       if (!f.rename(manifest, prev))
         throw new java.io.IOException(s"promote: could not retire $manifest")
+    } else prevLive.foreach { name =>
+      // crash-window repair: re-anchor MANIFEST.prev on the effective
+      // live so the fallback chain stays valid for readers that load
+      // during THIS promote's rename window
+      writeSmall(f, prev, name)
     }
     if (!f.rename(tmp, manifest)) {
       // roll back so readers keep resolving the old live

@@ -184,13 +184,24 @@ object MultiModal {
                 // fully scanned before the first frame was emitted.
                 // read(f) past the last frame raises
                 // IndexOutOfBoundsException per the ImageReader spec —
-                // that is the loop's end signal, not an error.
+                // that is the loop's end signal, not an error. The
+                // EXACT class only: ArrayIndexOutOfBoundsException is
+                // a subclass, and it's what reader internals throw on
+                // corrupt frame data (bad LZW/palette) — swallowing it
+                // here would turn a blob-level decode failure into a
+                // silent partial success, undercounting the failure
+                // rates extractMeta exists to surface. Subclasses
+                // propagate to the outer catch → the blob drops whole.
                 val buf = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
                 var f = 0
                 var more = true
                 while (more && f < maxFrames) {
                   try { buf += frameAt(f); f += 1 }
-                  catch { case _: IndexOutOfBoundsException => more = false }
+                  catch {
+                    case e: IndexOutOfBoundsException
+                        if e.getClass == classOf[IndexOutOfBoundsException] =>
+                      more = false
+                  }
                 }
                 buf.toSeq
               } else {

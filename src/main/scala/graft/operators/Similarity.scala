@@ -911,12 +911,22 @@ object Similarity {
     // distinct form below instead of failing or building a plan that
     // grows linearly in |hotSet|×bands.
     val maxHotLiteral = 4096
+    // persisted BEFORE the guard collect: the fallback below reuses
+    // this DataFrame as its anti-join build side, and without the
+    // persist it would re-run the full groupBy-count over the entire
+    // banded stream — the operator's most expensive aggregation,
+    // doubled at exactly the degenerate scale the fallback serves. The
+    // literal path unpersists immediately; the fallback path keeps it
+    // cached for the lifetime of the returned (lazy) plan.
     val hotBuckets: Option[DataFrame] = maxBucket.map { cap =>
       banded.groupBy("band", "bv").agg(count(lit(1)).as("__c"))
         .filter(col("__c") > cap).select("band", "bv")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val hotCollected: Option[Array[org.apache.spark.sql.Row]] =
       hotBuckets.map(_.limit(maxHotLiteral + 1).collect())
+    if (hotCollected.forall(_.length <= maxHotLiteral))
+      hotBuckets.foreach(_.unpersist(blocking = false))
     if (hotCollected.exists(_.length > maxHotLiteral)) {
       // degenerate-skew fallback: too many hot buckets for a literal
       // predicate. Cap via broadcast anti-join (one small-side

@@ -272,6 +272,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(m2.table.filter(col("cand_id") >= 300L).count() == 4)
   }
 
+  test("an epoch replayed AFTER a vacuum folded it is skipped — no double-add across generations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-refold").toString
+    corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+    AnnIndex.compact(corpus, s"$dir/index", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val model = AnnIndex.load(spark, s"$dir/index")
+    val batch = (0 until 4).map(c => ((300 + c).toLong, member(bases(c), 11)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.addEpoch(batch, s"$dir/index", model, 5L)
+    AnnIndex.vacuum(spark, s"$dir/index") // epoch 5 folds into corpus rows
+    // a stream restarted from a pre-vacuum checkpoint replays epoch 5:
+    // its rows are CORPUS rows now — the epoch-partition overwrite
+    // can't dedup across the fold, the folded-epoch high-water mark
+    // must (pre-fix this double-added every replayed vector)
+    AnnIndex.addEpoch(batch, s"$dir/index", model, 5L)
+    val afterReplay = AnnIndex.load(spark, s"$dir/index")
+    assert(afterReplay.table.count() == corpusRows.size + 4,
+      "replaying a folded epoch must be a no-op")
+    assert(afterReplay.table.groupBy("cand_id").count()
+        .filter(col("count") > 1).count() == 0,
+      "no id may appear twice after a replay across a vacuum")
+    // a genuinely NEW epoch still lands
+    val batch2 = Seq((310L, member(bases(0), 12))).toDF("vec_id", "embedding")
+    AnnIndex.addEpoch(batch2, s"$dir/index", model, 6L)
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size + 5)
+    // and the mark survives the NEXT vacuum (monotonic across folds)
+    AnnIndex.vacuum(spark, s"$dir/index")
+    AnnIndex.addEpoch(batch, s"$dir/index", model, 5L)
+    AnnIndex.addEpoch(batch2, s"$dir/index", model, 6L)
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size + 5,
+      "both folded epochs must stay no-ops after the second vacuum")
+  }
+
   test("probing statically prunes partitions of the codes table (nprobe/cells scan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx-prune").toString
     corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")

@@ -54,6 +54,78 @@ class IndexGenSpec extends SparkSpec {
     assert(IndexGen.live(spark, idx).contains(g2), "must fall back to newest committed gen")
   }
 
+  test("promote during a crash window keeps the generation readers actually resolve") {
+    val dir = tmp("window")
+    val idx = s"$dir/idx"
+    val g1 = IndexGen.begin(spark, idx); Seq(1).toDF("x").write.parquet(s"$g1/t")
+    IndexGen.promote(spark, idx, g1)
+    val g2 = IndexGen.begin(spark, idx); Seq(2).toDF("x").write.parquet(s"$g2/t")
+    IndexGen.promote(spark, idx, g2)
+    // crash between the two manifest renames: readers resolve g1 via
+    // MANIFEST.prev — g1 IS the effective live now, whatever the
+    // counters say
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/MANIFEST"))
+    assert(IndexGen.live(spark, idx).contains(g1))
+    val reader = spark.read.parquet(s"${IndexGen.liveRequired(spark, idx)}/t")
+    // the next promote's GC must keep g1 (a keep-set built from the
+    // missing MANIFEST alone would reap it out from under the reader)
+    val g3 = IndexGen.begin(spark, idx); Seq(3).toDF("x").write.parquet(s"$g3/t")
+    IndexGen.promote(spark, idx, g3)
+    assert(IndexGen.live(spark, idx).contains(g3))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(g1)),
+      "the crash-window live generation must survive as the predecessor")
+    assert(reader.as[Int].collect().toSeq == Seq(1),
+      "a reader loaded in the crash window must keep answering")
+  }
+
+  test("promote after a double-crash repairs the fallback chain around the newest committed gen") {
+    val dir = tmp("double")
+    val idx = s"$dir/idx"
+    val g1 = IndexGen.begin(spark, idx); Seq(1).toDF("x").write.parquet(s"$g1/t")
+    IndexGen.promote(spark, idx, g1)
+    val g2 = IndexGen.begin(spark, idx); Seq(2).toDF("x").write.parquet(s"$g2/t")
+    IndexGen.promote(spark, idx, g2)
+    // double-crash: both manifest files gone — readers resolve g2 as
+    // the newest committed generation
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/MANIFEST"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/MANIFEST.prev"))
+    assert(IndexGen.live(spark, idx).contains(g2))
+    val g3 = IndexGen.begin(spark, idx); Seq(3).toDF("x").write.parquet(s"$g3/t")
+    IndexGen.promote(spark, idx, g3)
+    assert(IndexGen.live(spark, idx).contains(g3))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(g2)),
+      "the double-crash effective live must survive as the predecessor")
+    // and MANIFEST.prev was repaired to name it (the fallback chain is
+    // whole again for the NEXT crash window)
+    val prev = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$idx/MANIFEST.prev")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    assert(g2.endsWith(prev), s"MANIFEST.prev should name g2, got $prev")
+  }
+
+  test("begin claims its staging exclusively; promoting a GC'd staging fails loudly") {
+    val dir = tmp("claim")
+    val idx = s"$dir/idx"
+    val g1 = IndexGen.begin(spark, idx)
+    // the claim marker is what a racing writer's exclusive-create
+    // collides on — it must exist, and a second exclusive create of it
+    // must fail (the rival moves to the next counter)
+    val claim = new org.apache.hadoop.fs.Path(s"$g1/_CLAIM")
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(claim))
+    intercept[java.io.IOException] { fs.create(claim, false).close() }
+    // two begins never share a staging dir
+    val g1b = IndexGen.begin(spark, idx)
+    assert(g1b != g1)
+    // a staging reaped by a rival promote's GC must fail its own
+    // promote loudly, not publish an empty generation
+    fs.delete(new org.apache.hadoop.fs.Path(g1), true)
+    val err = intercept[IllegalArgumentException] {
+      IndexGen.promote(spark, idx, g1)
+    }
+    assert(err.getMessage.contains("garbage-collected"))
+  }
+
   test("legacy flat layout resolves to the dir itself") {
     val dir = tmp("legacy")
     Seq((1L, "a")).toDF("id", "t").write.parquet(s"$dir/idx/fp")

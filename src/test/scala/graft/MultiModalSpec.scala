@@ -69,6 +69,22 @@ class MultiModalSpec extends SparkSpec {
     // garbage blobs are dropped, not fatal
     assert(MultiModal.decodeFrames(
       Seq((9L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content")).count() == 0)
+    // a blob whose LATER frame data is corrupt drops WHOLE under the
+    // capped incremental path too — end-of-frames is signalled by the
+    // EXACT IndexOutOfBoundsException class per the ImageReader spec;
+    // decode failures from reader internals (truncated stream, bad
+    // LZW — often AIOOBE, an IOOBE subclass) must not masquerade as a
+    // healthy short clip and undercount extractMeta's failure rates
+    val whole = MultiModal.synthesize(Seq(10L).toDF("doc_id")) // 3-frame GIF
+      .select("content").collect().head.getAs[Array[Byte]](0)
+    val truncated = whole.take(whole.length / 3) // header + partial frames
+    // (measured: the JDK GIF reader raises IIOException on a truncated
+    // stream — never the exact IndexOutOfBoundsException end signal —
+    // so the outer catch drops the blob; this pins that contract)
+    val partial = MultiModal.decodeFrames(
+      Seq((10L, truncated)).toDF("doc_id", "content"), maxFrames = 3)
+    assert(partial.count() == 0,
+      "a corrupt container must drop whole, not surface as a short clip")
   }
 
   test("extractMeta decodes dims/frames; undecodable blobs get sentinel dims, never kill the job") {
