@@ -87,6 +87,43 @@ object MultiModalCurationExample {
                 cfg: Curation.Config = Curation.Config()): DataFrame =
     compose(Curation.curate(docs, cfg), imageLosers(images), audioLosers(clips))
 
+  /** Demo image fixture (a real corpus reads its own blob columns
+    * here): coverage is SPARSE — ~15% of docs carry an image — and
+    * near-dup twins are PLANTED so the lane has real work. Bases are
+    * the ids the `mm_neardup` gate's fixture rules prove SOUND for
+    * sign-bit similarity: id%5!=0 keeps out the solid-gray GIFs (two
+    * grays on the same side of mid-gray have IDENTICAL all-zero sign
+    * signatures — unrelated docs would pair at hamming 0) and
+    * grid-aligned dims (w = 8+id%9, h = 6+id%7 both multiples of
+    * grid=4) make the 2× upscale twin feature-EXACT (nested-floor
+    * identity, resizeScale's doc) so every planted twin is guaranteed
+    * caught at hamming 0. The twin is keyed at base+1, which is NEVER
+    * itself eligible ((base+1)%7 ∈ {3,0} ⟹ h ∈ {9,6}, neither a
+    * multiple of 4), so no doc carries two images. (Gradient images
+    * for EVERY doc would be wrong as a demo: adjacent ids shift all
+    * channels by a constant, so the whole corpus reads as one
+    * near-dup cluster — dense synthetic similarity, not a lane bug.) */
+  def plantedImages(ids: DataFrame): DataFrame = {
+    val imgBase = MultiModal.synthesize(ids.filter(
+      col("doc_id") % 5 =!= 0 &&
+        (lit(8) + col("doc_id") % 9) % 4 === 0 &&
+        (lit(6) + col("doc_id") % 7) % 4 === 0))
+    val imgTwins = MultiModal.resizeScale(imgBase, 2)
+      .select((col("doc_id") + 1L).as("doc_id"), col("content"))
+    imgBase.select("doc_id", "content").unionByName(imgTwins)
+  }
+
+  /** Demo audio fixture: every doc at id%22==0 carries a
+    * pseudo-random PCM clip; the doc at id+11 carries the SAME clip
+    * re-keyed (an exact re-encode at signature granularity). */
+  def plantedClips(ids: DataFrame): DataFrame = {
+    val audBase = AudioModal.synthesizeNoiseWav(
+      ids.filter(col("doc_id") % 22 === 0))
+    val audTwins = audBase.select((col("doc_id") + 11L).as("doc_id"),
+      col("content"))
+    audBase.unionByName(audTwins)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -97,35 +134,9 @@ object MultiModalCurationExample {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables(spark, dir).documents
-    // demo media (a real corpus reads its own blob columns here):
-    // coverage is SPARSE — most docs carry no media — and near-dup
-    // twins are PLANTED so the lanes have real work: planted docs
-    // carry a re-encoded 2× upscale of their predecessor's image
-    // (id%14==7) or their predecessor's exact PCM re-keyed
-    // (id%22==11). The image bases mirror the mm_neardup gate's
-    // proven fixture filters: id%5!=0 keeps out the solid-gray GIFs
-    // (two grays on the same side of mid-gray have IDENTICAL all-zero
-    // sign signatures — unrelated docs would pair at hamming 0), and
-    // grid-aligned dims (w,h multiples of grid=4) make the 2× upscale
-    // twin feature-EXACT (nested-floor identity, resizeScale's doc)
-    // so every planted twin is guaranteed caught at hamming 0.
-    // (Gradient images for EVERY doc would also be wrong as a demo:
-    // adjacent ids shift all channels by a constant, so the whole
-    // corpus reads as one near-dup cluster — dense synthetic
-    // similarity, not a lane bug.)
     val ids = docs.select("doc_id")
-    val imgBase = MultiModal.synthesize(ids.filter(
-      col("doc_id") % 14 === 0 && col("doc_id") % 5 =!= 0 &&
-        (lit(8) + col("doc_id") % 9) % 4 === 0 &&
-        (lit(6) + col("doc_id") % 7) % 4 === 0))
-    val imgTwins = MultiModal.resizeScale(imgBase, 2)
-      .select((col("doc_id") + 7L).as("doc_id"), col("content"))
-    val images = imgBase.select("doc_id", "content").unionByName(imgTwins)
-    val audBase = AudioModal.synthesizeNoiseWav(
-      ids.filter(col("doc_id") % 22 === 0))
-    val audTwins = audBase.select((col("doc_id") + 11L).as("doc_id"),
-      col("content"))
-    val clips = audBase.unionByName(audTwins)
+    val images = plantedImages(ids)
+    val clips = plantedClips(ids)
     // each lane runs ONCE: the loser sets are dup-rate-sized, so they
     // persist cheaply and feed both the printed counts and the final
     // composition — without this, counting and composing would re-run

@@ -141,24 +141,39 @@ object AnnIndex {
     * corpus, and [[load]] unions the two tables into one Model.
     * [[vacuum]] folds additions into the next generation's corpus. */
   def addEpoch(batch: DataFrame, indexDir: String, model: Model, epochId: Long,
-               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               streamId: String = "default"): Unit = {
+    require(streamId.matches("[A-Za-z0-9_]+"),
+      s"addEpoch: streamId must be [A-Za-z0-9_]+ (it names partition " +
+        s"dirs and mark files), got '$streamId'")
     val spark = batch.sparkSession
+    // the partition value carries the STREAM identity, not just the
+    // batch id: batch ids are monotonic per CHECKPOINT, not per index,
+    // so (a) the folded high-water mark below is kept per stream — a
+    // pipeline redeployed with a fresh checkpoint (new streamId) starts
+    // at batch 0 without its genuinely-new epochs being mistaken for
+    // replays of the old stream's folded ones, and (b) two streams
+    // feeding one index can never clobber each other's same-numbered
+    // epoch partitions. (Re-wiping and REUSING a checkpoint path is
+    // out of contract, as in vanilla Structured Streaming: every
+    // idempotent sink keys on the batch ids that path produced.)
     val encoded = Similarity.pqEncode(
         Similarity.assignCells(
           batch.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
           model.centroids, "cv"),
         model.codebooks, "cv")
-      .select(col("cand_id"), lit(epochId).as("__epoch"), col("cell"),
-        col("code"), col("cv").as("embedding"))
+      .select(col("cand_id"), lit(s"$streamId-$epochId").as("__epoch"),
+        col("cell"), col("code"), col("cv").as("embedding"))
     // self-healing against a concurrent [[vacuum]] — two races closed:
     //
     // 1. REPLAY ACROSS A FOLD: a vacuum that already folded this epoch
     //    into the new generation's corpus makes a replayed write a
     //    DOUBLE-add (the epoch-partition overwrite only dedups within
     //    one additions table). The vacuum records its folded epoch
-    //    high-water mark (`_max_folded_epoch` — sound because
-    //    Structured Streaming batch ids are monotonic per stream);
-    //    an epoch at or below it is already in the corpus: skip.
+    //    high-water mark PER STREAM (sound because batch ids are
+    //    monotonic within one checkpoint lineage = one streamId); an
+    //    epoch at or below its stream's mark is already in the corpus:
+    //    skip.
     // 2. LOST PENDING WRITE: a write that resolved generation N before
     //    a vacuum promoted N+1 can commit AFTER the vacuum's
     //    carry-forward scan of N — stranded, destroyed at the next
@@ -172,7 +187,7 @@ object AnnIndex {
     var gen = IndexGen.liveRequired(spark, indexDir)
     var done = false
     while (!done) {
-      if (epochId <= maxFoldedEpoch(spark, gen)) return
+      if (epochId <= maxFoldedEpoch(spark, gen, streamId)) return
       encoded.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__epoch", "cell")
@@ -184,10 +199,21 @@ object AnnIndex {
 
   private val MaxFoldedEpoch = "_max_folded_epoch"
 
-  /** The highest epoch id a [[vacuum]] has folded into this
-    * generation's corpus (Long.MinValue when none has). */
-  private def maxFoldedEpoch(spark: SparkSession, gen: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$gen/$MaxFoldedEpoch")
+  /** Split an `__epoch=` partition value into (streamId, batchId) —
+    * the streamId charset has no dash, so the LAST dash is the
+    * separator. A bare numeric value (no dash) reads as the default
+    * stream's. */
+  private def parseEpoch(v: String): Option[(String, Long)] = {
+    val i = v.lastIndexOf('-')
+    if (i < 0) v.toLongOption.map(("default", _))
+    else v.drop(i + 1).toLongOption.map((v.take(i), _))
+  }
+
+  /** The highest batch id a [[vacuum]] has folded into this
+    * generation's corpus for `streamId` (Long.MinValue when none). */
+  private def maxFoldedEpoch(spark: SparkSession, gen: String,
+                             streamId: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$gen/$MaxFoldedEpoch-$streamId")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Long.MinValue
     else {
@@ -212,11 +238,25 @@ object AnnIndex {
     val model = load(stream.sparkSession, indexDir)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        addEpoch(batch, indexDir, model, epochId, idCol, vecCol)
+        addEpoch(batch, indexDir, model, epochId, idCol, vecCol,
+          streamIdFor(checkpoint))
       }
       .option("checkpointLocation", checkpoint)
       .start()
   }
+
+  /** The stream identity [[addStream]] scopes its epochs under — a
+    * stream's identity IS its checkpoint lineage (batch ids are only
+    * monotonic within one). Hashing the path scopes the epoch
+    * partitions and the folded high-water mark to that lineage, so a
+    * redeploy under a NEW checkpoint (new batch-id space) is never
+    * mistaken for a replay, and concurrent streams never share
+    * partitions. Callers mixing [[addStream]] with manual [[addEpoch]]
+    * replays use this to target the same epoch space. */
+  def streamIdFor(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
 
   /** Streaming deletion twin: [[remove]] per micro-batch. Naturally
     * replay-tolerant — a re-appended tombstone batch is duplicate ids
@@ -376,19 +416,31 @@ object AnnIndex {
         new org.apache.hadoop.fs.Path(s"$gen/$d"),
         false, hadoopConf)
     }
-    // record the folded-epoch high-water mark (part of the payload —
+    // record the folded-epoch high-water marks (part of the payload —
     // must land before promote): a micro-batch REPLAYED after this
     // vacuum must not re-write an epoch whose rows are now corpus rows
     // (the epoch-partition overwrite only dedups within one additions
-    // table) — [[addEpoch]] consults this and skips. Monotonic across
-    // vacuums: max of the predecessor's mark and the epochs folded now.
-    val foldedMark = (addEpochs.flatMap(p =>
-        p.getName.stripPrefix("__epoch=").toLongOption) :+
-      maxFoldedEpoch(spark, liveGen)).max
-    if (foldedMark > Long.MinValue) {
+    // table) — [[addEpoch]] consults its stream's mark and skips.
+    // One mark PER STREAM (batch ids are monotonic per checkpoint
+    // lineage only), monotonic across vacuums: the predecessor's marks
+    // carry forward, maxed with the epochs folded now.
+    val priorMarks: Map[String, Long] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(liveGen))) Map.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(liveGen))
+        .map(_.getPath.getName)
+        .filter(_.startsWith(s"$MaxFoldedEpoch-"))
+        .map(n => n.stripPrefix(s"$MaxFoldedEpoch-"))
+        .map(sid => sid -> maxFoldedEpoch(spark, liveGen, sid))
+        .toMap
+    val foldedNow: Map[String, Long] = addEpochs.toSeq
+      .flatMap(p => parseEpoch(p.getName.stripPrefix("__epoch=")))
+      .groupMapReduce(_._1)(_._2)(math.max)
+    (priorMarks.keySet ++ foldedNow.keySet).foreach { sid =>
+      val mark = math.max(priorMarks.getOrElse(sid, Long.MinValue),
+        foldedNow.getOrElse(sid, Long.MinValue))
       val out = fs.create(
-        new org.apache.hadoop.fs.Path(s"$gen/$MaxFoldedEpoch"), true)
-      try out.write(foldedMark.toString.getBytes(
+        new org.apache.hadoop.fs.Path(s"$gen/$MaxFoldedEpoch-$sid"), true)
+      try out.write(mark.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
@@ -397,25 +449,35 @@ object AnnIndex {
     // rewrite (not in the folded snapshot) into the new generation —
     // they stay pending for the next vacuum instead of dying with the
     // old generation
+    // carry moves must tolerate the writer-side re-apply racing them:
+    // if the destination already exists, the writer beat us to the new
+    // generation with the same content (tombstone batches and epoch
+    // partitions are both idempotent), so the old-gen copy is dropped
+    // — a blind rename would nest the source INSIDE an existing
+    // destination dir on HDFS (breaking partition discovery) or return
+    // false unchecked on the local fs
+    def carry(p: org.apache.hadoop.fs.Path,
+              destDir: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(destDir)
+      val dst = new org.apache.hadoop.fs.Path(destDir, p.getName)
+      if (fs.exists(dst)) fs.delete(p, true)
+      else if (!fs.rename(p, dst))
+        throw new java.io.IOException(
+          s"vacuum: could not carry pending $p to $dst")
+    }
     val folded = tombFiles.map(_.getName).toSet
     if (fs.exists(tombPath)) {
       val newTomb = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
       fs.listStatus(tombPath).map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") && !folded(p.getName))
-        .foreach { p =>
-          fs.mkdirs(newTomb)
-          fs.rename(p, new org.apache.hadoop.fs.Path(newTomb, p.getName))
-        }
+        .foreach(carry(_, newTomb))
     }
     val foldedEpochs = addEpochs.map(_.getName).toSet
     if (fs.exists(addPath)) {
       val newAdd = new org.apache.hadoop.fs.Path(s"$gen/additions")
       fs.listStatus(addPath).map(_.getPath)
         .filter(p => p.getName.startsWith("__epoch=") && !foldedEpochs(p.getName))
-        .foreach { p =>
-          fs.mkdirs(newAdd)
-          fs.rename(p, new org.apache.hadoop.fs.Path(newAdd, p.getName))
-        }
+        .foreach(carry(_, newAdd))
     }
     // legacy flat layout: this vacuum migrated it into gen-00001 —
     // retire the superseded top-level payload (readers resolve the

@@ -106,11 +106,17 @@ object IndexGen {
     while (true) {
       val gen = new Path(root, f"$GenPrefix$next%05d")
       f.mkdirs(gen)
+      val claim = new Path(gen, Claim)
       try {
-        f.create(new Path(gen, Claim), false).close()
+        f.create(claim, false).close()
         return gen.toString
       } catch {
-        case _: java.io.IOException => next += 1 // claimed by a rival writer
+        // only a LOST RACE advances the counter — the claim must
+        // actually exist (created by the rival). Any other IO failure
+        // (safe mode, permissions, quota) rethrows: retrying it would
+        // loop forever, littering the root with empty staging dirs.
+        case e: java.io.IOException =>
+          if (f.exists(claim)) next += 1 else throw e
       }
     }
     sys.error("unreachable")

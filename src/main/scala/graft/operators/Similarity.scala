@@ -858,8 +858,9 @@ object Similarity {
     * applied as a literal filter, so the cap costs one count pass and
     * zero extra exchanges; passing `maxBucket` therefore triggers that
     * one eager Spark job at plan-build time. The collect is GUARDED
-    * (limit 4096+1): a mis-sized cap on a degenerate corpus falls back
-    * to the broadcast-anti-join + distinct form — identical results,
+    * (limit `maxHotLiteral`+1, default 4096): a mis-sized cap on a
+    * degenerate corpus falls back to the broadcast-anti-join +
+    * distinct form — identical results (spec-pinned equality),
     * graceful degradation instead of an unbounded driver collect or a
     * plan linear in |hotSet|×bands.
     *
@@ -879,7 +880,8 @@ object Similarity {
   def hammingBandedPairs(corpus: DataFrame, dim: Int, maxHamming: Int,
                          bands: Int, maxBucket: Option[Long] = None,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         maxHotLiteral: Int = 4096): DataFrame = {
     require(bands > 0 && dim % bands == 0,
       s"hammingBandedPairs: bands ($bands) must divide dim ($dim)")
     val bandBits = dim / bands
@@ -910,23 +912,23 @@ object Similarity {
     // threshold the operator FALLS BACK to the broadcast-anti-join +
     // distinct form below instead of failing or building a plan that
     // grows linearly in |hotSet|×bands.
-    val maxHotLiteral = 4096
-    // persisted BEFORE the guard collect: the fallback below reuses
-    // this DataFrame as its anti-join build side, and without the
-    // persist it would re-run the full groupBy-count over the entire
+    // ONE RDD lineage serves both the guard collect and the fallback's
+    // anti-join build side: sharing the RDD object lets the second
+    // action reuse the first action's shuffle files (skipped map
+    // stage) instead of re-running the groupBy's full scan of the
     // banded stream — the operator's most expensive aggregation,
-    // doubled at exactly the degenerate scale the fallback serves. The
-    // literal path unpersists immediately; the fallback path keeps it
-    // cached for the lifetime of the returned (lazy) plan.
-    val hotBuckets: Option[DataFrame] = maxBucket.map { cap =>
+    // otherwise doubled at exactly the degenerate scale the fallback
+    // serves. Deliberately NOT a DataFrame persist: CacheManager
+    // entries are never GC-cleaned, so a cache captured by the
+    // returned lazy plan would leak storage for the application's
+    // lifetime; shuffle files ARE ContextCleaner-managed.
+    val hotAgg: Option[DataFrame] = maxBucket.map { cap =>
       banded.groupBy("band", "bv").agg(count(lit(1)).as("__c"))
         .filter(col("__c") > cap).select("band", "bv")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    val hotRdd = hotAgg.map(_.rdd)
     val hotCollected: Option[Array[org.apache.spark.sql.Row]] =
-      hotBuckets.map(_.limit(maxHotLiteral + 1).collect())
-    if (hotCollected.forall(_.length <= maxHotLiteral))
-      hotBuckets.foreach(_.unpersist(blocking = false))
+      hotRdd.map(_.take(maxHotLiteral + 1))
     if (hotCollected.exists(_.length > maxHotLiteral)) {
       // degenerate-skew fallback: too many hot buckets for a literal
       // predicate. Cap via broadcast anti-join (one small-side
@@ -934,7 +936,9 @@ object Similarity {
       // pre-r12 shape: it degrades gracefully instead of inlining an
       // unbounded literal list into the plan. Results are identical to
       // the literal path (same surviving buckets, same pair set).
-      val capped = banded.join(broadcast(hotBuckets.get),
+      val spark = sigs.sparkSession
+      val hotDF = spark.createDataFrame(hotRdd.get, hotAgg.get.schema)
+      val capped = banded.join(broadcast(hotDF),
         Seq("band", "bv"), "left_anti")
       return capped.as("a").join(capped.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

@@ -219,13 +219,15 @@ class AnnIndexSpec extends SparkSpec {
     // simulated FAILURE REPLAY: the same epoch id runs again (the
     // foreachBatch body, exactly what a restarted stream re-invokes) —
     // the epoch partition overwrites itself, count must not move
-    AnnIndex.addEpoch(batch.filter(col("vec_id") < 302), s"$dir/index", model, 0L)
+    AnnIndex.addEpoch(batch.filter(col("vec_id") < 302), s"$dir/index", model, 0L,
+      streamId = AnnIndex.streamIdFor(s"$dir/ckpt"))
     assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size + 4,
       "replayed epoch must overwrite its own partition, not append")
     // remove a streamed-in vector, then replay its add epoch again:
     // the tombstone must keep shadowing it (no resurrection)
     AnnIndex.remove(Seq(301L).toDF("vec_id"), s"$dir/index")
-    AnnIndex.addEpoch(batch.filter(col("vec_id") < 302), s"$dir/index", model, 0L)
+    AnnIndex.addEpoch(batch.filter(col("vec_id") < 302), s"$dir/index", model, 0L,
+      streamId = AnnIndex.streamIdFor(s"$dir/ckpt"))
     val m2 = AnnIndex.load(spark, s"$dir/index")
     // probe each planted cluster: 301 (cluster 1) must stay hidden,
     // 300 (cluster 0) must stay searchable
@@ -304,6 +306,23 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.addEpoch(batch2, s"$dir/index", model, 6L)
     assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size + 5,
       "both folded epochs must stay no-ops after the second vacuum")
+    // a REDEPLOYED pipeline (fresh checkpoint ⇒ new streamId) restarts
+    // batch ids at 0: its epochs are genuinely NEW data — the folded
+    // mark is per stream, so they must land, not be skipped as replays
+    // of the old stream's folded ids
+    val batch3 = Seq((320L, member(bases(1), 13))).toDF("vec_id", "embedding")
+    AnnIndex.addEpoch(batch3, s"$dir/index", model, 0L, streamId = "deploy2")
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size + 6,
+      "a new stream's epoch 0 must not be mistaken for a folded replay")
+    // the new stream's own replay is still idempotent pre-vacuum...
+    AnnIndex.addEpoch(batch3, s"$dir/index", model, 0L, streamId = "deploy2")
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size + 6)
+    // ...and skipped post-vacuum, per stream, like the first one
+    AnnIndex.vacuum(spark, s"$dir/index")
+    AnnIndex.addEpoch(batch3, s"$dir/index", model, 0L, streamId = "deploy2")
+    AnnIndex.addEpoch(batch2, s"$dir/index", model, 6L)
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size + 6,
+      "per-stream marks must each suppress their own folded epochs")
   }
 
   test("probing statically prunes partitions of the codes table (nprobe/cells scan)") {

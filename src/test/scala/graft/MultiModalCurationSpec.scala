@@ -25,6 +25,33 @@ class MultiModalCurationSpec extends SparkSpec {
   // ramp (see AudioModal.noiseWavOne's doc)
   private def noiseWav(id: Long): Array[Byte] = AudioModal.noiseWavOne(id)
 
+  test("the demo's planted fixtures are non-vacuous and every planted twin drops through its lane") {
+    val allIds = docs.select("doc_id").as[Long].collect().toSeq
+    val ids = docs.select("doc_id")
+    // re-derive the planting rules independently (this test exists
+    // because a prior fixture filter was UNSATISFIABLE — the image
+    // lane ran vacuously while the composition spec stayed green)
+    val imgBases = allIds.filter(id =>
+      id % 5 != 0 && (8 + id % 9) % 4 == 0 && (6 + id % 7) % 4 == 0)
+    assert(imgBases.nonEmpty, "demo image planting must be satisfiable")
+    val audBases = allIds.filter(_ % 22 == 0)
+    assert(audBases.nonEmpty, "demo audio planting must be satisfiable")
+    val images = MultiModalCurationExample.plantedImages(ids)
+    val clips = MultiModalCurationExample.plantedClips(ids)
+    assert(images.count() == 2L * imgBases.size, "each base carries one twin")
+    assert(clips.count() == 2L * audBases.size)
+    val imgLosers = MultiModalCurationExample.imageLosers(images)
+      .as[Long].collect().toSet
+    val audLosers = MultiModalCurationExample.audioLosers(clips)
+      .as[Long].collect().toSet
+    // every planted twin (keyed base+1 / base+11, always the larger
+    // side of its pair) must be dropped by its lane
+    imgBases.foreach(b => assert(imgLosers.contains(b + 1),
+      s"image twin of base $b not dropped"))
+    audBases.foreach(b => assert(audLosers.contains(b + 11),
+      s"audio twin of base $b not dropped"))
+  }
+
   test("survivors = curated text minus image losers minus audio losers; planted twins drop") {
     val allIds = docs.select("doc_id").as[Long].collect().toSeq.sorted
     // image fixture: eligible ids paired (base, twin); the twin doc

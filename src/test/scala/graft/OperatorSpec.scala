@@ -380,6 +380,15 @@ class OperatorSpec extends SparkSpec {
     val capped = cappedRows.toSet
     assert(cappedRows.length == capped.size)
     assert(capped.subsetOf(banded))
+    // the degenerate-skew FALLBACK (hot set too large for a literal
+    // predicate — forced here with maxHotLiteral = 0) must produce the
+    // IDENTICAL capped pair set via the broadcast-anti-join + distinct
+    // form
+    val fallback = Similarity.hammingBandedPairs(vecs, dim = 64,
+        maxHamming = 7, bands = 8, maxBucket = Some(1L), maxHotLiteral = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fallback == capped,
+      "fallback and literal hot-set paths must agree exactly")
     // constraint checks: band count must divide dim, width must divide
     // the 32-bit signature word
     intercept[IllegalArgumentException](
