@@ -58,6 +58,12 @@ object ScaleSoak {
       batch.limit(500), n = 8).count() }
     time("passages")  { Dedup.sharedPassages(docs.filter(col("doc_id") % 37 === 0),
       minPrints = 5, k = 24, window = 8, maxDocFreq = Some(200L)).count() }
+    // r13's exactly-once PPJoin candidate shape (first-common-prefix-
+    // shingle emission, no candidate distinct) on the near-dup-heavy
+    // corpus: every base doc forms a 10-clique of high-jaccard copies,
+    // the adversarial case for candidate growth
+    time("ppjoin")    { Dedup.jaccardJoinPrefix(docs.filter(col("doc_id") % 7 === 0),
+      threshold = 0.5, maxDocFreq = Some(1000L)).count() }
 
     // round-7 operator family at 10x: per-domain caps, stratified
     // sampling, DSIR weights over the 500k docs; semantic dedup over a

@@ -145,7 +145,11 @@ object AnnIndex {
                streamId: String = "default"): Unit = {
     require(streamId.matches("[A-Za-z0-9_]+"),
       s"addEpoch: streamId must be [A-Za-z0-9_]+ (it names partition " +
-        s"dirs and mark files), got '$streamId'")
+        s"dirs and mark entries), got '$streamId'")
+    require(epochId >= 0,
+      s"addEpoch: epochId must be >= 0 (Structured Streaming batch ids " +
+        s"are; a negative id would corrupt the last-dash partition " +
+        s"encoding), got $epochId")
     val spark = batch.sparkSession
     // the partition value carries the STREAM identity, not just the
     // batch id: batch ids are monotonic per CHECKPOINT, not per index,
@@ -187,7 +191,8 @@ object AnnIndex {
     var gen = IndexGen.liveRequired(spark, indexDir)
     var done = false
     while (!done) {
-      if (epochId <= maxFoldedEpoch(spark, gen, streamId)) return
+      if (epochId <= foldedMarks(spark, gen).getOrElse(streamId, Long.MinValue))
+        return
       encoded.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__epoch", "cell")
@@ -197,29 +202,40 @@ object AnnIndex {
     }
   }
 
-  private val MaxFoldedEpoch = "_max_folded_epoch"
+  private val FoldedMarks = "_folded_epoch_marks"
 
   /** Split an `__epoch=` partition value into (streamId, batchId) —
-    * the streamId charset has no dash, so the LAST dash is the
-    * separator. A bare numeric value (no dash) reads as the default
-    * stream's. */
+    * the streamId charset has no dash and batch ids are non-negative
+    * (enforced at [[addEpoch]]), so the LAST dash is the separator.
+    * There is exactly one on-disk format: the stream-scoped one (the
+    * bare-numeric form never shipped past the session that replaced
+    * it). */
   private def parseEpoch(v: String): Option[(String, Long)] = {
     val i = v.lastIndexOf('-')
-    if (i < 0) v.toLongOption.map(("default", _))
-    else v.drop(i + 1).toLongOption.map((v.take(i), _))
+    if (i <= 0) None
+    else v.drop(i + 1).toLongOption.filter(_ >= 0).map((v.take(i), _))
   }
 
-  /** The highest batch id a [[vacuum]] has folded into this
-    * generation's corpus for `streamId` (Long.MinValue when none). */
-  private def maxFoldedEpoch(spark: SparkSession, gen: String,
-                             streamId: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$gen/$MaxFoldedEpoch-$streamId")
+  /** All folded-epoch high-water marks of a generation — ONE small
+    * file (`_folded_epoch_marks`, `streamId<TAB>batchId` lines), not a
+    * file per stream: a long-lived index redeployed under fresh
+    * checkpoints gains a stream id per deploy, and per-stream mark
+    * FILES would accumulate as unbounded small-file debt. Marks are
+    * never retired — a paused stream can still replay its last folded
+    * batch arbitrarily late — but at ~30 bytes per deployment the
+    * consolidated file stays trivial for any realistic lifetime. */
+  private def foldedMarks(spark: SparkSession, gen: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$gen/$FoldedMarks")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Long.MinValue
+    if (!fs.exists(p)) Map.empty
     else {
       val in = fs.open(p)
       try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(sid, mark) = line.split('\t')
+          sid -> mark.toLong
+        }.toMap
       finally in.close()
     }
   }
@@ -424,24 +440,20 @@ object AnnIndex {
     // One mark PER STREAM (batch ids are monotonic per checkpoint
     // lineage only), monotonic across vacuums: the predecessor's marks
     // carry forward, maxed with the epochs folded now.
-    val priorMarks: Map[String, Long] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(liveGen))) Map.empty
-      else fs.listStatus(new org.apache.hadoop.fs.Path(liveGen))
-        .map(_.getPath.getName)
-        .filter(_.startsWith(s"$MaxFoldedEpoch-"))
-        .map(n => n.stripPrefix(s"$MaxFoldedEpoch-"))
-        .map(sid => sid -> maxFoldedEpoch(spark, liveGen, sid))
-        .toMap
+    val priorMarks = foldedMarks(spark, liveGen)
     val foldedNow: Map[String, Long] = addEpochs.toSeq
       .flatMap(p => parseEpoch(p.getName.stripPrefix("__epoch=")))
       .groupMapReduce(_._1)(_._2)(math.max)
-    (priorMarks.keySet ++ foldedNow.keySet).foreach { sid =>
-      val mark = math.max(priorMarks.getOrElse(sid, Long.MinValue),
+    val merged = (priorMarks.keySet ++ foldedNow.keySet).map { sid =>
+      sid -> math.max(priorMarks.getOrElse(sid, Long.MinValue),
         foldedNow.getOrElse(sid, Long.MinValue))
+    }
+    if (merged.nonEmpty) {
       val out = fs.create(
-        new org.apache.hadoop.fs.Path(s"$gen/$MaxFoldedEpoch-$sid"), true)
-      try out.write(mark.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+        new org.apache.hadoop.fs.Path(s"$gen/$FoldedMarks"), true)
+      try out.write(merged.toSeq.sorted
+        .map { case (sid, m) => s"$sid\t$m" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
     IndexGen.promote(spark, indexDir, gen)
@@ -452,18 +464,26 @@ object AnnIndex {
     // carry moves must tolerate the writer-side re-apply racing them:
     // if the destination already exists, the writer beat us to the new
     // generation with the same content (tombstone batches and epoch
-    // partitions are both idempotent), so the old-gen copy is dropped
-    // — a blind rename would nest the source INSIDE an existing
-    // destination dir on HDFS (breaking partition discovery) or return
-    // false unchecked on the local fs
+    // partitions are both idempotent), so the old-gen copy is dropped.
+    // FileContext.rename WITHOUT Rename.OVERWRITE is the atomic
+    // primitive here — it FAILS on an existing destination, where
+    // FileSystem.rename would nest the source INSIDE an existing dir
+    // on HDFS (bricking partition discovery) or return false unchecked
+    // on the local fs; an exists-then-rename pair would leave a TOCTOU
+    // window for the re-apply to land between the two calls
     def carry(p: org.apache.hadoop.fs.Path,
               destDir: org.apache.hadoop.fs.Path): Unit = {
       fs.mkdirs(destDir)
       val dst = new org.apache.hadoop.fs.Path(destDir, p.getName)
-      if (fs.exists(dst)) fs.delete(p, true)
-      else if (!fs.rename(p, dst))
-        throw new java.io.IOException(
-          s"vacuum: could not carry pending $p to $dst")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, hadoopConf)
+      try fc.rename(p, dst)
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(dst)) fs.delete(p, true) // re-apply won the race
+          else throw new java.io.IOException(
+            s"vacuum: could not carry pending $p to $dst", e)
+      }
     }
     val folded = tombFiles.map(_.getName).toSet
     if (fs.exists(tombPath)) {
