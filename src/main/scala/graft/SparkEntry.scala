@@ -112,6 +112,7 @@ object SparkEntry {
     "mm_frames"         -> (LlmOps.mmFrames _),
     "mm_neardup"        -> (LlmOps.mmNeardup _),
     "mm_audio"          -> (LlmOps.mmAudio _),
+    "mm_curation"       -> (LlmOps.mmCuration _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
     "c_gzip_roundtrip"  -> (CoderQueries.cGzipRoundtrip _),
     "c_xml_tree"        -> (CoderQueries.cXmlTree _),

@@ -216,4 +216,46 @@ object AudioModal {
       }(Encoders.product[SyntheticClip])
     ds.toDF()
   }
+
+  /** md5-NOISE clip — the ORACLE-DERIVABLE noise fixture behind the
+    * `mm_curation` gate. [[noiseWavOne]]'s `java.util.Random` stream
+    * is not SQL-re-derivable and [[synthesizeWavOne]]'s ramp collides
+    * in sign-vs-mean signatures (see noiseWavOne's doc); md5 noise is
+    * both independent per id (measured: 2000/2000 distinct 32-window
+    * sign patterns) and one `('0x' || substr(md5(...), 1, 8))::bigint`
+    * away in DuckDB. Formula contract (re-derived sample by sample by
+    * the oracle): mono 16-bit 8 kHz, frames n = 200 + id%57,
+    * sample(t) = (first 8 md5 hex of "id|t" as uint32) % 4001 − 2000. */
+  private[graft] def hashWavOne(id: Long): Array[Byte] = {
+    val frames = 200 + java.lang.Math.floorMod(id, 57L).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pcm = new Array[Byte](frames * 2)
+    var t = 0
+    while (t < frames) {
+      val hex = md.digest(s"$id|$t".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map("%02x".format(_)).mkString
+      val s = (java.lang.Long.parseLong(hex, 16) % 4001L).toInt - 2000
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      md.reset()
+      t += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** One [[hashWavOne]] clip per id row. One mapPartitions pass. */
+  def synthesizeHashWav(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val ds = ids.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map(id => SyntheticClip(id, hashWavOne(id)))
+      }(Encoders.product[SyntheticClip])
+    ds.toDF()
+  }
 }

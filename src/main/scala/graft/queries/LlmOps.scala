@@ -1159,6 +1159,53 @@ object LlmOps {
     stats.join(feats, "doc_id").orderBy("doc_id")
   }
 
+  /** THE FLAGSHIP COMPOSITION, oracle-pinned end to end: the complete
+    * text-curation funnel ([[graft.operators.Curation.curate]] —
+    * quality/language/repetition gates → exact dedup → MinHash-LSH
+    * near-dup components → PII redaction → leak-free split) MINUS the
+    * image lane's banded-Hamming losers (real `javax.imageio` decode →
+    * grid features → sign bits) MINUS the audio lane's (real
+    * `javax.sound.sampled` WAV decode → windowed energies → sign
+    * bits) — the [[graft.examples.MultiModalCurationExample]] flow as
+    * ONE gate whose DuckDB oracle re-derives every stage: the funnel
+    * from the documents table (each formula the same as its standalone
+    * gate: t_quality, t_langid, rule-filter top fraction, d_exact,
+    * d_minhash_lsh at 16 perms / 8 bands / θ=0.8, the d_components
+    * recursive closure, t_redact, the md5 split bucket), the image
+    * features from the [[graft.operators.MultiModal.synthesizeOne]]
+    * pixel formulas (twins are REAL decode→2× upscale→re-encode blobs;
+    * the oracle leans on the nested-floor feature identity the
+    * mm_neardup gate pins), and the audio bits from
+    * [[graft.operators.AudioModal.hashWavOne]]'s md5-noise samples
+    * (sign-vs-mean over exact integer energies ⇔ 32·e_w > Σe, an
+    * integer comparison — no float tolerance anywhere in the gate).
+    *
+    * A hash mismatch in ANY stage — a gate threshold, a minhash band,
+    * a component edge, one pixel of one decoded image, one sample of
+    * one decoded clip — moves the final corpus and fails the compare:
+    * this one gate transitively pins the whole engine's curation path.
+    *
+    * Scale shape: the funnel is the [[graft.operators.Curation]] plan
+    * (scalar gates codegen'd on the scan, one exact-dedup shuffle, the
+    * banded LSH join, hash-min components); each media lane is one
+    * decode pass + the banded equi-join; loser sets anti-join back
+    * sized by AQE. */
+  def mmCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.examples.MultiModalCurationExample
+    import graft.operators.{AudioModal, Curation}
+    val docs = Tables(spark, dir).documents
+    val ids = docs.select("doc_id").filter(col("doc_id") < 2000)
+    val images = MultiModalCurationExample.plantedImages(ids)
+    val audBase = AudioModal.synthesizeHashWav(ids.filter(col("doc_id") % 22 === 0))
+    val clips = audBase.unionByName(
+      audBase.select((col("doc_id") + 11L).as("doc_id"), col("content")))
+    MultiModalCurationExample.compose(
+        Curation.curate(docs),
+        MultiModalCurationExample.imageLosers(images),
+        MultiModalCurationExample.audioLosers(clips))
+      .orderBy("doc_id")
+  }
+
   /** Semi-structured JSON column processing (§2.7 / serde surface):
     * extract + aggregate a JSON field from the events props column.
     * Scale: get_json_object is a codegen'd path expression — no full

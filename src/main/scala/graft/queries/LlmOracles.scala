@@ -1638,6 +1638,166 @@ object LlmOracles {
         |  sum(CASE WHEN least((t * 4) // n, 3) = 3 THEN s0 * s0 ELSE 0 END)::bigint AS w3
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // THE FLAGSHIP COMPOSITION: the whole curation path in one oracle —
+    // text funnel (quality/langid/top-fraction gates -> exact dedup ->
+    // minhash-LSH 16 perms / 8 bands / theta=0.8 -> recursive-CTE
+    // components -> redact -> md5 split), minus the image lane's
+    // hamming<=5 losers (grid features re-derived from the synthesize
+    // pixel formulas; 2x-upscale twins at base+1 share their base's
+    // bits by the nested-floor identity mm_neardup pins), minus the
+    // audio lane's exact-signature losers (md5-noise samples per
+    // AudioModal.hashWavOne; sign-vs-mean of 32 integer energies as
+    // 32*e > total — exact integer comparisons end to end). Every
+    // formula matches its standalone gate's oracle.
+    "mm_curation" ->
+      """WITH RECURSIVE
+        |tok AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(
+        |      round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 4) * 0.4
+        |      + (1.0 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / len(toks), 1.0)) * 0.3
+        |      + least(len(toks) / 50.0, 1.0) * 0.3, 4) AS q
+        |  FROM tok),
+        |langr AS (
+        |  SELECT doc_id,
+        |    round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','of','to','in','is','that','it'))) / len(toks), 4) AS enr,
+        |    round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','ein','zu','den','von','mit'))) / len(toks), 4) AS der,
+        |    round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('le','la','les','et','de','un','une','est','que','pour'))) / len(toks), 4) AS frr
+        |  FROM tok),
+        |rep AS (
+        |  SELECT doc_id, round(max(c) / sum(c), 4) AS rep FROM (
+        |    SELECT doc_id, t, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY doc_id, t)
+        |  GROUP BY doc_id),
+        |gated AS (
+        |  SELECT t.doc_id, t.text, t.toks
+        |  FROM tok t JOIN q USING (doc_id) JOIN langr USING (doc_id) JOIN rep USING (doc_id)
+        |  WHERE q.q >= 0.30 AND enr > der AND enr > frr AND enr > 0 AND rep.rep <= 0.50),
+        |fp AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM gated),
+        |surv AS (
+        |  SELECT g.* FROM gated g
+        |  JOIN (SELECT doc_id FROM fp
+        |        JOIN (SELECT fp, min(doc_id) AS mn FROM fp GROUP BY fp) m USING (fp)
+        |        WHERE doc_id = mn) k USING (doc_id)),
+        |ssh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id, unnest(list_transform(range(greatest(len(toks) - 2, 1)),
+        |      i -> array_to_string(toks[(i+1):(i+3)], ' '))) AS sh
+        |    FROM surv)),
+        |ssz AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+        |mh AS (
+        |  SELECT doc_id, i,
+        |    min(('0x' || substr(md5(i::varchar || '|' || sh), 1, 15))::bigint) AS mh
+        |  FROM ssh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+        |bsig AS (
+        |  SELECT doc_id, i // 2 AS band, md5(string_agg(mh::varchar, '|' ORDER BY i)) AS bsig
+        |  FROM mh GROUP BY doc_id, i // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bsig a JOIN bsig b ON a.band = b.band AND a.bsig = b.bsig
+        |    AND a.doc_id < b.doc_id),
+        |minter AS (
+        |  SELECT id_a, id_b, count(*) AS i FROM cand
+        |  JOIN ssh sa ON sa.doc_id = id_a
+        |  JOIN ssh sb ON sb.doc_id = id_b AND sa.sh = sb.sh
+        |  GROUP BY id_a, id_b),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, round(i / (na.n + nb.n - i), 4) AS j
+        |    FROM minter JOIN ssz na ON id_a = na.doc_id JOIN ssz nb ON id_b = nb.doc_id)
+        |  WHERE j >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS id, src AS comp FROM edges
+        |  UNION
+        |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |dup AS (
+        |  SELECT id FROM (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |  WHERE comp <> id),
+        |curated AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g') AS text,
+        |    len(toks)::bigint AS n_tokens,
+        |    CASE WHEN (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint % 100) < 10
+        |         THEN 'test' ELSE 'train' END AS split
+        |  FROM surv WHERE doc_id NOT IN (SELECT id FROM dup)),
+        |iids AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 2000 AND doc_id % 5 <> 0
+        |    AND (8 + doc_id % 9) % 4 = 0 AND (6 + doc_id % 7) % 4 = 0),
+        |idm AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM iids),
+        |px AS (
+        |  SELECT doc_id,
+        |    least((y.i * 4) // h, 3) * 4 + least((x.i * 4) // w, 3) AS cell,
+        |    (7 * x.i + 13 * y.i + doc_id) % 256 AS r,
+        |    (3 * x.i + 5 * y.i + 2 * doc_id) % 256 AS g,
+        |    (x.i + 11 * y.i + 5 * doc_id) % 256 AS b
+        |  FROM idm CROSS JOIN range(16) x(i) CROSS JOIN range(12) y(i)
+        |  WHERE x.i < w AND y.i < h),
+        |icells AS (
+        |  SELECT doc_id, cell, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+        |    count(*) AS cnt
+        |  FROM px GROUP BY doc_id, cell),
+        |ibits0 AS (
+        |  SELECT doc_id, cell * 3 AS i,
+        |    CASE WHEN sr::double / cnt / 255.0 - 0.5 > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM icells
+        |  UNION ALL SELECT doc_id, cell * 3 + 1,
+        |    CASE WHEN sg::double / cnt / 255.0 - 0.5 > 0 THEN 1 ELSE 0 END
+        |  FROM icells
+        |  UNION ALL SELECT doc_id, cell * 3 + 2,
+        |    CASE WHEN sb::double / cnt / 255.0 - 0.5 > 0 THEN 1 ELSE 0 END
+        |  FROM icells),
+        |iall AS (
+        |  SELECT doc_id, i, bit FROM ibits0
+        |  UNION ALL SELECT doc_id + 1, i, bit FROM ibits0),
+        |isig AS (SELECT doc_id, list(bit ORDER BY i) AS bits FROM iall GROUP BY doc_id),
+        |ilosers AS (
+        |  SELECT DISTINCT id_b FROM (
+        |    SELECT b.doc_id AS id_b,
+        |      list_sum(list_transform(range(48),
+        |        i -> abs(a.bits[i + 1] - b.bits[i + 1])))::bigint AS hamming
+        |    FROM isig a JOIN isig b ON a.doc_id < b.doc_id)
+        |  WHERE hamming <= 5),
+        |aids AS (
+        |  SELECT doc_id, 200 + doc_id % 57 AS n FROM documents
+        |  WHERE doc_id < 2000 AND doc_id % 22 = 0),
+        |asamp AS (
+        |  SELECT doc_id, n, t.i AS t,
+        |    ('0x' || substr(md5(doc_id::varchar || '|' || t.i::varchar), 1, 8))::bigint
+        |      % 4001 - 2000 AS s
+        |  FROM aids CROSS JOIN range(257) t(i) WHERE t.i < n),
+        |awin AS (
+        |  SELECT doc_id, least((t * 32) // n, 31) AS w, sum(s * s) AS e
+        |  FROM asamp GROUP BY doc_id, least((t * 32) // n, 31)),
+        |abits AS (
+        |  SELECT doc_id, w, CASE WHEN 32 * e > tot THEN 1 ELSE 0 END AS bit
+        |  FROM awin JOIN (SELECT doc_id, sum(e) AS tot FROM awin GROUP BY doc_id) USING (doc_id)),
+        |asig0 AS (SELECT doc_id, list(bit ORDER BY w) AS bits FROM abits GROUP BY doc_id),
+        |aall AS (
+        |  SELECT doc_id, bits FROM asig0
+        |  UNION ALL SELECT doc_id + 11, bits FROM asig0),
+        |alosers AS (
+        |  SELECT DISTINCT b.doc_id AS id_b FROM aall a JOIN aall b
+        |  ON a.bits = b.bits AND a.doc_id < b.doc_id)
+        |SELECT * FROM curated
+        |WHERE doc_id NOT IN (SELECT id_b FROM ilosers)
+        |  AND doc_id NOT IN (SELECT id_b FROM alosers)
+        |ORDER BY doc_id""".stripMargin,
+
+
     "q26_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  round(avg(json_extract_string(props, '$.k')::int), 4) AS avg_k,

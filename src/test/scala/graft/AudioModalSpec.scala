@@ -91,4 +91,23 @@ class AudioModalSpec extends SparkSpec {
     assert(planted.subsetOf(pairs), "every planted twin must pair at hamming 0")
     assert(pairs == planted, s"unrelated clips collided: ${pairs -- planted}")
   }
+
+  test("hashWav: md5-noise decode round trip pins independently computed literals") {
+    // expected values computed OUTSIDE the JVM (python hashlib over the
+    // documented formula: n = 200 + id%57, s(t) = uint32(md5("id|t")
+    // first 8 hex) % 4001 - 2000) — an independent cross-check of both
+    // the generator and the decoder, not a re-run of the same Scala
+    val clips = AudioModal.synthesizeHashWav(Seq(42L, 1999L).toDF("doc_id"))
+    val stats = AudioModal.decodeStats(clips).orderBy("doc_id")
+      .select("doc_id", "sample_rate", "channels", "n_frames", "sum_c0", "ssq_c0")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+    assert(stats == Seq(
+      (42L, 8000, 1, 242L, -6074L, 341505482L),
+      (1999L, 8000, 1, 204L, -11601L, 249620273L)))
+    val feats = AudioModal.features(clips, windows = 32).orderBy("doc_id")
+      .select(col("doc_id"), element_at(col("features"), 1).cast("long").as("w0"),
+        element_at(col("features"), 32).cast("long").as("w31"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(feats == Seq((42L, 13773797L, 17040720L), (1999L, 11351254L, 8586571L)))
+  }
 }
