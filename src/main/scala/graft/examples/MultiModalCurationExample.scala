@@ -124,6 +124,25 @@ object MultiModalCurationExample {
     audBase.unionByName(audTwins)
   }
 
+  /** The ORACLE-DERIVABLE audio fixture behind the `mm_curation`
+    * gate: same planting as [[plantedClips]] (bases at id%22==0,
+    * twins = the same blob re-keyed at +11) but over
+    * [[AudioModal.hashWavOne]]'s md5-noise clips, whose samples a
+    * DuckDB oracle re-derives. ONE synthesis pass: each base id emits
+    * both its own row and the twin's from the same bytes (a lazy
+    * base-plus-shifted union would synthesize every clip twice). */
+  def plantedHashClips(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.filter(col("doc_id").isNotNull && col("doc_id") % 22 === 0)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val bytes = AudioModal.hashWavOne(id)
+        Seq((id, bytes), (id + 11L, bytes))
+      })
+      .toDF("doc_id", "content")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()

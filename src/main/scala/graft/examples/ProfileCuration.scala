@@ -21,7 +21,7 @@ object ProfileCuration {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.core.Tables
-    import graft.operators.{AudioModal, Curation}
+    import graft.operators.Curation
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
     def time(tag: String)(f: => Unit): Unit = {
@@ -33,9 +33,8 @@ object ProfileCuration {
     time("curate") { force(Curation.curate(docs)) }
     time("imgLane") { force(MultiModalCurationExample.imageLosers(
       MultiModalCurationExample.plantedImages(ids))) }
-    val audBase = AudioModal.synthesizeHashWav(ids.filter(col("doc_id") % 22 === 0))
-    val clips = audBase.unionByName(audBase.select((col("doc_id")+11L).as("doc_id"), col("content")))
-    time("audLane") { force(MultiModalCurationExample.audioLosers(clips)) }
+    time("audLane") { force(MultiModalCurationExample.audioLosers(
+      MultiModalCurationExample.plantedHashClips(ids))) }
     time("full") { force(graft.queries.LlmOps.mmCuration(spark, dir)) }
     spark.stop()
   }

@@ -144,6 +144,30 @@ object AudioModal {
     * contract as [[MultiModal.synthesizeOne]].) */
   final case class SyntheticClip(doc_id: Long, content: Array[Byte])
 
+  /** The one WAV-encode tail every fixture generator shares: wrap raw
+    * little-endian 16-bit PCM in a WAV container. */
+  private def writeWav(pcm: Array[Byte], frames: Int, rate: Int,
+                       channels: Int): Array[Byte] = {
+    val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The one one-clip-per-id mapPartitions wrapper every synthesize*
+    * method shares. */
+  private def synthesizeWith(ids: DataFrame, idCol: String)
+                            (one: Long => Array[Byte]): DataFrame = {
+    val ds = ids.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map(id => SyntheticClip(id, one(id)))
+      }(Encoders.product[SyntheticClip])
+    ds.toDF()
+  }
+
   private[operators] def synthesizeWavOne(id: Long): Array[Byte] = {
     def mod(a: Long, m: Int): Int = java.lang.Math.floorMod(a, m.toLong).toInt
     val ch = 1 + mod(id, 2)
@@ -162,24 +186,13 @@ object AudioModal {
       }
       t += 1
     }
-    val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
-    val baos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    writeWav(pcm, frames, rate, ch)
   }
 
   /** Synthesize one WAV clip per id row (see [[synthesizeWavOne]]'s
     * formula contract). One mapPartitions pass. */
-  def synthesizeWav(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val ds = ids.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long"))
-      .as(Encoders.scalaLong)
-      .mapPartitions { it =>
-        it.map(id => SyntheticClip(id, synthesizeWavOne(id)))
-      }(Encoders.product[SyntheticClip])
-    ds.toDF()
-  }
+  def synthesizeWav(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
+    synthesizeWith(ids, idCol)(synthesizeWavOne)
 
   /** Deterministic NOISE clip: mono 16-bit PCM whose samples come from
     * `java.util.Random(id)` — the JDK-SPECIFIED LCG, so the bytes are
@@ -198,24 +211,13 @@ object AudioModal {
       pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
       t += 1
     }
-    val fmt = new AudioFormat(8000f, 16, 1, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
-    val baos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    writeWav(pcm, frames, 8000, 1)
   }
 
   /** One [[noiseWavOne]] clip per id row. One mapPartitions pass. */
   def synthesizeNoiseWav(ids: DataFrame, frames: Int = 320,
-                         idCol: String = "doc_id"): DataFrame = {
-    val ds = ids.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long"))
-      .as(Encoders.scalaLong)
-      .mapPartitions { it =>
-        it.map(id => SyntheticClip(id, noiseWavOne(id, frames)))
-      }(Encoders.product[SyntheticClip])
-    ds.toDF()
-  }
+                         idCol: String = "doc_id"): DataFrame =
+    synthesizeWith(ids, idCol)(noiseWavOne(_, frames))
 
   /** md5-NOISE clip — the ORACLE-DERIVABLE noise fixture behind the
     * `mm_curation` gate. [[noiseWavOne]]'s `java.util.Random` stream
@@ -232,30 +234,21 @@ object AudioModal {
     val pcm = new Array[Byte](frames * 2)
     var t = 0
     while (t < frames) {
-      val hex = md.digest(s"$id|$t".getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        .take(4).map("%02x".format(_)).mkString
-      val s = (java.lang.Long.parseLong(hex, 16) % 4001L).toInt - 2000
+      // digest() resets the instance; the first 4 bytes big-endian ARE
+      // the "first 8 md5 hex chars as uint32" of the formula contract
+      val d = md.digest(s"$id|$t".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val s = (v % 4001L).toInt - 2000
       pcm(2 * t) = (s & 0xff).toByte
       pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
-      md.reset()
       t += 1
     }
-    val fmt = new AudioFormat(8000f, 16, 1, true, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, frames.toLong)
-    val baos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
-    baos.toByteArray
+    writeWav(pcm, frames, 8000, 1)
   }
 
   /** One [[hashWavOne]] clip per id row. One mapPartitions pass. */
-  def synthesizeHashWav(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val ds = ids.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long"))
-      .as(Encoders.scalaLong)
-      .mapPartitions { it =>
-        it.map(id => SyntheticClip(id, hashWavOne(id)))
-      }(Encoders.product[SyntheticClip])
-    ds.toDF()
-  }
+  def synthesizeHashWav(ids: DataFrame, idCol: String = "doc_id"): DataFrame =
+    synthesizeWith(ids, idCol)(hashWavOne)
 }

@@ -1192,17 +1192,15 @@ object LlmOps {
     * sized by AQE. */
   def mmCuration(spark: SparkSession, dir: String): DataFrame = {
     import graft.examples.MultiModalCurationExample
-    import graft.operators.{AudioModal, Curation}
+    import graft.operators.Curation
     val docs = Tables(spark, dir).documents
     val ids = docs.select("doc_id").filter(col("doc_id") < 2000)
-    val images = MultiModalCurationExample.plantedImages(ids)
-    val audBase = AudioModal.synthesizeHashWav(ids.filter(col("doc_id") % 22 === 0))
-    val clips = audBase.unionByName(
-      audBase.select((col("doc_id") + 11L).as("doc_id"), col("content")))
     MultiModalCurationExample.compose(
         Curation.curate(docs),
-        MultiModalCurationExample.imageLosers(images),
-        MultiModalCurationExample.audioLosers(clips))
+        MultiModalCurationExample.imageLosers(
+          MultiModalCurationExample.plantedImages(ids)),
+        MultiModalCurationExample.audioLosers(
+          MultiModalCurationExample.plantedHashClips(ids)))
       .orderBy("doc_id")
   }
 
