@@ -522,7 +522,18 @@ object Dedup {
     * self-join whose key is (band, sig) — bucket sizes are tiny under
     * any reasonable banding, so the pairwise verify is bounded. This is
     * the standard 100 TB design; the exact-Jaccard verify of candidates
-    * reuses the shingle join above on the candidate subset only. */
+    * reuses the shingle join above on the candidate subset only.
+    *
+    * Candidates are exactly-once BY CONSTRUCTION (the
+    * [[graft.operators.Similarity.hammingBandedPairs]] /
+    * [[jaccardJoinPrefix]] rule transplanted): a pair agreeing in k
+    * bands would surface k times from the bucket join; it is kept ONLY
+    * at its FIRST matching band — each banded row carries the band
+    * signatures BEFORE its own (≤ bands−1 md5 strings), and the join
+    * drops a collision whose earlier signatures already matched. No
+    * `.distinct()` over the candidate stream, which at near-dup-heavy
+    * scale is the operator's largest intermediate multiplied by the
+    * band count. */
   def minhashLsh(docs: DataFrame, threshold: Double, perms: Int = 16, bands: Int = 4,
                  n: Int = 3, textCol: String = "text", idCol: String = "doc_id",
                  materialize: Boolean = true): DataFrame = {
@@ -534,23 +545,34 @@ object Dedup {
     // for why lazy localCheckpoint, and its executor-loss caveat)
     val s = shared(shingleSet(docs, textCol, idCol, n).repartition(col("sh")), materialize)
     val sig = signaturesFrom(s, perms)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until rows).map(r =>
-          col(s"h${b * rows + r}").cast("string")): _*)).as("sig"))
+    val bandSigs = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r =>
+        col(s"h${b * rows + r}").cast("string")): _*))
     }
     // shared: the banded signatures are both sides of the bucket
     // self-join — without this the whole shingle→vocab→min-agg lineage
     // runs twice. Partitioned by the bucket key first so the self-join
     // reuses the layout instead of re-shuffling unknown partitioning.
+    // `before` = this row's EARLIER band signatures (a slice of the
+    // same array, ≤ bands−1 entries), the payload behind the
+    // first-matching-band rule below.
     val banded = shared(
-      sig.select(col("id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      sig.select(col("id"), array(bandSigs: _*).as("sigs"))
+        .select(col("id"), col("sigs"),
+          posexplode(col("sigs")).as(Seq("band", "sig")))
+        .select(col("id"), col("band"), col("sig"),
+          slice(col("sigs"), lit(1), col("band")).as("before"))
         .repartition(col("band"), col("sig")), materialize)
+    // exactly-once BY CONSTRUCTION: a pair is kept only where its
+    // earlier band signatures do NOT already match — i.e. at the first
+    // matching band. Both `before` slices have equal length (= band,
+    // equi-joined), so the positional zip compares band j with band j.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+          col("a.id") < col("b.id") &&
+          !exists(zip_with(col("a.before"), col("b.before"), (x, y) => x === y),
+            matched => matched))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // verify candidates with exact jaccard (reusing the persisted set)
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cand

@@ -166,6 +166,21 @@ class OperatorSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L)))
   }
 
+  test("minhash candidates are exactly-once by construction (first matching band, no distinct)") {
+    // identical docs collide in EVERY band; a duplicated candidate
+    // stream would multiply the shingle-intersection count in the
+    // verify and push jaccard past 1.0 — a single row at exactly 1.0
+    // proves the pair was emitted from its first matching band only
+    val docs = Seq(
+      (1L, "x y z w v u t s r q"),
+      (2L, "x y z w v u t s r q"),
+      (3L, "different words entirely apart from the others here")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.minhashLsh(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 2L, 1.0)))
+  }
+
   test("simhash: identical docs get identical signatures; disjoint docs differ") {
     val docs = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "zzz yyy xxx www")
