@@ -1108,17 +1108,30 @@ object Dedup {
     * completeness. */
   def simhashBandedPairs(sig: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist < 4, "byte-banding a 32-bit simhash is complete only for maxDist < 4")
+    def byteOf(c: Column, b: Int): Column =
+      shiftright(c, b * 8).bitwiseAND(0xff)
     val banded = sig.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(0xff).as("byte"))): _*)).as("bb"))
+          byteOf(col("simhash"), b).as("byte"))): _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.byte"))
+    // exactly-once BY CONSTRUCTION (the hammingBandedPairs rule): a
+    // pair agreeing in k of the 4 bytes would surface k times from the
+    // bucket join and pre-r13 was deduped with a `.distinct()` — a
+    // shuffle over the PAIR stream, the operator's largest
+    // intermediate (7.6M rows on the 10× soak). Both sides carry the
+    // full signature, so "no EARLIER band matches" is four static
+    // byte comparisons — zero carried payload, pure codegen, and the
+    // kept row is exactly the first matching band's.
+    val noEarlierMatch = (0 until 4).map { j =>
+      lit(j) >= col("a.band") ||
+        byteOf(col("a.simhash"), j) =!= byteOf(col("b.simhash"), j)
+    }.reduce(_ && _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") && noEarlierMatch)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
   }
 }
