@@ -207,9 +207,12 @@ object AnnIndex {
   /** Split an `__epoch=` partition value into (streamId, batchId) —
     * the streamId charset has no dash and batch ids are non-negative
     * (enforced at [[addEpoch]]), so the LAST dash is the separator.
-    * There is exactly one on-disk format: the stream-scoped one (the
-    * bare-numeric form never shipped past the session that replaced
-    * it). */
+    * There is exactly one on-disk format: the stream-scoped one. (An
+    * earlier unreleased commit wrote bare-numeric values, but no
+    * persisted index ever carried them — every index in this repo is
+    * built into scratch dirs rebuilt per run, and the format changed
+    * before any release; supporting a format no artifact has would be
+    * a false-compat path, worse than none.) */
   private def parseEpoch(v: String): Option[(String, Long)] = {
     val i = v.lastIndexOf('-')
     if (i <= 0) None
@@ -397,7 +400,13 @@ object AnnIndex {
     // additions — the next generation's corpus is the consolidated
     // table (additions are not carried; their rows move into cell
     // files proper). Epoch dirs are read explicitly so a concurrent
-    // addEpoch's new partition is never half-read.
+    // addEpoch's NEW partition is never half-read. A concurrent
+    // REPLAY that overwrites a snapshotted partition mid-fold makes
+    // the fold job fail on the deleted files — DELIBERATELY: the
+    // vacuum aborts (staging gen invisible, re-run it) rather than
+    // silently folding a partition whose rows it half-lost (ignoring
+    // missing files would record the epoch as folded while dropping
+    // its vectors). Consistency over availability.
     val basePlusAdds = {
       val corpus = spark.read.parquet(s"$liveGen/corpus")
       if (addEpochs.isEmpty) corpus
@@ -456,21 +465,29 @@ object AnnIndex {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-    IndexGen.promote(spark, indexDir, gen)
     // carry tombstone files / addition epochs that arrived DURING the
     // rewrite (not in the folded snapshot) into the new generation —
     // they stay pending for the next vacuum instead of dying with the
-    // old generation
-    // carry moves must tolerate the writer-side re-apply racing them:
-    // if the destination already exists, the writer beat us to the new
-    // generation with the same content (tombstone batches and epoch
-    // partitions are both idempotent), so the old-gen copy is dropped.
-    // FileContext.rename WITHOUT Rename.OVERWRITE is the atomic
-    // primitive here — it FAILS on an existing destination, where
+    // old generation.
+    //
+    // Carry moves must tolerate the writer-side re-apply racing them:
+    // FileContext.rename WITHOUT Rename.OVERWRITE is the primitive —
+    // it FAILS on an existing destination (the writer beat us there
+    // with the same idempotent content: drop the old copy), where
     // FileSystem.rename would nest the source INSIDE an existing dir
-    // on HDFS (bricking partition discovery) or return false unchecked
-    // on the local fs; an exists-then-rename pair would leave a TOCTOU
-    // window for the re-apply to land between the two calls
+    // on HDFS or return false unchecked on the local fs. The carry
+    // itself never nests — but a re-apply's dynamic-overwrite COMMIT
+    // is delete(dst)+rename(staging,dst), and a carry landing between
+    // those two steps would make the COMMITTER's rename nest. So the
+    // bulk sweep runs BEFORE the promote: re-applies only begin after
+    // a writer re-resolves the NEW generation, i.e. strictly after the
+    // promote — pre-promote, carry and re-apply cannot overlap on a
+    // partition. The post-promote sweep only catches writes landing in
+    // the tiny pre-carry→promote gap; for those the carry/commit
+    // interleaving window still exists in principle (lock-free
+    // multi-step FS commits cannot be fully serialized from outside)
+    // — run vacuum from the same driver as the streams (the
+    // DailyCrawlExample shape) to remove even that.
     def carry(p: org.apache.hadoop.fs.Path,
               destDir: org.apache.hadoop.fs.Path): Unit = {
       fs.mkdirs(destDir)
@@ -486,19 +503,24 @@ object AnnIndex {
       }
     }
     val folded = tombFiles.map(_.getName).toSet
-    if (fs.exists(tombPath)) {
-      val newTomb = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
-      fs.listStatus(tombPath).map(_.getPath)
-        .filter(p => p.getName.endsWith(".parquet") && !folded(p.getName))
-        .foreach(carry(_, newTomb))
-    }
     val foldedEpochs = addEpochs.map(_.getName).toSet
-    if (fs.exists(addPath)) {
-      val newAdd = new org.apache.hadoop.fs.Path(s"$gen/additions")
-      fs.listStatus(addPath).map(_.getPath)
-        .filter(p => p.getName.startsWith("__epoch=") && !foldedEpochs(p.getName))
-        .foreach(carry(_, newAdd))
+    def carrySweep(): Unit = {
+      if (fs.exists(tombPath)) {
+        val newTomb = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
+        fs.listStatus(tombPath).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !folded(p.getName))
+          .foreach(carry(_, newTomb))
+      }
+      if (fs.exists(addPath)) {
+        val newAdd = new org.apache.hadoop.fs.Path(s"$gen/additions")
+        fs.listStatus(addPath).map(_.getPath)
+          .filter(p => p.getName.startsWith("__epoch=") && !foldedEpochs(p.getName))
+          .foreach(carry(_, newAdd))
+      }
     }
+    carrySweep() // bulk, into the still-staging gen: race-free by ordering
+    IndexGen.promote(spark, indexDir, gen)
+    carrySweep() // stragglers from the pre-carry→promote gap
     // legacy flat layout: this vacuum migrated it into gen-00001 —
     // retire the superseded top-level payload (readers resolve the
     // manifest from here on; IndexGen's GC never touches non-gen dirs)

@@ -134,12 +134,15 @@ object IndexGen {
     // a rival promote's GC may have reaped this staging (it is
     // uncommitted with a lower counter = indistinguishable from a
     // crashed writer) — fail LOUDLY here rather than publish a
-    // generation whose payload is gone (writeSmall would silently
-    // re-create the dir via create()'s implicit parent mkdirs)
-    require(f.exists(gen),
-      s"promote: staging $genPath no longer exists — a concurrent " +
-        "promote garbage-collected it (last-promoter-wins); re-run the " +
-        "compaction")
+    // generation whose payload is gone. The CLAIM file is the
+    // liveness token, not the dir: a reap BETWEEN two payload writes
+    // leaves later writes to silently re-create the dir (create()'s
+    // implicit parent mkdirs) WITHOUT the claim, so a dir-existence
+    // check alone would publish that torn remnant.
+    require(f.exists(new Path(gen, Claim)),
+      s"promote: staging $genPath was garbage-collected by a " +
+        "concurrent promote (its claim marker is gone; " +
+        "last-promoter-wins); re-run the compaction")
     writeSmall(f, new Path(gen, Commit), "")
     val manifest = new Path(root, Manifest)
     val prev = new Path(root, s"$Manifest.prev")
