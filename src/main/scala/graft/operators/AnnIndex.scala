@@ -56,7 +56,22 @@ object AnnIndex {
     * promoted atomically at the end: a reader that [[load]]ed the
     * previous generation keeps reading its own (untouched) files while
     * this compaction runs and after it publishes — no torn index, the
-    * vacuum swap contract generalized to every rebuild. */
+    * vacuum swap contract generalized to every rebuild.
+    *
+    * REBUILD CONTRACT vs streams: `corpus` must be the COMPLETE desired
+    * index content, including any streamed additions worth keeping —
+    * [[load]]'s `Model.table` is exactly that union, so re-compacting
+    * from the live index is always safe. The previous generation's
+    * folded-epoch high-water marks carry into the new generation,
+    * RAISED over every epoch present in its `additions/` (a rebuild
+    * subsumes pending additions — they are in `corpus` per the
+    * contract), so a Structured Streaming micro-batch REPLAYED after a
+    * re-compact (stream restarted from a pre-compact checkpoint) is
+    * recognized and skipped instead of double-adding vectors the
+    * rebuilt corpus already contains. An epoch IN FLIGHT while compact
+    * runs is the one window the marks cannot arbitrate (its rows may or
+    * may not be in the caller's corpus snapshot) — serialize compact
+    * against active add-streams, as [[add]]'s doc requires for vacuum. */
   def compact(corpus: DataFrame, indexDir: String, cells: Int,
               m: Int, ksub: Int, coarseIters: Int = 3, pqIters: Int = 2,
               trainBound: Long = 1L << 20,
@@ -86,6 +101,19 @@ object AnnIndex {
         col("cv").as("embedding"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$gen/corpus")
+    // carry the previous generation's folded-epoch marks, raised over
+    // its pending addition epochs (part of the payload — must land
+    // before promote): see the rebuild contract in the doc above. A
+    // first build has no previous generation and writes no marks.
+    IndexGen.live(spark, indexDir).foreach { prevGen =>
+      val fs = new org.apache.hadoop.fs.Path(prevGen)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = listEpochDirs(fs,
+          new org.apache.hadoop.fs.Path(s"$prevGen/additions"))
+        .flatMap(p => parseEpoch(p.getName.stripPrefix("__epoch=")))
+        .groupMapReduce(_._1)(_._2)(math.max)
+      writeMarks(fs, gen, mergeMarks(foldedMarks(spark, prevGen), pending))
+    }
     IndexGen.promote(spark, indexDir, gen)
     // NOTE a rebuild starts from a clean slate BY CONSTRUCTION now:
     // tombstones live INSIDE their generation (a generation + its
@@ -242,6 +270,35 @@ object AnnIndex {
       finally in.close()
     }
   }
+
+  /** The `__epoch=` partition dirs of an additions table (empty when
+    * the dir is absent or holds only staging residue). */
+  private def listEpochDirs(fs: org.apache.hadoop.fs.FileSystem,
+                            addPath: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(addPath)) Seq.empty
+    else fs.listStatus(addPath).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("__epoch="))
+
+  /** Per-stream max-merge of two mark maps (marks are monotonic). */
+  private def mergeMarks(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    (a.keySet ++ b.keySet).map { sid =>
+      sid -> math.max(a.getOrElse(sid, Long.MinValue),
+        b.getOrElse(sid, Long.MinValue))
+    }.toMap
+
+  /** Write a generation's consolidated marks file (no-op when empty —
+    * absent file ⇔ no marks, the [[foldedMarks]] read contract). */
+  private def writeMarks(fs: org.apache.hadoop.fs.FileSystem, gen: String,
+                         marks: Map[String, Long]): Unit =
+    if (marks.nonEmpty) {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$gen/$FoldedMarks"), true)
+      try out.write(marks.toSeq.sorted
+        .map { case (sid, m) => s"$sid\t$m" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
 
   /** STREAMING index maintenance (the [[graft.examples.DailyCrawlExample]]
     * `labelStream` pattern applied to the index lifecycle): each
@@ -449,22 +506,10 @@ object AnnIndex {
     // One mark PER STREAM (batch ids are monotonic per checkpoint
     // lineage only), monotonic across vacuums: the predecessor's marks
     // carry forward, maxed with the epochs folded now.
-    val priorMarks = foldedMarks(spark, liveGen)
     val foldedNow: Map[String, Long] = addEpochs.toSeq
       .flatMap(p => parseEpoch(p.getName.stripPrefix("__epoch=")))
       .groupMapReduce(_._1)(_._2)(math.max)
-    val merged = (priorMarks.keySet ++ foldedNow.keySet).map { sid =>
-      sid -> math.max(priorMarks.getOrElse(sid, Long.MinValue),
-        foldedNow.getOrElse(sid, Long.MinValue))
-    }
-    if (merged.nonEmpty) {
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(s"$gen/$FoldedMarks"), true)
-      try out.write(merged.toSeq.sorted
-        .map { case (sid, m) => s"$sid\t$m" }.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
+    writeMarks(fs, gen, mergeMarks(foldedMarks(spark, liveGen), foldedNow))
     // carry tombstone files / addition epochs that arrived DURING the
     // rewrite (not in the folded snapshot) into the new generation —
     // they stay pending for the next vacuum instead of dying with the
@@ -526,7 +571,7 @@ object AnnIndex {
     // manifest from here on; IndexGen's GC never touches non-gen dirs)
     if (new org.apache.hadoop.fs.Path(liveGen).toUri.getPath == root.toUri.getPath)
       Seq("corpus", "centroids", "codebooks", "tombstones", "corpus.old",
-          "corpus.compacting").foreach { d =>
+          "corpus.compacting", "additions", FoldedMarks).foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(root, d), true)
       }
   }
@@ -563,11 +608,16 @@ object AnnIndex {
         Some(spark.read.parquet(tombPath.toString).select("cand_id").distinct())
       else None
     // streamed additions (addEpoch's epoch-partitioned table) extend
-    // the corpus; the epoch is a replay-idempotency artifact, not data
+    // the corpus; the epoch is a replay-idempotency artifact, not data.
+    // Same guard as tombstones above: read only when at least one
+    // __epoch= partition exists — an EMPTY additions dir (carry whose
+    // rename failed after mkdirs, aborted addEpoch leaving staging
+    // residue) would otherwise throw 'unable to infer schema' on every
+    // load, bricking the index until manual cleanup.
     val addPath = new org.apache.hadoop.fs.Path(s"$gen/additions")
     val corpus = spark.read.parquet(s"$gen/corpus")
     val table =
-      if (fs.exists(addPath))
+      if (listEpochDirs(fs, addPath).nonEmpty)
         corpus.unionByName(
           spark.read.parquet(addPath.toString).drop("__epoch")
             .select(corpus.columns.map(col).toSeq: _*))

@@ -47,7 +47,11 @@ object AudioModal {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        // PCM_SIGNED only: a 16-bit PCM_UNSIGNED (or A-law/μ-law)
+        // stream would parse byte-identically as signed and yield
+        // silently wrong sums instead of the documented sentinel/drop
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
         else {
           val buf = new ByteArrayOutputStream()
           val chunk = new Array[Byte](8192)

@@ -325,6 +325,111 @@ class AnnIndexSpec extends SparkSpec {
       "per-stream marks must each suppress their own folded epochs")
   }
 
+  test("re-compact carries folded-epoch marks: a replay across a rebuild is skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-recompact").toString
+    corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+    AnnIndex.compact(corpus, s"$dir/index", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val model = AnnIndex.load(spark, s"$dir/index")
+    val batch = (0 until 4).map(c => ((300 + c).toLong, member(bases(c), 11)))
+      .toDF("vec_id", "embedding")
+    // FOLDED epoch: vacuum moves its rows into corpus + records the mark
+    AnnIndex.addEpoch(batch, s"$dir/index", model, 5L)
+    AnnIndex.vacuum(spark, s"$dir/index")
+    // PENDING epoch: written but never vacuumed
+    val batch2 = Seq((310L, member(bases(0), 12))).toDF("vec_id", "embedding")
+    AnnIndex.addEpoch(batch2, s"$dir/index", model, 6L)
+    // rebuild per the contract: corpus = the live index's full content
+    // (load().table = corpus ∪ pending additions), snapshotted to disk
+    // so the rebuild doesn't read the generation it replaces mid-write
+    AnnIndex.load(spark, s"$dir/index").table
+      .select(col("cand_id").as("vec_id"), col("embedding"))
+      .write.parquet(s"$dir/rebuild-src.parquet")
+    AnnIndex.compact(spark.read.parquet(s"$dir/rebuild-src.parquet"),
+      s"$dir/index", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val n = corpusRows.size + 5
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == n)
+    // a stream restarted from a pre-compact checkpoint replays BOTH the
+    // folded epoch and the pending one — the carried (and raised) marks
+    // must skip each (pre-fix: every replayed vector double-added)
+    AnnIndex.addEpoch(batch, s"$dir/index", model, 5L)
+    AnnIndex.addEpoch(batch2, s"$dir/index", model, 6L)
+    val after = AnnIndex.load(spark, s"$dir/index")
+    assert(after.table.count() == n,
+      "replays across a re-compact must be no-ops (carried marks)")
+    assert(after.table.groupBy("cand_id").count()
+        .filter(col("count") > 1).count() == 0,
+      "no id may appear twice after a replay across a rebuild")
+    // a genuinely NEW epoch still lands after the rebuild
+    AnnIndex.addEpoch(Seq((320L, member(bases(1), 13)))
+      .toDF("vec_id", "embedding"), s"$dir/index", model, 7L)
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == n + 1)
+  }
+
+  test("an empty additions dir (aborted write residue) does not brick load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-emptyadd").toString
+    corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    AnnIndex.compact(spark.read.parquet(s"$dir/corpus.parquet"),
+      s"$dir/index", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val gen = IndexGen.liveRequired(spark, s"$dir/index")
+    val fs = new org.apache.hadoop.fs.Path(gen)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the residue classes: a carry whose rename failed after mkdirs, or
+    // an aborted addEpoch that left only non-partition staging litter
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$gen/additions"))
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size,
+      "an empty additions dir must fall back to the corpus alone")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$gen/additions/_temporary"), true).close()
+    assert(AnnIndex.load(spark, s"$dir/index").table.count() == corpusRows.size,
+      "staging litter without __epoch= partitions must be ignored")
+  }
+
+  test("a migrating vacuum retires legacy additions and marks, not just corpus dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-legacy").toString
+    corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")
+    val corpus = spark.read.parquet(s"$dir/corpus.parquet")
+    // build a LEGACY flat-layout index: compact into a scratch dir and
+    // copy the generation's payload to the index root (the pre-IndexGen
+    // on-disk shape), including streamed-maintenance state
+    AnnIndex.compact(corpus, s"$dir/scratch", cells = 4, m = 2, ksub = 4,
+      coarseIters = 4, pqIters = 3, trainBound = 0L)
+    val scratchModel = AnnIndex.load(spark, s"$dir/scratch")
+    AnnIndex.addEpoch((0 until 4).map(c => ((300 + c).toLong, member(bases(c), 11)))
+      .toDF("vec_id", "embedding"), s"$dir/scratch", scratchModel, 3L)
+    val srcGen = IndexGen.liveRequired(spark, s"$dir/scratch")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = new org.apache.hadoop.fs.Path(s"$dir/legacy")
+    fs.mkdirs(legacy)
+    fs.listStatus(new org.apache.hadoop.fs.Path(srcGen))
+      .filter(s => !s.getPath.getName.startsWith("_C")) // skip _COMMITTED/_CLAIM
+      .foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new org.apache.hadoop.fs.Path(legacy, s.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+    // a mark file at the legacy root too (an index that saw a vacuum)
+    fs.create(new org.apache.hadoop.fs.Path(legacy, "_folded_epoch_marks"), true)
+      .close()
+    assert(AnnIndex.load(spark, s"$dir/legacy").table.count() == corpusRows.size + 4)
+    // remove something so the migrating vacuum has a fold to do
+    AnnIndex.remove(Seq(300L).toDF("vec_id"), s"$dir/legacy")
+    AnnIndex.vacuum(spark, s"$dir/legacy")
+    assert(AnnIndex.load(spark, s"$dir/legacy").table.count() == corpusRows.size + 3)
+    // the ENTIRE legacy payload is retired — pre-fix, additions/ and the
+    // stale mark file lingered at the root forever (and IndexGen's
+    // legacy fallback could resolve to them if generations were lost)
+    Seq("corpus", "centroids", "codebooks", "tombstones",
+        "additions", "_folded_epoch_marks").foreach { d =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(legacy, d)),
+        s"migrating vacuum must retire legacy $d")
+    }
+  }
+
   test("probing statically prunes partitions of the codes table (nprobe/cells scan)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annidx-prune").toString
     corpusRows.toDF("vec_id", "embedding").write.parquet(s"$dir/corpus.parquet")

@@ -43,6 +43,30 @@ class AudioModalSpec extends SparkSpec {
     assert(AudioModal.features(mixed).count() == 1)
   }
 
+  test("non-PCM_SIGNED 16-bit streams sentinel instead of parsing as signed PCM") {
+    // a WAV whose fmt chunk claims A-law at 16 bits little-endian: the
+    // JDK reader accepts it verbatim (enc=ALAW, bits=16, !bigEndian),
+    // and pre-fix the bits/endianness check alone let decodePcm parse
+    // the A-law payload as signed PCM — silently wrong sums instead of
+    // the documented sentinel/drop for non-conforming blobs
+    val frames = 100
+    val data = Array.tabulate[Byte](frames * 2)(i => (i * 7).toByte)
+    val b = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(36 + data.length); b.put("WAVE".getBytes)
+    b.put("fmt ".getBytes); b.putInt(16)
+    b.putShort(6.toShort); b.putShort(1.toShort); b.putInt(8000)
+    b.putInt(8000 * 2); b.putShort(2.toShort); b.putShort(16.toShort)
+    b.put("data".getBytes); b.putInt(data.length); b.put(data)
+    val blob = Seq((7L, b.array())).toDF("doc_id", "content")
+    val r = AudioModal.decodeStats(blob).collect()
+    assert(r.length == 1 && r(0).getInt(1) == -1 && r(0).getInt(2) == -1 &&
+      r(0).getLong(3) == 0L,
+      s"A-law-tagged stream must sentinel, got ${r.toSeq}")
+    assert(AudioModal.features(blob).count() == 0,
+      "A-law-tagged stream must be dropped from features")
+  }
+
   test("windowed energy features: exact integers, window sums total the clip energy, similarity-ready") {
     val clips = AudioModal.synthesizeWav(clipIds)
     val f = AudioModal.features(clips, windows = 4).orderBy("doc_id").collect()
