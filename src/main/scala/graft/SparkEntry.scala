@@ -111,8 +111,10 @@ object SparkEntry {
     "mm_decode"         -> (LlmOps.mmDecode _),
     "mm_frames"         -> (LlmOps.mmFrames _),
     "mm_neardup"        -> (LlmOps.mmNeardup _),
+    "mm_frames_neardup" -> (LlmOps.mmFramesNeardup _),
     "mm_audio"          -> (LlmOps.mmAudio _),
     "mm_curation"       -> (LlmOps.mmCuration _),
+    "mm_curation_stream" -> (LlmOps.mmCurationStream _),
     "c_str_roundtrip"   -> (CoderQueries.cStrRoundtrip _),
     "c_gzip_roundtrip"  -> (CoderQueries.cGzipRoundtrip _),
     "c_xml_tree"        -> (CoderQueries.cXmlTree _),
@@ -472,7 +474,10 @@ object SparkEntry {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 
+  // the streaming twin is pinned by the BATCH gate's oracle — that IS
+  // the contract (batch == stream, one oracle adjudicating both)
   def oracleSql: Map[String, String] = LlmOracles.sql ++ coderOracles ++ Map(
+    "mm_curation_stream" -> LlmOracles.sql("mm_curation"),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

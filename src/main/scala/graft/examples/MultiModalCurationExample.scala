@@ -143,6 +143,43 @@ object MultiModalCurationExample {
       .toDF("doc_id", "content")
   }
 
+  /** Per-epoch slice of [[plantedImages]] — the image blobs arriving
+    * WITH a micro-batch of doc ids: an id's own base image when the id
+    * is eligible, or its twin blob (derived deterministically from
+    * id−1's base, the same decode→2×-upscale→re-encode) when id−1 is.
+    * Base and twin ids always differ, so under any epoch split by id
+    * the pair usually straddles epochs — the streaming lane's
+    * cross-epoch banded join does real work. Union over all epochs ==
+    * [[plantedImages]] of the union id set, PROVIDED twin ids (base+1)
+    * are themselves in the id universe — true for the `mm_curation`
+    * fixture (the largest eligible base's twin stays under the id cap). */
+  def epochImages(ids: DataFrame): DataFrame = {
+    def eligible(c: org.apache.spark.sql.Column) =
+      c % 5 =!= 0 && (lit(8) + c % 9) % 4 === 0 && (lit(6) + c % 7) % 4 === 0
+    val bases = MultiModal.synthesize(ids.filter(eligible(col("doc_id"))))
+    val twins = MultiModal.resizeScale(
+        MultiModal.synthesize(ids.filter(eligible(col("doc_id") - 1))
+          .select((col("doc_id") - 1).as("doc_id"))), 2)
+      .select((col("doc_id") + 1).as("doc_id"), col("content"))
+    bases.select("doc_id", "content").unionByName(twins)
+  }
+
+  /** Per-epoch slice of [[plantedHashClips]]: an id carries its own
+    * md5-noise clip at id%22==0, or the re-keyed twin of id−11's clip
+    * at id%22==11 (same PCM bytes, derived from the twin's own id).
+    * Same union-equality contract as [[epochImages]]. */
+  def epochHashClips(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.filter(col("doc_id").isNotNull &&
+        (col("doc_id") % 22 === 0 || col("doc_id") % 22 === 11))
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, AudioModal.hashWavOne(if (id % 22 == 11) id - 11 else id))
+      })
+      .toDF("doc_id", "content")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()

@@ -135,8 +135,10 @@ object Curation {
 
   /** The shuffle-free scalar gates: quality, language, repetition —
     * staged token column so the tokenizer runs once per row (see
-    * [[graft.functions.Text.bigramsOf]] lambda-inlining note). */
-  private def scalarGates(docs: DataFrame, cfg: Config): DataFrame =
+    * [[graft.functions.Text.bigramsOf]] lambda-inlining note).
+    * Package-visible: [[CurationStream]] applies the IDENTICAL gates
+    * per micro-batch (batch==stream starts here). */
+  private[operators] def scalarGates(docs: DataFrame, cfg: Config): DataFrame =
     docs
       .withColumn("__toks", Text.tokens(col("text")))
       .withColumn("__q", Text.qualityScore(col("text")))

@@ -1,0 +1,299 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STREAMING cross-modality curation — the flagship composition run as
+  * an unbounded pipeline (reference thesis: one pipeline, bounded or
+  * unbounded — `README.md:29` — applied to the whole curation path).
+  * Micro-batches of mixed-modality documents are curated against
+  * ACCUMULATED prebuilt state, and the final corpus hash-equals the
+  * batch [[Curation.curate]]-based funnel on the same documents (gate
+  * `mm_curation_stream` pins it against the `mm_curation` oracle).
+  *
+  * Why batch == stream holds EXACTLY (the construction, not luck):
+  *
+  *  - Scalar gates are per-row ⇒ identical per micro-batch.
+  *  - Dedup becomes ONE undirected edge graph — exact-duplicate edges
+  *    (equal [[Text.fingerprint]]) plus jaccard-verified MinHash-LSH
+  *    edges over ALL gated docs — and the final survivors are the
+  *    graph's min-id component roots. This equals the batch funnel's
+  *    "exact dedup THEN near-dup components over survivors": an exact
+  *    dup carries its canonical's exact shingle set, minhash signature
+  *    and band values, so every edge incident to a dup is mirrored by
+  *    an edge on its canonical — the union graph merges exactly the
+  *    components the batch pipeline merges, and component minima are
+  *    unchanged because a dup's id is never below its canonical's.
+  *  - Edges are DISCOVERY-ORDER-INDEPENDENT: a cross-epoch pair is
+  *    generated once, when its later doc's batch joins the accumulated
+  *    banded index (`__epoch < current` — a time-invariant input set,
+  *    so a REPLAYED epoch regenerates byte-identical state); pairs
+  *    within an epoch come from the same first-matching-band self-join
+  *    [[Dedup.minhashLsh]] uses. Components over the union of per-epoch
+  *    edge sets equal components over the batch pair set.
+  *  - Media lanes accumulate sign-bit signatures the same way; the
+  *    loser sets (larger id of any surviving pair, distinct) are pair-
+  *    set functions, so they too are discovery-order-independent.
+  *  - Nothing is emitted early: [[finalizeCorpus]] is the one
+  *    consolidation pass (components → redact → tokens → split →
+  *    anti-join media losers), running on dup-rate-sized edge/loser
+  *    state plus the staged gated docs — no re-decode, no re-shingle.
+  *
+  * Replay idempotency is the [[AnnIndex.addEpoch]] story: every state
+  * table is `__epoch`-partitioned and written with DYNAMIC partition
+  * overwrite, so a micro-batch replayed after a failure overwrites its
+  * own partitions with byte-identical content instead of appending
+  * duplicates (CurationStreamSpec pins this with a mid-stream replay).
+  *
+  * Scale shape (the 100 TB contract): per-epoch work is batch-sized —
+  * gates codegen'd on the batch, one shingle→signature pass, media
+  * decode once per blob — plus banded equi-joins against the
+  * accumulated index on (band, sig) keys; the accumulated tables play
+  * the role of [[graft.examples.DailyCrawlExample]]'s compacted index
+  * and at cluster scale land BUCKETED by their join keys
+  * (`compactCorpusBucketed`) so only the batch side shuffles. Within
+  * an epoch nothing forces a partitioning: batches are batch-sized, so
+  * exchange placement and post-shuffle partition counts are left to
+  * AQE (the per-epoch job count, not data volume, dominates at micro-
+  * batch granularity — pre-sizing exchanges for corpus scale here
+  * would multiply tiny files and empty tasks per epoch).
+  * Consolidation touches full text ONCE (the staged gated docs) and
+  * otherwise runs on signatures and edges.
+  */
+object CurationStream {
+
+  private val Epoch = "__epoch"
+
+  private def writeEpoch(df: DataFrame, dir: String, epochId: Long): Unit =
+    // coalesce: state tables are batch-sized (gated docs, dup-rate
+    // edges, signature rows) — a handful of files per epoch keeps the
+    // accumulated-table listings and the per-write commit cheap; at
+    // cluster scale the epoch payload is bigger and the coalesce width
+    // scales with it, not with the default shuffle width
+    df.coalesce(4)
+      .withColumn(Epoch, lit(epochId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(Epoch)
+      .parquet(dir)
+
+  /** The accumulated state table STRICTLY BEFORE `epochId` — the
+    * time-invariant read that makes replays deterministic. None when
+    * the table does not exist yet (first epoch). */
+  private def accBefore(spark: SparkSession, dir: String, epochId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$Epoch=")))
+      Some(spark.read.parquet(dir).filter(col(Epoch) < epochId).drop(Epoch))
+    else None
+  }
+
+  /** Exact-jaccard verification of a candidate pair set against the
+    * (batch ∪ accumulated) shingle long form — the [[Dedup.minhashLsh]]
+    * verify stage on exactly the candidate subset. `sizes` = (id, n). */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
+                            threshold: Double): DataFrame = {
+    val inter = cand
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.id"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i") / (col("na.n") + col("nb.n") - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Banded sign-bit rows for a media signature frame: one row per
+    * band, carrying the full signature for the hamming verify — the
+    * [[Similarity.hammingBandedPairs]] band arithmetic (32-bit words,
+    * bandBits-wide slices). */
+  private def mediaBanded(sigs: DataFrame, dim: Int, bands: Int): DataFrame = {
+    val bandBits = dim / bands
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until bands).map { k =>
+      val w = (k * bandBits) / 32
+      val sh = (k * bandBits) % 32
+      struct(lit(k).as("band"),
+        shiftrightunsigned(element_at(col("sig"), w + 1), sh)
+          .bitwiseAND(lit(mask)).as("bv"))
+    }
+    sigs.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bv").as("bv"))
+  }
+
+  /** One media lane's per-epoch work: sign-bit signatures of this
+    * batch's centered feature vectors, ONE banded join of the batch
+    * against batch ∪ accumulated (within-epoch pairs take `id_a <
+    * id_b`; cross-epoch pairs take any order, normalized by
+    * `greatest`), hamming-verified, reduced IMMEDIATELY to the
+    * distinct loser-id set (the batch lane's `losers` shape — the
+    * collapse happens at dup-rate size, so multi-band collisions need
+    * no pair-level exactly-once machinery here). Writes the epoch's
+    * signature rows and loser ids. */
+  private def mediaLane(centered: DataFrame, stateDir: String, lane: String,
+                        epochId: Long, dim: Int, bands: Int,
+                        maxHamming: Int): Unit = {
+    val spark = centered.sparkSession
+    val banded = Stage.reuse(mediaBanded(
+      centered.select(col("doc_id"), Similarity.signBits(col("fv"), dim).as("sig")),
+      dim, bands))
+    writeEpoch(banded, s"$stateDir/${lane}_sigs", epochId)
+    val own = banded.withColumn("own", lit(true))
+    val bAll = accBefore(spark, s"$stateDir/${lane}_sigs", epochId)
+      .fold(own)(acc => own.unionByName(acc.withColumn("own", lit(false))))
+    val losers = banded.as("a").join(bAll.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          when(col("b.own"), col("a.doc_id") < col("b.doc_id"))
+            .otherwise(col("a.doc_id") =!= col("b.doc_id")))
+      .filter(Similarity.hammingDist(col("a.sig"), col("b.sig")) <= maxHamming)
+      .select(greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id"))
+      .distinct()
+    writeEpoch(losers, s"$stateDir/${lane}_losers", epochId)
+  }
+
+  /** Ingest ONE micro-batch of documents (doc_id, text) with their
+    * media blobs: apply the scalar gates, stage the survivors (with
+    * their fingerprints), extend the accumulated dedup index (shingle
+    * long form; banded minhash signatures carrying the set sizes), and
+    * write this epoch's dedup EDGES and media LOSERS. Every write is
+    * epoch-keyed dynamic overwrite — the whole call is replay-
+    * idempotent. */
+  def ingestEpoch(batch: DataFrame, images: DataFrame, clips: DataFrame,
+                  stateDir: String, epochId: Long,
+                  cfg: Curation.Config = Curation.Config()): Unit = {
+    val spark = batch.sparkSession
+    val gated = Stage.reuse(
+      Curation.scalarGates(batch.select(col("doc_id"), col("text")), cfg)
+        .withColumn("fp", Text.fingerprint(col("text"))))
+    writeEpoch(gated, s"$stateDir/gated", epochId)
+
+    // ---- exact-dup edges (equal fingerprint) ----
+    val batchCanon = gated.groupBy("fp").agg(min("doc_id").as("bmin"))
+    // within-batch: every member links to its batch-group min
+    val withinExact = gated.select("doc_id", "fp").join(batchCanon, "fp")
+      .filter(col("doc_id") =!= col("bmin"))
+      .select(least(col("bmin"), col("doc_id")).as("id_a"),
+        greatest(col("bmin"), col("doc_id")).as("id_b"))
+    // cross-epoch: the batch canonical links to the MIN matching prior
+    // id per fingerprint (one edge suffices — earlier same-fp docs are
+    // already transitively connected among themselves)
+    val accGated = accBefore(spark, s"$stateDir/gated", epochId)
+    val crossExact = accGated match {
+      case None => withinExact.limit(0)
+      case Some(acc) =>
+        batchCanon.join(acc.select(col("fp"), col("doc_id").as("prior")), "fp")
+          .groupBy("fp", "bmin").agg(min("prior").as("pmin"))
+          .select(least(col("bmin"), col("pmin")).as("id_a"),
+            greatest(col("bmin"), col("pmin")).as("id_b"))
+    }
+
+    // ---- near-dup edges (minhash-LSH, jaccard-verified) ----
+    val rows = cfg.minhashPerms / cfg.minhashBands
+    val s = Stage.reuse(Dedup.shingleSet(gated, "text", "doc_id", 3))
+    writeEpoch(s.select(col("id"), col("sh")), s"$stateDir/sh", epochId)
+    // signatures + set sizes in ONE keyed agg: per-occurrence hashing
+    // (the md5 formula of [[Dedup.signaturesFrom]], value-identical)
+    // beats the vocabulary-distinct + join-back shape at MICRO-BATCH
+    // granularity — a batch's occurrence list is near its vocabulary
+    // size, so the corpus-scale vocab reuse would cost two extra
+    // exchanges per epoch for nothing; `n` rides the same agg
+    val sig = s.groupBy("id").agg(
+      count(lit(1)).as("n"),
+      (0 until cfg.minhashPerms).map(i =>
+        min(conv(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 15), 16, 10)
+          .cast("long")).as(s"h$i")): _*)
+    val bandSigs = (0 until cfg.minhashBands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r =>
+        col(s"h${b * rows + r}").cast("string")): _*))
+    }
+    // banded rows carry the set size `n` so the accumulated bands
+    // table doubles as the sizes artifact (band 0 slice = (id, n)) —
+    // one table, one write, no separate sizes lineage
+    val banded = Stage.reuse(
+      sig.select(col("id"), col("n"), array(bandSigs: _*).as("sigs"))
+        .select(col("id"), col("n"), col("sigs"),
+          posexplode(col("sigs")).as(Seq("band", "sig")))
+        .select(col("id"), col("n"), col("band"), col("sig"),
+          slice(col("sigs"), lit(1), col("band")).as("before")))
+    writeEpoch(banded, s"$stateDir/bands", epochId)
+    // ONE banded join of the batch against batch ∪ accumulated, both
+    // sides under the minhashLsh first-matching-band rule (exactly-
+    // once per pair, no distinct; both `before` slices have length =
+    // band): within-epoch pairs take id_a < id_b, cross-epoch pairs
+    // any order, normalized
+    val accBands = accBefore(spark, s"$stateDir/bands", epochId)
+    val own = banded.withColumn("own", lit(true))
+    val bandsAll = accBands.fold(own)(acc =>
+      own.unionByName(acc.withColumn("own", lit(false))))
+    val cand = banded.as("a").join(bandsAll.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          when(col("b.own"), col("a.id") < col("b.id"))
+            .otherwise(col("a.id") =!= col("b.id")) &&
+          !exists(zip_with(col("a.before"), col("b.before"), (x, y) => x === y),
+            matched => matched))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val shAll = accBefore(spark, s"$stateDir/sh", epochId)
+      .fold(s.select(col("id"), col("sh")))(
+        a => s.select(col("id"), col("sh")).unionByName(a))
+    val sizes = sig.select(col("id"), col("n"))
+    val sizesAll = accBands.map(_.filter(col("band") === 0).select("id", "n"))
+      .fold(sizes)(a => sizes.unionByName(a))
+    val lshEdges = verifyJaccard(cand, shAll, sizesAll, cfg.nearDupThreshold)
+    writeEpoch(withinExact.unionByName(crossExact).unionByName(lshEdges),
+      s"$stateDir/edges", epochId)
+
+    // ---- media lanes (the MultiModalCurationExample settings) ----
+    val imgCentered = Stage.reuse(MultiModal.decodeFeatures(images, grid = 4)
+      .select(col("doc_id"),
+        transform(col("features"), f => f - lit(0.5)).as("fv")))
+    mediaLane(imgCentered, stateDir, "img", epochId,
+      dim = 48, bands = 6, maxHamming = 5)
+    val audMean = aggregate(col("features"), lit(0d), (a, b) => a + b) / lit(32d)
+    val audCentered = Stage.reuse(AudioModal.features(clips, windows = 32)
+      .select(col("doc_id"),
+        transform(col("features"), x => x - audMean).as("fv")))
+    mediaLane(audCentered, stateDir, "aud", epochId,
+      dim = 32, bands = 4, maxHamming = 0)
+  }
+
+  /** The ONE consolidation pass over the accumulated state: min-id
+    * component roots of the edge graph survive, the corpus is redacted
+    * / token-counted / split exactly as [[Curation.curate]]'s tail,
+    * and each media lane's accumulated losers anti-join away. Output:
+    * (doc_id, text, n_tokens, split) — hash-equal to the batch funnel
+    * composed with the media lanes ([[graft.queries.LlmOps.mmCuration]]). */
+  def finalizeCorpus(spark: SparkSession, stateDir: String,
+                     cfg: Curation.Config = Curation.Config()): DataFrame = {
+    // every read goes through the accumulated-table helper (epoch
+    // bound = ∞): a table whose every epoch was EMPTY has no partition
+    // dirs on disk, and a raw read would throw instead of yielding the
+    // empty frame the consolidation algebra handles fine
+    def all(table: String): Option[DataFrame] =
+      accBefore(spark, s"$stateDir/$table", Long.MaxValue)
+    val gatedAll = all("gated").getOrElse(
+      throw new IllegalStateException(s"$stateDir has no staged documents"))
+    val noIds = gatedAll.select(col("doc_id")).limit(0)
+    val edges = all("edges").getOrElse(
+      noIds.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
+    val dupIds = Dedup.components(edges)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val clean = gatedAll.join(dupIds, Seq("doc_id"), "left_anti")
+    val out = clean.select(
+      col("doc_id"),
+      Text.redactPii(col("text")).as("text"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+      when(Sampling.hashBucket(col("doc_id")) < cfg.testPct, "test")
+        .otherwise("train").as("split"))
+    def losers(lane: String): DataFrame =
+      all(s"${lane}_losers").fold(noIds)(_.select("doc_id")).distinct()
+    out
+      .join(losers("img"), Seq("doc_id"), "left_anti")
+      .join(losers("aud"), Seq("doc_id"), "left_anti")
+  }
+}

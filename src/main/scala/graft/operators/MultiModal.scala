@@ -216,6 +216,82 @@ object MultiModal {
     ds.toDF()
   }
 
+  /** Typed temporal-feature row: one fixed-width vector per blob,
+    * entry f = frame f's luminance-vs-mid-gray value. */
+  final case class TemporalFeatures(doc_id: Long, n_frames: Int, features: Array[Double])
+
+  /** TEMPORAL signature features (the video near-dup shape): frame f's
+    * entry is the exact integer `2·(Σr+Σg+Σb) − 765·n_px` — positive
+    * iff the frame's mean luminance exceeds mid-gray (127.5), so
+    * [[Similarity.signBits]] over the vector is the per-frame
+    * brightness-curve signature, with every bit decision an integer
+    * comparison (6·v̄ vs 765 — no float tolerance anywhere). Exactly
+    * `frames` frames are read per blob (incremental capped read, same
+    * contract as [[decodeFrames]]'s capped path); blobs with FEWER
+    * decoded frames are DROPPED — a fixed-dim signature padded with
+    * fake zero bits would pair unrelated short clips — as are
+    * undecodable blobs ([[extractMeta]] surfaces those rates).
+    *
+    * Scale: frames of one blob already stream through ONE task, so the
+    * whole temporal vector is assembled in the decode pass itself — no
+    * per-frame row materialization, no groupBy shuffle; the output is
+    * (id, frames doubles) per blob, ready for the banded Hamming join. */
+  def frameFeatures(media: DataFrame, frames: Int,
+                    idCol: String = "doc_id",
+                    blobCol: String = "content"): DataFrame = {
+    require(frames > 0, "frameFeatures: frames must be positive")
+    val ds = nonNull(media, idCol, blobCol)
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); None }
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val v = new Array[Double](frames)
+              var f = 0
+              var ok = true
+              while (ok && f < frames) {
+                // read(f) past the last frame raises the exact
+                // IndexOutOfBoundsException per the ImageReader spec —
+                // short clip, drop (see decodeFrames' capped path for
+                // why the EXACT class only: subclasses are corrupt-data
+                // errors and must drop the blob through the outer catch)
+                try {
+                  val img = r.read(f)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  var (sr, sg, sb) = (0L, 0L, 0L)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  v(f) = (2L * (sr + sg + sb) - 765L * w * h).toDouble
+                  f += 1
+                } catch {
+                  case e: IndexOutOfBoundsException
+                      if e.getClass == classOf[IndexOutOfBoundsException] =>
+                    ok = false
+                }
+              }
+              if (ok) Some(TemporalFeatures(id, frames, v)) else None
+            } catch { case _: Exception => None }
+            finally { r.dispose(); iis.close() }
+          }
+        }
+      }(Encoders.product[TemporalFeatures])
+    ds.toDF()
+  }
+
   /** Typed feature row: fixed-width feature vector per blob. */
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, features: Array[Double])
 
@@ -369,6 +445,136 @@ object MultiModal {
           }
         }
       }(Encoders.product[ResizedMedia])
+    ds.toDF()
+  }
+
+  /** The one animated-GIF encode tail the multi-frame operators share:
+    * write `frames` as a GIF sequence (per-frame local palette — a
+    * solid single-color frame quantizes exactly, the losslessness
+    * contract every solid-frame fixture and re-encode relies on). */
+  private def writeGifSequence(frames: Seq[BufferedImage]): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { frame =>
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(frame), writer.getDefaultWriteParam)
+        writer.writeToSequence(new IIOImage(frame, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Multi-frame twin of [[resizeScale]] — the video-shaped re-encode:
+    * decode EVERY frame, replicate each pixel into a `factor`×`factor`
+    * block (the same bit-exact nested-floor contract as resizeScale),
+    * and re-encode the whole sequence as an animated GIF. Frame COUNT
+    * is preserved; per-frame pixel sums scale by exactly factor², so
+    * mean-luminance signatures ([[frameFeatures]]) are invariant — an
+    * upscaled re-encoded animation is signature-identical to its base,
+    * which is what plants provable near-dup twins. GIF's 256-color
+    * quantizer makes this lossless for frames of ≤256 distinct colors
+    * (the solid-frame fixtures trivially qualify); `maxFrames` caps
+    * runaway containers (0 = unlimited). Undecodable blobs DROP. */
+  def resizeScaleFrames(media: DataFrame, factor: Int, maxFrames: Int = 0,
+                        idCol: String = "doc_id",
+                        blobCol: String = "content"): DataFrame = {
+    require(factor >= 1, "resizeScaleFrames: factor must be >= 1")
+    val ds = nonNull(media, idCol, blobCol)
+      .select(col(idCol).cast("long"), col(blobCol))
+      .as(Encoders.product[(Long, Array[Byte])])
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); None }
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val buf = scala.collection.mutable.ArrayBuffer.empty[BufferedImage]
+              var f = 0
+              var more = true
+              while (more && (maxFrames <= 0 || f < maxFrames)) {
+                try {
+                  val img = r.read(f)
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  val out = new BufferedImage(w * factor, h * factor,
+                    BufferedImage.TYPE_INT_RGB)
+                  var y = 0
+                  while (y < h * factor) {
+                    var x = 0
+                    while (x < w * factor) {
+                      out.setRGB(x, y, img.getRGB(x / factor, y / factor))
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  buf += out
+                  f += 1
+                } catch {
+                  case e: IndexOutOfBoundsException
+                      if e.getClass == classOf[IndexOutOfBoundsException] =>
+                    more = false // end of stream (the ImageReader spec signal)
+                }
+              }
+              if (buf.isEmpty) None
+              else Some(ResizedMedia(id, buf.head.getWidth, buf.head.getHeight,
+                writeGifSequence(buf.toSeq)))
+            } catch { case _: Exception => None }
+            finally { r.dispose(); iis.close() }
+          }
+        }
+      }(Encoders.product[ResizedMedia])
+    ds.toDF()
+  }
+
+  /** Deterministic MULTI-FRAME synthesis — the oracle-derivable fixture
+    * behind the `mm_frames_neardup` gate (the video-modality analogue
+    * of [[graft.operators.AudioModal.hashWavOne]]): every id maps to an
+    * animated GIF of 24 + id%9 SOLID frames, w = 8+id%9, h = 6+id%7,
+    * frame f's gray value v(id,f) = (first 8 md5 hex of "id|f" as
+    * uint32) % 256 — md5 noise, so unrelated clips carry independent
+    * ~random brightness curves (a per-id ramp would collide every
+    * sign-vs-mid-gray signature), while DuckDB re-derives every frame
+    * with `('0x' || substr(md5(id || '|' || f), 1, 8))::bigint % 256`.
+    * Solid frames survive GIF's palette quantizer exactly, so the
+    * decode round trip recovers v·n_px per channel per frame. */
+  private[operators] def hashGifOne(id: Long): Array[Byte] = {
+    def mod(a: Long, m: Int): Int = java.lang.Math.floorMod(a, m.toLong).toInt
+    val w = 8 + mod(id, 9)
+    val h = 6 + mod(id, 7)
+    val n = 24 + mod(id, 9)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val frames = (0 until n).map { f =>
+      val d = md.digest(s"$id|$f".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      val v32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val c = (v32 % 256L).toInt
+      val frame = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gfx = frame.createGraphics()
+      try {
+        gfx.setColor(new java.awt.Color(c, c, c))
+        gfx.fillRect(0, 0, w, h)
+      } finally gfx.dispose()
+      frame
+    }
+    writeGifSequence(frames)
+  }
+
+  /** One [[hashGifOne]] animation per id row. One mapPartitions pass. */
+  def synthesizeHashGif(ids: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val ds = ids.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"))
+      .as(Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map(id => SyntheticImage(id, hashGifOne(id)))
+      }(Encoders.product[SyntheticImage])
     ds.toDF()
   }
 

