@@ -874,7 +874,27 @@ object LlmOps {
     * and atomically renamed, so a concurrent JVM either sees nothing
     * (and builds its own staging copy — the loser's rename fails and
     * its staging dir is discarded) or sees a complete index; no
-    * cross-process overwrite of a dir another reader is scanning. */
+    * cross-process overwrite of a dir another reader is scanning.
+    *
+    * WHY THIS IS NOT [[graft.operators.IndexGen]] (the deliberate
+    * decision, not an oversight): the two mechanisms publish different
+    * THINGS. IndexGen manages a mutable index IDENTITY — one root whose
+    * content evolves through generations under maintenance (addEpoch /
+    * remove / vacuum / rebuild), with a manifest protocol that stays
+    * atomic on filesystems without atomic rename and a GC that must
+    * never strand a concurrent reader. This helper publishes an
+    * immutable CACHE ENTRY — the key (fixture mtime+size+params) IS the
+    * identity, a new data generation gets a brand-new key and directory
+    * rather than a new generation under one root, nothing is ever
+    * maintained in place, and the medium is by construction a local
+    * POSIX tmpdir where directory ATOMIC_MOVE is a guaranteed
+    * primitive. The two compose rather than compete: the ANN fixtures'
+    * cached artifact internally IS an IndexGen root ([[AnnIndex.compact]]
+    * begins/promotes a generation inside the staging dir), so folding
+    * the cache layer onto IndexGen would nest a manifest root inside
+    * another root's generation and put a second live-resolution hop on
+    * every steady-state gate, while the content-keyed dedup and the
+    * loser-discard race logic would still have to exist on top. */
   private val compactLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
