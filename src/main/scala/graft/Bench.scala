@@ -54,8 +54,21 @@ object Bench {
     // orders) the machine/session is the variable. Output artifacts
     // are order-invariant: every rung reports in sorted-name order.
     val runOrder = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "asc")
+    // probe filter (A/B forensics, e.g. the r13 contention root-cause):
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the corpus to the named
+    // queries. Unset (the driver's path) runs everything — the official
+    // artifact contract is unchanged. Unknown names fail fast, like
+    // Verify's filter: a typo'd probe would otherwise measure nothing
+    // and report a plausible-looking near-zero total.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY: unknown queries $unknown")
+    }
     val ordered = {
       val asc = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (k, _) => only.forall(_.contains(k)) }
       if (runOrder == "desc") asc.reverse else asc
     }
     // per-query session snapshots (BENCH_SELF.json only): persistent
