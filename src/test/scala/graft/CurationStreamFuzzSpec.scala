@@ -1,0 +1,139 @@
+package graft
+
+import graft.examples.MultiModalCurationExample
+import graft.operators.CurationStream
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Randomized crash/replay-schedule fuzzing for the STREAMING curation
+  * state machine — the [[IndexGenFuzzSpec]] treatment applied to the
+  * other r14 exactly-once surface. CurationStreamSpec pins ONE replay
+  * shape deterministically; here randomized schedules drive the full
+  * failure contract through real Spark parquet writes on a
+  * fault-injecting filesystem:
+  *
+  *  - epoch count and the doc→epoch assignment are randomized per
+  *    schedule (batch == stream means the FINAL corpus is
+  *    partition-invariant, so every schedule must converge to the same
+  *    rows — the clean fixed-split reference computed once);
+  *  - each ingest may CRASH at a random IO boundary (abort-mode
+  *    injection: Spark task runners escalate Errors, and a failed
+  *    foreachBatch is re-invoked with the SAME epoch id — the
+  *    Structured Streaming contract) and is re-run until it commits,
+  *    possibly crashing again at a different boundary;
+  *  - already-committed epochs are re-ingested at random points (late
+  *    replays, including after later epochs committed);
+  *  - after the schedule, one more replay of a random epoch must leave
+  *    every state table's row count unchanged (overwrite, not append).
+  *
+  * Invariant: [[CurationStream.finalizeCorpus]] equals the clean
+  * reference row for row, every schedule, crashes and replays
+  * notwithstanding. Why re-runs are safe from ANY crash prefix: an
+  * epoch's own inputs are the in-memory batch (never read back from
+  * its own partial writes) and accumulated state STRICTLY BEFORE it,
+  * and every write is a dynamic `__epoch` partition overwrite — so a
+  * re-run recomputes identical content and replaces whatever prefix
+  * the crash left. Schedules are sequential and seeded; a found bug
+  * replays deterministically from the printed seed. Scale N via
+  * SPARK_GRAFT_FUZZ_CURATION_N.
+  */
+class CurationStreamFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val conf = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.faulty.impl", classOf[FaultyFileSystem].getName)
+    c
+  }
+
+  // bounded doc subset: the funnel + both media lanes still do real
+  // work (gates drop, planted dup pairs straddle epochs, image/audio
+  // twins exist under the id caps) at a per-schedule cost that lets
+  // several schedules run in CI time
+  private lazy val docs: Seq[(Long, String)] =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .filter(col("doc_id") < 400)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+  private def ingest(stateDir: String, part: Seq[(Long, String)], e: Long): Unit = {
+    val b = part.toDF("doc_id", "text")
+    val ids = b.select(col("doc_id")).filter(col("doc_id") < 2000)
+    CurationStream.ingestEpoch(b,
+      MultiModalCurationExample.epochImages(ids),
+      MultiModalCurationExample.epochHashClips(ids),
+      stateDir, e)
+  }
+
+  private def corpus(stateDir: String): Seq[Row] =
+    CurationStream.finalizeCorpus(spark, stateDir).orderBy("doc_id").collect().toSeq
+
+  test("randomized crash/replay schedules all converge to the clean corpus") {
+    conf // force faulty:// registration
+    val n = sys.env.get("SPARK_GRAFT_FUZZ_CURATION_N").flatMap(_.toIntOption).getOrElse(4)
+    // clean fixed-split reference (local fs — no injection surface)
+    val refTmp = java.nio.file.Files.createTempDirectory("graft-cfuzz-ref")
+    val refState = s"$refTmp/state"
+    val refParts = docs.groupBy(d => java.lang.Math.floorMod(d._1, 2L)).toSeq.sortBy(_._1)
+    refParts.foreach { case (e, part) => ingest(refState, part, e) }
+    val expected = corpus(refState)
+    assert(expected.nonEmpty && expected.size < docs.size,
+      "reference fixture must exercise the funnel")
+    org.apache.commons.io.FileUtils.deleteDirectory(refTmp.toFile)
+
+    val rnd = new scala.util.Random(140414L)
+    var totalInjected = 0
+    (0 until n).foreach { s =>
+      val seed = rnd.nextLong()
+      val r = new scala.util.Random(seed)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cfuzz")
+      val state = s"faulty://$tmp/state"
+      val epochs = 2 + r.nextInt(3)
+      // random assignment: every doc to one of `epochs` buckets (empty
+      // buckets allowed — finalize must tolerate epochs with no rows)
+      val assign = docs.groupBy(_ => r.nextInt(epochs))
+      def partOf(e: Int): Seq[(Long, String)] = assign.getOrElse(e, Seq.empty)
+
+      def ingestWithCrashes(e: Int): Unit = {
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          assert(attempts <= 6, s"seed=$seed: epoch $e did not commit in 6 attempts")
+          // later attempts crash less often so schedules terminate
+          val crash = r.nextDouble() < (if (attempts == 1) 0.6 else 0.3)
+          if (crash) FaultInjector.arm(r.nextInt(150), kill = false)
+          try { ingest(state, partOf(e), e.toLong); done = true }
+          catch {
+            // count FIRED crashes only (an armed budget larger than the
+            // op's mutation count never fires — that attempt is clean)
+            case t: Throwable if FaultInjector.isInjected(t) => totalInjected += 1
+          } finally FaultInjector.disarm()
+        }
+      }
+
+      (0 until epochs).foreach { e =>
+        ingestWithCrashes(e)
+        // late replay of a random committed epoch, sometimes crashing
+        if (e > 0 && r.nextDouble() < 0.5) ingestWithCrashes(r.nextInt(e + 1))
+      }
+      val got = corpus(state)
+      assert(got == expected, {
+        val extra = got.toSet.diff(expected.toSet).take(3)
+        val miss = expected.toSet.diff(got.toSet).take(3)
+        s"seed=$seed: corpus diverged (extra: $extra; missing: $miss)"
+      })
+      // one more clean replay: state must not grow (overwrite semantics)
+      val tables = Seq("gated", "edges", "bands", "sh", "img_sigs", "img_losers",
+        "aud_sigs", "aud_losers")
+      val before = tables.map(t => spark.read.parquet(s"$state/$t").count())
+      val re = r.nextInt(epochs) // one sample: a replay pairs an epoch's id with ITS docs
+      ingest(state, partOf(re), re.toLong)
+      val after = tables.map(t => spark.read.parquet(s"$state/$t").count())
+      assert(before == after, s"seed=$seed: state grew on clean replay: $before -> $after")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    info(s"$n schedules, $totalInjected injected aborts — corpus invariant held")
+    assert(totalInjected >= n, "fuzz degenerated: too few injected aborts")
+  }
+}
