@@ -1283,6 +1283,11 @@ object LlmOps {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = Tables(spark, dir).documents
+    // collect = the MemoryStream TEST-SOURCE scaffold only (MemoryStream
+    // feeds from driver memory by construction): a deployment swaps in a
+    // Kafka/file readStream and nothing in CurationStream itself — the
+    // operator under test — ever collects; its per-epoch work is all
+    // executor-side (gate columns, aggs, banded joins, partition writes)
     val rows = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect()
     val epochs = 3
