@@ -63,6 +63,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // an empty set would pass the unknown-name check vacuously and
+      // run ZERO queries — emitting the plausible near-zero total this
+      // guard exists to prevent
+      require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY is set but names no queries")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY: unknown queries $unknown")
     }
@@ -108,9 +112,15 @@ object Bench {
         val line = java.nio.file.Files.readAllLines(
           java.nio.file.Paths.get("/proc/stat")).get(0)
         val f = line.trim.split("\\s+").drop(1).map(_.toDouble)
-        // user nice system idle iowait irq softirq steal ... — busy is
-        // everything except idle(3) and iowait(4)
-        (f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum) / 100.0
+        // fields: user nice system idle iowait irq softirq steal guest
+        // guest_nice. Busy excludes idle(3) and iowait(4), AND the
+        // guest pair (8, 9): on Linux guest jiffies are ALREADY
+        // included in user/nice, so summing them would double-count a
+        // co-hosted VM's load and trip the contended threshold at half
+        // the real external level
+        (f.zipWithIndex.collect {
+          case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v
+        }.sum) / 100.0
       } catch { case _: Throwable => -1.0 }
     def snapshot(name: String): Unit = {
       val infos = spark.sparkContext.getRDDStorageInfo
@@ -131,8 +141,12 @@ object Bench {
         val elapsed = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 >= 0) processCpuSec - c0 else -1.0
         val gc = gcSec - g0
+        // BOTH window endpoints must have measured (a transient failed
+        // close read returns -1, and clamping (-1 − h0) − cpu to 0
+        // would record a contended window as a VALID-looking zero)
+        val h1 = hostBusySec
         val ext =
-          if (h0 >= 0 && cpu >= 0) math.max(0.0, (hostBusySec - h0) - cpu)
+          if (h0 >= 0 && h1 >= 0 && cpu >= 0) math.max(0.0, (h1 - h0) - cpu)
           else -1.0
         // between runs AND queries: deterministically drop dead
         // localCheckpoint blocks + cached frames (r10's System.gc()
@@ -207,15 +221,21 @@ object Bench {
     def cpuField = {
       val c = resultsCpu.map(_._2.cpu).filter(_ >= 0).sum
       val g = resultsCpu.map(_._2.gc).filter(_ >= 0).sum
-      val ext = resultsCpu.map(_._2.ext).filter(_ >= 0).sum
+      val extMeas = resultsCpu.map(_._2.ext).filter(_ >= 0)
+      val ext = extMeas.sum
       val wall = results.map(_._2).filter(_ >= 0).sum
       val maxLoad = if (snaps.nonEmpty) snaps.map(_._5).max else -1.0
       val contended = ext > 0.5 * wall
       (if (c > 0) ",\"cpu\":" + math.round(c) else "") +
         (if (c > 0) ",\"gc\":" + jnum(g, 1) else "") +
-        ",\"extcpu\":" + math.round(math.max(ext, 0)) +
-        (if (maxLoad >= 0) ",\"maxload\":" + jnum(maxLoad, 1) else "") +
-        ",\"contended\":" + contended
+        // no measured window (host without /proc/stat) → OMIT both
+        // fields rather than positively asserting extcpu:0 /
+        // contended:false with no evidence behind them
+        (if (extMeas.nonEmpty)
+           ",\"extcpu\":" + math.round(ext) +
+             (if (maxLoad >= 0) ",\"maxload\":" + jnum(maxLoad, 1) else "") +
+             ",\"contended\":" + contended
+         else "")
     }
     def lineAt(dec: Int, lf: String) =
       f"""{"metric":"total","value":${jnum(total)},"unit":"sec"$cpuField,"log_errors":$logErrs$lf,"queries":${qsAt(dec)},"sf":"$sfName"}"""

@@ -436,11 +436,7 @@ object AnnIndex {
         fs.listStatus(tombPath).map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
       else Array.empty[org.apache.hadoop.fs.Path]
-    val addEpochs =
-      if (fs.exists(addPath))
-        fs.listStatus(addPath).map(_.getPath)
-          .filter(p => p.getName.startsWith("__epoch="))
-      else Array.empty[org.apache.hadoop.fs.Path]
+    val addEpochs = listEpochDirs(fs, addPath)
     val tombs =
       if (tombFiles.isEmpty) None
       else Some(spark.read.parquet(tombFiles.map(_.toString): _*)

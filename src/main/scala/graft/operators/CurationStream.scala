@@ -89,42 +89,6 @@ object CurationStream {
     else None
   }
 
-  /** Exact-jaccard verification of a candidate pair set against the
-    * (batch ∪ accumulated) shingle long form — the [[Dedup.minhashLsh]]
-    * verify stage on exactly the candidate subset. `sizes` = (id, n). */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, sizes: DataFrame,
-                            threshold: Double): DataFrame = {
-    val inter = cand
-      .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("na"), col("id_a") === col("na.id"))
-      .join(sizes.as("nb"), col("id_b") === col("nb.id"))
-      .select(col("id_a"), col("id_b"),
-        round(col("i") / (col("na.n") + col("nb.n") - col("i")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b")
-  }
-
-  /** Banded sign-bit rows for a media signature frame: one row per
-    * band, carrying the full signature for the hamming verify — the
-    * [[Similarity.hammingBandedPairs]] band arithmetic (32-bit words,
-    * bandBits-wide slices). */
-  private def mediaBanded(sigs: DataFrame, dim: Int, bands: Int): DataFrame = {
-    val bandBits = dim / bands
-    val mask = (1L << bandBits) - 1
-    val bandCols = (0 until bands).map { k =>
-      val w = (k * bandBits) / 32
-      val sh = (k * bandBits) % 32
-      struct(lit(k).as("band"),
-        shiftrightunsigned(element_at(col("sig"), w + 1), sh)
-          .bitwiseAND(lit(mask)).as("bv"))
-    }
-    sigs.select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bv").as("bv"))
-  }
-
   /** One media lane's per-epoch work: sign-bit signatures of this
     * batch's centered feature vectors, ONE banded join of the batch
     * against batch ∪ accumulated (within-epoch pairs take `id_a <
@@ -138,7 +102,10 @@ object CurationStream {
                         epochId: Long, dim: Int, bands: Int,
                         maxHamming: Int): Unit = {
     val spark = centered.sparkSession
-    val banded = Stage.reuse(mediaBanded(
+    // Similarity.bandedRows = THE band packing hammingBandedPairs uses
+    // (one copy of the arithmetic — the batch==stream equality depends
+    // on it); the full signature rides along for the hamming verify
+    val banded = Stage.reuse(Similarity.bandedRows(
       centered.select(col("doc_id"), Similarity.signBits(col("fv"), dim).as("sig")),
       dim, bands))
     writeEpoch(banded, s"$stateDir/${lane}_sigs", epochId)
@@ -192,6 +159,11 @@ object CurationStream {
     }
 
     // ---- near-dup edges (minhash-LSH, jaccard-verified) ----
+    // same contract as Dedup.minhashLsh's require: a non-divisible
+    // config would silently TRUNCATE permutations here while the batch
+    // path throws — breaking the batch==stream hash equality
+    require(cfg.minhashPerms % cfg.minhashBands == 0,
+      s"minhashPerms (${cfg.minhashPerms}) must divide into minhashBands (${cfg.minhashBands})")
     val rows = cfg.minhashPerms / cfg.minhashBands
     val s = Stage.reuse(Dedup.shingleSet(gated, "text", "doc_id", 3))
     writeEpoch(s.select(col("id"), col("sh")), s"$stateDir/sh", epochId)
@@ -243,7 +215,10 @@ object CurationStream {
     val sizes = sig.select(col("id"), col("n"))
     val sizesAll = accBands.map(_.filter(col("band") === 0).select("id", "n"))
       .fold(sizes)(a => sizes.unionByName(a))
-    val lshEdges = verifyJaccard(cand, shAll, sizesAll, cfg.nearDupThreshold)
+    // Dedup.verifyJaccard = minhashLsh's own verify tail (one copy of
+    // the intersection join + 4-decimal rounding)
+    val lshEdges = Dedup.verifyJaccard(cand, shAll, sizesAll, cfg.nearDupThreshold)
+      .select("id_a", "id_b")
     writeEpoch(withinExact.unionByName(crossExact).unionByName(lshEdges),
       s"$stateDir/edges", epochId)
 
@@ -280,7 +255,14 @@ object CurationStream {
     val noIds = gatedAll.select(col("doc_id")).limit(0)
     val edges = all("edges").getOrElse(
       noIds.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
-    val dupIds = Dedup.components(edges)
+    // componentsStar, NOT components: the cross-epoch exact-dup edges
+    // link each epoch's canonical to the MIN matching prior id, so
+    // same-fingerprint docs arriving with descending ids across E
+    // epochs form an id chain of length E — hash-min propagation needs
+    // ~E rounds and components' diameter ceiling (maxIter=10) would
+    // throw on long streams; the star alternation converges in O(log n)
+    // rounds regardless of chain length, with identical min-id labels
+    val dupIds = Dedup.componentsStar(edges)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     val clean = gatedAll.join(dupIds, Seq("doc_id"), "left_anti")

@@ -575,9 +575,21 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // verify candidates with exact jaccard (reusing the persisted set)
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))
+    verifyJaccard(cand, s, sizes, threshold)
+  }
+
+  /** Exact-jaccard verification of a candidate pair set against a
+    * shingle long form `sh` (columns id, sh) with set sizes (id, n) —
+    * the [[minhashLsh]] verify tail, also the verify stage of the
+    * streaming curation lane ([[CurationStream]]). Batch==stream hash
+    * equality requires the IDENTICAL intersection join and 4-decimal
+    * rounding, so there is exactly one copy of it. Returns
+    * (id_a, id_b, jaccard) at or above `threshold`. */
+  private[operators] def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                                       sizes: DataFrame, threshold: Double): DataFrame = {
     val inter = cand
-      .join(s.as("sa"), col("id_a") === col("sa.id"))
-      .join(s.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.as("na"), col("id_a") === col("na.id"))

@@ -877,6 +877,33 @@ object Similarity {
     * with duplicate id rows the first-band rule dedups per ROW pair,
     * so a duplicated id emits its pair rows multiply — dedup ids
     * upstream, which a near-dup pipeline does anyway. */
+  /** Banded rows of a packed sign-bit signature frame: one row per
+    * (input row, band), the band value sliced from the 32-bit words
+    * `signBits` packs. Every non-`sig` input column rides along.
+    * Shared by [[hammingBandedPairs]] and the streaming curation media
+    * lanes ([[CurationStream]]) — their batch==stream hash equality
+    * REQUIRES the identical band packing, so there is exactly one copy
+    * of this arithmetic. */
+  private[operators] def bandedRows(sigs: DataFrame, dim: Int, bands: Int): DataFrame = {
+    require(bands > 0 && dim % bands == 0,
+      s"bandedRows: bands ($bands) must divide dim ($dim)")
+    val bandBits = dim / bands
+    require(bandBits <= 32 && 32 % bandBits == 0,
+      s"bandedRows: band width $bandBits must divide the 32-bit word")
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until bands).map { k =>
+      val w = (k * bandBits) / 32           // signBits packs 32 bits/word
+      val sh = (k * bandBits) % 32
+      struct(lit(k).as("band"),
+        shiftrightunsigned(element_at(col("sig"), w + 1), sh)
+          .bitwiseAND(lit(mask)).as("bv"))
+    }
+    val others = sigs.columns.filter(_ != "sig").map(col).toSeq
+    sigs.select(others ++ Seq(col("sig"), explode(array(bandCols: _*)).as("b")): _*)
+      .select(others ++ Seq(col("sig"),
+        col("b.band").as("band"), col("b.bv").as("bv")): _*)
+  }
+
   def hammingBandedPairs(corpus: DataFrame, dim: Int, maxHamming: Int,
                          bands: Int, maxBucket: Option[Long] = None,
                          idCol: String = "vec_id",
@@ -889,17 +916,8 @@ object Similarity {
       s"hammingBandedPairs: band width $bandBits must divide the 32-bit word")
     require(maxHamming >= 0, "hammingBandedPairs: maxHamming must be >= 0")
     val sigs = corpus.select(col(idCol).as("id"), signBits(col(vecCol), dim).as("sig"))
-    val mask = (1L << bandBits) - 1
-    val bandCols = (0 until bands).map { k =>
-      val w = (k * bandBits) / 32           // signBits packs 32 bits/word
-      val sh = (k * bandBits) % 32
-      struct(lit(k).as("band"),
-        shiftrightunsigned(element_at(col("sig"), w + 1), sh)
-          .bitwiseAND(lit(mask)).as("bv"))
-    }
-    val banded = sigs
-      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val banded = bandedRows(sigs, dim, bands)
+    val mask = (1L << bandBits) - 1         // the first-band rule below re-slices bands
     // hot buckets are FEW by construction (they're the skew): the set
     // fits on the driver like the k×dim codebook collects do, which is
     // what lets both the cap filter and the first-band rule below stay

@@ -1295,26 +1295,30 @@ object LlmOps {
       rows.filter(r => java.lang.Math.floorMod(r._1, epochs.toLong) == e))
     val root = java.nio.file.Files.createTempDirectory("graft-curation-stream").toString
     val stateDir = s"$root/state"
-    val mem = MemoryStream[(Long, String)]
-    val q = mem.toDF().toDF("doc_id", "text").writeStream
-      .foreachBatch { (b: DataFrame, epochId: Long) =>
-        val ids = b.select(col("doc_id")).filter(col("doc_id") < 2000)
-        CurationStream.ingestEpoch(b,
-          MultiModalCurationExample.epochImages(ids),
-          MultiModalCurationExample.epochHashClips(ids),
-          stateDir, epochId)
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .start()
+    // ONE finally spans both phases: a failure inside the streaming
+    // phase must still delete the state/checkpoint tree (stranding a
+    // temp tree per failed verify/bench run otherwise)
     try {
-      byEpoch.foreach { part =>
-        mem.addData(part.toSeq: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    try CurationStream.finalizeCorpus(spark, stateDir)
-      .orderBy("doc_id").localCheckpoint(true)
-    finally deleteRecursively(java.nio.file.Paths.get(root))
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: DataFrame, epochId: Long) =>
+          val ids = b.select(col("doc_id")).filter(col("doc_id") < 2000)
+          CurationStream.ingestEpoch(b,
+            MultiModalCurationExample.epochImages(ids),
+            MultiModalCurationExample.epochHashClips(ids),
+            stateDir, epochId)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        byEpoch.foreach { part =>
+          mem.addData(part.toSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      CurationStream.finalizeCorpus(spark, stateDir)
+        .orderBy("doc_id").localCheckpoint(true)
+    } finally deleteRecursively(java.nio.file.Paths.get(root))
   }
 
   /** Semi-structured JSON column processing (§2.7 / serde surface):
