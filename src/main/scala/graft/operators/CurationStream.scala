@@ -124,8 +124,9 @@ object CurationStream {
 
   /** Ingest ONE micro-batch of documents (doc_id, text) with their
     * media blobs: apply the scalar gates, stage the survivors (with
-    * their fingerprints), extend the accumulated dedup index (shingle
-    * long form; banded minhash signatures carrying the set sizes), and
+    * their fingerprints), extend the accumulated dedup index (banded
+    * minhash signatures carrying the set sizes; verify shingles are
+    * re-derived from candidate docs' staged text, never persisted), and
     * write this epoch's dedup EDGES and media LOSERS. Every write is
     * epoch-keyed dynamic overwrite — the whole call is replay-
     * idempotent. */
@@ -166,7 +167,6 @@ object CurationStream {
       s"minhashPerms (${cfg.minhashPerms}) must divide into minhashBands (${cfg.minhashBands})")
     val rows = cfg.minhashPerms / cfg.minhashBands
     val s = Stage.reuse(Dedup.shingleSet(gated, "text", "doc_id", 3))
-    writeEpoch(s.select(col("id"), col("sh")), s"$stateDir/sh", epochId)
     // signatures + set sizes in ONE keyed agg: per-occurrence hashing
     // (the md5 formula of [[Dedup.signaturesFrom]], value-identical)
     // beats the vocabulary-distinct + join-back shape at MICRO-BATCH
@@ -201,23 +201,40 @@ object CurationStream {
     val own = banded.withColumn("own", lit(true))
     val bandsAll = accBands.fold(own)(acc =>
       own.unionByName(acc.withColumn("own", lit(false))))
-    val cand = banded.as("a").join(bandsAll.as("b"),
+    val cand = Stage.reuse(banded.as("a").join(bandsAll.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           when(col("b.own"), col("a.id") < col("b.id"))
             .otherwise(col("a.id") =!= col("b.id")) &&
           !exists(zip_with(col("a.before"), col("b.before"), (x, y) => x === y),
             matched => matched))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
-    val shAll = accBefore(spark, s"$stateDir/sh", epochId)
-      .fold(s.select(col("id"), col("sh")))(
-        a => s.select(col("id"), col("sh")).unionByName(a))
+        greatest(col("a.id"), col("b.id")).as("id_b")))
+    // verify shingles are RE-DERIVED from the candidate docs' staged
+    // text instead of reading back a persisted shingle long form: the
+    // accumulated gated table must carry the text anyway (finalize
+    // emits it), candidates are dup-rate-sized, and shingleSet is a
+    // pure set function of the text — so persisting shingles would
+    // store the LARGEST state table (several × the text itself) to
+    // save re-deriving a tiny subset. (The batch steady-state
+    // BloomDedup.lshIndex makes the opposite call because that index
+    // deliberately does NOT carry text.) cand is staged: it feeds both
+    // the id set and the verify join.
+    val candIds = cand.select(col("id_a").as("cid"))
+      .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+    val textAll = accGated
+      .fold(gated.select(col("doc_id"), col("text")))(acc =>
+        gated.select(col("doc_id"), col("text"))
+          .unionByName(acc.select(col("doc_id"), col("text"))))
+    val shCand = Dedup.shingleSet(
+      textAll.join(candIds, textAll("doc_id") === candIds("cid"))
+        .select("doc_id", "text"),
+      "text", "doc_id", 3)
     val sizes = sig.select(col("id"), col("n"))
     val sizesAll = accBands.map(_.filter(col("band") === 0).select("id", "n"))
       .fold(sizes)(a => sizes.unionByName(a))
     // Dedup.verifyJaccard = minhashLsh's own verify tail (one copy of
     // the intersection join + 4-decimal rounding)
-    val lshEdges = Dedup.verifyJaccard(cand, shAll, sizesAll, cfg.nearDupThreshold)
+    val lshEdges = Dedup.verifyJaccard(cand, shCand, sizesAll, cfg.nearDupThreshold)
       .select("id_a", "id_b")
     writeEpoch(withinExact.unionByName(crossExact).unionByName(lshEdges),
       s"$stateDir/edges", epochId)

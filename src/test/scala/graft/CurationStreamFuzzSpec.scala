@@ -124,7 +124,7 @@ class CurationStreamFuzzSpec extends SparkSpec {
         s"seed=$seed: corpus diverged (extra: $extra; missing: $miss)"
       })
       // one more clean replay: state must not grow (overwrite semantics)
-      val tables = Seq("gated", "edges", "bands", "sh", "img_sigs", "img_losers",
+      val tables = Seq("gated", "edges", "bands", "img_sigs", "img_losers",
         "aud_sigs", "aud_losers")
       val before = tables.map(t => spark.read.parquet(s"$state/$t").count())
       val re = r.nextInt(epochs) // one sample: a replay pairs an epoch's id with ITS docs
