@@ -49,10 +49,14 @@ import org.apache.spark.sql.functions._
   * Scale shape (the 100 TB contract): per-epoch work is batch-sized —
   * gates codegen'd on the batch, one shingle→signature pass, media
   * decode once per blob — plus banded equi-joins against the
-  * accumulated index on (band, sig) keys; the accumulated tables play
-  * the role of [[graft.examples.DailyCrawlExample]]'s compacted index
-  * and at cluster scale land BUCKETED by their join keys
-  * (`compactCorpusBucketed`) so only the batch side shuffles. Within
+  * accumulated index on (band, sig) keys. The accumulated tables play
+  * the role of [[graft.examples.DailyCrawlExample]]'s compacted index:
+  * [[compactState]] periodically folds all epochs below a watermark
+  * into one [[IndexGen]] generation, each table clustered by its probe
+  * key, so the per-epoch listings and file counts stay BOUNDED at any
+  * stream horizon instead of growing one partition-set per epoch (at
+  * cluster scale the same fold lands BUCKETED catalog tables,
+  * `compactCorpusBucketed`, so only the batch side shuffles). Within
   * an epoch nothing forces a partitioning: batches are batch-sized, so
   * exchange placement and post-shuffle partition counts are left to
   * AQE (the per-epoch job count, not data volume, dominates at micro-
@@ -64,6 +68,17 @@ import org.apache.spark.sql.functions._
 object CurationStream {
 
   private val Epoch = "__epoch"
+  private val CompactedRoot = "__compacted"
+  private val WatermarkFile = "_folded_epoch_watermark"
+
+  /** Every state table with the key its accumulated side is PROBED on
+    * (the per-epoch join / consolidation anti-join key) — the clustering
+    * key [[compactState]] lays the folded generation out by. */
+  private val StateTables: Seq[(String, Seq[String])] = Seq(
+    "gated" -> Seq("doc_id"), "edges" -> Seq("id_a"),
+    "bands" -> Seq("band", "sig"),
+    "img_sigs" -> Seq("band", "bv"), "img_losers" -> Seq("doc_id"),
+    "aud_sigs" -> Seq("band", "bv"), "aud_losers" -> Seq("doc_id"))
 
   private def writeEpoch(df: DataFrame, dir: String, epochId: Long): Unit =
     // coalesce: state tables are batch-sized (gated docs, dup-rate
@@ -78,15 +93,154 @@ object CurationStream {
       .partitionBy(Epoch)
       .parquet(dir)
 
-  /** The accumulated state table STRICTLY BEFORE `epochId` — the
-    * time-invariant read that makes replays deterministic. None when
-    * the table does not exist yet (first epoch). */
-  private def accBefore(spark: SparkSession, dir: String, epochId: Long): Option[DataFrame] = {
+  /** The RECENT (not-yet-folded) epochs of one state table, raw from
+    * its `__epoch=`-partitioned tree. None when the tree has no epoch
+    * partitions (nothing written, or everything folded and retired). */
+  private def rawTable(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$Epoch=")))
-      Some(spark.read.parquet(dir).filter(col(Epoch) < epochId).drop(Epoch))
+      Some(spark.read.parquet(dir))
     else None
+  }
+
+  /** The folded-epoch watermark: every epoch STRICTLY BELOW it lives in
+    * the compacted generation (and only there — its live partition dirs
+    * are retired after the fold promotes). 0 until the first
+    * [[compactState]]. The [[AnnIndex]] folded-epoch-marks idea with a
+    * single monotonic bound: one stream feeds one state dir, so a
+    * per-stream map degenerates to one number. */
+  def foldWatermark(spark: SparkSession, stateDir: String): Long =
+    IndexGen.live(spark, s"$stateDir/$CompactedRoot").map { gen =>
+      val p = new org.apache.hadoop.fs.Path(s"$gen/$WatermarkFile")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    }.getOrElse(0L)
+
+  /** One state table of the live compacted generation, if present. */
+  private def compactedTable(spark: SparkSession, stateDir: String,
+                             table: String): Option[DataFrame] =
+    IndexGen.live(spark, s"$stateDir/$CompactedRoot").flatMap { gen =>
+      val p = new org.apache.hadoop.fs.Path(s"$gen/$table")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+
+  /** The accumulated state table STRICTLY BEFORE `epochId` — the
+    * time-invariant read that makes replays deterministic: compacted
+    * generation (epochs below the fold watermark, `__epoch` kept as a
+    * data column so the bound still applies exactly) ∪ recent live
+    * epoch partitions in `[watermark, epochId)`. The watermark lower
+    * bound on the live side also EXCLUDES stale partition dirs a
+    * crashed post-promote cleanup left behind — they can never be
+    * double-counted. None when no source has rows yet (first epoch). */
+  private def accBefore(spark: SparkSession, stateDir: String, table: String,
+                        epochId: Long): Option[DataFrame] = {
+    val w = foldWatermark(spark, stateDir)
+    val live = rawTable(spark, s"$stateDir/$table")
+      .map(_.filter(col(Epoch) >= w && col(Epoch) < epochId))
+    val compacted = compactedTable(spark, stateDir, table)
+      .map(_.filter(col(Epoch) < epochId))
+    (compacted, live) match {
+      case (Some(c), Some(l)) =>
+        Some(c.unionByName(l.select(c.columns.map(col).toSeq: _*)).drop(Epoch))
+      case (c, l) => c.orElse(l).map(_.drop(Epoch))
+    }
+  }
+
+  /** Consumer/diagnostic read of one accumulated state table — the
+    * compacted generation ∪ all live epochs, `__epoch` dropped; None
+    * when the table has no rows anywhere. The same read every consumer
+    * of the state uses, so tests and tooling see exactly what
+    * [[finalizeCorpus]] sees regardless of where a fold has moved the
+    * rows. */
+  def stateTable(spark: SparkSession, stateDir: String,
+                 table: String): Option[DataFrame] =
+    accBefore(spark, stateDir, table, Long.MaxValue)
+
+  /** Fold every state epoch STRICTLY BELOW `uptoEpoch` into ONE
+    * compacted [[IndexGen]] generation (r14 verdict #3 — the state
+    * layout bound): without this, `__epoch=`-partitioned state grows
+    * one partition-set per epoch forever, and at a year of hourly
+    * micro-batches the per-epoch [[accBefore]] reads pay ~9k-partition
+    * listings per table. After a fold, the accumulated side of every
+    * per-epoch join is a BOUNDED number of files, each table CLUSTERED
+    * by its probe key ([[StateTables]]) so the per-batch join's corpus
+    * side lands pre-hashed (the [[graft.examples.DailyCrawlExample]]
+    * `compactCorpusBucketed` layout idea; on a cluster with a catalog
+    * the same fold writes bucketed tables — this directory form keeps
+    * the state self-contained, which the crash-fuzz filesystem and
+    * tmp-dir tests require).
+    *
+    * Replay contract: call with `uptoEpoch` ≤ the oldest epoch a
+    * restarted stream could replay (a checkpoint-committed bound —
+    * Structured Streaming replays at most the batch in flight, so the
+    * current epoch id is always safe). A replay of a FOLDED epoch is a
+    * no-op by [[ingestEpoch]]'s watermark guard, exactly the
+    * [[AnnIndex.addEpoch]] folded-marks skip. Serialize folds against
+    * in-flight ingests (run both from the stream's driver, between
+    * micro-batches — the `foreachBatch` shape the gate uses).
+    *
+    * Crash matrix ([[IndexGen]]'s): an unpromoted staging fold is
+    * invisible and GC'd later — re-run it; a crash after promote but
+    * before the live-partition retirement leaves stale epoch dirs that
+    * [[accBefore]]'s watermark filter already excludes, and the next
+    * fold's retirement sweep removes them. Folding is idempotent:
+    * re-running with the same `uptoEpoch` is a no-op (watermark
+    * comparison), and a second fold reads compacted ∪ fresh exactly as
+    * the readers do. */
+  def compactState(spark: SparkSession, stateDir: String, uptoEpoch: Long): Unit = {
+    val w0 = foldWatermark(spark, stateDir)
+    if (uptoEpoch <= w0) return
+    val root = s"$stateDir/$CompactedRoot"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val gen = IndexGen.begin(spark, root)
+    StateTables.foreach { case (t, keys) =>
+      val fresh = rawTable(spark, s"$stateDir/$t")
+        .map(_.filter(col(Epoch) >= w0 && col(Epoch) < uptoEpoch))
+      val all = (compactedTable(spark, stateDir, t), fresh) match {
+        case (Some(c), Some(f)) =>
+          Some(c.unionByName(f.select(c.columns.map(col).toSeq: _*)))
+        case (c, f) => c.orElse(f)
+      }
+      // an all-epochs-empty table stays ABSENT in the generation (a
+      // zero-row clustered overwrite would leave a footer-less dir
+      // that bricks the read — the AnnIndex.vacuum lesson); readers
+      // treat a missing table as the empty frame
+      all.filter(!_.isEmpty).foreach { df =>
+        df.repartition(keys.map(col): _*)
+          .sortWithinPartitions(keys.map(col): _*)
+          .write.mode("overwrite").parquet(s"$gen/$t")
+      }
+    }
+    // the watermark is part of the payload — it lands before promote,
+    // so a reader never sees a generation without its fold bound
+    val genFs = new org.apache.hadoop.fs.Path(gen).getFileSystem(hc)
+    val out = genFs.create(
+      new org.apache.hadoop.fs.Path(s"$gen/$WatermarkFile"), true)
+    try out.write(uptoEpoch.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    IndexGen.promote(spark, root, gen)
+    // retire the folded live partitions (post-promote GC — crash-safe,
+    // see the matrix above)
+    StateTables.foreach { case (t, _) =>
+      val tp = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
+      val fs = tp.getFileSystem(hc)
+      if (fs.exists(tp))
+        fs.listStatus(tp).map(_.getPath)
+          .filter { p =>
+            p.getName.startsWith(s"$Epoch=") &&
+              p.getName.stripPrefix(s"$Epoch=").toLongOption.exists(_ < uptoEpoch)
+          }
+          .foreach(fs.delete(_, true))
+    }
   }
 
   /** One media lane's per-epoch work: sign-bit signatures of this
@@ -110,7 +264,7 @@ object CurationStream {
       dim, bands))
     writeEpoch(banded, s"$stateDir/${lane}_sigs", epochId)
     val own = banded.withColumn("own", lit(true))
-    val bAll = accBefore(spark, s"$stateDir/${lane}_sigs", epochId)
+    val bAll = accBefore(spark, stateDir, s"${lane}_sigs", epochId)
       .fold(own)(acc => own.unionByName(acc.withColumn("own", lit(false))))
     val losers = banded.as("a").join(bAll.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -134,6 +288,11 @@ object CurationStream {
                   stateDir: String, epochId: Long,
                   cfg: Curation.Config = Curation.Config()): Unit = {
     val spark = batch.sparkSession
+    // a replay of a FOLDED epoch is a no-op: its state already lives in
+    // the compacted generation (whose rows the epoch-partition overwrite
+    // below could not dedup against), so re-running it would double-add
+    // — the [[AnnIndex.addEpoch]] folded-marks skip, single-watermark form
+    if (epochId < foldWatermark(spark, stateDir)) return
     val gated = Stage.reuse(
       Curation.scalarGates(batch.select(col("doc_id"), col("text")), cfg)
         .withColumn("fp", Text.fingerprint(col("text"))))
@@ -149,7 +308,7 @@ object CurationStream {
     // cross-epoch: the batch canonical links to the MIN matching prior
     // id per fingerprint (one edge suffices — earlier same-fp docs are
     // already transitively connected among themselves)
-    val accGated = accBefore(spark, s"$stateDir/gated", epochId)
+    val accGated = accBefore(spark, stateDir, "gated", epochId)
     val crossExact = accGated match {
       case None => withinExact.limit(0)
       case Some(acc) =>
@@ -197,7 +356,7 @@ object CurationStream {
     // once per pair, no distinct; both `before` slices have length =
     // band): within-epoch pairs take id_a < id_b, cross-epoch pairs
     // any order, normalized
-    val accBands = accBefore(spark, s"$stateDir/bands", epochId)
+    val accBands = accBefore(spark, stateDir, "bands", epochId)
     val own = banded.withColumn("own", lit(true))
     val bandsAll = accBands.fold(own)(acc =>
       own.unionByName(acc.withColumn("own", lit(false))))
@@ -262,11 +421,12 @@ object CurationStream {
   def finalizeCorpus(spark: SparkSession, stateDir: String,
                      cfg: Curation.Config = Curation.Config()): DataFrame = {
     // every read goes through the accumulated-table helper (epoch
-    // bound = ∞): a table whose every epoch was EMPTY has no partition
-    // dirs on disk, and a raw read would throw instead of yielding the
-    // empty frame the consolidation algebra handles fine
+    // bound = ∞, compacted generation ∪ recent live epochs): a table
+    // whose every epoch was EMPTY has no partition dirs on disk, and a
+    // raw read would throw instead of yielding the empty frame the
+    // consolidation algebra handles fine
     def all(table: String): Option[DataFrame] =
-      accBefore(spark, s"$stateDir/$table", Long.MaxValue)
+      accBefore(spark, stateDir, table, Long.MaxValue)
     val gatedAll = all("gated").getOrElse(
       throw new IllegalStateException(s"$stateDir has no staged documents"))
     val noIds = gatedAll.select(col("doc_id")).limit(0)

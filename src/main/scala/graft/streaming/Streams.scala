@@ -97,43 +97,140 @@ object Streams {
   def closedSessions(df: DataFrame, keyCol: String, tsCol: String,
                      gap: String, watermark: String)
     : Dataset[(String, Long, java.sql.Timestamp, java.sql.Timestamp)] = {
+    val gapMillis = parseGapMillis(gap)
+    // each event enters the shared interval-merge machine as the
+    // degenerate [t, t] interval; the watermark is asserted on the
+    // interval END (same values as the raw event-time column, asserted
+    // AFTER the projection so exactly one column carries the event-time
+    // metadata)
+    val iv = df.select(col(keyCol).cast("string").as("k"),
+        col(tsCol).as("s"), col(tsCol).as("e"), lit(1L).as("n"))
+      .withWatermark("e", watermark)
+    mergeIntervalSessions(iv, gapMillis)
+  }
+
+  /** SKEW-HARDENED [[closedSessions]] (r14 verdict #5): identical
+    * output, but each micro-batch PRE-MERGES its events into gap-closed
+    * intervals per input partition BEFORE the keyed shuffle — the
+    * [[graft.operators.SkewJoin]] idea (reshape the hot key's load
+    * before the exchange) applied to keyed state. Under heavy key skew
+    * (one user = 50% of events) the hot key's shuffled rows and the
+    * stateful task's working set collapse from O(events) to O(distinct
+    * sessions), which is the irreducible output size. The per-partition
+    * pre-merge is partition-bounded (the same memory model as any
+    * partition-local sort); it never crosses partitions, so it can only
+    * under-merge — the downstream interval machine computes the same
+    * gap closure either way, and the spec pins output equality on a
+    * skewed fixture. Emission timing, state contract and watermark
+    * semantics are [[closedSessions]]'s (the watermark derives from
+    * interval ends, whose max equals the raw max event time). */
+  def closedSessionsPreMerged(df: DataFrame, keyCol: String, tsCol: String,
+                              gap: String, watermark: String,
+                              preMergedRows: Option[org.apache.spark.util.LongAccumulator] = None)
+    : Dataset[(String, Long, java.sql.Timestamp, java.sql.Timestamp)] = {
     import df.sparkSession.implicits._
+    val gapMillis = parseGapMillis(gap)
+    val pts = df.select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"))
+      .as[(String, java.sql.Timestamp)]
+    val iv = pts.mapPartitions { it =>
+      // partition-bounded materialization (the normal Spark local-sort
+      // memory model — bounded by micro-batch partition sizing, NEVER
+      // by key): group this partition's events per key, sort each
+      // key's run once, fold gap-adjacent points into intervals
+      val byKey = scala.collection.mutable.HashMap
+        .empty[String, ArrayBuffer[Long]]
+      it.foreach { case (k, t) => byKey.getOrElseUpdate(k, ArrayBuffer.empty) += t.getTime }
+      byKey.iterator.flatMap { case (k, ts) =>
+        val sorted = ts.sortInPlace()
+        val out = ArrayBuffer.empty[SessionAcc]
+        sorted.foreach { t =>
+          if (out.nonEmpty && t - out.last.end < gapMillis) {
+            val c = out.last
+            out(out.size - 1) = SessionAcc(c.start, math.max(c.end, t), c.n + 1)
+          } else out += SessionAcc(t, t, 1)
+        }
+        preMergedRows.foreach(_.add(out.size))
+        out.iterator.map(s => (k, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.end), s.n))
+      }
+    }
+    mergeIntervalSessions(
+      iv.toDF("k", "s", "e", "n").withWatermark("e", watermark), gapMillis)
+  }
+
+  /** `gap` → milliseconds, rejecting month-bearing intervals (no fixed
+    * millisecond length — the days+micros conversion would silently
+    * treat "1 month" as 0 ms, making every event its own session; reject
+    * like Spark's window() does). */
+  private def parseGapMillis(gap: String): Long = {
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    // month-bearing intervals have no fixed millisecond length — the
-    // days+micros conversion would silently treat "1 month" as 0 ms
-    // (every event its own session); reject like Spark's window() does
     require(gapMs.months == 0,
       s"closedSessions gap must not use month/year units (got '$gap')")
     val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
     require(gapMillis > 0, s"closedSessions gap must be positive (got '$gap')")
-    val ds = df.withWatermark(tsCol, watermark)
-      .select(col(keyCol).cast("string"), col(tsCol))
-      .as[(String, java.sql.Timestamp)]
-    ds.groupByKey(_._1)
+    gapMillis
+  }
+
+  /** The shared stateful stage of [[closedSessions]] /
+    * [[closedSessionsPreMerged]]: incoming (k, s, e, n) intervals merge
+    * into the carried open-session intervals under gap-strict adjacency
+    * (`next.start - cur.end < gap` — an event at exactly end+gap opens
+    * a NEW session, the native `session_window` [t, t+gap) boundary).
+    *
+    * Interval-merge, not an append-only scan: a late in-horizon item
+    * can arrive with start < the oldest open start. The working set is
+    * an ordered map keyed by interval start — each incoming interval
+    * binary-searches its back-neighbor and cascade-merges forward, so a
+    * batch folds in O(rows · log sessions) with memory O(sessions),
+    * never O(events): merging can only extend an interval's END, and
+    * the map invariant (disjoint, pairwise gap-separated) means the
+    * back-neighbor check never cascades backward. The gap closure is
+    * unique, so insertion order cannot change the result (the
+    * batch == stream argument in miniature).
+    *
+    * Closure is a WATERMARK property, not an in-batch one: a session is
+    * emitted only once `end + gap <= watermark` — until then a
+    * late-but-in-horizon event may still extend or merge it; the
+    * event-time timeout fires when the oldest open session's close
+    * becomes provable (the streaming generalization of the reference's
+    * fold/trigger state machine, `context.go:332-455`). */
+  private def mergeIntervalSessions(iv: DataFrame, gapMillis: Long)
+    : Dataset[(String, Long, java.sql.Timestamp, java.sql.Timestamp)] = {
+    import iv.sparkSession.implicits._
+    iv.as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[SessionsAcc,
         (String, Long, java.sql.Timestamp, java.sql.Timestamp)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state) =>
-          def emit(s: SessionAcc) =
-            (key, s.n, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end))
-          // Interval-merge, not an append-only scan: a late in-horizon
-          // event can arrive with t < the oldest open start. Treat each
-          // carried session as an interval, each event as a point, sort
-          // by start, merge neighbors with gap-strict adjacency.
+          val tree = new java.util.TreeMap[Long, SessionAcc]()
+          state.getOption.map(_.sessions).getOrElse(Nil)
+            .foreach(s => tree.put(s.start, s))
+          def insert(x0: SessionAcc): Unit = {
+            var x = x0
+            val p = tree.floorEntry(x.start)
+            if (p != null && x.start - p.getValue.end < gapMillis) {
+              val m = p.getValue
+              tree.remove(m.start)
+              x = SessionAcc(m.start, math.max(m.end, x.end), m.n + x.n)
+            }
+            var f = tree.ceilingEntry(x.start)
+            while (f != null && f.getValue.start - x.end < gapMillis) {
+              val m = f.getValue
+              tree.remove(m.start)
+              x = SessionAcc(x.start, math.max(x.end, m.end), x.n + m.n)
+              f = tree.ceilingEntry(x.start)
+            }
+            tree.put(x.start, x)
+          }
+          rows.foreach(r => insert(SessionAcc(r._2.getTime, r._3.getTime, r._4)))
           val wm = state.getCurrentWatermarkMs()
-          val items = state.getOption.map(_.sessions).getOrElse(Nil) ++
-            rows.map(r => SessionAcc(r._2.getTime, r._2.getTime, 1))
-          val merged = items.sortBy(s => (s.start, s.end))
-            .foldLeft(List.empty[SessionAcc]) {
-              case (cur :: done, nxt) if nxt.start - cur.end < gapMillis =>
-                SessionAcc(cur.start, math.max(cur.end, nxt.end),
-                  cur.n + nxt.n) :: done
-              case (acc, nxt) => nxt :: acc
-            }.reverse
+          import scala.jdk.CollectionConverters._
           // provably closed: no event the watermark still admits
           // (ts >= wm) can merge into a session with end+gap <= wm
-          val (closed, open) = merged.partition(_.end + gapMillis <= wm)
+          val (closed, open) = tree.values().asScala.toList
+            .partition(_.end + gapMillis <= wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionsAcc(open))
@@ -141,7 +238,8 @@ object Streams {
             // open sessions satisfy end+gap > wm, so this is legal
             state.setTimeoutTimestamp(open.map(_.end + gapMillis).min)
           }
-          closed.iterator.map(emit)
+          closed.iterator.map(s =>
+            (key, s.n, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end)))
       }
   }
 

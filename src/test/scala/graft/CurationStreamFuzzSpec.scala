@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   *    possibly crashing again at a different boundary;
   *  - already-committed epochs are re-ingested at random points (late
   *    replays, including after later epochs committed);
+  *  - random crash-injected COMPACTIONS fold epochs below a random
+  *    committed watermark mid-schedule, so late replays land on both
+  *    folded epochs (must no-op via the watermark guard) and live ones
+  *    (must overwrite byte-identically), and aborted folds leave
+  *    unpromoted staging generations every reader must ignore;
   *  - after the schedule, one more replay of a random epoch must leave
   *    every state table's row count unchanged (overwrite, not append).
   *
@@ -94,16 +99,16 @@ class CurationStreamFuzzSpec extends SparkSpec {
       val assign = docs.groupBy(_ => r.nextInt(epochs))
       def partOf(e: Int): Seq[(Long, String)] = assign.getOrElse(e, Seq.empty)
 
-      def ingestWithCrashes(e: Int): Unit = {
+      def withCrashes(what: String)(op: => Unit): Unit = {
         var attempts = 0
         var done = false
         while (!done) {
           attempts += 1
-          assert(attempts <= 6, s"seed=$seed: epoch $e did not commit in 6 attempts")
+          assert(attempts <= 6, s"seed=$seed: $what did not commit in 6 attempts")
           // later attempts crash less often so schedules terminate
           val crash = r.nextDouble() < (if (attempts == 1) 0.6 else 0.3)
           if (crash) FaultInjector.arm(r.nextInt(150), kill = false)
-          try { ingest(state, partOf(e), e.toLong); done = true }
+          try { op; done = true }
           catch {
             // count FIRED crashes only (an armed budget larger than the
             // op's mutation count never fires — that attempt is clean)
@@ -111,11 +116,23 @@ class CurationStreamFuzzSpec extends SparkSpec {
           } finally FaultInjector.disarm()
         }
       }
+      def ingestWithCrashes(e: Int): Unit =
+        withCrashes(s"epoch $e")(ingest(state, partOf(e), e.toLong))
 
       (0 until epochs).foreach { e =>
         ingestWithCrashes(e)
-        // late replay of a random committed epoch, sometimes crashing
+        // late replay of a random committed epoch, sometimes crashing —
+        // the target may have been FOLDED by a compaction below (then
+        // the replay must be a no-op) or still live (then it must
+        // overwrite byte-identically)
         if (e > 0 && r.nextDouble() < 0.5) ingestWithCrashes(r.nextInt(e + 1))
+        // random mid-stream fold up to the last committed epoch
+        // (inclusive — e is checkpoint-committed once ingest returned),
+        // itself crash-injected: an aborted fold leaves an unpromoted
+        // staging generation that must be invisible to every reader
+        if (r.nextDouble() < 0.4)
+          withCrashes(s"fold<=$e")(
+            CurationStream.compactState(spark, state, uptoEpoch = r.nextInt(e + 2).toLong))
       }
       val got = corpus(state)
       assert(got == expected, {
@@ -123,13 +140,18 @@ class CurationStreamFuzzSpec extends SparkSpec {
         val miss = expected.toSet.diff(got.toSet).take(3)
         s"seed=$seed: corpus diverged (extra: $extra; missing: $miss)"
       })
-      // one more clean replay: state must not grow (overwrite semantics)
+      // one more clean replay: accumulated state must not grow
+      // (overwrite semantics live-side, watermark no-op folded-side) —
+      // counted through the same compacted ∪ live read every consumer
+      // uses, because a fold may have retired any table's live partitions
       val tables = Seq("gated", "edges", "bands", "img_sigs", "img_losers",
         "aud_sigs", "aud_losers")
-      val before = tables.map(t => spark.read.parquet(s"$state/$t").count())
+      def counts() = tables.map(t =>
+        CurationStream.stateTable(spark, state, t).map(_.count()).getOrElse(0L))
+      val before = counts()
       val re = r.nextInt(epochs) // one sample: a replay pairs an epoch's id with ITS docs
       ingest(state, partOf(re), re.toLong)
-      val after = tables.map(t => spark.read.parquet(s"$state/$t").count())
+      val after = counts()
       assert(before == after, s"seed=$seed: state grew on clean replay: $before -> $after")
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }

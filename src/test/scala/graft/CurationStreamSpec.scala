@@ -74,4 +74,70 @@ class CurationStreamSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("epoch compaction bounds the state layout; replays across the fold are no-ops") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val byEpoch = (0 until 4).map(e =>
+      docs.filter(r => java.lang.Math.floorMod(r._1, 4L) == e))
+    val root = java.nio.file.Files.createTempDirectory("graft-cstream-compact").toString
+    val state = s"$root/state"
+    def epochDirs(t: String): Set[String] = {
+      val d = new java.io.File(s"$state/$t")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.startsWith("__epoch=")).toSet
+    }
+
+    // mid-stream fold: epochs 0-1 land, fold them, then epochs 2-3
+    // ingest AGAINST the compacted generation (the steady-state shape)
+    ingest(state, byEpoch(0), 0L)
+    ingest(state, byEpoch(1), 1L)
+    val preFoldCorpus = collectRows(CurationStream.finalizeCorpus(spark, state))
+    CurationStream.compactState(spark, state, uptoEpoch = 2L)
+    assert(CurationStream.foldWatermark(spark, state) == 2L)
+    // folded live partitions are retired; the compacted generation is
+    // the only copy
+    Seq("gated", "edges", "bands").foreach { t =>
+      assert(epochDirs(t).isEmpty, s"$t kept folded live partitions: ${epochDirs(t)}")
+    }
+    // the fold is invisible to the consolidation
+    assert(collectRows(CurationStream.finalizeCorpus(spark, state)) == preFoldCorpus,
+      "compaction changed the consolidated corpus")
+
+    ingest(state, byEpoch(2), 2L)
+    ingest(state, byEpoch(3), 3L)
+    val full = collectRows(CurationStream.finalizeCorpus(spark, state))
+    assert(full.nonEmpty && full.size > preFoldCorpus.size)
+    // the reference: the same four epochs with no fold at all
+    val refRoot = java.nio.file.Files.createTempDirectory("graft-cstream-nofold").toString
+    val refState = s"$refRoot/state"
+    byEpoch.zipWithIndex.foreach { case (part, e) => ingest(refState, part, e.toLong) }
+    assert(full == collectRows(CurationStream.finalizeCorpus(spark, refState)),
+      "mid-stream compaction changed the corpus vs the unfolded run")
+
+    // a replay of a FOLDED epoch (stream restarted from a pre-fold
+    // checkpoint) is a no-op: no live partition reappears, corpus unmoved
+    ingest(state, byEpoch(1), 1L)
+    Seq("gated", "edges", "bands").foreach { t =>
+      assert(!epochDirs(t).contains("__epoch=1"),
+        s"folded replay re-created a live partition in $t")
+    }
+    assert(collectRows(CurationStream.finalizeCorpus(spark, state)) == full,
+      "folded-epoch replay changed the corpus")
+    // a replay of an UNFOLDED epoch still overwrites idempotently
+    ingest(state, byEpoch(2), 2L)
+    assert(collectRows(CurationStream.finalizeCorpus(spark, state)) == full,
+      "unfolded-epoch replay changed the corpus")
+
+    // second fold over everything: idempotent on re-run, corpus unmoved
+    CurationStream.compactState(spark, state, uptoEpoch = 4L)
+    CurationStream.compactState(spark, state, uptoEpoch = 4L)
+    assert(CurationStream.foldWatermark(spark, state) == 4L)
+    assert(collectRows(CurationStream.finalizeCorpus(spark, state)) == full,
+      "second compaction changed the corpus")
+
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(refRoot))
+  }
 }
