@@ -307,6 +307,60 @@ class StreamingSpec extends SparkSpec {
       s"boundary event must open a new session (session_window parity), got $got")
   }
 
+  test("closedSessionsPreMerged: heavy key skew (one user = 50% of events) — identical sessions, hot-key rows collapsed pre-shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // u_hot: 100 sessions × 20 events (1 s cadence, sessions 10 min
+    // apart) = 2000 events — half the fixture; u0..u9: 10 sessions × 20
+    // events each = 2000 more. gap 5 min keeps sessions distinct.
+    def session(k: String, startMs: Long, n: Int): Seq[(String, Timestamp)] =
+      (0 until n).map(j => (k, new Timestamp(startMs + j * 1000L)))
+    val hot = (0 until 100).flatMap(i => session("u_hot", base + i * 600000L, 20))
+    val cold = (0 until 10).flatMap(u =>
+      (0 until 10).flatMap(i => session(s"u$u", base + i * 600000L + u * 7000L, 20)))
+    val events = (hot ++ cold).sortBy(_._2.getTime)
+    val sentinel = ("u_hot", new Timestamp(base + 86400000L)) // closes everything
+    val batches = events.grouped((events.size + 2) / 3).toSeq
+
+    def run(premerged: Boolean,
+            acc: Option[org.apache.spark.util.LongAccumulator]) = {
+      val mem = MemoryStream[(String, Timestamp)]
+      val df = mem.toDF().toDF("k", "ts")
+      val sessions =
+        if (premerged)
+          Streams.closedSessionsPreMerged(df, "k", "ts", gap = "5 minutes",
+            watermark = "30 minutes", preMergedRows = acc)
+        else Streams.closedSessions(df, "k", "ts", gap = "5 minutes",
+          watermark = "30 minutes")
+      val out = ArrayBuffer.empty[(String, Long, Timestamp, Timestamp)]
+      val q = sessions.writeStream.outputMode("append")
+        .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Timestamp, Timestamp)], _: Long) =>
+          { out.synchronized { out ++= b.collect() }; () })
+        .start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(sentinel)
+      q.processAllAvailable()
+      q.stop()
+      out.synchronized(out.toSeq)
+    }
+
+    val acc = spark.sparkContext.longAccumulator("premerged-intervals")
+    val got = run(premerged = true, Some(acc))
+    val ref = run(premerged = false, None)
+    assert(got.toSet == ref.toSet,
+      s"pre-merged path diverged: only-premerged=${got.toSet.diff(ref.toSet).take(3)} " +
+        s"only-baseline=${ref.toSet.diff(got.toSet).take(3)}")
+    // every planted session closed (the sentinel's own session stays open)
+    assert(ref.count(_._1 == "u_hot") == 100 && ref.size == 200,
+      s"fixture must close 100 hot + 100 cold sessions, got ${ref.size}")
+    // the skew guarantee: the hot key's shuffled rows collapsed from
+    // O(events) to O(sessions) — pre-merge emitted far fewer interval
+    // rows than the 4001 input events (slack: a session split across
+    // micro-batch/partition boundaries emits one interval per fragment)
+    assert(acc.value < events.size / 4,
+      s"pre-merge did not collapse the skew: ${acc.value} intervals for ${events.size} events")
+  }
+
   test("closedSessions rejects month-bearing gaps (no fixed millisecond length)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
