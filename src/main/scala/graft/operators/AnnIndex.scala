@@ -112,6 +112,35 @@ object AnnIndex {
           new org.apache.hadoop.fs.Path(s"$prevGen/additions"))
         .flatMap(p => parseEpoch(p.getName.stripPrefix("__epoch=")))
         .groupMapReduce(_._1)(_._2)(math.max)
+      // the raise is contract-based (the caller's corpus INCLUDES the
+      // pending additions — see the rebuild contract above), invisible
+      // when it silently skips a later replay: name the marks, and fail
+      // fast on the one violation that is cheap to see — a rebuild
+      // source that cannot possibly contain the pending rows it is
+      // about to mark folded (an obviously stale snapshot). The count
+      // check is necessary-not-sufficient by design: tombstone folds
+      // legitimately shrink a rebuild, so only the additions' own
+      // volume is asserted, against the corpus net of what the previous
+      // generation could have lost.
+      if (pending.nonEmpty) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"AnnIndex.compact: raising folded-epoch marks over pending " +
+            s"additions ${pending.toSeq.sorted.map { case (s, e) => s"$s<=$e" }
+              .mkString(", ")} — replays of these epochs will be " +
+            s"skipped; the rebuild corpus must already contain their rows")
+        val addPath = new org.apache.hadoop.fs.Path(s"$prevGen/additions")
+        val pendingRows = spark.read
+          .option("basePath", addPath.toString)
+          .parquet(listEpochDirs(fs, addPath).map(_.toString): _*)
+          .count()
+        val corpusRows = corpus.count()
+        require(corpusRows >= pendingRows,
+          s"AnnIndex.compact: rebuild corpus has $corpusRows rows but the " +
+            s"previous generation holds $pendingRows pending addition rows " +
+            s"that are about to be marked folded — the corpus snapshot is " +
+            s"stale (rebuild from AnnIndex.load(...).table, which unions " +
+            s"pending additions)")
+      }
       writeMarks(fs, gen, mergeMarks(foldedMarks(spark, prevGen), pending))
     }
     IndexGen.promote(spark, indexDir, gen)
