@@ -311,7 +311,12 @@ object Bench {
     //                              FIRST, the r14 misfire inverted)
     //   regression                 app user-time itself grew >20% with
     //                              every pressure channel flat — the only
-    //                              rung that indicts the code
+    //                              rung that indicts the code. Residual
+    //                              risk (documented, accepted): a pure
+    //                              bandwidth rival on a namespaced host
+    //                              can inflate utime with zero faults —
+    //                              the drift pairs on the rung make the
+    //                              judge's arbitration one probe re-run
     //   unexplained-drift          wall drifted, no channel explains it
     //                              (namespaced /proc blind to the rival,
     //                              or starvation) — NEVER a bare
@@ -341,9 +346,15 @@ object Bench {
         val piS = matched.map(_._2.pi).filter(_ >= 0).sum
         val psiUp = pmS > 0.05 * wallM || piS > 0.05 * wallM
         val stUp = stF >= 0 && stS > 2.0 * stF + 5.0
-        // fault threshold: 4× floor + 20k keeps JIT/mmap warmup noise
-        // out while the measured pressure arms fault in the millions
-        val mfUp = if (mfF >= 0) mfS > 4.0 * mfF + 20000 else mfS > 50000
+        // fault threshold: the committed idle floor is ZERO majflt in
+        // every query window (startup mmaps land in the unmeasured
+        // warmup; parquet reads are read(), not mmap), so even a few
+        // hundred major faults mean our pages were evicted by someone —
+        // calibrated on the r15 A/B memory arm, which drifted walls
+        // 1.97× with mf 2342, gc FLAT and utime↑ (cache/bandwidth
+        // starvation inflates USER time too, so a high mf bar had
+        // mislabeled that arm "regression")
+        val mfUp = if (mfF >= 0) mfS > 4.0 * mfF + 200 else mfS > 500
         val utUp = utF > 0 && utS > 1.2 * utF
         val verdict =
           if (ratio >= 0 && ratio <= 1.25) "at-floor"
