@@ -147,6 +147,7 @@ object SparkEntry {
     "q35_stream_cms"    -> (StreamQueries.q35StreamCms _),
     "q36_range_join"    -> (Relational.q36RangeJoin _),
     "q37_interval_join" -> (Relational.q37IntervalJoin _),
+    "q38_stream_sessions" -> (StreamQueries.q38StreamSessions _),
   )
 
   /** q32_hilbert oracle: the 10 reflect+swap stages of the Hilbert
@@ -390,6 +391,30 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
         |  sum(length(text))::bigint AS n_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // streaming sessionization recomputed as a batch window-function
+    // sessionization. Boundary rule is closedSessions' (== the native
+    // session_window [t, t+gap) convention): an event at EXACTLY
+    // end+gap opens a new session, hence `>=` where the q17 batch gate
+    // uses `>`. The stream's sentinel row never appears (its key is
+    // filtered; its session never closes anyway).
+    "q38_stream_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // watermark/late-data semantics recomputed without streaming
     // (Spark's drop rule, pinned in LateDataSpec: a late row is
     // dropped iff its window was evicted in a PRIOR batch — the late

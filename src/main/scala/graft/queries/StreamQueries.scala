@@ -270,4 +270,77 @@ object StreamQueries {
         streamed.schema)
       .orderBy("window_start", "event_type")
   }
+
+  /** q38: streaming SESSIONIZATION under oracle — the skew-hardened
+    * [[Streams.closedSessionsPreMerged]] (per-partition gap pre-merge →
+    * keyed interval-map state, emit only on provable closure) run as a
+    * REAL 3-micro-batch file stream over a temporal split of the events
+    * table, plus a far-future sentinel batch that advances the
+    * watermark past every real session's close. Every closed session of
+    * every user is hash-checked against a DuckDB window-function
+    * sessionization — the batch==stream thesis applied to custom keyed
+    * state (the q17 batch gate's semantics; boundary rule: an event at
+    * exactly gap after the session end opens a NEW session, the native
+    * `session_window` [t, t+gap) convention, which the oracle mirrors
+    * with `>=`).
+    *
+    * Why stream == batch holds exactly: the split is CHRONOLOGICAL
+    * (thirds of the time range), so no event is ever late — the
+    * interval machine's gap closure over any arrival order equals the
+    * sorted fold, and closure (end + gap <= watermark) is eventually
+    * provable for every real session because the sentinel lies a year
+    * past the fixture. The sentinel's own (still-open) session is the
+    * one row never emitted — dropped by key, not by position.
+    *
+    * Scale: one shuffle on user_id into the state store; per-key state
+    * is the OPEN interval list; the pre-merge collapses a hot user's
+    * in-batch rows to distinct sessions before the exchange (the
+    * StreamingSpec skew fixture pins the collapse). */
+  def q38StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables(spark, dir).events
+      .select(col("user_id"), col("ts")).persist()
+    val stage = Files.createTempDirectory("graft-ssess").toString
+    try {
+      val Row(tMin: java.sql.Timestamp, tMax: java.sql.Timestamp) =
+        ev.agg(min("ts"), max("ts")).head()
+      val (lo, hi) = (tMin.getTime, tMax.getTime)
+      val t1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
+      val t2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
+      val m0 = System.currentTimeMillis() - 120000L
+      stageOneFile(ev.filter(col("ts") < lit(t1)), s"$stage/in/0.parquet", m0)
+      stageOneFile(ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2)),
+        s"$stage/in/1.parquet", m0 + 10000L)
+      stageOneFile(ev.filter(col("ts") >= lit(t2)), s"$stage/in/2.parquet", m0 + 20000L)
+      // sentinel: one far-future event on a reserved key — closes every
+      // real session via the watermark, never meets a real user's state
+      import spark.implicits._
+      stageOneFile(Seq((-1L, new java.sql.Timestamp(hi + 365L * 86400000L)))
+        .toDF("user_id", "ts"), s"$stage/in/3.parquet", m0 + 30000L)
+    } finally ev.unpersist()
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val out = try StreamConfig.withState(spark,
+      StreamConfig.Settings(statePartitions = Some(8))) {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/in")
+      val sessions = Streams.closedSessionsPreMerged(src, "user_id", "ts",
+        gap = "30 minutes", watermark = "0 seconds").toDF("k", "n", "s", "e")
+      Streams.runAvailableNow(sessions, OutputMode.Append()) { b =>
+        emitted ++= b.collect() // each closed session exactly once
+      }
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(emitted.toSeq), sessions.schema)
+        .filter(col("k") =!= "-1")
+        .select(col("k").cast("long").as("user_id"),
+          col("s").as("session_start"), col("e").as("session_end"),
+          col("n").as("n_events"))
+        .orderBy("user_id", "session_start")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    out
+  }
 }

@@ -66,8 +66,22 @@ object Streams {
       }
   }
 
-  /** Per-key session accumulator for [[closedSessions]]. */
+  /** Per-key session accumulator for [[closedSessions]] — start/end in
+    * event-time MICROSECONDS (Spark timestamps are microsecond-typed;
+    * `Timestamp.getTime` alone would silently truncate to milliseconds
+    * and corrupt every emitted boundary on µs-grained data). */
   final case class SessionAcc(start: Long, end: Long, n: Long)
+
+  /** Exact epoch-microseconds of a Timestamp (getTime carries ms; the
+    * sub-millisecond part lives in getNanos). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+    t
+  }
   /** [[closedSessions]] keyed state: ALL of a key's still-open
     * sessions, oldest first — more than one can be open at once while
     * the watermark trails the data (a late in-horizon event may yet
@@ -97,7 +111,7 @@ object Streams {
   def closedSessions(df: DataFrame, keyCol: String, tsCol: String,
                      gap: String, watermark: String)
     : Dataset[(String, Long, java.sql.Timestamp, java.sql.Timestamp)] = {
-    val gapMillis = parseGapMillis(gap)
+    val gapMicros = parseGapMicros(gap)
     // each event enters the shared interval-merge machine as the
     // degenerate [t, t] interval; the watermark is asserted on the
     // interval END (same values as the raw event-time column, asserted
@@ -106,7 +120,7 @@ object Streams {
     val iv = df.select(col(keyCol).cast("string").as("k"),
         col(tsCol).as("s"), col(tsCol).as("e"), lit(1L).as("n"))
       .withWatermark("e", watermark)
-    mergeIntervalSessions(iv, gapMillis)
+    mergeIntervalSessions(iv, gapMicros)
   }
 
   /** SKEW-HARDENED [[closedSessions]] (r14 verdict #5): identical
@@ -129,7 +143,7 @@ object Streams {
                               preMergedRows: Option[org.apache.spark.util.LongAccumulator] = None)
     : Dataset[(String, Long, java.sql.Timestamp, java.sql.Timestamp)] = {
     import df.sparkSession.implicits._
-    val gapMillis = parseGapMillis(gap)
+    val gapMicros = parseGapMicros(gap)
     val pts = df.select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"))
       .as[(String, java.sql.Timestamp)]
     val iv = pts.mapPartitions { it =>
@@ -139,37 +153,36 @@ object Streams {
       // key's run once, fold gap-adjacent points into intervals
       val byKey = scala.collection.mutable.HashMap
         .empty[String, ArrayBuffer[Long]]
-      it.foreach { case (k, t) => byKey.getOrElseUpdate(k, ArrayBuffer.empty) += t.getTime }
+      it.foreach { case (k, t) => byKey.getOrElseUpdate(k, ArrayBuffer.empty) += tsMicros(t) }
       byKey.iterator.flatMap { case (k, ts) =>
         val sorted = ts.sortInPlace()
         val out = ArrayBuffer.empty[SessionAcc]
         sorted.foreach { t =>
-          if (out.nonEmpty && t - out.last.end < gapMillis) {
+          if (out.nonEmpty && t - out.last.end < gapMicros) {
             val c = out.last
             out(out.size - 1) = SessionAcc(c.start, math.max(c.end, t), c.n + 1)
           } else out += SessionAcc(t, t, 1)
         }
         preMergedRows.foreach(_.add(out.size))
-        out.iterator.map(s => (k, new java.sql.Timestamp(s.start),
-          new java.sql.Timestamp(s.end), s.n))
+        out.iterator.map(s => (k, microsTs(s.start), microsTs(s.end), s.n))
       }
     }
     mergeIntervalSessions(
-      iv.toDF("k", "s", "e", "n").withWatermark("e", watermark), gapMillis)
+      iv.toDF("k", "s", "e", "n").withWatermark("e", watermark), gapMicros)
   }
 
-  /** `gap` → milliseconds, rejecting month-bearing intervals (no fixed
-    * millisecond length — the days+micros conversion would silently
-    * treat "1 month" as 0 ms, making every event its own session; reject
-    * like Spark's window() does). */
-  private def parseGapMillis(gap: String): Long = {
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+  /** `gap` → microseconds, rejecting month-bearing intervals (no fixed
+    * length — the days+micros conversion would silently treat "1 month"
+    * as 0, making every event its own session; reject like Spark's
+    * window() does). */
+  private def parseGapMicros(gap: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    require(gapMs.months == 0,
+    require(iv.months == 0,
       s"closedSessions gap must not use month/year units (got '$gap')")
-    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
-    require(gapMillis > 0, s"closedSessions gap must be positive (got '$gap')")
-    gapMillis
+    val gapMicros = iv.days * 86400000000L + iv.microseconds
+    require(gapMicros > 0, s"closedSessions gap must be positive (got '$gap')")
+    gapMicros
   }
 
   /** The shared stateful stage of [[closedSessions]] /
@@ -195,7 +208,7 @@ object Streams {
     * event-time timeout fires when the oldest open session's close
     * becomes provable (the streaming generalization of the reference's
     * fold/trigger state machine, `context.go:332-455`). */
-  private def mergeIntervalSessions(iv: DataFrame, gapMillis: Long)
+  private def mergeIntervalSessions(iv: DataFrame, gapMicros: Long)
     : Dataset[(String, Long, java.sql.Timestamp, java.sql.Timestamp)] = {
     import iv.sparkSession.implicits._
     iv.as[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
@@ -210,13 +223,13 @@ object Streams {
           def insert(x0: SessionAcc): Unit = {
             var x = x0
             val p = tree.floorEntry(x.start)
-            if (p != null && x.start - p.getValue.end < gapMillis) {
+            if (p != null && x.start - p.getValue.end < gapMicros) {
               val m = p.getValue
               tree.remove(m.start)
               x = SessionAcc(m.start, math.max(m.end, x.end), m.n + x.n)
             }
             var f = tree.ceilingEntry(x.start)
-            while (f != null && f.getValue.start - x.end < gapMillis) {
+            while (f != null && f.getValue.start - x.end < gapMicros) {
               val m = f.getValue
               tree.remove(m.start)
               x = SessionAcc(x.start, math.max(x.end, m.end), x.n + m.n)
@@ -224,22 +237,29 @@ object Streams {
             }
             tree.put(x.start, x)
           }
-          rows.foreach(r => insert(SessionAcc(r._2.getTime, r._3.getTime, r._4)))
-          val wm = state.getCurrentWatermarkMs()
+          rows.foreach(r => insert(SessionAcc(tsMicros(r._2), tsMicros(r._3), r._4)))
+          // the engine's watermark is millisecond-grained: closure and
+          // the timeout are compared in microseconds against wm*1000
+          // (closure can only become provable LATER than with a µs
+          // watermark — conservative, never early)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           import scala.jdk.CollectionConverters._
           // provably closed: no event the watermark still admits
           // (ts >= wm) can merge into a session with end+gap <= wm
           val (closed, open) = tree.values().asScala.toList
-            .partition(_.end + gapMillis <= wm)
+            .partition(_.end + gapMicros <= wmUs)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionsAcc(open))
-            // fires once the OLDEST open session's closure is provable;
-            // open sessions satisfy end+gap > wm, so this is legal
-            state.setTimeoutTimestamp(open.map(_.end + gapMillis).min)
+            // fires once the OLDEST open session's closure is provable
+            // (ceil to ms so the timeout never lands BEFORE the close
+            // is provable); open sessions satisfy end+gap > wm: legal
+            val t = open.map(_.end + gapMicros).min
+            state.setTimeoutTimestamp(Math.floorDiv(t, 1000L) +
+              (if (Math.floorMod(t, 1000L) > 0) 1L else 0L))
           }
           closed.iterator.map(s =>
-            (key, s.n, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end)))
+            (key, s.n, microsTs(s.start), microsTs(s.end)))
       }
   }
 
