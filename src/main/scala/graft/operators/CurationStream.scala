@@ -200,6 +200,27 @@ object CurationStream {
     if (uptoEpoch <= w0) return
     val root = s"$stateDir/$CompactedRoot"
     val hc = spark.sparkContext.hadoopConfiguration
+    // misuse tell (warn, not throw): raising the watermark past every
+    // epoch on disk makes ingestEpoch silently no-op those future
+    // replays — almost always a caller bug (folding epochs that never
+    // ran). Legitimate only when the trailing epochs were genuinely
+    // EMPTY (an empty dynamic overwrite writes no partition dir, so an
+    // empty epoch is indistinguishable from an unseen one — which is
+    // also why this cannot be a hard require).
+    val maxSeen = StateTables.flatMap { case (t, _) =>
+      val tp = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
+      val fs = tp.getFileSystem(hc)
+      if (!fs.exists(tp)) Nil
+      else fs.listStatus(tp).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(s"$Epoch="))
+        .flatMap(_.stripPrefix(s"$Epoch=").toLongOption)
+    }.maxOption.getOrElse(w0 - 1)
+    if (uptoEpoch > math.max(w0, maxSeen + 1))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"compactState($stateDir): uptoEpoch $uptoEpoch exceeds the " +
+          s"highest epoch on disk ($maxSeen) + 1 — replays of the unseen " +
+          s"epochs below the new watermark will be no-ops; only correct " +
+          s"if those epochs were genuinely empty")
     val gen = IndexGen.begin(spark, root)
     StateTables.foreach { case (t, keys) =>
       val fresh = rawTable(spark, s"$stateDir/$t")
