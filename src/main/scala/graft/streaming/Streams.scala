@@ -171,6 +171,33 @@ object Streams {
       iv.toDF("k", "s", "e", "n").withWatermark("e", watermark), gapMicros)
   }
 
+  /** The interval machine's one mutation: merge `x` into an ordered
+    * map of DISJOINT, pairwise gap-separated intervals keyed by start,
+    * preserving that invariant. The back-neighbor (floor) check never
+    * cascades backward — merging can only extend an interval's END —
+    * and the forward cascade absorbs every successor within the gap.
+    * Because the gap closure of a set of intervals is unique, the
+    * result is INSERTION-ORDER-INDEPENDENT (SessionsPropertySpec pins
+    * this against a sort-and-fold reference over random orders). */
+  private[graft] def insertInterval(tree: java.util.TreeMap[Long, SessionAcc],
+                                    x0: SessionAcc, gapMicros: Long): Unit = {
+    var x = x0
+    val p = tree.floorEntry(x.start)
+    if (p != null && x.start - p.getValue.end < gapMicros) {
+      val m = p.getValue
+      tree.remove(m.start)
+      x = SessionAcc(m.start, math.max(m.end, x.end), m.n + x.n)
+    }
+    var f = tree.ceilingEntry(x.start)
+    while (f != null && f.getValue.start - x.end < gapMicros) {
+      val m = f.getValue
+      tree.remove(m.start)
+      x = SessionAcc(x.start, math.max(x.end, m.end), x.n + m.n)
+      f = tree.ceilingEntry(x.start)
+    }
+    tree.put(x.start, x)
+  }
+
   /** `gap` → microseconds, rejecting month-bearing intervals (no fixed
     * length — the days+micros conversion would silently treat "1 month"
     * as 0, making every event its own session; reject like Spark's
@@ -220,24 +247,8 @@ object Streams {
           val tree = new java.util.TreeMap[Long, SessionAcc]()
           state.getOption.map(_.sessions).getOrElse(Nil)
             .foreach(s => tree.put(s.start, s))
-          def insert(x0: SessionAcc): Unit = {
-            var x = x0
-            val p = tree.floorEntry(x.start)
-            if (p != null && x.start - p.getValue.end < gapMicros) {
-              val m = p.getValue
-              tree.remove(m.start)
-              x = SessionAcc(m.start, math.max(m.end, x.end), m.n + x.n)
-            }
-            var f = tree.ceilingEntry(x.start)
-            while (f != null && f.getValue.start - x.end < gapMicros) {
-              val m = f.getValue
-              tree.remove(m.start)
-              x = SessionAcc(x.start, math.max(x.end, m.end), x.n + m.n)
-              f = tree.ceilingEntry(x.start)
-            }
-            tree.put(x.start, x)
-          }
-          rows.foreach(r => insert(SessionAcc(tsMicros(r._2), tsMicros(r._3), r._4)))
+          rows.foreach(r =>
+            insertInterval(tree, SessionAcc(tsMicros(r._2), tsMicros(r._3), r._4), gapMicros))
           // the engine's watermark is millisecond-grained: closure and
           // the timeout are compared in microseconds against wm*1000
           // (closure can only become provable LATER than with a µs
