@@ -1311,9 +1311,16 @@ object LlmOps {
         .option("checkpointLocation", s"$root/ckpt")
         .start()
       try {
-        byEpoch.foreach { part =>
+        byEpoch.zipWithIndex.foreach { case (part, e) =>
           mem.addData(part.toSeq: _*)
           q.processAllAvailable()
+          // steady-state maintenance IN the gate (r15): after the second
+          // epoch commits, fold epochs 0-1 into the compacted IndexGen
+          // generation — epoch 2 then ingests against compacted ∪ live
+          // state, and the corpus must STILL hash-equal the batch gate
+          // under the same DuckDB oracle (fold invisibility, adjudicated
+          // per round, not just spec-pinned)
+          if (e == 1) CurationStream.compactState(spark, stateDir, uptoEpoch = 2L)
         }
       } finally q.stop()
       CurationStream.finalizeCorpus(spark, stateDir)
