@@ -345,7 +345,13 @@ object Bench {
         val pmS = matched.map(_._2.pm).filter(_ >= 0).sum
         val piS = matched.map(_._2.pi).filter(_ >= 0).sum
         val psiUp = pmS > 0.05 * wallM || piS > 0.05 * wallM
-        val stUp = stF >= 0 && stS > 2.0 * stF + 5.0
+        // 1.5×, not 2×: the suite's sys-time floor is large (~550 s of
+        // kernel time is normal for local[32] shuffles), so a 2× bar
+        // would let an r14-magnitude reclaim inflation (+300 s sys)
+        // slip through to the utime rung; +150-s-of-sys regressions
+        // from a code change are implausible without the drift pairs
+        // making it obvious either way
+        val stUp = stF >= 0 && stS > 1.5 * stF + 5.0
         // fault threshold: the committed idle floor is ZERO majflt in
         // every query window (startup mmaps land in the unmeasured
         // warmup; parquet reads are read(), not mmap), so even a few
@@ -376,7 +382,11 @@ object Bench {
     // "extcpu" = OTHER processes' busy cpu-seconds, "maxload" = peak
     // 1-min loadavg, "contended" = rivals averaged >0.5 cores over the
     // measured windows (calibration: idle harness floor ~0.3 cores,
-    // real contention 3-15). "adjudication" is the v3 verdict vs the
+    // real contention 3-15 — FULL-SUITE durations; a SHORT probe can
+    // trip the flag on the sbt parent JVM alone, e.g. 14 cpu-s over a
+    // 16 s probe right after a compile — read the adjudication rung,
+    // which floors-normalizes, on probe runs). "adjudication" is the
+    // v3 verdict vs the
     // committed BENCH_CLEAN.json floors; any non-at-floor verdict
     // carries the top drifted (query, wall, floor) pairs.
     def cpuField = {
