@@ -509,7 +509,13 @@ object Bench {
     val qmf = resultsCpu.map { case (k, m) => "\"" + k + "\":" + m.mf }
       .mkString("{", ",", "}")
     val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"order":"$runOrder","cpu_total":$cpuTotal%.1f,"gc_total":$gcTotal%.1f,"ext_total":$extTotal%.1f,"utime_total":$utTotal%.1f,"stime_total":$stTotal%.1f,"majflt_total":$mfTotal,"psimem_total":$pmTotal%.1f,"psiio_total":$piTotal%.1f,"max_load":$maxLoadFull%.1f,"contended":$contendedV,"ext_unmeasured":$extUnmeasured$adjFull$onlyFull,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"query_cpu":${qmap(_.cpu)},"query_gc":${qmap(_.gc)},"query_ext":${qmap(_.ext)},"query_utime":${qmap(_.ut)},"query_stime":${qmap(_.st)},"query_majflt":$qmf,"query_psimem":${qmap(_.pm)},"query_psiio":${qmap(_.pi)},"session_snaps":$snapsJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), jsonFull + "\n")
+    // filtered probes land in a SEPARATE (untracked) file: BENCH_SELF
+    // .json is the committed full-suite attribution record, and a probe
+    // overwriting it is exactly how a 4-query artifact once got
+    // committed as the round's record (ADVICE r14 #1, the stronger
+    // half: distinct filename, not just the only:[...] stamp)
+    val selfFile = if (only.isDefined) "BENCH_SELF_PROBE.json" else "BENCH_SELF.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfFile), jsonFull + "\n")
     catch { case _: Throwable => }
     // ...then the driver's stdout line, printed AFTER spark.stop() so no
     // executor/log4j output can interleave with it, with stdout kept
