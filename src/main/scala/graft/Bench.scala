@@ -148,6 +148,23 @@ object Bench {
     // pressure arm correctly when the external meter cannot see the
     // rival. Unset on every official run.
     val extBlind = sys.env.get("SPARK_GRAFT_BENCH_NO_EXT").contains("1")
+    // A/B forensics knob #2 (r15 verdict #1 validation): inflate ONE
+    // named gate's measured window by `sec` seconds — "spin" busy-loops
+    // the driver thread (inflates wall AND utime: the regression shape),
+    // "sleep" blocks it (wall only: the starvation shape) — to prove the
+    // per-gate adjudication rung names the right gate with the right
+    // verdict while the suite stays at-floor. NEVER set on an official
+    // run; when set, the artifact stamps "inject" on every rung so an
+    // injected artifact can never pass as (or be compared to) a clean one.
+    val inject: Option[(String, Double, String)] =
+      sys.env.get("SPARK_GRAFT_BENCH_INJECT").map { s =>
+        val p = s.split(':')
+        require(p.length == 3 && (p(2) == "spin" || p(2) == "sleep"),
+          s"SPARK_GRAFT_BENCH_INJECT must be <query>:<seconds>:<spin|sleep>, got '$s'")
+        require(SparkEntry.queries.contains(p(0)),
+          s"SPARK_GRAFT_BENCH_INJECT: unknown query ${p(0)}")
+        (p(0), p(1).toDouble, p(2))
+      }
     def hostBusySec: Double =
       if (extBlind) -1.0
       else try {
@@ -187,6 +204,16 @@ object Bench {
         val pm0 = psiStallSec("memory")
         val pi0 = psiStallSec("io")
         val ok = try { force(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        // injected inflation lands INSIDE the measured window, on every
+        // run (min-of-runs must not shed it) — validation harness only
+        inject.filter(_._1 == name).foreach { case (_, sec, mode) =>
+          if (mode == "sleep") Thread.sleep((sec * 1000).toLong)
+          else {
+            val until = System.nanoTime() + (sec * 1e9).toLong
+            var x = 0L
+            while (System.nanoTime() < until) x += 1 // driver-thread spin: utime↑
+          }
+        }
         val elapsed = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 >= 0) processCpuSec - c0 else -1.0
         val gc = gcSec - g0
@@ -199,6 +226,13 @@ object Bench {
           else -1.0
         val (ut1, st1, mf1) = selfStat
         val mf = if (mf0 >= 0 && mf1 >= 0) mf1 - mf0 else -1L
+        // PSI windows close HERE, alongside the selfStat end read and
+        // BEFORE the hygiene flush (ADVICE r15 #2): the flush's own
+        // unpersist/block-drop stalls would otherwise land inside every
+        // query's psim/psii and an IO-heavy flush could trip the psiUp
+        // bar, adjudicating a genuine code regression as memory pressure
+        val pm1 = psiStallSec("memory")
+        val pi1 = psiStallSec("io")
         // between runs AND queries: deterministically drop dead
         // localCheckpoint blocks + cached frames (r10's System.gc()
         // approach did not hold in the driver's environment —
@@ -207,7 +241,7 @@ object Bench {
         graft.core.SessionHygiene.flush(spark)
         RunMeas(if (ok) elapsed else -1.0, cpu, gc, ext,
           delta(ut0, ut1), delta(st0, st1), mf,
-          delta(pm0, psiStallSec("memory")), delta(pi0, psiStallSec("io")))
+          delta(pm0, pm1), delta(pi0, pi1))
       }
       snapshot(name)
       val steady = times.drop(1).filter(_.wall >= 0)
@@ -374,6 +408,48 @@ object Bench {
     def driftJson(a: Adjudication, n: Int, dec: Int) = a.drift.take(n)
       .map { case (k, w, fl) => "[\"" + k + "\"," + jnum(w, dec) + "," + jnum(fl, dec) + "]" }
       .mkString("[", ",", "]")
+    // PER-GATE adjudication rung (r15 verdict #1): the suite verdict is
+    // a SUM, so a single-gate regression can hide behind a below-floor
+    // remainder (r15's artifact: mm_curation_stream 1.49× over floor
+    // inside an at-floor suite). Any gate whose selected wall exceeds
+    // 1.5× its committed floor (+0.3 s absolute slack — a 0.1 s gate
+    // jittering to 0.2 s is capture noise, not signal) gets its own
+    // mini-verdict from ITS per-query channels, same ladder as the
+    // suite's: rival cpu visible in its window → contended-external;
+    // its PSI stalls / sys-time / major faults fired → memory pressure
+    // (checked FIRST — pressure inflates utime too); its own user time
+    // grew with pressure flat → regression (the only rung that indicts
+    // the code); nothing fired → unexplained-drift. Emitted on every
+    // verdict INCLUDING at-floor — that is the point.
+    final case class GateVerdict(name: String, wall: Double, floor: Double,
+                                 verdict: String)
+    val gateVerdicts: Seq[GateVerdict] = floors.toSeq.flatMap { f =>
+      resultsCpu.flatMap { case (k, m) =>
+        f.wall.get(k)
+          .filter(fl => fl >= 0 && m.wall >= 0 && m.wall > 1.5 * fl + 0.3)
+          .map { fl =>
+            val psiUp = (m.pm >= 0 || m.pi >= 0) &&
+              math.max(m.pm, 0) + math.max(m.pi, 0) > 0.05 * m.wall
+            val stF = f.st.getOrElse(k, -1.0)
+            val stUp = m.st >= 0 && stF >= 0 && m.st > 1.5 * stF + 0.5
+            val mfF = f.mf.getOrElse(k, -1.0)
+            val mfUp = m.mf >= 0 &&
+              (if (mfF >= 0) m.mf > 4 * mfF + 50 else m.mf > 100)
+            val utF = f.ut.getOrElse(k, -1.0)
+            val utUp = m.ut >= 0 && utF > 0 && m.ut > 1.2 * utF + 0.1
+            val verdict =
+              if (m.ext >= 0 && m.ext > 0.5 * m.wall) "contended-external"
+              else if (psiUp || stUp || mfUp) "contended-memory-pressure"
+              else if (utUp) "regression"
+              else "unexplained-drift"
+            GateVerdict(k, m.wall, fl, verdict)
+          }
+      }.sortBy(g => g.floor - g.wall) // most-drifted first
+    }
+    def gatesJson(n: Int, dec: Int) = gateVerdicts.take(n)
+      .map(g => "[\"" + g.name + "\"," + jnum(g.wall, dec) + "," +
+        jnum(g.floor, dec) + ",\"" + g.verdict + "\"]")
+      .mkString("[", ",", "]")
     // "cpu" (whole process-CPU seconds of the selected runs) rides every
     // stdout rung with its decomposition (r13: gc; r15: utime/stime/
     // majflt/PSI — see the protocol-v3 note above): "gc" = GC seconds
@@ -424,6 +500,12 @@ object Bench {
                ",\"drift\":" + driftJson(a, 5, 1)
              else "")
         }.getOrElse("") +
+        // per-gate verdicts ride every rung whenever any gate drifted
+        // >1.5× its floor — even (especially) when the suite verdict is
+        // at-floor (the r15 hiding pattern)
+        (if (gateVerdicts.nonEmpty) ",\"gates\":" + gatesJson(5, 1) else "") +
+        inject.map { case (n, s, m) =>
+          ",\"inject\":\"" + n + ":" + jnum(s, 1) + ":" + m + "\"" }.getOrElse("") +
         // probe-filter provenance (ADVICE r14 #1): a filtered artifact
         // names its filter on every rung, so it can never be mistaken
         // for (or compared as) a full-suite run
@@ -493,11 +575,21 @@ object Bench {
     val cpuTotal = resultsCpu.map(_._2.cpu).filter(_ >= 0).sum
     val gcTotal = resultsCpu.map(_._2.gc).filter(_ >= 0).sum
     val extTotal = resultsCpu.map(_._2.ext).filter(_ >= 0).sum
-    val utTotal = resultsCpu.map(_._2.ut).filter(_ >= 0).sum
-    val stTotal = resultsCpu.map(_._2.st).filter(_ >= 0).sum
-    val mfTotal = resultsCpu.map(_._2.mf).filter(_ >= 0).sum
-    val pmTotal = resultsCpu.map(_._2.pm).filter(_ >= 0).sum
-    val piTotal = resultsCpu.map(_._2.pi).filter(_ >= 0).sum
+    // each v3 total prints ONLY when its channel measured at least one
+    // query window (ADVICE r15 #3): summing an all--1 channel to 0.0
+    // would positively assert an idle channel on a host where the meter
+    // was blind — the exact failure mode the stdout cpuField avoids by
+    // omitting unmeasured fields; the full-fidelity record mirrors it
+    def v3Field(name: String, sel: RunMeas => Double, fmt: Double => String): String =
+      if (resultsCpu.exists(m => sel(m._2) >= 0))
+        ",\"" + name + "\":" + fmt(resultsCpu.map(m => sel(m._2)).filter(_ >= 0).sum)
+      else ""
+    val v3Full =
+      v3Field("utime_total", _.ut, v => f"$v%.1f") +
+        v3Field("stime_total", _.st, v => f"$v%.1f") +
+        v3Field("majflt_total", _.mf.toDouble, v => v.toLong.toString) +
+        v3Field("psimem_total", _.pm, v => f"$v%.1f") +
+        v3Field("psiio_total", _.pi, v => f"$v%.1f")
     val maxLoadFull = if (snaps.nonEmpty) snaps.map(_._5).max else -1.0
     val adjFull = adjudication.map { a =>
       ",\"adjudication\":\"" + a.verdict + "\"" +
@@ -506,9 +598,15 @@ object Bench {
     }.getOrElse("")
     val onlyFull = only.map(names => ",\"only\":" + names.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")).getOrElse("")
+    val gatesFull =
+      if (gateVerdicts.nonEmpty)
+        ",\"gate_verdicts\":" + gatesJson(gateVerdicts.size, 3)
+      else ""
+    val injectFull = inject.map { case (n, s, m) =>
+      ",\"inject\":\"" + n + ":" + jnum(s, 1) + ":" + m + "\"" }.getOrElse("")
     val qmf = resultsCpu.map { case (k, m) => "\"" + k + "\":" + m.mf }
       .mkString("{", ",", "}")
-    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"order":"$runOrder","cpu_total":$cpuTotal%.1f,"gc_total":$gcTotal%.1f,"ext_total":$extTotal%.1f,"utime_total":$utTotal%.1f,"stime_total":$stTotal%.1f,"majflt_total":$mfTotal,"psimem_total":$pmTotal%.1f,"psiio_total":$piTotal%.1f,"max_load":$maxLoadFull%.1f,"contended":$contendedV,"ext_unmeasured":$extUnmeasured$adjFull$onlyFull,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"query_cpu":${qmap(_.cpu)},"query_gc":${qmap(_.gc)},"query_ext":${qmap(_.ext)},"query_utime":${qmap(_.ut)},"query_stime":${qmap(_.st)},"query_majflt":$qmf,"query_psimem":${qmap(_.pm)},"query_psiio":${qmap(_.pi)},"session_snaps":$snapsJson,"sf":"$sfDir"}"""
+    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"order":"$runOrder","cpu_total":$cpuTotal%.1f,"gc_total":$gcTotal%.1f,"ext_total":$extTotal%.1f$v3Full,"max_load":$maxLoadFull%.1f,"contended":$contendedV,"ext_unmeasured":$extUnmeasured$adjFull$gatesFull$injectFull$onlyFull,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"query_cpu":${qmap(_.cpu)},"query_gc":${qmap(_.gc)},"query_ext":${qmap(_.ext)},"query_utime":${qmap(_.ut)},"query_stime":${qmap(_.st)},"query_majflt":$qmf,"query_psimem":${qmap(_.pm)},"query_psiio":${qmap(_.pi)},"session_snaps":$snapsJson,"sf":"$sfDir"}"""
     // filtered probes land in a SEPARATE (untracked) file: BENCH_SELF
     // .json is the committed full-suite attribution record, and a probe
     // overwriting it is exactly how a 4-query artifact once got

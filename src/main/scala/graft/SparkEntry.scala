@@ -148,6 +148,7 @@ object SparkEntry {
     "q36_range_join"    -> (Relational.q36RangeJoin _),
     "q37_interval_join" -> (Relational.q37IntervalJoin _),
     "q38_stream_sessions" -> (StreamQueries.q38StreamSessions _),
+    "q39_stream_sessions_late" -> (StreamQueries.q39StreamSessionsLate _),
   )
 
   /** q32_hilbert oracle: the 10 reflect+swap stages of the Hilbert
@@ -398,6 +399,29 @@ object SparkEntry {
     // uses `>`. The stream's sentinel row never appears (its key is
     // filtered; its session never closes anyway).
     "q38_stream_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    // q39 (late-arrival delivery of the SAME sessionization): every
+    // late event is in-horizon by construction (watermark delay = full
+    // range + 1 h), so the emitted set equals the complete batch
+    // sessionization — one oracle adjudicates both delivery schedules
+    // (chronological q38, maximally-late q39)
+    "q39_stream_sessions_late" ->
       """WITH lagged AS (
         |  SELECT user_id, ts,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * the accumulated-side scan cost the wall clock can hide while
   * everything fits in page cache), and the state tree's file/partition
   * counts (the listing cost driver), plus the final consolidation.
-  * `compactEvery` > 0 folds the state via
-  * [[CurationStream.compactState]] every K epochs — the r15 layout
-  * bound; 0 (default) never folds, reproducing the unbounded-layout
-  * curve. The steady-state questions the one-shot gate can't answer:
+  * `compactEvery` > 0 folds the state through [[CurationStream]]'s
+  * WIRED `foldEvery` policy knob (r16: the profiler makes no manual
+  * [[CurationStream.compactState]] calls — the bounded curve is the
+  * knob's own behavior); 0 (default) never folds, reproducing the
+  * unbounded-layout curve. A `fold` marker prints on epochs where the
+  * policy raised the fold watermark (the fold's cost is inside that
+  * epoch's ingest seconds — it runs on the driver path between
+  * micro-batches). The steady-state questions the one-shot gate can't answer:
   * per-epoch cost must stay BOUNDED by (batch size + accumulated-index
   * scan), and with folding the accumulated-side file count must stay
   * FLAT instead of growing ~28 files/epoch. See SCALING.md "Streaming"
@@ -68,21 +72,20 @@ object ProfileCurationStream {
       (0 until epochs).foreach { e =>
         val part = docs.filter(d => java.lang.Math.floorMod(d._1, epochs.toLong) == e)
         val b0 = bytesNow()
+        val w0 = CurationStream.foldWatermark(spark, state)
         val t = time {
           val b = part.toSeq.toDF("doc_id", "text")
           val ids = b.select(col("doc_id")).filter(col("doc_id") < 2000)
           CurationStream.ingestEpoch(b,
             MultiModalCurationExample.epochImages(ids),
             MultiModalCurationExample.epochHashClips(ids),
-            state, e.toLong)
+            state, e.toLong, foldEvery = compactEvery)
         }
         val readMb = (bytesNow() - b0) / 1e6
-        val tc = if (compactEvery > 0 && e > 0 && e % compactEvery == 0)
-          time(CurationStream.compactState(spark, state, uptoEpoch = e.toLong))
-        else 0.0
+        val folded = CurationStream.foldWatermark(spark, state) > w0
         val (files, parts) = treeStats()
         println(f"PROF epoch $e%3d  docs=${part.length}%6d  $t%6.2f s  read=$readMb%8.1f MB  files=$files%5d  epochDirs=$parts%4d" +
-          (if (tc > 0) f"  fold=$tc%5.2f s" else ""))
+          (if (folded) "  fold" else ""))
       }
       val b0 = bytesNow()
       val tFin = time {

@@ -1,0 +1,151 @@
+package graft.examples
+
+import graft.operators.{Curation, Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second-scale-decade evidence for the five heaviest shuffle operators
+  * (r15 verdict #4): every 100 TB claim so far extrapolates from sf0.1
+  * plans + SCALING.md reasoning at ONE scale; this main measures the
+  * operators at two scales a decade apart and prints wall +
+  * shuffle-bytes pairs, so the scaling EXPONENT is measured, not argued.
+  *
+  * `runMain graft.examples.ScaleDecade [sfDir] [factor]`
+  *
+  * The blow-up is synthetic but WORKLOAD-PRESERVING: `factor` copies of
+  * the documents/embeddings tables under disjoint id ranges, each copy
+  * deterministically perturbed so copies are mutually DISSIMILAR —
+  * documents get a per-copy letter-rotation (`translate` over 12 common
+  * letters: shingle spaces of different copies are unrelated, while
+  * WITHIN a copy the planted dup/near-dup structure survives verbatim,
+  * so dup rate, candidate rate and component shapes stay constant per
+  * copy and totals scale linearly — the property a linear-scaling
+  * measurement needs); embeddings get a per-copy deterministic additive
+  * wave (neighborhoods shift, norms stay close). Both scales are staged
+  * to parquet the same way, so file layout is not a variable.
+  *
+  * Measured per (operator, scale): wall seconds of a full noop-write
+  * materialization, executor shuffle-read/-write bytes and input bytes
+  * over the window (listener, polled to quiescence), output rows.
+  * Exponent per operator: log(T_F / T_1) / log(F) — ~1.0 is linear;
+  * see SCALING.md "Second scale decade" for the recorded table.
+  */
+object ScaleDecade {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).flatMap(_.toIntOption).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sRead = new java.util.concurrent.atomic.AtomicLong()
+    val sWrite = new java.util.concurrent.atomic.AtomicLong()
+    val inB = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) {
+          sRead.addAndGet(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
+          sWrite.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          inB.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        }
+    })
+    // listener events drain async: poll each counter until quiescent
+    def now(c: java.util.concurrent.atomic.AtomicLong): Long = {
+      var prev = -1L; var cur = c.get()
+      while (cur != prev) { Thread.sleep(150); prev = cur; cur = c.get() }
+      cur
+    }
+
+    val scratch = java.nio.file.Files.createTempDirectory("graft-decade").toString
+    try {
+      // ---- stage both scales to parquet under the same layout ----
+      val docs0 = graft.core.Tables(spark, dir).documents
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val emb0 = graft.core.Tables(spark, dir).embeddings
+        .select("vec_id", "embedding", "label")
+      val letters = "etaoinshrdlu" // 12 letters: rotation k (1..factor-1) is never identity
+      def rot(k: Int): String = {
+        val s = k % letters.length
+        letters.drop(s) + letters.take(s)
+      }
+      def docsCopy(k: Int): DataFrame = docs0.select(
+        (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
+        (if (k == 0) col("text") else translate(col("text"), letters, rot(k))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      def embCopy(k: Int): DataFrame = emb0.select(
+        (col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
+        (if (k == 0) col("embedding")
+         else transform(col("embedding"), (x, i) =>
+           (x + sin(i.cast("double") * lit(0.7) + lit(k.toDouble)) * lit(0.05f))
+             .cast("float"))).as("embedding"),
+        col("label"))
+      def stage(name: String, scale: Int, of: Int => DataFrame): String = {
+        val p = s"$scratch/$name$scale"
+        (0 until scale).map(of).reduce(_.unionByName(_))
+          .repartition(32).write.mode("overwrite").parquet(p)
+        p
+      }
+      val d1 = stage("docs", 1, docsCopy)
+      val dF = stage("docs", factor, docsCopy)
+      val e1 = stage("emb", 1, embCopy)
+      val eF = stage("emb", factor, embCopy)
+
+      def measure(op: String, scale: Int)(df: => DataFrame): Unit = {
+        graft.core.SessionHygiene.flush(spark)
+        val (r0, w0, i0) = (now(sRead), now(sWrite), now(inB))
+        val t0 = System.nanoTime()
+        val frame = df
+        frame.write.mode("overwrite").format("noop").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rows = frame.count()
+        val (r1, w1, i1) = (now(sRead), now(sWrite), now(inB))
+        println(f"""SCALE {"op":"$op","scale":$scale,"wall":$wall%.2f,"rows":$rows,"shuffle_read_mb":${(r1 - r0) / 1e6}%.1f,"shuffle_write_mb":${(w1 - w0) / 1e6}%.1f,"input_mb":${(i1 - i0) / 1e6}%.1f}""")
+      }
+
+      // componentsStar input: the gate's own edge generator, staged per
+      // scale so ONLY the component rounds are timed
+      def edges(docPath: String, scale: Int): String = {
+        val p = s"$scratch/edges$scale"
+        Dedup.ngramJaccard(spark.read.parquet(docPath), threshold = 0.5,
+            maxDocFreq = Some(100L))
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      val eg1 = edges(d1, 1)
+      val egF = edges(dF, factor)
+
+      // ANN: train ONCE on the 1× corpus (bounded deterministic sample —
+      // training is O(1) in corpus size by design); fixed 256-query
+      // batch at both scales, so only the CORPUS side scales
+      val embBase = spark.read.parquet(e1)
+      val cents = Similarity.trainKMeans(embBase, k = 8, iters = 3,
+        "vec_id", "embedding", trainBound = 512)
+      val cbs = Similarity.pqTrain(embBase, m = 8, ksub = 64, iters = 2,
+        trainBound = 512)
+      val queries = embBase.filter(col("vec_id") < 256).localCheckpoint(true)
+
+      Seq(1 -> (d1, e1, eg1), factor -> (dF, eF, egF)).foreach {
+        case (scale, (dp, ep, egp)) =>
+          val docs = spark.read.parquet(dp)
+          measure("curate", scale)(Curation.curate(docs))
+          measure("minhash_lsh", scale)(
+            Dedup.minhashLsh(docs, threshold = 0.5))
+          measure("ppjoin", scale)(
+            Dedup.jaccardJoinPrefix(docs, threshold = 0.7,
+              maxDocFreq = Some(100L)))
+          measure("components_star", scale)(
+            Dedup.componentsStar(spark.read.parquet(egp)))
+          measure("ivfpq_topk", scale)(
+            Similarity.ivfPqTopK(queries, spark.read.parquet(ep), k = 5,
+              nprobe = 5, cents, cbs, shortlist = 100))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+      spark.stop()
+    }
+  }
+}

@@ -118,10 +118,10 @@ object AnnIndex {
       // fast on the one violation that is cheap to see — a rebuild
       // source that cannot possibly contain the pending rows it is
       // about to mark folded (an obviously stale snapshot). The count
-      // check is necessary-not-sufficient by design: tombstone folds
-      // legitimately shrink a rebuild, so only the additions' own
-      // volume is asserted, against the corpus net of what the previous
-      // generation could have lost.
+      // check is necessary-not-sufficient by design: only the SURVIVING
+      // additions' volume is asserted — tombstones intersecting the
+      // additions are subtracted below, so a legitimately shrunken
+      // rebuild (deletions outpacing the base) never trips it.
       if (pending.nonEmpty) {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"AnnIndex.compact: raising folded-epoch marks over pending " +
@@ -129,17 +129,35 @@ object AnnIndex {
               .mkString(", ")} — replays of these epochs will be " +
             s"skipped; the rebuild corpus must already contain their rows")
         val addPath = new org.apache.hadoop.fs.Path(s"$prevGen/additions")
-        val pendingRows = spark.read
+        val adds = spark.read
           .option("basePath", addPath.toString)
           .parquet(listEpochDirs(fs, addPath).map(_.toString): _*)
-          .count()
+        val pendingRows = adds.count()
+        // NET the pending count of the previous generation's tombstones
+        // that hit the additions themselves (ADVICE r15 #1): load().table
+        // is base ∪ additions MINUS tombstones, so an index whose
+        // streamed additions were mostly tombstoned can legitimately
+        // rebuild from fewer rows than the GROSS addition count — only
+        // the additions that SURVIVED deletion must be in the corpus.
+        // Same footer guard as load(): an empty tombstones dir must not
+        // brick the rebuild.
+        val tombPath = new org.apache.hadoop.fs.Path(s"$prevGen/tombstones")
+        val tombedPending =
+          if (fs.exists(tombPath) && fs.listStatus(tombPath)
+              .exists(_.getPath.getName.endsWith(".parquet")))
+            adds.join(
+              spark.read.parquet(tombPath.toString).select("cand_id").distinct(),
+              Seq("cand_id"), "left_semi").count()
+          else 0L
+        val pendingNet = pendingRows - tombedPending
         val corpusRows = corpus.count()
-        require(corpusRows >= pendingRows,
+        require(corpusRows >= pendingNet,
           s"AnnIndex.compact: rebuild corpus has $corpusRows rows but the " +
-            s"previous generation holds $pendingRows pending addition rows " +
+            s"previous generation holds $pendingNet surviving pending " +
+            s"addition rows ($pendingRows gross, $tombedPending tombstoned) " +
             s"that are about to be marked folded — the corpus snapshot is " +
             s"stale (rebuild from AnnIndex.load(...).table, which unions " +
-            s"pending additions)")
+            s"pending additions net of tombstones)")
       }
       writeMarks(fs, gen, mergeMarks(foldedMarks(spark, prevGen), pending))
     }

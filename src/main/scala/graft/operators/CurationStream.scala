@@ -307,7 +307,8 @@ object CurationStream {
     * idempotent. */
   def ingestEpoch(batch: DataFrame, images: DataFrame, clips: DataFrame,
                   stateDir: String, epochId: Long,
-                  cfg: Curation.Config = Curation.Config()): Unit = {
+                  cfg: Curation.Config = Curation.Config(),
+                  foldEvery: Int = 0, foldLag: Int = 0): Unit = {
     val spark = batch.sparkSession
     // a replay of a FOLDED epoch is a no-op: its state already lives in
     // the compacted generation (whose rows the epoch-partition overwrite
@@ -431,6 +432,35 @@ object CurationStream {
         transform(col("features"), x => x - audMean).as("fv")))
     mediaLane(audCentered, stateDir, "aud", epochId,
       dim = 32, bands = 4, maxHamming = 0)
+    autoFold(spark, stateDir, epochId, foldEvery, foldLag)
+  }
+
+  /** WIRED auto-fold policy (r15 verdict #3 — cadence as policy, not
+    * caller discipline): fold the state every `foldEvery` epochs, i.e.
+    * at the end of each epoch with `(epochId + 1) % foldEvery == 0`,
+    * with `uptoEpoch = epochId + 1 − foldLag`. [[ingestEpoch]] invokes
+    * this when its `foldEvery` knob is > 0, so a production
+    * `foreachBatch` driver gets bounded state layout by CONFIGURATION —
+    * no manual [[compactState]] calls to remember (the gate, the fuzz
+    * schedules and [[graft.examples.ProfileCurationStream]] all run
+    * through this path).
+    *
+    * Crash window: the fold runs inside `foreachBatch`, after the
+    * epoch's own writes committed but BEFORE the streaming checkpoint
+    * commits the batch — a crash there replays the (now folded) epoch,
+    * which [[ingestEpoch]]'s watermark guard no-ops; its state already
+    * lives in the compacted generation. `foldLag` > 0 keeps the most
+    * recent epochs live (smaller folds; the hot tail stays
+    * epoch-partitioned), at the cost of that many extra live partition
+    * sets between folds. */
+  def autoFold(spark: SparkSession, stateDir: String, epochId: Long,
+               foldEvery: Int, foldLag: Int = 0): Unit = {
+    if (foldEvery <= 0) return
+    require(foldLag >= 0, s"foldLag must be >= 0 (got $foldLag)")
+    if ((epochId + 1) % foldEvery == 0) {
+      val upto = epochId + 1 - foldLag
+      if (upto > 0) compactState(spark, stateDir, upto)
+    }
   }
 
   /** The ONE consolidation pass over the accumulated state: min-id

@@ -1300,27 +1300,27 @@ object LlmOps {
     // temp tree per failed verify/bench run otherwise)
     try {
       val mem = MemoryStream[(Long, String)]
+      // steady-state maintenance IN the gate, via the WIRED policy (r15
+      // fold-in-gate, r16 knob): foldEvery = 2 folds epochs 0-1 into the
+      // compacted IndexGen generation at the end of epoch 1 — epoch 2
+      // then ingests against compacted ∪ live state, and the corpus must
+      // STILL hash-equal the batch gate under the same DuckDB oracle
+      // (fold invisibility, adjudicated per round, through the same
+      // auto-fold path a production foreachBatch driver configures)
       val q = mem.toDF().toDF("doc_id", "text").writeStream
         .foreachBatch { (b: DataFrame, epochId: Long) =>
           val ids = b.select(col("doc_id")).filter(col("doc_id") < 2000)
           CurationStream.ingestEpoch(b,
             MultiModalCurationExample.epochImages(ids),
             MultiModalCurationExample.epochHashClips(ids),
-            stateDir, epochId)
+            stateDir, epochId, foldEvery = 2)
         }
         .option("checkpointLocation", s"$root/ckpt")
         .start()
       try {
-        byEpoch.zipWithIndex.foreach { case (part, e) =>
+        byEpoch.foreach { part =>
           mem.addData(part.toSeq: _*)
           q.processAllAvailable()
-          // steady-state maintenance IN the gate (r15): after the second
-          // epoch commits, fold epochs 0-1 into the compacted IndexGen
-          // generation — epoch 2 then ingests against compacted ∪ live
-          // state, and the corpus must STILL hash-equal the batch gate
-          // under the same DuckDB oracle (fold invisibility, adjudicated
-          // per round, not just spec-pinned)
-          if (e == 1) CurationStream.compactState(spark, stateDir, uptoEpoch = 2L)
         }
       } finally q.stop()
       CurationStream.finalizeCorpus(spark, stateDir)

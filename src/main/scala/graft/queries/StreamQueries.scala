@@ -343,4 +343,98 @@ object StreamQueries {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     out
   }
+
+  /** q39's fixture split, shared with StreamingSpec's lateness proof:
+    * batch 0 carries the first two-thirds of the time range MINUS a
+    * held-out slice (`event_id % 5 == 0`); batch 1 delivers the final
+    * third PLUS that held-out slice — rows that predate batch 0's max
+    * event time by up to two-thirds of the range, i.e. genuinely LATE.
+    * The watermark delay is the full range + 1 h, so every late row is
+    * still IN-HORIZON (the stateful operator's late-row filter uses the
+    * watermark as of the END of the previous batch = batch0Max − delay
+    * < min ts — nothing is dropped) and must MERGE into or EXTEND the
+    * open sessions batch 0 already built in state. */
+  private[graft] final case class LateSessionFixture(
+      batch0: DataFrame, batch1: DataFrame, loMs: Long, hiMs: Long,
+      watermarkDelay: String)
+
+  private[graft] def lateSessionFixture(ev: DataFrame): LateSessionFixture = {
+    val Row(tMin: java.sql.Timestamp, tMax: java.sql.Timestamp) =
+      ev.agg(min("ts"), max("ts")).head()
+    val (lo, hi) = (tMin.getTime, tMax.getTime)
+    val t2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
+    val early = col("ts") < lit(t2)
+    val held = col("event_id") % 5 === 0
+    val delaySec = (hi - lo) / 1000 + 3600
+    LateSessionFixture(
+      ev.filter(early && !held).select("user_id", "ts"),
+      ev.filter(!early || held).select("user_id", "ts"),
+      lo, hi, s"$delaySec seconds")
+  }
+
+  /** q39: LATE-ARRIVAL streaming sessionization under oracle (r15
+    * verdict #5) — the same operator and oracle as q38, but the split
+    * is NON-chronological and the watermark delay nonzero, so the
+    * interval machine's late paths run under the DuckDB hash gate
+    * instead of only under unit/property tests: batch 1's held-out
+    * events predate batch 0's session ends (StreamingSpec asserts this
+    * on the shared fixture), so they must back-neighbor-MERGE into and
+    * EXTEND sessions already sitting open in state — and with the
+    * delay exceeding the whole time range, EVERY user's full session
+    * list stays open simultaneously (the multi-open-session state
+    * shape) until one far-future sentinel closes them all. Because no
+    * event is ever out-of-horizon, the emitted set equals the complete
+    * batch sessionization: the q38 oracle adjudicates both delivery
+    * schedules.
+    *
+    * Scale note: the range-sized watermark delay is the FIXTURE's
+    * device for forcing maximal lateness at gate scale; production
+    * pipelines set the delay to their real out-of-orderness bound, and
+    * state stays O(open sessions within horizon) per key either way —
+    * the per-key interval map only grows with sessions the watermark
+    * has not yet provably closed. */
+  def q39StreamSessionsLate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.core.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts")).persist()
+    val stage = Files.createTempDirectory("graft-lsess").toString
+    val fx = try {
+      val f = lateSessionFixture(ev)
+      val m0 = System.currentTimeMillis() - 120000L
+      stageOneFile(f.batch0, s"$stage/in/0.parquet", m0)
+      stageOneFile(f.batch1, s"$stage/in/1.parquet", m0 + 10000L)
+      // sentinel: far enough past the range that wm = ts − delay clears
+      // every real session's end + gap
+      import spark.implicits._
+      stageOneFile(Seq((-1L,
+          new java.sql.Timestamp(f.hiMs + (f.hiMs - f.loMs) + 3600000L +
+            365L * 86400000L)))
+        .toDF("user_id", "ts"), s"$stage/in/2.parquet", m0 + 20000L)
+      f
+    } finally ev.unpersist()
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val out = try StreamConfig.withState(spark,
+      StreamConfig.Settings(statePartitions = Some(8))) {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$stage/in")
+      val sessions = Streams.closedSessionsPreMerged(src, "user_id", "ts",
+        gap = "30 minutes", watermark = fx.watermarkDelay).toDF("k", "n", "s", "e")
+      Streams.runAvailableNow(sessions, OutputMode.Append()) { b =>
+        emitted ++= b.collect() // each closed session exactly once
+      }
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(emitted.toSeq), sessions.schema)
+        .filter(col("k") =!= "-1")
+        .select(col("k").cast("long").as("user_id"),
+          col("s").as("session_start"), col("e").as("session_end"),
+          col("n").as("n_events"))
+        .orderBy("user_id", "session_start")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    out
+  }
 }

@@ -85,8 +85,22 @@ object Streams {
   /** [[closedSessions]] keyed state: ALL of a key's still-open
     * sessions, oldest first — more than one can be open at once while
     * the watermark trails the data (a late in-horizon event may yet
-    * merge or extend any of them). */
-  final case class SessionsAcc(sessions: List[SessionAcc])
+    * merge or extend any of them).
+    *
+    * STATE-FORMAT VERSIONING (ADVICE r15 #4): start/end switched from
+    * milliseconds to microseconds in r15 — a stream restarted from a
+    * pre-change checkpoint would silently reinterpret ms state as µs
+    * (1000× too small) and emit corrupted boundaries. `unitVersion`
+    * (2 = epoch-microseconds) changes the state SCHEMA, so Spark's
+    * state-schema compatibility check fails such a restart LOUDLY at
+    * query start instead; restarts across the change need a fresh
+    * checkpoint dir (and fresh state), which the error makes explicit. */
+  final case class SessionsAcc(sessions: List[SessionAcc],
+                               unitVersion: Int = SessionsAcc.UnitMicros)
+  object SessionsAcc {
+    /** start/end unit: 2 = epoch-µs (1 was the r14 epoch-ms format). */
+    val UnitMicros = 2
+  }
 
   /** Closed-session emission via `flatMapGroupsWithState` — the custom
     * keyed-state machine for semantics the native `session_window`

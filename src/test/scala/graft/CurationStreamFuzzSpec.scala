@@ -61,13 +61,14 @@ class CurationStreamFuzzSpec extends SparkSpec {
       .filter(col("doc_id") < 400)
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
 
-  private def ingest(stateDir: String, part: Seq[(Long, String)], e: Long): Unit = {
+  private def ingest(stateDir: String, part: Seq[(Long, String)], e: Long,
+                     foldEvery: Int = 0): Unit = {
     val b = part.toDF("doc_id", "text")
     val ids = b.select(col("doc_id")).filter(col("doc_id") < 2000)
     CurationStream.ingestEpoch(b,
       MultiModalCurationExample.epochImages(ids),
       MultiModalCurationExample.epochHashClips(ids),
-      stateDir, e)
+      stateDir, e, foldEvery = foldEvery)
   }
 
   private def corpus(stateDir: String): Seq[Row] =
@@ -94,6 +95,13 @@ class CurationStreamFuzzSpec extends SparkSpec {
       val tmp = java.nio.file.Files.createTempDirectory("graft-cfuzz")
       val state = s"faulty://$tmp/state"
       val epochs = 2 + r.nextInt(3)
+      // per-schedule AUTO-FOLD policy (r16 knob): half the schedules
+      // run every ingest through ingestEpoch's wired foldEvery — so the
+      // auto path is crash-fuzzed too (a crash between the policy's
+      // fold promote and the checkpoint commit replays a folded epoch,
+      // which must no-op); the other half keep it off and rely on the
+      // explicit random folds below, covering both operating modes
+      val foldEvery = if (r.nextBoolean()) 1 + r.nextInt(2) else 0
       // random assignment: every doc to one of `epochs` buckets (empty
       // buckets allowed — finalize must tolerate epochs with no rows)
       val assign = docs.groupBy(_ => r.nextInt(epochs))
@@ -117,7 +125,7 @@ class CurationStreamFuzzSpec extends SparkSpec {
         }
       }
       def ingestWithCrashes(e: Int): Unit =
-        withCrashes(s"epoch $e")(ingest(state, partOf(e), e.toLong))
+        withCrashes(s"epoch $e")(ingest(state, partOf(e), e.toLong, foldEvery))
 
       (0 until epochs).foreach { e =>
         ingestWithCrashes(e)

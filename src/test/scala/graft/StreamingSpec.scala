@@ -361,6 +361,51 @@ class StreamingSpec extends SparkSpec {
       s"pre-merge did not collapse the skew: ${acc.value} intervals for ${events.size} events")
   }
 
+  test("q39 fixture provably delivers LATE events, and the late schedule equals the batch sessionization") {
+    // the r15 verdict's gap: q38 splits chronologically, so the interval
+    // machine's late-merge path never ran under a hash gate. This pins
+    // (a) the q39 fixture's lateness — some batch-1 event strictly
+    // predates a batch-0 SESSION END of the same user, so it must merge
+    // into/extend state batch 0 already built — and (b) the late
+    // delivery's output == the complete batch sessionization.
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val fx = graft.queries.StreamQueries.lateSessionFixture(ev)
+    def sessions(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      df.withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("new_sess")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+    }
+    val b0Sessions = sessions(fx.batch0)
+    val lateHits = fx.batch1.as("l")
+      .join(b0Sessions.as("s"),
+        col("l.user_id") === col("s.user_id") &&
+          col("l.ts") < col("s.session_end"))
+      .count()
+    assert(lateHits > 0,
+      "q39 fixture degenerated: no batch-1 event predates a batch-0 session end")
+    val got = graft.queries.StreamQueries.q39StreamSessionsLate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    val exp = sessions(ev.select("user_id", "ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(got.toSet == exp.toSet,
+      s"late delivery diverged from batch sessionization: " +
+        s"only-stream=${got.toSet.diff(exp.toSet).take(3)} " +
+        s"only-batch=${exp.toSet.diff(got.toSet).take(3)}")
+    assert(got.length == exp.length, "duplicate session emissions")
+  }
+
   test("closedSessions rejects month-bearing gaps (no fixed millisecond length)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
