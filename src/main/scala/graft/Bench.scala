@@ -421,12 +421,21 @@ object Bench {
     // grew with pressure flat → regression (the only rung that indicts
     // the code); nothing fired → unexplained-drift. Emitted on every
     // verdict INCLUDING at-floor — that is the point.
+    //
+    // Slack calibration (r16 injection A/B): with a 0.3 s absolute
+    // slack, warm-machine runs produced sub-second BYCATCH next to the
+    // injected gate (q5_topk 0.6-vs-0.1 and mm_frames 0.9-vs-0.4 fired,
+    // one labeled "regression" on pure run noise). Half a second of
+    // absolute drift is the floor below which JIT/scheduling noise
+    // dominates any per-gate channel at these gate sizes — under it the
+    // SUITE rung is the arbiter; the injected 5 s arms clear the bar by
+    // an order of magnitude either way.
     final case class GateVerdict(name: String, wall: Double, floor: Double,
                                  verdict: String)
     val gateVerdicts: Seq[GateVerdict] = floors.toSeq.flatMap { f =>
       resultsCpu.flatMap { case (k, m) =>
         f.wall.get(k)
-          .filter(fl => fl >= 0 && m.wall >= 0 && m.wall > 1.5 * fl + 0.3)
+          .filter(fl => fl >= 0 && m.wall >= 0 && m.wall > 1.5 * fl + 0.5)
           .map { fl =>
             val psiUp = (m.pm >= 0 || m.pi >= 0) &&
               math.max(m.pm, 0) + math.max(m.pi, 0) > 0.05 * m.wall
@@ -436,7 +445,7 @@ object Bench {
             val mfUp = m.mf >= 0 &&
               (if (mfF >= 0) m.mf > 4 * mfF + 50 else m.mf > 100)
             val utF = f.ut.getOrElse(k, -1.0)
-            val utUp = m.ut >= 0 && utF > 0 && m.ut > 1.2 * utF + 0.1
+            val utUp = m.ut >= 0 && utF > 0 && m.ut > 1.2 * utF + 0.5
             val verdict =
               if (m.ext >= 0 && m.ext > 0.5 * m.wall) "contended-external"
               else if (psiUp || stUp || mfUp) "contended-memory-pressure"

@@ -10,19 +10,23 @@ import org.apache.spark.sql.functions._
   * operators at two scales a decade apart and prints wall +
   * shuffle-bytes pairs, so the scaling EXPONENT is measured, not argued.
   *
-  * `runMain graft.examples.ScaleDecade [sfDir] [factor]`
+  * `runMain graft.examples.ScaleDecade [sfDir] [factor] [saltEvery]`
   *
   * The blow-up is synthetic but WORKLOAD-PRESERVING: `factor` copies of
   * the documents/embeddings tables under disjoint id ranges, each copy
-  * deterministically perturbed so copies are mutually DISSIMILAR —
-  * documents get a per-copy letter-rotation (`translate` over 12 common
-  * letters: shingle spaces of different copies are unrelated, while
-  * WITHIN a copy the planted dup/near-dup structure survives verbatim,
-  * so dup rate, candidate rate and component shapes stay constant per
-  * copy and totals scale linearly — the property a linear-scaling
-  * measurement needs); embeddings get a per-copy deterministic additive
-  * wave (neighborhoods shift, norms stay close). Both scales are staged
-  * to parquet the same way, so file layout is not a variable.
+  * deterministically perturbed so copies are mutually DISSIMILAR. Two
+  * document lanes, because no single perturbation serves both operator
+  * families: the SHINGLE operators (minhashLsh/ppjoin/edge generation)
+  * get a per-copy letter-rotation (`translate` over 12 common letters:
+  * shingle spaces of different copies are unrelated, while WITHIN a
+  * copy the planted dup/near-dup structure survives verbatim, so dup
+  * rate, candidate rate and component shapes stay constant per copy and
+  * totals scale linearly — the property a linear-scaling measurement
+  * needs); the CURATE funnel gets a language-preserving salt-word lane
+  * (`docsCopyQ` below — the rotation would gate every perturbed copy
+  * out). Embeddings get a per-copy deterministic additive wave
+  * (neighborhoods shift, norms stay close). Both scales are staged to
+  * parquet the same way, so file layout is not a variable.
   *
   * Measured per (operator, scale): wall seconds of a full noop-write
   * materialization, executor shuffle-read/-write bytes and input bytes
@@ -76,6 +80,37 @@ object ScaleDecade {
         (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
         (if (k == 0) col("text") else translate(col("text"), letters, rot(k))).as("text"),
         col("lang"), col("source"), col("n_chars"))
+      // the CURATE lane needs a LANGUAGE-PRESERVING perturbation: the
+      // letter rotation scrambles English, so every perturbed copy is
+      // gated out by quality/langid and the funnel degenerates to the
+      // 1x workload (measured: 4336 rows out at both scales). Instead,
+      // a per-copy salt token every `saltEvery` words: stopword ratios
+      // dilute UNIFORMLY across languages (langid unchanged), quality's
+      // alpha/punct/length terms barely move, the salt token tops out at
+      // 1/(saltEvery+1) ≤ 0.25 occupancy (under the 0.5 repetition
+      // gate), and WITHIN-copy exact/near-dup structure is preserved
+      // verbatim (the salt is a pure function of copy + position).
+      // CROSS-copy 3-shingle jaccard = saltfree/(2·period − saltfree)
+      // where period = saltEvery+1, saltfree = saltEvery−2:
+      //   saltEvery=3 → j ≈ 1/7 ≈ 0.14 (the independent-copies regime —
+      //     default; 8 bands × 2 rows collide at j² ≈ 0.02/band, so
+      //     cross-copy LSH candidates are rare and totals scale linearly)
+      //   saltEvery=6 → j ≈ 4/10 = 0.4-ish measured ~1/3 (a NEAR-
+      //     THRESHOLD similarity plateau: band collisions at j² ≈ 0.11
+      //     × 8 bands make most copy pairs CANDIDATES even though the
+      //     0.8 verify rejects every one — the documented experiment for
+      //     where LSH candidate mass departs linear; see SCALING.md)
+      // copy 0 is salted TOO (unlike the rotation lane): the lane's
+      // 1x table must have the same per-row token/shingle volume as
+      // every other copy, or the scale comparison conflates linear
+      // growth with the salt's +1/(saltEvery+1) token inflation
+      // (measured: 15.2x shuffle per 10x rows with copy 0 unsalted)
+      val saltEvery = args.lift(2).flatMap(_.toIntOption).getOrElse(3)
+      def docsCopyQ(k: Int): DataFrame = docs0.select(
+        (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
+        regexp_replace(col("text"),
+          s"((?:\\S+\\s+){$saltEvery})", s"$$1zq$k ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
       def embCopy(k: Int): DataFrame = emb0.select(
         (col("vec_id") + lit(k.toLong * 1000000L)).as("vec_id"),
         (if (k == 0) col("embedding")
@@ -91,6 +126,8 @@ object ScaleDecade {
       }
       val d1 = stage("docs", 1, docsCopy)
       val dF = stage("docs", factor, docsCopy)
+      val q1 = stage("docsq", 1, docsCopyQ)
+      val qF = stage("docsq", factor, docsCopyQ)
       val e1 = stage("emb", 1, embCopy)
       val eF = stage("emb", factor, embCopy)
 
@@ -126,12 +163,14 @@ object ScaleDecade {
         "vec_id", "embedding", trainBound = 512)
       val cbs = Similarity.pqTrain(embBase, m = 8, ksub = 64, iters = 2,
         trainBound = 512)
-      val queries = embBase.filter(col("vec_id") < 256).localCheckpoint(true)
+      // a fresh parquet read per use, NOT localCheckpoint: the hygiene
+      // flush between measurements drops checkpoint blocks
+      def queries = spark.read.parquet(e1).filter(col("vec_id") < 256)
 
-      Seq(1 -> (d1, e1, eg1), factor -> (dF, eF, egF)).foreach {
-        case (scale, (dp, ep, egp)) =>
+      Seq(1 -> (d1, q1, e1, eg1), factor -> (dF, qF, eF, egF)).foreach {
+        case (scale, (dp, qp, ep, egp)) =>
           val docs = spark.read.parquet(dp)
-          measure("curate", scale)(Curation.curate(docs))
+          measure("curate", scale)(Curation.curate(spark.read.parquet(qp)))
           measure("minhash_lsh", scale)(
             Dedup.minhashLsh(docs, threshold = 0.5))
           measure("ppjoin", scale)(
