@@ -299,7 +299,8 @@ object Bench {
     // contended:false: it carries an "adjudication" verdict naming the
     // drift class, plus the top drifted (query, wall, floor) pairs.
     final case class Floors(wall: Map[String, Double], ut: Map[String, Double],
-                            st: Map[String, Double], mf: Map[String, Double])
+                            st: Map[String, Double], mf: Map[String, Double],
+                            spread: Map[String, Double])
     val floors: Option[Floors] =
       try {
         val p = java.nio.file.Paths.get("BENCH_CLEAN.json")
@@ -318,7 +319,7 @@ object Bench {
             .split('/').filter(_.nonEmpty).lastOption.getOrElse("")
           if (floorSf != sfName) None
           else Some(Floors(m("queries"), m("query_utime"), m("query_stime"),
-            m("query_majflt")))
+            m("query_majflt"), m("query_spread")))
         }
       } catch { case _: Throwable => None }
     // matched-window external-contention verdict (ADVICE r14 #4): the
@@ -429,13 +430,24 @@ object Bench {
     // absolute drift is the floor below which JIT/scheduling noise
     // dominates any per-gate channel at these gate sizes — under it the
     // SUITE rung is the arbiter; the injected 5 s arms clear the bar by
-    // an order of magnitude either way.
+    // an order of magnitude either way. The gate's own CAPTURE ENVELOPE
+    // is the second noise bar: floors are per-query MINs, so a gate
+    // with 3× intrinsic idle spread (mm_frames: 0.35-1.12 across the
+    // r16 captures — stime swings with page-cache state) would read
+    // "drifted" on every TYPICAL run; wall must also clear
+    // floor + 2×spread (query_spread in BENCH_CLEAN.json, 0 when the
+    // floors predate the field). For stable gates spread ≈ 0 and the
+    // 1.5× bar governs; real single-gate regressions clear both.
     final case class GateVerdict(name: String, wall: Double, floor: Double,
                                  verdict: String)
     val gateVerdicts: Seq[GateVerdict] = floors.toSeq.flatMap { f =>
       resultsCpu.flatMap { case (k, m) =>
         f.wall.get(k)
-          .filter(fl => fl >= 0 && m.wall >= 0 && m.wall > 1.5 * fl + 0.5)
+          .filter { fl =>
+            val sp = f.spread.getOrElse(k, 0.0).max(0.0)
+            fl >= 0 && m.wall >= 0 &&
+              m.wall > math.max(1.5 * fl + 0.5, fl + 2 * sp)
+          }
           .map { fl =>
             val psiUp = (m.pm >= 0 || m.pi >= 0) &&
               math.max(m.pm, 0) + math.max(m.pi, 0) > 0.05 * m.wall

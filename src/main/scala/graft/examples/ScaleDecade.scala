@@ -49,12 +49,20 @@ object ScaleDecade {
     val sRead = new java.util.concurrent.atomic.AtomicLong()
     val sWrite = new java.util.concurrent.atomic.AtomicLong()
     val inB = new java.util.concurrent.atomic.AtomicLong()
+    // spill + GC channels: when a scale step departs linear, these say
+    // whether the cause is plan shape (more/larger exchanges) or the
+    // single-process memory ceiling (spill/GC amplification) — on a
+    // cluster the latter is the signal to add executors, not a plan bug
+    val spill = new java.util.concurrent.atomic.AtomicLong()
+    val gcMs = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null) {
           sRead.addAndGet(t.taskMetrics.shuffleReadMetrics.totalBytesRead)
           sWrite.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
           inB.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+          spill.addAndGet(t.taskMetrics.diskBytesSpilled)
+          gcMs.addAndGet(t.taskMetrics.jvmGCTime)
         }
     })
     // listener events drain async: poll each counter until quiescent
@@ -71,14 +79,29 @@ object ScaleDecade {
         .select("doc_id", "text", "lang", "source", "n_chars")
       val emb0 = graft.core.Tables(spark, dir).embeddings
         .select("vec_id", "embedding", "label")
-      val letters = "etaoinshrdlu" // 12 letters: rotation k (1..factor-1) is never identity
+      val letters = "etaoinshrdlu" // 12 letters: rotation k%12 ∈ 1..11 is never identity
       def rot(k: Int): String = {
         val s = k % letters.length
         letters.drop(s) + letters.take(s)
       }
+      // beyond 12 copies the rotation CYCLES (k and k+12 would be exact
+      // duplicates — the first 100× run measured ~8-cliques of identical
+      // docs, 2.05 M near-dup pairs instead of 100×254), and even a
+      // sparse per-copy salt leaves same-rotation copies SHARING their
+      // salt-free shingles — at factor 100 that shared-shingle family
+      // made ppjoin's prefix-filter candidate mass quadratic in
+      // copies-per-rotation (measured: the candidate join spilled >80 GB
+      // and died on disk). So EVERY copy gets a per-copy salt token
+      // every 2 words: every 3-shingle spans a salt, shingle spaces are
+      // fully DISJOINT across copies at any factor, per-copy token
+      // volume is uniform (no cross-decade volume conflation), and
+      // within-copy dup structure is preserved verbatim.
       def docsCopy(k: Int): DataFrame = docs0.select(
         (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
-        (if (k == 0) col("text") else translate(col("text"), letters, rot(k))).as("text"),
+        regexp_replace(
+          if (k % letters.length == 0) col("text")
+          else translate(col("text"), letters, rot(k)),
+          "((?:\\S+\\s+){2})", s"$$1zr$k ").as("text"),
         col("lang"), col("source"), col("n_chars"))
       // the CURATE lane needs a LANGUAGE-PRESERVING perturbation: the
       // letter rotation scrambles English, so every perturbed copy is
@@ -87,25 +110,29 @@ object ScaleDecade {
       // a per-copy salt token every `saltEvery` words: stopword ratios
       // dilute UNIFORMLY across languages (langid unchanged), quality's
       // alpha/punct/length terms barely move, the salt token tops out at
-      // 1/(saltEvery+1) ≤ 0.25 occupancy (under the 0.5 repetition
+      // 1/(saltEvery+1) ≤ 1/3 occupancy (under the 0.5 repetition
       // gate), and WITHIN-copy exact/near-dup structure is preserved
       // verbatim (the salt is a pure function of copy + position).
       // CROSS-copy 3-shingle jaccard = saltfree/(2·period − saltfree)
-      // where period = saltEvery+1, saltfree = saltEvery−2:
-      //   saltEvery=3 → j ≈ 1/7 ≈ 0.14 (the independent-copies regime —
-      //     default; 8 bands × 2 rows collide at j² ≈ 0.02/band, so
-      //     cross-copy LSH candidates are rare and totals scale linearly)
-      //   saltEvery=6 → j ≈ 4/10 = 0.4-ish measured ~1/3 (a NEAR-
-      //     THRESHOLD similarity plateau: band collisions at j² ≈ 0.11
-      //     × 8 bands make most copy pairs CANDIDATES even though the
-      //     0.8 verify rejects every one — the documented experiment for
-      //     where LSH candidate mass departs linear; see SCALING.md)
+      // where period = saltEvery+1, saltfree = max(saltEvery−2, 0):
+      //   saltEvery=2 → j ≈ 0 (every 3-shingle spans a salt token —
+      //     truly independent copies, the CANONICAL decade lane: the
+      //     cross-copy candidate term vanishes at any factor)
+      //   saltEvery=3 → j ≈ 1/7 ≈ 0.14 (a mild tail: 8 bands × 2 rows
+      //     collide at j² ≈ 0.02/band ≈ 0.16 candidates per copy pair —
+      //     measurably super-linear by the SECOND decade, since the
+      //     per-doc candidate count grows with the copy count)
+      //   saltEvery=6 → j ≈ 1/3 (the NEAR-THRESHOLD plateau: collisions
+      //     at j² ≈ 0.11 × 8 bands make most copy pairs CANDIDATES even
+      //     though the 0.8 verify rejects every one — the documented
+      //     experiment for where LSH candidate mass departs linear; see
+      //     SCALING.md)
       // copy 0 is salted TOO (unlike the rotation lane): the lane's
       // 1x table must have the same per-row token/shingle volume as
       // every other copy, or the scale comparison conflates linear
       // growth with the salt's +1/(saltEvery+1) token inflation
       // (measured: 15.2x shuffle per 10x rows with copy 0 unsalted)
-      val saltEvery = args.lift(2).flatMap(_.toIntOption).getOrElse(3)
+      val saltEvery = args.lift(2).flatMap(_.toIntOption).getOrElse(2)
       def docsCopyQ(k: Int): DataFrame = docs0.select(
         (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
         regexp_replace(col("text"),
@@ -133,14 +160,16 @@ object ScaleDecade {
 
       def measure(op: String, scale: Int)(df: => DataFrame): Unit = {
         graft.core.SessionHygiene.flush(spark)
-        val (r0, w0, i0) = (now(sRead), now(sWrite), now(inB))
+        val (r0, w0, i0, sp0, g0) =
+          (now(sRead), now(sWrite), now(inB), now(spill), now(gcMs))
         val t0 = System.nanoTime()
         val frame = df
         frame.write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t0) / 1e9
         val rows = frame.count()
-        val (r1, w1, i1) = (now(sRead), now(sWrite), now(inB))
-        println(f"""SCALE {"op":"$op","scale":$scale,"wall":$wall%.2f,"rows":$rows,"shuffle_read_mb":${(r1 - r0) / 1e6}%.1f,"shuffle_write_mb":${(w1 - w0) / 1e6}%.1f,"input_mb":${(i1 - i0) / 1e6}%.1f}""")
+        val (r1, w1, i1, sp1, g1) =
+          (now(sRead), now(sWrite), now(inB), now(spill), now(gcMs))
+        println(f"""SCALE {"op":"$op","scale":$scale,"wall":$wall%.2f,"rows":$rows,"shuffle_read_mb":${(r1 - r0) / 1e6}%.1f,"shuffle_write_mb":${(w1 - w0) / 1e6}%.1f,"input_mb":${(i1 - i0) / 1e6}%.1f,"spill_mb":${(sp1 - sp0) / 1e6}%.1f,"gc_s":${(g1 - g0) / 1e3}%.1f}""")
       }
 
       // componentsStar input: the gate's own edge generator, staged per

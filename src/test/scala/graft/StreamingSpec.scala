@@ -572,6 +572,44 @@ class StreamingSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass") == preBracket)
   }
 
+  test("closedSessionsPreMerged runs unchanged on RocksDB — late in-horizon merge included") {
+    // the q38/q39 state machine (interval map in flatMapGroupsWithState
+    // keyed state, SessionsAcc lists with the r16 unitVersion field)
+    // under the off-heap store: the 100 TB sessionization setting is
+    // RocksDB + a long watermark horizon, so the custom state encoder
+    // and the LATE back-merge path must round-trip through RocksDB, not
+    // just the in-heap default the gates exercise.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamConfig
+    StreamConfig.withState(spark,
+      StreamConfig.Settings(provider = Some(StreamConfig.RocksDb))) {
+      val mem = MemoryStream[(String, Timestamp)]
+      val sessions = Streams.closedSessionsPreMerged(
+        mem.toDF().toDF("k", "ts"), "k", "ts",
+        gap = "5 minutes", watermark = "30 minutes")
+      val out = ArrayBuffer.empty[(String, Long, Timestamp, Timestamp)]
+      val q = sessions.writeStream.outputMode("append")
+        .foreachBatch((b: org.apache.spark.sql.Dataset[(String, Long, Timestamp, Timestamp)], _: Long) =>
+          { out.synchronized { out ++= b.collect() }; () })
+        .start()
+      mem.addData(("u1", ts(0)), ("u1", ts(10))) // two open sessions (gap 5m)
+      q.processAllAvailable()
+      // LATE but in-horizon (watermark trails by 30m): must back-merge
+      // into the [0,0] session already sitting in RocksDB state
+      mem.addData(("u1", ts(4)))
+      q.processAllAvailable()
+      mem.addData(("u1", ts(55))) // wm -> 25: closes [0,4] and [10,10]
+      q.processAllAvailable()
+      val usedRocks = q.lastProgress.stateOperators.exists(
+        _.customMetrics.keySet().toString.contains("rocksdb"))
+      q.stop()
+      val got = out.synchronized(out.toSet)
+      assert(got == Set(("u1", 2L, ts(0), ts(4)), ("u1", 1L, ts(10), ts(10))),
+        s"late merge under RocksDB diverged: $got")
+      assert(usedRocks, "state operator metrics must be RocksDB's")
+    }
+  }
+
   test("StreamConfig.withState: both backends produce the same stateful result; conf restored on failure") {
     import graft.streaming.StreamConfig
     val keys = (1 to 40).map(i => s"u${i % 5}").toDF("k")

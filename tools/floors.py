@@ -36,6 +36,15 @@ def main() -> None:
         return merged
 
     queries = per_query_min("queries")
+    # per-query ENVELOPE (max - min across captures): the gate's own
+    # idle-machine variance, used by Bench's per-gate rung as a noise
+    # bar — a gate with 3x intrinsic spread (e.g. a sub-second decode
+    # gate whose stime swings with page-cache state) must not read as
+    # "drifted" on every typical run just because its floor is the MIN
+    qspread = {}
+    for q in sorted(names):
+        vals = [c["queries"][q] for c in captures if c["queries"][q] >= 0]
+        qspread[q] = round(max(vals) - min(vals), 3) if vals else -1
     totals = [sum(v for v in c["queries"].values() if v >= 0) for c in captures]
     spread = max(totals) - min(totals)
     ext = [c.get("ext_total", -1) for c in captures]
@@ -66,6 +75,7 @@ def main() -> None:
         "unit": "sec",
         "runs": captures[0].get("runs"),
         "queries": queries,
+        "query_spread": qspread,
         "query_utime": per_query_min("query_utime"),
         "query_stime": per_query_min("query_stime"),
         "query_majflt": per_query_min("query_majflt"),
