@@ -413,10 +413,10 @@ object Bench {
     // a SUM, so a single-gate regression can hide behind a below-floor
     // remainder (r15's artifact: mm_curation_stream 1.49× over floor
     // inside an at-floor suite). Any gate whose selected wall exceeds
-    // 1.5× its committed floor (+0.3 s absolute slack — a 0.1 s gate
-    // jittering to 0.2 s is capture noise, not signal) gets its own
-    // mini-verdict from ITS per-query channels, same ladder as the
-    // suite's: rival cpu visible in its window → contended-external;
+    // BOTH `1.5× its committed floor + 0.5 s absolute slack` AND
+    // `floor + 2× its capture spread` (the two noise bars — see the
+    // calibration note below) gets its own mini-verdict from ITS
+    // per-query channels, same ladder as the suite's: rival cpu visible in its window → contended-external;
     // its PSI stalls / sys-time / major faults fired → memory pressure
     // (checked FIRST — pressure inflates utime too); its own user time
     // grew with pressure flat → regression (the only rung that indicts
@@ -457,7 +457,11 @@ object Bench {
             val mfUp = m.mf >= 0 &&
               (if (mfF >= 0) m.mf > 4 * mfF + 50 else m.mf > 100)
             val utF = f.ut.getOrElse(k, -1.0)
-            val utUp = m.ut >= 0 && utF > 0 && m.ut > 1.2 * utF + 0.5
+            // utF == 0 is a VALID floor (ADVICE r16 #3): a sub-10ms-CPU
+            // gate that grows seconds of pure user time must still be
+            // indictable as a regression — the +0.5 s absolute term
+            // carries the whole bar when the floor is zero
+            val utUp = m.ut >= 0 && utF >= 0 && m.ut > 1.2 * utF + 0.5
             val verdict =
               if (m.ext >= 0 && m.ext > 0.5 * m.wall) "contended-external"
               else if (psiUp || stUp || mfUp) "contended-memory-pressure"
@@ -466,6 +470,21 @@ object Bench {
             GateVerdict(k, m.wall, fl, verdict)
           }
       }.sortBy(g => g.floor - g.wall) // most-drifted first
+    }
+    // informational drift trace (r16 verdict #3): every gate above
+    // 1.25× its committed floor, NO verdict attached, BENCH_SELF.json
+    // only (not the stdout rungs — sub-bar drift is not an alarm). A
+    // gate like mm_curation that drifts 1.4× two rounds running without
+    // ever clearing the per-gate verdict bar is now readable from the
+    // committed artifacts alone, no re-run. The 0.2 s absolute guard
+    // keeps sub-100-ms jitter rows out of the list.
+    val driftInfo: Seq[(String, Double, Double)] = floors.toSeq.flatMap { f =>
+      resultsCpu.flatMap { case (k, m) =>
+        f.wall.get(k)
+          .filter(fl => fl >= 0 && m.wall >= 0 &&
+            m.wall > 1.25 * fl && m.wall - fl > 0.2)
+          .map(fl => (k, m.wall, fl))
+      }.sortBy { case (_, w, fl) => -(w / math.max(fl, 1e-9)) } // biggest ratio first
     }
     def gatesJson(n: Int, dec: Int) = gateVerdicts.take(n)
       .map(g => "[\"" + g.name + "\"," + jnum(g.wall, dec) + "," +
@@ -623,11 +642,17 @@ object Bench {
       if (gateVerdicts.nonEmpty)
         ",\"gate_verdicts\":" + gatesJson(gateVerdicts.size, 3)
       else ""
+    val driftInfoFull =
+      if (driftInfo.nonEmpty)
+        ",\"drift_info\":" + driftInfo.map { case (k, w, fl) =>
+          "[\"" + k + "\"," + f"$w%.3f" + "," + f"$fl%.3f" + "]"
+        }.mkString("[", ",", "]")
+      else ""
     val injectFull = inject.map { case (n, s, m) =>
       ",\"inject\":\"" + n + ":" + jnum(s, 1) + ":" + m + "\"" }.getOrElse("")
     val qmf = resultsCpu.map { case (k, m) => "\"" + k + "\":" + m.mf }
       .mkString("{", ",", "}")
-    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"order":"$runOrder","cpu_total":$cpuTotal%.1f,"gc_total":$gcTotal%.1f,"ext_total":$extTotal%.1f$v3Full,"max_load":$maxLoadFull%.1f,"contended":$contendedV,"ext_unmeasured":$extUnmeasured$adjFull$gatesFull$injectFull$onlyFull,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"query_cpu":${qmap(_.cpu)},"query_gc":${qmap(_.gc)},"query_ext":${qmap(_.ext)},"query_utime":${qmap(_.ut)},"query_stime":${qmap(_.st)},"query_majflt":$qmf,"query_psimem":${qmap(_.pm)},"query_psiio":${qmap(_.pi)},"session_snaps":$snapsJson,"sf":"$sfDir"}"""
+    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"order":"$runOrder","cpu_total":$cpuTotal%.1f,"gc_total":$gcTotal%.1f,"ext_total":$extTotal%.1f$v3Full,"max_load":$maxLoadFull%.1f,"contended":$contendedV,"ext_unmeasured":$extUnmeasured$adjFull$gatesFull$driftInfoFull$injectFull$onlyFull,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"query_cpu":${qmap(_.cpu)},"query_gc":${qmap(_.gc)},"query_ext":${qmap(_.ext)},"query_utime":${qmap(_.ut)},"query_stime":${qmap(_.st)},"query_majflt":$qmf,"query_psimem":${qmap(_.pm)},"query_psiio":${qmap(_.pi)},"session_snaps":$snapsJson,"sf":"$sfDir"}"""
     // filtered probes land in a SEPARATE (untracked) file: BENCH_SELF
     // .json is the committed full-suite attribution record, and a probe
     // overwriting it is exactly how a 4-query artifact once got

@@ -166,9 +166,14 @@ object ScaleDecade {
         val frame = df
         frame.write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        val rows = frame.count()
+        // counter deltas close HERE, before the rows count: count() is
+        // a SECOND full execution of the plan, and closing the window
+        // after it attributed ~2x bytes/spill/GC to one wall window
+        // (ADVICE r16 #2). rows is informational and sits outside both
+        // the wall and the byte windows by design.
         val (r1, w1, i1, sp1, g1) =
           (now(sRead), now(sWrite), now(inB), now(spill), now(gcMs))
+        val rows = frame.count()
         println(f"""SCALE {"op":"$op","scale":$scale,"wall":$wall%.2f,"rows":$rows,"shuffle_read_mb":${(r1 - r0) / 1e6}%.1f,"shuffle_write_mb":${(w1 - w0) / 1e6}%.1f,"input_mb":${(i1 - i0) / 1e6}%.1f,"spill_mb":${(sp1 - sp0) / 1e6}%.1f,"gc_s":${(g1 - g0) / 1e3}%.1f}""")
       }
 

@@ -42,6 +42,28 @@ object Text {
     * [[shinglesOf]] — see the per-element re-evaluation note there. */
   def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
 
+  /** 60-bit stable key of a shingle string (the first 15 hex chars of
+    * its md5 as a positive bigint — the codebase's established
+    * oracle-portable 64-bit-hash idiom, same formula family as
+    * [[graft.operators.Dedup.signaturesFrom]]'s permutation hashes).
+    *
+    * WHY hash before the exchange (r16 scale-decade finding): the
+    * shingle long form is the dominant shuffle of the whole near-dup
+    * family, and raw n-gram STRINGS stop compressing as the corpus
+    * grows — lz4 loses value repetition once the shingle vocabulary
+    * outgrows its window, and the measured exchange cost grew from ~16
+    * to ~36 B/row across two scale decades while rows stayed linear. A
+    * fixed 8-byte key keeps the exchange byte-stable per row at any
+    * scale. Collision risk is the birthday bound on the CORPUS shingle
+    * vocabulary in 2^60 (~10^-5 at 10M distinct shingles; a handful of
+    * corpus-wide shingle merges at 10^12) — each collision perturbs one
+    * intersection count by at most 1, noise for near-dup semantics.
+    * Not xxhash64: the DuckDB oracles must reproduce the value
+    * (`('0x' || substr(md5(sh), 1, 15))::bigint`), and md5 is the one
+    * hash both engines compute identically. */
+  def shingleKey(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+
   /** All word bigrams WITH multiplicity from an ALREADY-materialized
     * token array column — the repetition-signal primitive (unlike
     * [[shingles]], which deduplicates for set similarity).

@@ -357,7 +357,7 @@ object CurationStream {
     val sig = s.groupBy("id").agg(
       count(lit(1)).as("n"),
       (0 until cfg.minhashPerms).map(i =>
-        min(conv(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 15), 16, 10)
+        min(conv(substring(md5(concat(lit(s"$i|"), col("sh").cast("string"))), 1, 15), 16, 10)
           .cast("long")).as(s"h$i")): _*)
     val bandSigs = (0 until cfg.minhashBands).map { b =>
       md5(concat_ws("|", (0 until rows).map(r =>

@@ -154,7 +154,19 @@ object Dedup {
       }
     } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
 
-  /** Distinct word-n-gram shingle set per doc: (id, shingle) long form.
+  /** Distinct word-n-gram shingle set per doc: (id, sh) long form with
+    * `sh` a 60-BIT KEY ([[Text.shingleKey]]), not the raw n-gram
+    * string. Hashing happens map-side, BEFORE the `repartition(sh)`
+    * exchange every consumer adds: the exchange then carries a fixed 8
+    * bytes per shingle instead of a string whose compressed size GROWS
+    * with corpus scale (the r16 scale-decade measurement: lz4 loses
+    * value repetition as the vocabulary multiplies, ~16→~36 B/row by
+    * the third decade while rows stayed linear). Every downstream use —
+    * equality joins, doc-freq caps, set sizes, intersection counts, the
+    * minhash permutation input, PPJoin's (df, sh) global order — needs
+    * only equality/ordering of shingles, which the key preserves
+    * (collision bound: see [[Text.shingleKey]]).
+    *
     * The token array is staged as its own projection column so the
     * shingle-assembly lambda reads an attribute — inlining `tokens(text)`
     * into the lambda re-runs the regex split per shingle position (see
@@ -163,7 +175,8 @@ object Dedup {
   private[operators] def shingleSet(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), Text.tokens(col("__text")).as("__toks"))
-      .select(col("id"), explode(Text.shinglesOf(col("__toks"), n)).as("sh"))
+      .select(col("id"), explode(Text.shinglesOf(col("__toks"), n)).as("__sh"))
+      .select(col("id"), Text.shingleKey(col("__sh")).as("sh"))
 
   /** Lazy capped shingle set (id, sh), hash-partitioned by `sh` — the
     * shared candidate-generation input of [[ngramJaccard]], exposed so
@@ -487,9 +500,12 @@ object Dedup {
   }
 
   /** MinHash signature columns h0..h{perms-1}: h_i = min over shingles of
-    * the 60-bit prefix of md5(i || '|' || shingle). md5-as-permutation
-    * keeps the signature deterministic and engine-portable (the oracle
-    * computes the identical bigint). */
+    * the 60-bit prefix of md5(i || '|' || shingleKey) — the permutation
+    * input is the shingle's 60-bit KEY rendered as its decimal string
+    * (r17: [[shingleSet]] hashes before the exchange), not the raw
+    * n-gram. md5-as-permutation keeps the signature deterministic and
+    * engine-portable (the oracle computes the identical bigint from
+    * `('0x' || substr(md5(sh), 1, 15))::bigint::varchar`). */
   def minhashSignatures(docs: DataFrame, perms: Int, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     signaturesFrom(shingleSet(docs, textCol, idCol, n), perms)
@@ -506,9 +522,13 @@ object Dedup {
     * a 32-char string, and numeric min over equal-width hex prefixes
     * equals the lexicographic min the oracle computes. */
   private[operators] def signaturesFrom(s: DataFrame, perms: Int): DataFrame = {
+    // sh is the 60-bit shingle key (a long); its DECIMAL string feeds
+    // the permutation md5 — the cast is explicit so the value contract
+    // with the oracle (bigint::varchar) is visible here, not buried in
+    // concat's implicit coercion
     val vocab = s.select("sh").distinct()
       .select(col("sh") +: (0 until perms).map(i =>
-        conv(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 15), 16, 10)
+        conv(substring(md5(concat(lit(s"$i|"), col("sh").cast("string"))), 1, 15), 16, 10)
           .cast("long").as(s"x$i")): _*)
     val mins = (0 until perms).map(i => min(col(s"x$i")).as(s"h$i"))
     s.join(vocab, "sh").groupBy("id").agg(mins.head, mins.tail: _*)

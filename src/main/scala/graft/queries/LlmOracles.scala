@@ -447,7 +447,7 @@ object LlmOracles {
       s"""WITH $shingleCte,
          |h AS (
          |  SELECT doc_id, i,
-         |    min(('0x' || substr(md5(i::varchar || '|' || sh), 1, 15))::bigint) AS mh
+         |    min(('0x' || substr(md5(i::varchar || '|' || (('0x' || substr(md5(sh), 1, 15))::bigint)::varchar), 1, 15))::bigint) AS mh
          |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
          |sig AS (
          |  SELECT doc_id, i // 4 AS band, md5(string_agg(mh::varchar, '|' ORDER BY i)) AS bsig
@@ -1438,7 +1438,7 @@ object LlmOracles {
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |h AS (
          |  SELECT doc_id, b, i,
-         |    min(('0x' || substr(md5(i::varchar || '|' || sh), 1, 15))::bigint) AS mh
+         |    min(('0x' || substr(md5(i::varchar || '|' || (('0x' || substr(md5(sh), 1, 15))::bigint)::varchar), 1, 15))::bigint) AS mh
          |  FROM sh CROSS JOIN range(16) t(i) GROUP BY doc_id, b, i),
          |sig AS (
          |  SELECT doc_id, b, i // 4 AS band, md5(string_agg(mh::varchar, '|' ORDER BY i)) AS bsig
@@ -1723,7 +1723,7 @@ object LlmOracles {
         |ssz AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
         |mh AS (
         |  SELECT doc_id, i,
-        |    min(('0x' || substr(md5(i::varchar || '|' || sh), 1, 15))::bigint) AS mh
+        |    min(('0x' || substr(md5(i::varchar || '|' || (('0x' || substr(md5(sh), 1, 15))::bigint)::varchar), 1, 15))::bigint) AS mh
         |  FROM ssh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
         |bsig AS (
         |  SELECT doc_id, i // 2 AS band, md5(string_agg(mh::varchar, '|' ORDER BY i)) AS bsig

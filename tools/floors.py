@@ -7,10 +7,19 @@ adjudications. Provenance records the capture count and the suite-total
 spread; the adjudication thresholds in Bench.scala are unchanged.
 
 Usage: floors.py BENCH_CLEAN.json capture1.json capture2.json ...
+         [--changed=gate1,gate2,...]
 
 Each capture is a full-suite BENCH_SELF.json (same sf, same gate set —
-a capture with a different query set fails loudly). Writes the merged
-file to the first argument. Provenance commit/date come from git/now.
+a capture with a different query set fails loudly; a contended capture
+is rejected the same way, see below). Writes the merged file to the
+first argument. Provenance commit/date come from git/now.
+
+--changed names the gates whose PLANS changed this round (new/edited
+queries) — the floor-creep guard (r16 verdict #4) prints every gate
+whose floor rose >1.3x vs the previous committed file while NOT in
+that list: a refresh is exactly when a regression could re-baseline
+itself invisibly, so unchanged-plan floor rises must be explained
+before the new floors are committed.
 """
 import datetime
 import json
@@ -19,14 +28,41 @@ import sys
 
 
 def main() -> None:
-    out_path, caps = sys.argv[1], sys.argv[2:]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--changed")]
+    changed = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--changed="):
+            changed = {g.strip() for g in a.split("=", 1)[1].split(",") if g.strip()}
+    out_path, caps = argv[0], argv[1:]
     assert len(caps) >= 3, "envelope floors need >= 3 captures"
+    # the previous committed floors, read BEFORE the overwrite — the
+    # creep guard's baseline (absent on the first-ever merge)
+    try:
+        prev = json.load(open(out_path))
+    except (FileNotFoundError, json.JSONDecodeError):
+        prev = None
     captures = [json.load(open(p)) for p in caps]
     names = set(captures[0]["queries"])
-    for i, c in enumerate(captures[1:], 2):
-        assert set(c["queries"]) == names, f"capture {i} has a different gate set"
-        assert c["sf"] == captures[0]["sf"], f"capture {i} ran at a different sf"
+    for i, c in enumerate(captures, 1):
+        if i > 1:
+            assert set(c["queries"]) == names, f"capture {i} has a different gate set"
+            assert c["sf"] == captures[0]["sf"], f"capture {i} ran at a different sf"
         assert "only" not in c and "inject" not in c, f"capture {i} is a probe/injected run"
+        # contention rejection (ADVICE r16 #4): one contended capture
+        # inflates its per-query walls, widening query_spread and thus
+        # the per-gate fl+2*spread noise bar in Bench — masking real
+        # single-gate regressions. Floors demand idle captures: the
+        # suite's own contended flag must be clean AND rival cpu must
+        # average under half a core across the measured windows (the
+        # committed r16 envelope captures ran 0.2-0.7 ext-cores on a
+        # nominally idle host, so the bound has headroom over the sbt
+        # parent JVM's footprint while rejecting a real rival workload).
+        assert c.get("contended") is not True, f"capture {i} stamped itself contended"
+        wall = sum(v for v in c["queries"].values() if v >= 0)
+        ext = c.get("ext_total", -1)
+        assert ext < 0 or ext <= 0.5 * wall, (
+            f"capture {i} is contended: ext_total {ext:.1f} cpu-s over "
+            f"{wall:.1f} s of measured wall (> 0.5 cores average)")
 
     def per_query_min(field, valid=lambda v: v >= 0):
         merged = {}
@@ -81,11 +117,33 @@ def main() -> None:
         "query_majflt": per_query_min("query_majflt"),
         "sf": captures[0]["sf"],
     }
+    # floor-creep guard (r16 verdict #4): a refresh is the one moment a
+    # regression can silently re-baseline itself — diff the new floors
+    # against the previous committed file and print every UNCHANGED-plan
+    # gate whose floor rose >1.3x (plus a 0.2 s absolute guard against
+    # sub-100-ms jitter). Informational, not fatal: a machine-wide shift
+    # legitimately moves every floor — but it must be LOOKED AT, so the
+    # table goes in the round log next to the refresh.
+    crept = []
+    if prev and isinstance(prev.get("queries"), dict):
+        for q in sorted(names):
+            old = prev["queries"].get(q, -1)
+            new = queries[q]
+            if (q not in changed and old is not None and old >= 0 and new >= 0
+                    and new > 1.3 * old and new - old > 0.2):
+                crept.append((q, old, new))
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
     print(f"wrote {out_path}: {len(names)} gates, total {out['value']}s, "
           f"{len(captures)} captures, spread {spread:.1f}s")
+    if crept:
+        print(f"FLOOR CREEP (> 1.3x, plan unchanged) on {len(crept)} gates —"
+              " explain each before committing:")
+        for q, old, new in crept:
+            print(f"  {q}: {old:.3f} -> {new:.3f} ({new / old:.2f}x)")
+    elif prev:
+        print("floor-creep guard: no unchanged-plan gate rose > 1.3x")
 
 
 if __name__ == "__main__":
