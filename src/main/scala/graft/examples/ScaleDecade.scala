@@ -10,7 +10,14 @@ import org.apache.spark.sql.functions._
   * operators at two scales a decade apart and prints wall +
   * shuffle-bytes pairs, so the scaling EXPONENT is measured, not argued.
   *
-  * `runMain graft.examples.ScaleDecade [sfDir] [factor] [saltEvery]`
+  * `runMain graft.examples.ScaleDecade [sfDir] [factor] [saltEvery] [ops]`
+  *
+  * `ops` (optional, comma-separated from curate,minhash_lsh,ppjoin,
+  * components_star,ivfpq_topk) restricts the run to the named
+  * operators AND skips the staging their lanes alone need — a
+  * factor-300 single-operator point (the ceiling-convergence
+  * measurement, r17) would otherwise pay 300-copy staging for all
+  * five lanes.
   *
   * The blow-up is synthetic but WORKLOAD-PRESERVING: `factor` copies of
   * the documents/embeddings tables under disjoint id ranges, each copy
@@ -38,12 +45,43 @@ object ScaleDecade {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).flatMap(_.toIntOption).getOrElse(10)
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_MASTER (default local[32]): the executor-count
+    // attribution knob (r16 verdict #7 stretch) — e.g.
+    // `local-cluster[4,8,20480]` runs 4 SEPARATE executor JVMs × 8
+    // cores × 20 GiB, so the single-process GC ceiling splits four
+    // ways while total cores stay 32. Executor processes need the
+    // graft classes on their classpath (sbt runs from target/classes,
+    // no jar is shipped), hence the extraClassPath passthrough.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val builder = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      builder
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        // the bracket's third number is the WORKER's memory budget (MB);
+        // executor JVMs still launch at spark.executor.memory's 1g
+        // default — the first 100x attempt OOM'd exactly there. Size
+        // the executor heap explicitly (must be <= the bracket budget).
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+        // long-GC tolerance: a full-heap collection pause on a worker
+        // JVM must read as "slow", not "dead" (the first 100x attempt
+        // lost an executor mid-stage and 4 fast retries hit its
+        // shutting-down thread pool)
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.rpc.askTimeout", "600s")
+        .config("spark.executor.extraJavaOptions",
+          "--add-opens=java.base/java.nio=ALL-UNNAMED " +
+            "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
+            "--add-opens=java.base/java.lang=ALL-UNNAMED " +
+            "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED " +
+            "--add-opens=java.base/java.util=ALL-UNNAMED " +
+            "--add-opens=java.base/sun.security.action=ALL-UNNAMED")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val sRead = new java.util.concurrent.atomic.AtomicLong()
@@ -133,6 +171,12 @@ object ScaleDecade {
       // growth with the salt's +1/(saltEvery+1) token inflation
       // (measured: 15.2x shuffle per 10x rows with copy 0 unsalted)
       val saltEvery = args.lift(2).flatMap(_.toIntOption).getOrElse(2)
+      val allOps = Set("curate", "minhash_lsh", "ppjoin", "components_star",
+        "ivfpq_topk")
+      val ops: Set[String] = args.lift(3)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(allOps)
+      require((ops -- allOps).isEmpty, s"unknown ops: ${ops -- allOps}")
       def docsCopyQ(k: Int): DataFrame = docs0.select(
         (col("doc_id") + lit(k.toLong * 1000000L)).as("doc_id"),
         regexp_replace(col("text"),
@@ -151,12 +195,15 @@ object ScaleDecade {
           .repartition(32).write.mode("overwrite").parquet(p)
         p
       }
-      val d1 = stage("docs", 1, docsCopy)
-      val dF = stage("docs", factor, docsCopy)
-      val q1 = stage("docsq", 1, docsCopyQ)
-      val qF = stage("docsq", factor, docsCopyQ)
-      val e1 = stage("emb", 1, embCopy)
-      val eF = stage("emb", factor, embCopy)
+      // stage only the lanes the selected ops read (docs: shingle ops +
+      // the components edge generator; docsq: curate; emb: ivfpq)
+      val needDocs = (ops - "curate" - "ivfpq_topk").nonEmpty
+      val d1 = if (needDocs) stage("docs", 1, docsCopy) else ""
+      val dF = if (needDocs) stage("docs", factor, docsCopy) else ""
+      val q1 = if (ops("curate")) stage("docsq", 1, docsCopyQ) else ""
+      val qF = if (ops("curate")) stage("docsq", factor, docsCopyQ) else ""
+      val e1 = if (ops("ivfpq_topk")) stage("emb", 1, embCopy) else ""
+      val eF = if (ops("ivfpq_topk")) stage("emb", factor, embCopy) else ""
 
       def measure(op: String, scale: Int)(df: => DataFrame): Unit = {
         graft.core.SessionHygiene.flush(spark)
@@ -186,35 +233,44 @@ object ScaleDecade {
           .write.mode("overwrite").parquet(p)
         p
       }
-      val eg1 = edges(d1, 1)
-      val egF = edges(dF, factor)
+      val eg1 = if (ops("components_star")) edges(d1, 1) else ""
+      val egF = if (ops("components_star")) edges(dF, factor) else ""
 
       // ANN: train ONCE on the 1× corpus (bounded deterministic sample —
       // training is O(1) in corpus size by design); fixed 256-query
       // batch at both scales, so only the CORPUS side scales
-      val embBase = spark.read.parquet(e1)
-      val cents = Similarity.trainKMeans(embBase, k = 8, iters = 3,
-        "vec_id", "embedding", trainBound = 512)
-      val cbs = Similarity.pqTrain(embBase, m = 8, ksub = 64, iters = 2,
-        trainBound = 512)
+      val (cents, cbs) =
+        if (!ops("ivfpq_topk")) (Seq.empty[Array[Double]], Seq.empty[Seq[Array[Double]]])
+        else {
+          val embBase = spark.read.parquet(e1)
+          (Similarity.trainKMeans(embBase, k = 8, iters = 3,
+            "vec_id", "embedding", trainBound = 512),
+            Similarity.pqTrain(embBase, m = 8, ksub = 64, iters = 2,
+              trainBound = 512))
+        }
       // a fresh parquet read per use, NOT localCheckpoint: the hygiene
       // flush between measurements drops checkpoint blocks
       def queries = spark.read.parquet(e1).filter(col("vec_id") < 256)
 
       Seq(1 -> (d1, q1, e1, eg1), factor -> (dF, qF, eF, egF)).foreach {
         case (scale, (dp, qp, ep, egp)) =>
-          val docs = spark.read.parquet(dp)
-          measure("curate", scale)(Curation.curate(spark.read.parquet(qp)))
-          measure("minhash_lsh", scale)(
-            Dedup.minhashLsh(docs, threshold = 0.5))
-          measure("ppjoin", scale)(
-            Dedup.jaccardJoinPrefix(docs, threshold = 0.7,
-              maxDocFreq = Some(100L)))
-          measure("components_star", scale)(
-            Dedup.componentsStar(spark.read.parquet(egp)))
-          measure("ivfpq_topk", scale)(
-            Similarity.ivfPqTopK(queries, spark.read.parquet(ep), k = 5,
-              nprobe = 5, cents, cbs, shortlist = 100))
+          def docs = spark.read.parquet(dp)
+          if (ops("curate"))
+            measure("curate", scale)(Curation.curate(spark.read.parquet(qp)))
+          if (ops("minhash_lsh"))
+            measure("minhash_lsh", scale)(
+              Dedup.minhashLsh(docs, threshold = 0.5))
+          if (ops("ppjoin"))
+            measure("ppjoin", scale)(
+              Dedup.jaccardJoinPrefix(docs, threshold = 0.7,
+                maxDocFreq = Some(100L)))
+          if (ops("components_star"))
+            measure("components_star", scale)(
+              Dedup.componentsStar(spark.read.parquet(egp)))
+          if (ops("ivfpq_topk"))
+            measure("ivfpq_topk", scale)(
+              Similarity.ivfPqTopK(queries, spark.read.parquet(ep), k = 5,
+                nprobe = 5, cents, cbs, shortlist = 100))
       }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
