@@ -89,6 +89,21 @@ class TextSpec extends SparkSpec {
     assert(sh == Seq("x y", "y x"))
   }
 
+  test("shingleKey pins the oracle-portable 60-bit value contract") {
+    // the DuckDB lockstep formula is ('0x' || substr(md5(sh), 1, 15))::bigint;
+    // these literals are that expression computed independently (python
+    // hashlib) — if either engine's side of the contract drifts, a gate
+    // hash moves, but THIS pins the Spark side alone, pre-gate
+    val r = Seq("a b c", "the quick brown").toDF("t")
+      .select(Text.shingleKey(col("t"))).as[Long].collect().toSeq
+    assert(r == Seq(31251835280889960L, 846626497777792448L))
+    // positivity invariant: 15 hex chars = 60 bits, always >= 0 — the
+    // decimal rendering fed to the minhash permutation has no sign char
+    val mn = Seq.tabulate(64)(i => s"tok$i x y").toDF("t")
+      .select(min(Text.shingleKey(col("t")))).as[Long].head()
+    assert(mn >= 0L)
+  }
+
   test("classifier score matches an independent reimplementation of the fixture formula") {
     import graft.functions.QualityModel
     def refScore(text: String): Double = {
