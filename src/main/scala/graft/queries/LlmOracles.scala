@@ -443,6 +443,12 @@ object LlmOracles {
          |  FROM inter JOIN sz na ON id_a = na.doc_id JOIN sz nb ON id_b = nb.doc_id)
          |WHERE jaccard >= 0.7 ORDER BY id_a, id_b""".stripMargin,
 
+    // LOCKSTEP (r17): the minhash permutation input is the shingle's
+    // 60-bit KEY rendered as its decimal string — the inner
+    // ('0x'||substr(md5(sh),1,15))::bigint is Text.shingleKey, applied
+    // on the Spark side BEFORE the shuffle (byte-stable exchange rows);
+    // sizes and intersections stay on raw sh (values invariant under an
+    // injective key map). Same formula in d_incr_lsh and mm_curation.
     "d_minhash_lsh" ->
       s"""WITH $shingleCte,
          |h AS (
