@@ -204,11 +204,26 @@ object BloomDedup {
 
   /** [[incrementalLsh]] against PREBUILT indexes — the steady-state
     * entry point (corpus side loaded from its persisted tables). Both
-    * indexes must share the same (perms, bands, n) scheme. */
+    * indexes must share the same (perms, bands, n) scheme — AND the
+    * same shingle-key scheme: since r17 the shingle long form carries
+    * 60-bit keys ([[graft.functions.Text.shingleKey]], LongType), not
+    * raw n-gram strings. A pre-r17 PERSISTED index (string `sh`)
+    * joined against a current one would cast the strings to bigint →
+    * null → ZERO matches, silently: the verify join finds no shared
+    * shingles and every candidate drops. The type check turns that
+    * silent emptiness into a rebuild instruction. */
   def incrementalLshPrebuilt(batchIdx: LshIndex, corpusIdx: LshIndex,
                              threshold: Double): DataFrame = {
     val (bs, bband) = (batchIdx.shingles, batchIdx.bands)
     val (cs, cband) = (corpusIdx.shingles, corpusIdx.bands)
+    Seq("batch" -> bs, "corpus" -> cs).foreach { case (side, s) =>
+      val t = s.schema("sh").dataType
+      require(t == org.apache.spark.sql.types.LongType,
+        s"$side LSH index carries $t shingles — a pre-r17 persisted index " +
+          "(raw n-gram strings). Keyed (LongType) and string shingle sets " +
+          "never match in the verify join (silent zero-recall); rebuild the " +
+          "index with lshIndex() on this library version.")
+    }
     val cand = bband.as("a").join(cband.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .select(col("a.id").as("id"), col("b.id").as("dup_of")).distinct()

@@ -71,6 +71,52 @@ object CurationStream {
   private val CompactedRoot = "__compacted"
   private val WatermarkFile = "_folded_epoch_watermark"
 
+  /** Signature-scheme version of the accumulated dedup index:
+    * 2 = the minhash permutation input is [[graft.functions.Text.shingleKey]]'s
+    * decimal string (r17, byte-stable shingle exchange); 1 = pre-r17
+    * raw shingle strings. Band signatures of DIFFERENT schemes are
+    * mutually meaningless md5s — a stream resumed across the scheme
+    * change would silently lose every cross-version near-dup edge, so
+    * [[ingestEpoch]] stamps `_sig_version` into fresh state dirs and
+    * fails loudly on a mismatch OR on pre-marker state (state tables
+    * present with no marker = written before the marker existed =
+    * scheme 1). The [[graft.streaming.Streams]] `SessionsAcc.unitVersion`
+    * idea applied to this state family. */
+  val SigVersion = 2
+  private val SigVersionFile = "_sig_version"
+
+  private def checkSigVersion(spark: SparkSession, stateDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/$SigVersionFile")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val v = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+      require(v == SigVersion,
+        s"dedup state at $stateDir carries signature scheme v$v; this build " +
+          s"writes v$SigVersion — band signatures across schemes never match " +
+          "(silent near-dup recall loss). Rebuild the state by re-ingesting, " +
+          "or pin the library version that wrote it.")
+    } else {
+      // no marker: EITHER a fresh dir (stamp it) or state written
+      // before the marker existed (= scheme 1: refuse — proceeding
+      // would mix signature schemes silently)
+      val hasState = StateTables.exists { case (t, _) =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$t")) } ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$CompactedRoot"))
+      require(!hasState,
+        s"dedup state at $stateDir predates the signature-scheme marker " +
+          s"(scheme 1, raw-shingle signatures); this build writes v$SigVersion " +
+          "— rebuild the state by re-ingesting.")
+      val out = fs.create(marker, true)
+      try out.write(s"$SigVersion\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Every state table with the key its accumulated side is PROBED on
     * (the per-epoch join / consolidation anti-join key) — the clustering
     * key [[compactState]] lays the folded generation out by. */
@@ -310,6 +356,9 @@ object CurationStream {
                   cfg: Curation.Config = Curation.Config(),
                   foldEvery: Int = 0, foldLag: Int = 0): Unit = {
     val spark = batch.sparkSession
+    // scheme guard FIRST (even for folded-epoch replays): mixing
+    // signature schemes is silent recall loss, never a valid no-op
+    checkSigVersion(spark, stateDir)
     // a replay of a FOLDED epoch is a no-op: its state already lives in
     // the compacted generation (whose rows the epoch-partition overwrite
     // below could not dedup against), so re-running it would double-add

@@ -152,6 +152,19 @@ class BloomDedupSpec extends SparkSpec {
     assert(steady == direct && direct.nonEmpty)
   }
 
+  test("a pre-r17 string-keyed persisted LSH index is refused, not silently empty") {
+    import graft.operators.BloomDedup._
+    val b = Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // simulate the old on-disk shape: raw n-gram strings in `sh`
+    val oldShingles = Seq((1L, "alpha beta gamma"), (1L, "beta gamma delta"))
+      .toDF("id", "sh")
+    val oldIdx = LshIndex(oldShingles, lshIndex(b).bands.limit(0))
+    val e = intercept[IllegalArgumentException] {
+      incrementalLshPrebuilt(lshIndex(b), oldIdx, threshold = 0.5)
+    }
+    assert(e.getMessage.contains("pre-r17") && e.getMessage.contains("rebuild"))
+  }
+
   test("bucketed index: same result, corpus band side joins WITHOUT an exchange") {
     import graft.examples.DailyCrawlExample
     import graft.operators.BloomDedup._

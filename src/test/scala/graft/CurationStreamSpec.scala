@@ -46,6 +46,33 @@ class CurationStreamSpec extends SparkSpec {
       "fixture must exercise the funnel (gates/dedup/media lanes)")
   }
 
+  test("signature-scheme marker: fresh state is stamped; pre-marker and mismatched state are refused") {
+    val part = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6))
+    // fresh dir: first ingest stamps the marker, a second ingest accepts it
+    val fresh = java.nio.file.Files.createTempDirectory("graft-cstream-sigv").toString
+    ingest(fresh, part, 0L)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$fresh/_sig_version")).trim
+      == CurationStream.SigVersion.toString)
+    ingest(fresh, part, 1L) // no throw: marker matches
+    // mismatched marker (a state dir written by a FUTURE scheme): refused.
+    // The raw rewrite bypasses Hadoop's ChecksumFileSystem, so its crc
+    // shadow must go too or the READ fails on checksum, not content
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$fresh/._sig_version.crc"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$fresh/_sig_version"), "99\n")
+    val e1 = intercept[IllegalArgumentException] { ingest(fresh, part, 2L) }
+    assert(e1.getMessage.contains("scheme v99"))
+    // pre-marker state (tables exist, no marker — the pre-r17 on-disk
+    // shape): refused rather than silently mixing signature schemes
+    val old = java.nio.file.Files.createTempDirectory("graft-cstream-sigv1").toString
+    ingest(old, part, 0L)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$old/_sig_version"))
+    val e2 = intercept[IllegalArgumentException] { ingest(old, part, 1L) }
+    assert(e2.getMessage.contains("predates"))
+  }
+
   test("a replayed epoch overwrites its own state byte-identically — even after later epochs") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long"), col("text"))
