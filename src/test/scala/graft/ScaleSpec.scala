@@ -46,6 +46,32 @@ class ScaleSpec extends SparkSpec {
     assert(fp < 500, s"false-positive rate ${fp / 10000.0} above 5%")
   }
 
+  test("shingle exchanges carry 60-bit keys, never n-gram strings (byte-stable rows)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon tok$i zeta eta")).toDF("doc_id", "text")
+    // materialize = false keeps the whole plan visible (no checkpoint scan)
+    for (op <- Seq(
+        Dedup.minhashLsh(docs, threshold = 0.5, materialize = false),
+        Dedup.jaccardJoinPrefix(docs, threshold = 0.7, materialize = false))) {
+      val exchanges = op.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      val shCarrying = exchanges.filter(_.output.exists(_.name == "sh"))
+      assert(shCarrying.nonEmpty, "expected at least one exchange carrying sh")
+      shCarrying.foreach { e =>
+        val sh = e.output.find(_.name == "sh").get
+        assert(sh.dataType == LongType,
+          s"the shingle exchange must ship the 60-bit key, found ${sh.dataType}")
+        // the raw text must not ride any shingle exchange either — a
+        // string column here would reintroduce the unbounded row width
+        assert(!e.output.exists(a => a.name == "__text" && a.dataType == StringType),
+          s"raw text crossing a shingle exchange: ${e.output}")
+      }
+    }
+  }
+
   test("salted skew join equals the plain join result on a hot-key distribution") {
     // 90% of probe rows share one key — the classic skew shape
     val probe = (1 to 5000).map(i =>
