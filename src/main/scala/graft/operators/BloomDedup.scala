@@ -309,9 +309,11 @@ object BloomDedup {
     * exact-substring span dedup ([[incrementalSpans]]) — the fifth
     * member of the prebuilt-index family ([[corpusFingerprints]],
     * [[lshIndex]], [[corpusLineHashes]], [[graft.operators.AnnIndex]]):
-    * the DISTINCT md5 token k-gram hashes of the standing corpus.
+    * the DISTINCT 60-bit token k-gram keys of the standing corpus
+    * ([[graft.functions.Text.shingleKey]] over each k-token window —
+    * LongType since r17; pre-r17 tables carried 32-char md5 strings).
     * Write it partitioned/bucketed by `h` once per corpus compaction;
-    * ~33 B per distinct gram. */
+    * ~8 B per distinct gram. */
   def corpusGrams(corpus: DataFrame, k: Int = 5, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame =
     Dedup.tokenGrams(corpus, k, textCol, idCol).select("h").distinct()
@@ -337,6 +339,15 @@ object BloomDedup {
                        k: Int = 5, minRun: Int = 4,
                        textCol: String = "text", idCol: String = "doc_id",
                        materialize: Boolean = true): DataFrame = {
+    // same persisted-index seam as incrementalLshPrebuilt: a pre-r17
+    // gram table (md5 strings) semi-joined against 60-bit keys casts
+    // to null and marks EVERY gram novel, silently — refuse instead
+    val ht = corpusGrams.schema("h").dataType
+    require(ht == org.apache.spark.sql.types.LongType,
+      s"corpus gram table carries $ht hashes — a pre-r17 persisted table " +
+        "(md5 strings). Keyed (LongType) and string grams never match in " +
+        "the semi-join (silent all-novel result); rebuild it with " +
+        "corpusGrams() on this library version.")
     GraftFunctions.register(batch.sparkSession)
     val grams = Dedup.shared(
       Dedup.tokenGrams(batch, k, textCol, idCol).repartition(col("h")),

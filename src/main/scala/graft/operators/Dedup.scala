@@ -968,10 +968,21 @@ object Dedup {
         (col("a_end") - col("d")).as("b_end"))
   }
 
-  /** (id, pos, h): md5 of each token k-gram (space-joined window of k
-    * tokens), one row per token position. Each stage is its own
-    * projection so the transform lambda captures only attributes (the
-    * per-element re-evaluation gotcha — see [[Text.shinglesOf]]). */
+  /** (id, pos, h): 60-bit key ([[Text.shingleKey]] over the
+    * space-joined k-token window) of each token k-gram, one row per
+    * token position. The key replaces the r16-era 32-char md5 STRING
+    * (r17): this is the family's token-count-linear exchange — its row
+    * shrinks ~60 → ~28 B, and the persisted [[BloomDedup.corpusGrams]]
+    * table goes ~33 → ~8 B per distinct gram. Every consumer (the
+    * frequency agg, the corpus semi-join, the bloom probe) needs only
+    * gram EQUALITY, which the key preserves (collision bound: see
+    * [[Text.shingleKey]]); the gates' DuckDB oracles keep hashing to
+    * md5 strings — `h` is internal to both plans, and equality
+    * semantics are identical, so no oracle lockstep is needed (unlike
+    * the minhash permutation input, whose VALUE feeds signatures).
+    * Each stage is its own projection so the transform lambda captures
+    * only attributes (the per-element re-evaluation gotcha — see
+    * [[Text.shinglesOf]]). */
   private[operators] def tokenGrams(docs: DataFrame, k: Int,
                                     textCol: String, idCol: String): DataFrame =
     spread(docs.select(col(idCol).as("id"), col(textCol).as("__text")))
@@ -979,7 +990,7 @@ object Dedup {
       .filter(size(col("__toks")) >= k)
       .select(col("id"), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - k),
-          i => md5(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))))))
+          i => Text.shingleKey(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(k)))))))
       .select(col("id"), col("pos"), col("col").as("h"))
 
   /** Corpus-wide EXACT duplicate spans — the per-document half of the
