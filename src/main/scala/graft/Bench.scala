@@ -11,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   * per-query numbers measure the plans, not classloading.
   */
 object Bench {
+  /** Where the full-fidelity artifact lands (spec-pinned; r17 verdict
+    * #2). Probes (SPARK_GRAFT_BENCH_ONLY) always go to their own file;
+    * full-suite runs go to the UNTRACKED BENCH_SELF_LAST.json unless
+    * SPARK_GRAFT_BENCH_RECORD=1 deliberately promotes the run to the
+    * committed BENCH_SELF.json record. */
+  def selfFileName(probe: Boolean, record: Boolean): String =
+    if (probe) "BENCH_SELF_PROBE.json"
+    else if (record) "BENCH_SELF.json"
+    else "BENCH_SELF_LAST.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -258,8 +268,16 @@ object Bench {
     // 89-query line at 3 decimals + trailing sbt output overflowed it):
     // 2 decimals with trailing zeros stripped, and the compact field set
     // below. BENCH_SELF.json keeps the full-fidelity copy.
+    // Locale.ROOT on every number that lands in JSON (ADVICE r17 #4):
+    // the f""/String.format default-locale idiom emits "1,23" under a
+    // comma-decimal JVM locale — invalid JSON in BENCH_SELF.json and an
+    // unparseable stdout line. jfix keeps fixed decimals (the
+    // full-fidelity record's format); jnum strips trailing zeros (the
+    // byte-budgeted stdout rungs').
+    def jfix(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def jnum(v: Double, dec: Int = 2): String = {
-      val s = String.format(s"%.${dec}f", Double.box(v))
+      val s = jfix(v, dec)
       if (s.contains('.')) {
         val t = s.reverse.dropWhile(_ == '0').reverse
         if (t.endsWith(".")) t.dropRight(1) else t
@@ -597,20 +615,20 @@ object Bench {
       .find(bytes(_) <= 1950).getOrElse(lineTopAt(0))
     // file copy first (reliable channel regardless of stdout state) —
     // full fidelity: 3-decimal times, runs, the complete sf dir
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + jfix(v, 3) }
       .mkString("{", ",", "}")
     // snapshots in RUN order (that's the axis residue accumulates on):
     // [query, persistent RDD count, their bytes, driver used-heap bytes,
     //  host 1-min load average]
     val snapsJson = snaps.map { case (k, n, b, h, l) =>
-      "[\"" + k + "\"," + n + "," + b + "," + h + "," + f"$l%.1f" + "]" }
+      "[\"" + k + "\"," + n + "," + b + "," + h + "," + jfix(l, 1) + "]" }
       .mkString("[", ",", "]")
     // per-query process-CPU / GC / external-busy seconds of the SELECTED
     // (min-wall) run — the full attribution triplet: wall↑ cpu-at-floor
     // = starved; wall↑ cpu↑ gc↑ = GC storm under memory pressure;
     // wall↑ cpu↑ gc-flat ext-flat = real regression
     def qmap(sel: RunMeas => Double) = resultsCpu
-      .map { case (k, m) => "\"" + k + "\":" + f"${sel(m)}%.3f" }
+      .map { case (k, m) => "\"" + k + "\":" + jfix(sel(m), 3) }
       .mkString("{", ",", "}")
     val cpuTotal = resultsCpu.map(_._2.cpu).filter(_ >= 0).sum
     val gcTotal = resultsCpu.map(_._2.gc).filter(_ >= 0).sum
@@ -625,15 +643,15 @@ object Bench {
         ",\"" + name + "\":" + fmt(resultsCpu.map(m => sel(m._2)).filter(_ >= 0).sum)
       else ""
     val v3Full =
-      v3Field("utime_total", _.ut, v => f"$v%.1f") +
-        v3Field("stime_total", _.st, v => f"$v%.1f") +
+      v3Field("utime_total", _.ut, v => jfix(v, 1)) +
+        v3Field("stime_total", _.st, v => jfix(v, 1)) +
         v3Field("majflt_total", _.mf.toDouble, v => v.toLong.toString) +
-        v3Field("psimem_total", _.pm, v => f"$v%.1f") +
-        v3Field("psiio_total", _.pi, v => f"$v%.1f")
+        v3Field("psimem_total", _.pm, v => jfix(v, 1)) +
+        v3Field("psiio_total", _.pi, v => jfix(v, 1))
     val maxLoadFull = if (snaps.nonEmpty) snaps.map(_._5).max else -1.0
     val adjFull = adjudication.map { a =>
       ",\"adjudication\":\"" + a.verdict + "\"" +
-        (if (a.ratio >= 0) ",\"floor_ratio\":" + f"${a.ratio}%.3f" else "") +
+        (if (a.ratio >= 0) ",\"floor_ratio\":" + jfix(a.ratio, 3) else "") +
         (if (a.drift.nonEmpty) ",\"drift_top\":" + driftJson(a, 5, 3) else "")
     }.getOrElse("")
     val onlyFull = only.map(names => ",\"only\":" + names.toSeq.sorted
@@ -645,20 +663,29 @@ object Bench {
     val driftInfoFull =
       if (driftInfo.nonEmpty)
         ",\"drift_info\":" + driftInfo.map { case (k, w, fl) =>
-          "[\"" + k + "\"," + f"$w%.3f" + "," + f"$fl%.3f" + "]"
+          "[\"" + k + "\"," + jfix(w, 3) + "," + jfix(fl, 3) + "]"
         }.mkString("[", ",", "]")
       else ""
     val injectFull = inject.map { case (n, s, m) =>
       ",\"inject\":\"" + n + ":" + jnum(s, 1) + ":" + m + "\"" }.getOrElse("")
     val qmf = resultsCpu.map { case (k, m) => "\"" + k + "\":" + m.mf }
       .mkString("{", ",", "}")
-    val jsonFull = f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"order":"$runOrder","cpu_total":$cpuTotal%.1f,"gc_total":$gcTotal%.1f,"ext_total":$extTotal%.1f$v3Full,"max_load":$maxLoadFull%.1f,"contended":$contendedV,"ext_unmeasured":$extUnmeasured$adjFull$gatesFull$driftInfoFull$injectFull$onlyFull,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"query_cpu":${qmap(_.cpu)},"query_gc":${qmap(_.gc)},"query_ext":${qmap(_.ext)},"query_utime":${qmap(_.ut)},"query_stime":${qmap(_.st)},"query_majflt":$qmf,"query_psimem":${qmap(_.pm)},"query_psiio":${qmap(_.pi)},"session_snaps":$snapsJson,"sf":"$sfDir"}"""
+    val jsonFull = s"""{"metric":"total","value":${jfix(total, 3)},"unit":"sec","runs":$runs,"order":"$runOrder","cpu_total":${jfix(cpuTotal, 1)},"gc_total":${jfix(gcTotal, 1)},"ext_total":${jfix(extTotal, 1)}$v3Full,"max_load":${jfix(maxLoadFull, 1)},"contended":$contendedV,"ext_unmeasured":$extUnmeasured$adjFull$gatesFull$driftInfoFull$injectFull$onlyFull,"log_errors":$logErrs$logFirstFull,"queries":$qsFull,"query_cpu":${qmap(_.cpu)},"query_gc":${qmap(_.gc)},"query_ext":${qmap(_.ext)},"query_utime":${qmap(_.ut)},"query_stime":${qmap(_.st)},"query_majflt":$qmf,"query_psimem":${qmap(_.pm)},"query_psiio":${qmap(_.pi)},"session_snaps":$snapsJson,"sf":"$sfDir"}"""
     // filtered probes land in a SEPARATE (untracked) file: BENCH_SELF
     // .json is the committed full-suite attribution record, and a probe
     // overwriting it is exactly how a 4-query artifact once got
     // committed as the round's record (ADVICE r14 #1, the stronger
-    // half: distinct filename, not just the only:[...] stamp)
-    val selfFile = if (only.isDefined) "BENCH_SELF_PROBE.json" else "BENCH_SELF.json"
+    // half: distinct filename, not just the only:[...] stamp).
+    // Full-suite runs default to the UNTRACKED BENCH_SELF_LAST.json
+    // (r17 verdict #2): three consecutive rounds ended with the
+    // committed record silently overwritten by whatever full-suite run
+    // happened last (smoke runs at sf0.001, the driver's official run),
+    // leaving the measurement artifacts dirty at round end. The
+    // committed BENCH_SELF.json now changes ONLY under an explicit
+    // SPARK_GRAFT_BENCH_RECORD=1 — a deliberate promotion, exactly like
+    // the probe/inject separation above.
+    val recordRun = sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("1")
+    val selfFile = Bench.selfFileName(only.isDefined, recordRun)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfFile), jsonFull + "\n")
     catch { case _: Throwable => }
     // ...then the driver's stdout line, printed AFTER spark.stop() so no

@@ -55,9 +55,20 @@ object Text {
     * to ~36 B/row across two scale decades while rows stayed linear. A
     * fixed 8-byte key keeps the exchange byte-stable per row at any
     * scale. Collision risk is the birthday bound on the CORPUS shingle
-    * vocabulary in 2^60 (~10^-5 at 10M distinct shingles; a handful of
-    * corpus-wide shingle merges at 10^12) — each collision perturbs one
-    * intersection count by at most 1, noise for near-dup semantics.
+    * vocabulary in 2^60 — expected merges ≈ n²/2^61: ~4×10⁻⁵ at 10⁷
+    * distinct shingles, a handful around 10⁹–10¹⁰, and ~4×10⁵ at 10¹²
+    * (so at trillion-shingle vocabularies collisions are rare-per-pair
+    * but not rare-in-aggregate). For NEAR-dup semantics each merge
+    * perturbs one intersection count by at most 1 — noise at any of
+    * those scales. The exact-substring family
+    * ([[graft.operators.Dedup.tokenGrams]]/
+    * [[graft.operators.BloomDedup.corpusGrams]]) inherits a different
+    * failure mode: a collision is a false "gram already seen", which
+    * can seed a spurious duplicated-gram position; a false SPAN still
+    * needs `minRun` consecutive colliding grams (probability falls off
+    * as the per-gram rate to the minRun-th power), so the practical
+    * effect is an occasional off-by-one-gram span boundary, not
+    * phantom spans.
     * Not xxhash64: the DuckDB oracles must reproduce the value
     * (`('0x' || substr(md5(sh), 1, 15))::bigint`), and md5 is the one
     * hash both engines compute identically. */

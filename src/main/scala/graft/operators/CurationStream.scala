@@ -97,8 +97,11 @@ object CurationStream {
       require(v == SigVersion,
         s"dedup state at $stateDir carries signature scheme v$v; this build " +
           s"writes v$SigVersion — band signatures across schemes never match " +
-          "(silent near-dup recall loss). Rebuild the state by re-ingesting, " +
-          "or pin the library version that wrote it.")
+          "(silent near-dup recall loss). Run migrateSigState(spark, " +
+          "stateDir) — it recomputes the band signatures from the STAGED " +
+          "gated text already in the state (no raw re-ingest, no media " +
+          "re-decode, no re-gating) — or pin the library version that " +
+          "wrote it.")
     } else {
       // no marker: EITHER a fresh dir (stamp it) or state written
       // before the marker existed (= scheme 1: refuse — proceeding
@@ -109,7 +112,9 @@ object CurationStream {
       require(!hasState,
         s"dedup state at $stateDir predates the signature-scheme marker " +
           s"(scheme 1, raw-shingle signatures); this build writes v$SigVersion " +
-          "— rebuild the state by re-ingesting.")
+          "— run migrateSigState(spark, stateDir): it recomputes the band " +
+          "signatures from the STAGED gated text already in the state (no " +
+          "raw re-ingest).")
       val out = fs.create(marker, true)
       try out.write(s"$SigVersion\n".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
@@ -310,6 +315,151 @@ object CurationStream {
     }
   }
 
+  /** One-pass signature-scheme migration of a standing state dir (r17
+    * verdict #1 — the cheapest valid remedy the version guard names):
+    * the `bands` table is the ONLY state whose rows are a function of
+    * the shingle scheme, and it is a pure PER-DOC function of the
+    * staged gated text — which the state already carries in full (the
+    * `gated` table retains text because [[finalizeCorpus]] emits it).
+    * So a scheme upgrade recomputes band signatures from STAGED text:
+    * no raw re-ingest of the source corpus, no media re-decode, no
+    * re-gating — at the 100 TB design point, a signature pass over the
+    * survivors vs days of full pipeline replay.
+    *
+    * What is (correctly) left untouched: `gated` (scheme-independent),
+    * `edges` (jaccard-VERIFIED pairs — true near-dups under any
+    * scheme; both schemes are equal-recall approximations, so edges
+    * found under the old scheme stay valid facts), `img_*`/`aud_*`
+    * (pixel/audio-derived, no text shingles anywhere).
+    *
+    * Covers both state generations: live `__epoch=` partitions are
+    * rebuilt in place via dynamic partition overwrite (each banded row
+    * keeps its doc's epoch, so [[ingestEpoch]]'s time-invariant
+    * [[accBefore]] reads are unchanged); a compacted generation is
+    * rebuilt through the existing [[IndexGen]] fold machinery — a NEW
+    * generation with `bands` recomputed and every other table carried
+    * over re-clustered, promoted atomically. Crash-safe the same way
+    * ingest and folds are: an interrupted migration leaves either the
+    * old marker (re-run migrates again — idempotent; already-current
+    * state is a no-op) or an unpromoted staging generation (invisible,
+    * GC'd by the next fold).
+    *
+    * Spec contract (CurationStreamSpec): state migrated from a
+    * scheme-1 shape, then ingested forward, finalizes HASH-EQUAL to a
+    * never-migrated run over the same epochs. */
+  def migrateSigState(spark: SparkSession, stateDir: String,
+                      cfg: Curation.Config = Curation.Config()): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/$SigVersionFile")
+    val fs = marker.getFileSystem(hc)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val v = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+      if (v == SigVersion) return // already current: idempotent no-op
+      require(v < SigVersion,
+        s"state at $stateDir carries scheme v$v, NEWER than this build's " +
+          s"v$SigVersion — migration only goes forward; use the library " +
+          "version that wrote it")
+    }
+    def rebuiltBands(gated: DataFrame): DataFrame = {
+      // banded rows are per-doc: one pass rebuilds every epoch at once,
+      // each row re-attached to its doc's epoch (doc_ids are unique
+      // across the accumulated state — replays overwrite their epoch)
+      val epochs = gated.select(col("doc_id").as("__mid"), col(Epoch))
+      bandedOf(sigOf(gated.drop(Epoch), cfg), cfg)
+        .join(epochs, col("id") === col("__mid")).drop("__mid")
+    }
+    // live epochs: dynamic overwrite replaces exactly the rebuilt ones
+    rawTable(spark, s"$stateDir/gated").foreach { g =>
+      rebuiltBands(g).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(Epoch)
+        .parquet(s"$stateDir/bands")
+    }
+    // compacted generation: new generation via the fold machinery
+    IndexGen.live(spark, s"$stateDir/$CompactedRoot").foreach { gen =>
+      val root = s"$stateDir/$CompactedRoot"
+      val newGen = IndexGen.begin(spark, root)
+      StateTables.foreach { case (t, keys) =>
+        val df =
+          if (t == "bands") {
+            val gp = new org.apache.hadoop.fs.Path(s"$gen/gated")
+            if (fs.exists(gp))
+              Some(rebuiltBands(spark.read.parquet(gp.toString)))
+            else None
+          } else {
+            val tp = new org.apache.hadoop.fs.Path(s"$gen/$t")
+            if (fs.exists(tp)) Some(spark.read.parquet(tp.toString)) else None
+          }
+        // same empty-table rule as compactState: zero-row tables stay
+        // absent (a footer-less dir bricks the read)
+        df.filter(!_.isEmpty).foreach { d =>
+          d.repartition(keys.map(col): _*)
+            .sortWithinPartitions(keys.map(col): _*)
+            .write.mode("overwrite").parquet(s"$newGen/$t")
+        }
+      }
+      // the fold bound is part of the payload — carry it over before
+      // promote, exactly as compactState does
+      val wm = new org.apache.hadoop.fs.Path(s"$gen/$WatermarkFile")
+      if (fs.exists(wm)) {
+        val in = fs.open(wm)
+        val bytes = try in.readAllBytes() finally in.close()
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$newGen/$WatermarkFile"), true)
+        try out.write(bytes) finally out.close()
+      }
+      IndexGen.promote(spark, root, newGen)
+    }
+    // stamp LAST: a crash anywhere above leaves the old marker and a
+    // re-runnable migration
+    val out = fs.create(marker, true)
+    try out.write(s"$SigVersion\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Per-doc minhash signature agg over one gated set:
+    * (id, n, h0..h{perms-1}). Signatures + set sizes in ONE keyed agg:
+    * per-occurrence hashing (the md5 formula of
+    * [[Dedup.signaturesFrom]], value-identical) beats the
+    * vocabulary-distinct + join-back shape at MICRO-BATCH granularity —
+    * a batch's occurrence list is near its vocabulary size, so the
+    * corpus-scale vocab reuse would cost two extra exchanges per epoch
+    * for nothing; `n` rides the same agg. Shared by [[ingestEpoch]]
+    * and [[migrateSigState]] — ONE copy of the signature arithmetic is
+    * what makes "migrated state == freshly-ingested state" hold by
+    * construction. */
+  private def sigOf(gated: DataFrame, cfg: Curation.Config): DataFrame = {
+    val s = Stage.reuse(Dedup.shingleSet(gated, "text", "doc_id", 3))
+    s.groupBy("id").agg(
+      count(lit(1)).as("n"),
+      (0 until cfg.minhashPerms).map(i =>
+        min(conv(substring(md5(concat(lit(s"$i|"), col("sh").cast("string"))), 1, 15), 16, 10)
+          .cast("long")).as(s"h$i")): _*)
+  }
+
+  /** The banded-row form of [[sigOf]]'s signatures — the `bands` state
+    * table's exact schema (id, n, band, sig, before); `before` carries
+    * the band signatures preceding each row's own, the exactly-once
+    * first-matching-band device (see [[ingestEpoch]]). */
+  private def bandedOf(sig: DataFrame, cfg: Curation.Config): DataFrame = {
+    require(cfg.minhashPerms % cfg.minhashBands == 0,
+      s"minhashPerms (${cfg.minhashPerms}) must divide into minhashBands (${cfg.minhashBands})")
+    val rows = cfg.minhashPerms / cfg.minhashBands
+    val bandSigs = (0 until cfg.minhashBands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r =>
+        col(s"h${b * rows + r}").cast("string")): _*))
+    }
+    sig.select(col("id"), col("n"), array(bandSigs: _*).as("sigs"))
+      .select(col("id"), col("n"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+      .select(col("id"), col("n"), col("band"), col("sig"),
+        slice(col("sigs"), lit(1), col("band")).as("before"))
+  }
+
   /** One media lane's per-epoch work: sign-bit signatures of this
     * batch's centered feature vectors, ONE banded join of the batch
     * against batch ∪ accumulated (within-epoch pairs take `id_a <
@@ -395,32 +545,11 @@ object CurationStream {
     // path throws — breaking the batch==stream hash equality
     require(cfg.minhashPerms % cfg.minhashBands == 0,
       s"minhashPerms (${cfg.minhashPerms}) must divide into minhashBands (${cfg.minhashBands})")
-    val rows = cfg.minhashPerms / cfg.minhashBands
-    val s = Stage.reuse(Dedup.shingleSet(gated, "text", "doc_id", 3))
-    // signatures + set sizes in ONE keyed agg: per-occurrence hashing
-    // (the md5 formula of [[Dedup.signaturesFrom]], value-identical)
-    // beats the vocabulary-distinct + join-back shape at MICRO-BATCH
-    // granularity — a batch's occurrence list is near its vocabulary
-    // size, so the corpus-scale vocab reuse would cost two extra
-    // exchanges per epoch for nothing; `n` rides the same agg
-    val sig = s.groupBy("id").agg(
-      count(lit(1)).as("n"),
-      (0 until cfg.minhashPerms).map(i =>
-        min(conv(substring(md5(concat(lit(s"$i|"), col("sh").cast("string"))), 1, 15), 16, 10)
-          .cast("long")).as(s"h$i")): _*)
-    val bandSigs = (0 until cfg.minhashBands).map { b =>
-      md5(concat_ws("|", (0 until rows).map(r =>
-        col(s"h${b * rows + r}").cast("string")): _*))
-    }
+    val sig = sigOf(gated, cfg)
     // banded rows carry the set size `n` so the accumulated bands
     // table doubles as the sizes artifact (band 0 slice = (id, n)) —
     // one table, one write, no separate sizes lineage
-    val banded = Stage.reuse(
-      sig.select(col("id"), col("n"), array(bandSigs: _*).as("sigs"))
-        .select(col("id"), col("n"), col("sigs"),
-          posexplode(col("sigs")).as(Seq("band", "sig")))
-        .select(col("id"), col("n"), col("band"), col("sig"),
-          slice(col("sigs"), lit(1), col("band")).as("before")))
+    val banded = Stage.reuse(bandedOf(sig, cfg))
     writeEpoch(banded, s"$stateDir/bands", epochId)
     // ONE banded join of the batch against batch ∪ accumulated, both
     // sides under the minhashLsh first-matching-band rule (exactly-

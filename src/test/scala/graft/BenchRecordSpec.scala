@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Artifact-routing contract of the bench harness (r17 verdict #2):
+  * three consecutive rounds ended with the COMMITTED full-suite record
+  * (BENCH_SELF.json) silently overwritten by whatever full-suite run
+  * happened last. The committed record must now change only under an
+  * explicit SPARK_GRAFT_BENCH_RECORD=1; probes keep their own file
+  * (ADVICE r14 #1).
+  */
+class BenchRecordSpec extends AnyFunSuite {
+
+  test("full-suite runs default to the untracked BENCH_SELF_LAST.json") {
+    assert(Bench.selfFileName(probe = false, record = false)
+      == "BENCH_SELF_LAST.json")
+  }
+
+  test("only SPARK_GRAFT_BENCH_RECORD=1 writes the committed record") {
+    assert(Bench.selfFileName(probe = false, record = true)
+      == "BENCH_SELF.json")
+  }
+
+  test("probes never touch the record, even with the record flag set") {
+    assert(Bench.selfFileName(probe = true, record = false)
+      == "BENCH_SELF_PROBE.json")
+    // a probe with RECORD=1 is a misuse; the probe separation wins —
+    // a filtered artifact must never become the committed record
+    assert(Bench.selfFileName(probe = true, record = true)
+      == "BENCH_SELF_PROBE.json")
+  }
+
+  test("both non-record outputs are gitignored") {
+    val ignored = scala.io.Source.fromFile(".gitignore").getLines().toSet
+    assert(ignored.contains("BENCH_SELF_PROBE.json"))
+    assert(ignored.contains("BENCH_SELF_LAST.json"))
+  }
+}

@@ -28,11 +28,22 @@ import sys
 
 
 def main() -> None:
+    # --changed only in the --changed=<non-empty list> form: a bare
+    # `--changed` or space-separated `--changed gate1,gate2` would
+    # otherwise be silently dropped from argv and the creep guard would
+    # run with an EMPTY changed-set (or try to open the gate list as a
+    # capture path) — reject loudly instead (ADVICE r17 #3)
     argv = [a for a in sys.argv[1:] if not a.startswith("--changed")]
     changed = set()
     for a in sys.argv[1:]:
-        if a.startswith("--changed="):
+        if a.startswith("--changed"):
+            if not a.startswith("--changed="):
+                sys.exit(f"usage: --changed=<gate1,gate2,...> (got '{a}'; "
+                         "the space-separated form is not accepted)")
             changed = {g.strip() for g in a.split("=", 1)[1].split(",") if g.strip()}
+            if not changed:
+                sys.exit(f"usage: --changed=<gate1,gate2,...> (got '{a}' "
+                         "with an empty gate list)")
     out_path, caps = argv[0], argv[1:]
     assert len(caps) >= 3, "envelope floors need >= 3 captures"
     # the previous committed floors, read BEFORE the overwrite — the
@@ -53,16 +64,19 @@ def main() -> None:
         # the per-gate fl+2*spread noise bar in Bench — masking real
         # single-gate regressions. Floors demand idle captures: the
         # suite's own contended flag must be clean AND rival cpu must
-        # average under half a core across the measured windows (the
-        # committed r16 envelope captures ran 0.2-0.7 ext-cores on a
-        # nominally idle host, so the bound has headroom over the sbt
-        # parent JVM's footprint while rejecting a real rival workload).
+        # average under ONE core across the measured windows. The bound
+        # sits above the measured idle envelope (committed r16 envelope
+        # captures ran 0.2-0.7 ext-cores on a nominally idle host — the
+        # sbt parent JVM plus kernel housekeeping; ADVICE r17 #2: a 0.5
+        # bound would reject the TOP of that measured-idle range) while
+        # still rejecting a real rival workload (observed contention
+        # runs 3-15 cores).
         assert c.get("contended") is not True, f"capture {i} stamped itself contended"
         wall = sum(v for v in c["queries"].values() if v >= 0)
         ext = c.get("ext_total", -1)
-        assert ext < 0 or ext <= 0.5 * wall, (
+        assert ext < 0 or ext <= 1.0 * wall, (
             f"capture {i} is contended: ext_total {ext:.1f} cpu-s over "
-            f"{wall:.1f} s of measured wall (> 0.5 cores average)")
+            f"{wall:.1f} s of measured wall (> 1.0 cores average)")
 
     def per_query_min(field, valid=lambda v: v >= 0):
         merged = {}
