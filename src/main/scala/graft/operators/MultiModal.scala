@@ -40,11 +40,31 @@ object MultiModal {
   private def nonNull(media: DataFrame, idCol: String, blobCol: String): DataFrame =
     media.filter(col(idCol).isNotNull && col(blobCol).isNotNull)
 
+  /** JDK ImageIO defaults to DISK-backed stream caching: with
+    * `getUseCache()==true` (the default), `createImageInputStream`/
+    * `createImageOutputStream` — including the ones `ImageIO.write`
+    * creates internally — wrap every in-memory byte array in a
+    * FileCacheImage{Input,Output}Stream, i.e. a temp FILE under
+    * java.io.tmpdir that is created, written, read back and unlinked
+    * PER IMAGE. At media-corpus scale that is pure kernel-time churn:
+    * the `mm_*` gates carried the suite's two largest sys-time floors
+    * (37.8/32.6 cpu-s — half their CPU in the kernel, r17 verdict #3)
+    * and absorbed every bit of host pressure three rounds running.
+    * Every blob here is ALREADY in memory, so memory-cached streams
+    * are strictly better. The switch is a JVM-global static — set it
+    * once per executor JVM, idempotently, from the head of every
+    * executor-side decode/encode entry point (a driver-side setting
+    * would not reach cluster executors). */
+  @volatile private var imgCacheOff = false
+  private[operators] def noDiskCache(): Unit =
+    if (!imgCacheOff) { ImageIO.setUseCache(false); imgCacheOff = true }
+
   /** One decoded image: first frame + total frame count in the stream.
     * `None` when no installed ImageIO reader recognizes the bytes —
     * the BROKEN-BLOB case every crawl corpus has; callers surface it
     * as sentinel dims (-1) or drop the row, never by failing the job. */
   private[operators] def decodeFirstFrame(bytes: Array[Byte]): Option[(BufferedImage, Int)] = {
+    noDiskCache()
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -149,6 +169,7 @@ object MultiModal {
       .select(col(idCol).cast("long"), col(blobCol))
       .as(Encoders.product[(Long, Array[Byte])])
       .mapPartitions { it =>
+        noDiskCache()
         it.flatMap { case (id, bytes) =>
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
           val readers = ImageIO.getImageReaders(iis)
@@ -244,6 +265,7 @@ object MultiModal {
       .select(col(idCol).cast("long"), col(blobCol))
       .as(Encoders.product[(Long, Array[Byte])])
       .mapPartitions { it =>
+        noDiskCache()
         it.flatMap { case (id, bytes) =>
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
           val readers = ImageIO.getImageReaders(iis)
@@ -453,6 +475,7 @@ object MultiModal {
     * solid single-color frame quantizes exactly, the losslessness
     * contract every solid-frame fixture and re-encode relies on). */
   private def writeGifSequence(frames: Seq[BufferedImage]): Array[Byte] = {
+    noDiskCache()
     val baos = new ByteArrayOutputStream()
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val ios = ImageIO.createImageOutputStream(baos)
@@ -488,6 +511,7 @@ object MultiModal {
       .select(col(idCol).cast("long"), col(blobCol))
       .as(Encoders.product[(Long, Array[Byte])])
       .mapPartitions { it =>
+        noDiskCache()
         it.flatMap { case (id, bytes) =>
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
           val readers = ImageIO.getImageReaders(iis)
@@ -595,6 +619,7 @@ object MultiModal {
   final case class SyntheticImage(doc_id: Long, content: Array[Byte])
 
   private[operators] def synthesizeOne(id: Long): Array[Byte] = {
+    noDiskCache()
     // floorMod, not %: Scala's % is sign-preserving, and a negative id
     // would yield width 0 (BufferedImage IAE) or negative channel
     // values — the "every id maps to an image" contract must include
