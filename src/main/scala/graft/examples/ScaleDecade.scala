@@ -81,6 +81,16 @@ object ScaleDecade {
             "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED " +
             "--add-opens=java.base/java.util=ALL-UNNAMED " +
             "--add-opens=java.base/sun.security.action=ALL-UNNAMED")
+    // off-heap arm (r17 verdict #5): the one in-code lever left
+    // untested against the single-box curate GC ceiling —
+    // SPARK_GRAFT_OFFHEAP=<size, e.g. 16g> moves Tungsten buffers out
+    // of the GC domain WITHOUT the loopback serialization the
+    // local-cluster arm pays. Recorded as the fourth arm in SCALING.md.
+    sys.env.get("SPARK_GRAFT_OFFHEAP").foreach { sz =>
+      builder
+        .config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", sz)
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -207,6 +217,21 @@ object ScaleDecade {
 
       def measure(op: String, scale: Int)(df: => DataFrame): Unit = {
         graft.core.SessionHygiene.flush(spark)
+        // lane isolation (r17 verdict #4): componentsStar read 11.5 s
+        // in-sequence at 100x vs 3.95 s isolated — the prior lane's
+        // garbage (dropped blocks, codegen classes, shuffle buffers)
+        // was still live when this lane's window opened, so its first
+        // collections paid the residue and the in-sequence wall/gc_s
+        // were only trustworthy after a manual isolated re-run. Settle
+        // the heap NOW, on every JVM that runs tasks: executor-side
+        // System.gc via a tiny all-slots job (covers local-cluster
+        // arms; on local[*] it settles the one shared JVM), then a
+        // driver-side full GC, then a short drain sleep — each lane
+        // starts from the same near-empty heap an isolated run gets.
+        spark.sparkContext.parallelize(1 to 64, 64)
+          .foreachPartition(_ => System.gc())
+        System.gc()
+        Thread.sleep(1000)
         val (r0, w0, i0, sp0, g0) =
           (now(sRead), now(sWrite), now(inB), now(spill), now(gcMs))
         val t0 = System.nanoTime()
