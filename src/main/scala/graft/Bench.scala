@@ -16,9 +16,13 @@ object Bench {
     * full-suite runs go to the UNTRACKED BENCH_SELF_LAST.json unless
     * SPARK_GRAFT_BENCH_RECORD=1 deliberately promotes the run to the
     * committed BENCH_SELF.json record. */
-  def selfFileName(probe: Boolean, record: Boolean): String =
+  def selfFileName(probe: Boolean, record: Boolean,
+                   inject: Boolean = false): String =
     if (probe) "BENCH_SELF_PROBE.json"
-    else if (record) "BENCH_SELF.json"
+    // an injected run is a deliberately corrupted artifact (A/B
+    // calibration) — it must never become the committed record, even
+    // under a stale RECORD=1 in the environment
+    else if (record && !inject) "BENCH_SELF.json"
     else "BENCH_SELF_LAST.json"
 
   def main(args: Array[String]): Unit = {
@@ -685,7 +689,7 @@ object Bench {
     // SPARK_GRAFT_BENCH_RECORD=1 — a deliberate promotion, exactly like
     // the probe/inject separation above.
     val recordRun = sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("1")
-    val selfFile = Bench.selfFileName(only.isDefined, recordRun)
+    val selfFile = Bench.selfFileName(only.isDefined, recordRun, inject.isDefined)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(selfFile), jsonFull + "\n")
     catch { case _: Throwable => }
     // ...then the driver's stdout line, printed AFTER spark.stop() so no

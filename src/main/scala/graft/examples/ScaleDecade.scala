@@ -246,7 +246,12 @@ object ScaleDecade {
         val (r1, w1, i1, sp1, g1) =
           (now(sRead), now(sWrite), now(inB), now(spill), now(gcMs))
         val rows = frame.count()
-        println(f"""SCALE {"op":"$op","scale":$scale,"wall":$wall%.2f,"rows":$rows,"shuffle_read_mb":${(r1 - r0) / 1e6}%.1f,"shuffle_write_mb":${(w1 - w0) / 1e6}%.1f,"input_mb":${(i1 - i0) / 1e6}%.1f,"spill_mb":${(sp1 - sp0) / 1e6}%.1f,"gc_s":${(g1 - g0) / 1e3}%.1f}""")
+        // Locale.ROOT, same as Bench's jfix (ADVICE r17 #4): a
+        // comma-decimal default locale would emit invalid JSON into the
+        // SCALE record lines SCALING.md rows are transcribed from
+        def jn(v: Double, dec: Int): String =
+          String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+        println(s"""SCALE {"op":"$op","scale":$scale,"wall":${jn(wall, 2)},"rows":$rows,"shuffle_read_mb":${jn((r1 - r0) / 1e6, 1)},"shuffle_write_mb":${jn((w1 - w0) / 1e6, 1)},"input_mb":${jn((i1 - i0) / 1e6, 1)},"spill_mb":${jn((sp1 - sp0) / 1e6, 1)},"gc_s":${jn((g1 - g0) / 1e3, 1)}}""")
       }
 
       // componentsStar input: the gate's own edge generator, staged per

@@ -85,40 +85,55 @@ object CurationStream {
   val SigVersion = 2
   private val SigVersionFile = "_sig_version"
 
+  /** Marker I/O, one copy (shared by [[checkSigVersion]] and
+    * [[migrateSigState]] — the IndexGen readSmall/writeSmall idea):
+    * None = no marker on disk. */
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         marker: org.apache.hadoop.fs.Path): Option[Int] =
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+
+  private def stampMarker(fs: org.apache.hadoop.fs.FileSystem,
+                          marker: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(s"$SigVersion\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def checkSigVersion(spark: SparkSession, stateDir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$stateDir/$SigVersionFile")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val v = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      finally in.close()
-      require(v == SigVersion,
-        s"dedup state at $stateDir carries signature scheme v$v; this build " +
-          s"writes v$SigVersion — band signatures across schemes never match " +
-          "(silent near-dup recall loss). Run migrateSigState(spark, " +
-          "stateDir) — it recomputes the band signatures from the STAGED " +
-          "gated text already in the state (no raw re-ingest, no media " +
-          "re-decode, no re-gating) — or pin the library version that " +
-          "wrote it.")
-    } else {
-      // no marker: EITHER a fresh dir (stamp it) or state written
-      // before the marker existed (= scheme 1: refuse — proceeding
-      // would mix signature schemes silently)
-      val hasState = StateTables.exists { case (t, _) =>
-        fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$t")) } ||
-        fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$CompactedRoot"))
-      require(!hasState,
-        s"dedup state at $stateDir predates the signature-scheme marker " +
-          s"(scheme 1, raw-shingle signatures); this build writes v$SigVersion " +
-          "— run migrateSigState(spark, stateDir): it recomputes the band " +
-          "signatures from the STAGED gated text already in the state (no " +
-          "raw re-ingest).")
-      val out = fs.create(marker, true)
-      try out.write(s"$SigVersion\n".getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    readMarker(fs, marker) match {
+      case Some(v) =>
+        require(v == SigVersion,
+          s"dedup state at $stateDir carries signature scheme v$v; this build " +
+            s"writes v$SigVersion — band signatures across schemes never match " +
+            "(silent near-dup recall loss). Run migrateSigState(spark, " +
+            "stateDir) — it recomputes the band signatures from the STAGED " +
+            "gated text already in the state (no raw re-ingest, no media " +
+            "re-decode, no re-gating) — or pin the library version that " +
+            "wrote it.")
+      case None =>
+        // no marker: EITHER a fresh dir (stamp it) or state written
+        // before the marker existed (= scheme 1: refuse — proceeding
+        // would mix signature schemes silently)
+        val hasState = StateTables.exists { case (t, _) =>
+          fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$t")) } ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$CompactedRoot"))
+        require(!hasState,
+          s"dedup state at $stateDir predates the signature-scheme marker " +
+            s"(scheme 1, raw-shingle signatures); this build writes v$SigVersion " +
+            "— run migrateSigState(spark, stateDir): it recomputes the band " +
+            "signatures from the STAGED gated text already in the state (no " +
+            "raw re-ingest).")
+        stampMarker(fs, marker)
     }
   }
 
@@ -344,24 +359,34 @@ object CurationStream {
     * state is a no-op) or an unpromoted staging generation (invisible,
     * GC'd by the next fold).
     *
-    * Spec contract (CurationStreamSpec): state migrated from a
-    * scheme-1 shape, then ingested forward, finalizes HASH-EQUAL to a
-    * never-migrated run over the same epochs. */
+    * Contract (spec-pinned in MigrationSpec): migrated `bands` rows
+    * are VALUE-EQUAL to what a current-version ingest of the same
+    * gated docs writes (one shared copy of the signature arithmetic —
+    * sigOf/bandedOf), so the state resumes exactly as a
+    * current-version state with the same tables would. One honest
+    * nuance on `edges`: pairs DISCOVERED under the old scheme are
+    * retained (they are exact-jaccard-VERIFIED true near-dups — valid
+    * facts under any scheme), and since the two schemes are
+    * independent equal-recall hash families, a v1-found borderline
+    * pair might not have been re-found by a v2-from-scratch run (and
+    * vice versa). Migrated state is therefore equivalent-or-better in
+    * dedup recall vs re-ingesting from scratch, not bit-identical to
+    * it; the MigrationSpec hash-equality holds because its three
+    * state dirs share identically-generated edges and differ only in
+    * the bands scheme — the seam under test. */
   def migrateSigState(spark: SparkSession, stateDir: String,
                       cfg: Curation.Config = Curation.Config()): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
     val marker = new org.apache.hadoop.fs.Path(s"$stateDir/$SigVersionFile")
     val fs = marker.getFileSystem(hc)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val v = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      finally in.close()
-      if (v == SigVersion) return // already current: idempotent no-op
-      require(v < SigVersion,
-        s"state at $stateDir carries scheme v$v, NEWER than this build's " +
-          s"v$SigVersion — migration only goes forward; use the library " +
-          "version that wrote it")
+    readMarker(fs, marker) match {
+      case Some(SigVersion) => return // already current: idempotent no-op
+      case Some(v) =>
+        require(v < SigVersion,
+          s"state at $stateDir carries scheme v$v, NEWER than this build's " +
+            s"v$SigVersion — migration only goes forward; use the library " +
+            "version that wrote it")
+      case None => // pre-marker (scheme 1) state: migrate and stamp
     }
     def rebuiltBands(gated: DataFrame): DataFrame = {
       // banded rows are per-doc: one pass rebuilds every epoch at once,
@@ -371,9 +396,15 @@ object CurationStream {
       bandedOf(sigOf(gated.drop(Epoch), cfg), cfg)
         .join(epochs, col("id") === col("__mid")).drop("__mid")
     }
-    // live epochs: dynamic overwrite replaces exactly the rebuilt ones
+    // live epochs: dynamic overwrite replaces exactly the rebuilt ones.
+    // repartition(__epoch) bounds the per-epoch file count the same way
+    // writeEpoch's coalesce(4) does (each epoch's rows land in one
+    // task → one file per partition dir, not one per shuffle task) —
+    // accBefore's per-micro-batch listings must stay cheap after a
+    // migration, exactly as after an ingest
     rawTable(spark, s"$stateDir/gated").foreach { g =>
-      rebuiltBands(g).write.mode("overwrite")
+      rebuiltBands(g).repartition(col(Epoch))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(Epoch)
         .parquet(s"$stateDir/bands")
@@ -415,10 +446,7 @@ object CurationStream {
     }
     // stamp LAST: a crash anywhere above leaves the old marker and a
     // re-runnable migration
-    val out = fs.create(marker, true)
-    try out.write(s"$SigVersion\n".getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    stampMarker(fs, marker)
   }
 
   /** Per-doc minhash signature agg over one gated set:

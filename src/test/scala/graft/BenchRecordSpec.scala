@@ -30,6 +30,16 @@ class BenchRecordSpec extends AnyFunSuite {
       == "BENCH_SELF_PROBE.json")
   }
 
+  test("fault-injected runs never become the committed record, even under RECORD=1") {
+    // the r16 injection-calibration workflow with a stale RECORD=1 in
+    // the shell: the deliberately corrupted artifact must not be
+    // promotable
+    assert(Bench.selfFileName(probe = false, record = true, inject = true)
+      == "BENCH_SELF_LAST.json")
+    assert(Bench.selfFileName(probe = false, record = false, inject = true)
+      == "BENCH_SELF_LAST.json")
+  }
+
   test("both non-record outputs are gitignored") {
     val ignored = scala.io.Source.fromFile(".gitignore").getLines().toSet
     assert(ignored.contains("BENCH_SELF_PROBE.json"))
