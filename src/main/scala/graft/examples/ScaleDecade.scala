@@ -52,46 +52,18 @@ object ScaleDecade {
     // ways while total cores stay 32. Executor processes need the
     // graft classes on their classpath (sbt runs from target/classes,
     // no jar is shipped), hence the extraClassPath passthrough.
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val master = graft.core.SessionSetup.master("local[32]")
     val builder = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster"))
-      builder
-        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
-        // the bracket's third number is the WORKER's memory budget (MB);
-        // executor JVMs still launch at spark.executor.memory's 1g
-        // default — the first 100x attempt OOM'd exactly there. Size
-        // the executor heap explicitly (must be <= the bracket budget).
-        .config("spark.executor.memory",
-          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
-        // long-GC tolerance: a full-heap collection pause on a worker
-        // JVM must read as "slow", not "dead" (the first 100x attempt
-        // lost an executor mid-stage and 4 fast retries hit its
-        // shutting-down thread pool)
-        .config("spark.network.timeout", "600s")
-        .config("spark.executor.heartbeatInterval", "60s")
-        .config("spark.rpc.askTimeout", "600s")
-        .config("spark.executor.extraJavaOptions",
-          "--add-opens=java.base/java.nio=ALL-UNNAMED " +
-            "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
-            "--add-opens=java.base/java.lang=ALL-UNNAMED " +
-            "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED " +
-            "--add-opens=java.base/java.util=ALL-UNNAMED " +
-            "--add-opens=java.base/sun.security.action=ALL-UNNAMED")
-    // off-heap arm (r17 verdict #5): the one in-code lever left
-    // untested against the single-box curate GC ceiling —
-    // SPARK_GRAFT_OFFHEAP=<size, e.g. 16g> moves Tungsten buffers out
-    // of the GC domain WITHOUT the loopback serialization the
-    // local-cluster arm pays. Recorded as the fourth arm in SCALING.md.
-    sys.env.get("SPARK_GRAFT_OFFHEAP").foreach { sz =>
-      builder
-        .config("spark.memory.offHeap.enabled", "true")
-        .config("spark.memory.offHeap.size", sz)
-    }
-    val spark = builder.getOrCreate()
+    // local-cluster extras + the off-heap arm (r17 verdict #5: moves
+    // Tungsten buffers out of the GC domain WITHOUT the loopback
+    // serialization the local-cluster arm pays — the fourth arm in
+    // SCALING.md) + the local-dirs lever now live in the shared
+    // SessionSetup so Verify/Bench/ScaleDecade expose identical knobs
+    val spark = graft.core.SessionSetup(builder, master).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val sRead = new java.util.concurrent.atomic.AtomicLong()

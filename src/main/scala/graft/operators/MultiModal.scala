@@ -54,10 +54,24 @@ object MultiModal {
     * are strictly better. The switch is a JVM-global static — set it
     * once per executor JVM, idempotently, from the head of every
     * executor-side decode/encode entry point (a driver-side setting
-    * would not reach cluster executors). */
+    * would not reach cluster executors).
+    *
+    * Because the switch is JVM-GLOBAL, any co-resident application
+    * code in the same executor JVM that relies on disk-backed streams
+    * to bound heap on very large images inherits memory-cached streams
+    * too (ADVICE r18 #3). Set
+    * `SPARK_GRAFT_IMAGEIO_DISK_CACHE=1` (on the EXECUTOR environment —
+    * it is read per-JVM) to keep the JDK default; the memory-cached
+    * default is right for this library's workloads, where every blob
+    * is already a bounded in-memory byte array. Documented in README
+    * §knobs. */
   @volatile private var imgCacheOff = false
   private[operators] def noDiskCache(): Unit =
-    if (!imgCacheOff) { ImageIO.setUseCache(false); imgCacheOff = true }
+    if (!imgCacheOff) {
+      if (!sys.env.get("SPARK_GRAFT_IMAGEIO_DISK_CACHE").contains("1"))
+        ImageIO.setUseCache(false)
+      imgCacheOff = true
+    }
 
   /** One decoded image: first frame + total frame count in the stream.
     * `None` when no installed ImageIO reader recognizes the bytes —

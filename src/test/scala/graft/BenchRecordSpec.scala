@@ -40,6 +40,16 @@ class BenchRecordSpec extends AnyFunSuite {
       == "BENCH_SELF_LAST.json")
   }
 
+  test("config-arm runs never become the committed record, even under RECORD=1") {
+    // r18 verdict #4/#5: an off-heap / tmpfs-local-dirs / master-
+    // override run measures a different deployment bracket than the
+    // committed floors — it must stay in the untracked file
+    assert(Bench.selfFileName(probe = false, record = true, configArm = true)
+      == "BENCH_SELF_LAST.json")
+    assert(Bench.selfFileName(probe = false, record = false, configArm = true)
+      == "BENCH_SELF_LAST.json")
+  }
+
   test("both non-record outputs are gitignored") {
     val ignored = scala.io.Source.fromFile(".gitignore").getLines().toSet
     assert(ignored.contains("BENCH_SELF_PROBE.json"))

@@ -54,11 +54,18 @@ def main() -> None:
         prev = None
     captures = [json.load(open(p)) for p in caps]
     names = set(captures[0]["queries"])
+    idle_quality = []  # per capture: (stamped_contended, ext cores avg)
     for i, c in enumerate(captures, 1):
         if i > 1:
             assert set(c["queries"]) == names, f"capture {i} has a different gate set"
             assert c["sf"] == captures[0]["sf"], f"capture {i} ran at a different sf"
         assert "only" not in c and "inject" not in c, f"capture {i} is a probe/injected run"
+        # config-arm rejection (r19): an off-heap / tmpfs-local-dirs /
+        # master-override capture measures a DIFFERENT deployment
+        # bracket — its (often much lower) stime/wall would poison the
+        # default-config floors the drift adjudication runs against
+        for arm in ("offheap", "local_dirs", "master"):
+            assert arm not in c, f"capture {i} is a config-arm run ({arm}={c[arm]!r})"
         # contention rejection (ADVICE r16 #4): one contended capture
         # inflates its per-query walls, widening query_spread and thus
         # the per-gate fl+2*spread noise bar in Bench — masking real
@@ -92,9 +99,34 @@ def main() -> None:
                 f"capture {i} stamped itself contended and {unmeasured} query "
                 f"windows had no ext measurement — the ext_total/wall ratio is "
                 f"diluted and cannot overrule the matched-window stamp")
+            # ADVICE r18 #2: a stamped capture with NO ext channel at all
+            # (old-format artifact, blind meter) must not pass the ratio
+            # re-adjudication vacuously — the stamp is then the only
+            # signal and it says contended
+            assert ext >= 0, (
+                f"capture {i} stamped itself contended and carries no "
+                f"ext_total — the 1.0-core re-adjudication cannot run; "
+                f"the stamp stands, capture rejected")
         assert ext < 0 or ext <= 1.0 * wall, (
             f"capture {i} is contended: ext_total {ext:.1f} cpu-s over "
             f"{wall:.1f} s of measured wall (> 1.0 cores average)")
+        idle_quality.append((c.get("contended") is True,
+                             ext / wall if ext >= 0 and wall > 0 else -1.0))
+    # ADVICE r18 #1: floors are per-query MINIMA, so they stay honest
+    # only if at least ONE accepted capture is genuinely idle — neither
+    # self-stamped contended nor above the old 0.5-core ambient bar. A
+    # set where EVERY run carries 0.5-1.0 rival cores produces floors
+    # inflated by the rival, which then mask single-gate regressions.
+    # Warning, not fatal: on a host whose ambient harness footprint sits
+    # at the stamp bar a legitimate refresh may need it — but it must be
+    # LOOKED AT and explained in the round log next to the refresh.
+    if not any(not stamped and 0 <= cores <= 0.5
+               for stamped, cores in idle_quality):
+        print("WARNING: no accepted capture is genuinely idle (unstamped AND "
+              "<= 0.5 ext-cores): "
+              + ", ".join(f"capture {i}: stamped={s} ext_cores={c:.2f}"
+                          for i, (s, c) in enumerate(idle_quality, 1))
+              + " — these floors ride on a loaded host; explain in the round log")
 
     def per_query_min(field, valid=lambda v: v >= 0):
         merged = {}
@@ -117,6 +149,17 @@ def main() -> None:
     spread = max(totals) - min(totals)
     ext = [c.get("ext_total", -1) for c in captures]
     mf = [c.get("majflt_total", -1) for c in captures]
+    # FS-state markers (r18 verdict #2): each capture stamps a cheap
+    # scratch-FS probe (256 MiB write+fsync+unlink MB/s, free GB) taken
+    # before its first measured window. The mm/stream gates' sys-time is
+    # mostly local-dir file I/O, so floors captured on a degraded FS
+    # (e.g. after 200 GB of scale-run churn) are inflated 30-45% with no
+    # code change — the marker rides into provenance and a refresh whose
+    # FS is materially slower than the previous capture's WARNS.
+    fs_probe = [round(c["fs_probe_mb_s"], 1) for c in captures
+                if c.get("fs_probe_mb_s", -1) >= 0]
+    fs_free = [round(c["tmp_free_gb"], 1) for c in captures
+               if c.get("tmp_free_gb", -1) >= 0]
 
     out = {
         "_provenance": {
@@ -131,6 +174,8 @@ def main() -> None:
                 f"idle x{len(captures)} (ext_totals {ext} cpu-s, majflt {mf}); "
                 f"floors = per-query MIN over the captures (envelope floors, r16)"
             ),
+            "fs_probe_mb_s": fs_probe if fs_probe else "absent (pre-r19 captures)",
+            "tmp_free_gb": fs_free if fs_free else "absent (pre-r19 captures)",
             "refresh_rule": (
                 "refresh ONLY when query plans change (new/edited gates) or the "
                 "instrumentation gains channels; re-capture >= 3 idle runs and "
@@ -169,6 +214,23 @@ def main() -> None:
         f.write("\n")
     print(f"wrote {out_path}: {len(names)} gates, total {out['value']}s, "
           f"{len(captures)} captures, spread {spread:.1f}s")
+    # FS-marker divergence vs the PREVIOUS committed floors: a refresh
+    # on a scratch FS >= 1.5x slower (or faster) than the prior capture
+    # set's is measuring a different filesystem state — its kernel-time
+    # floors are not comparable and the round log must say which state
+    # is the honest one (r18 baked a 45% slower-FS stime floor into
+    # mm_curation_stream exactly this way)
+    prev_fs = (prev or {}).get("_provenance", {}).get("fs_probe_mb_s")
+    if fs_probe and isinstance(prev_fs, list) and prev_fs:
+        old, new = max(prev_fs), max(fs_probe)
+        if old > 0 and (new < old / 1.5 or new > old * 1.5):
+            print(f"WARNING: scratch-FS probe moved {old:.0f} -> {new:.0f} MB/s "
+                  f"({new / old:.2f}x) since the previous floors — the kernel-"
+                  f"time floors are not comparable across this refresh")
+    if fs_probe and max(fs_probe) / max(min(fs_probe), 1e-9) > 1.5:
+        print(f"WARNING: scratch-FS probe varies {min(fs_probe):.0f}-"
+              f"{max(fs_probe):.0f} MB/s WITHIN this capture set — the FS "
+              f"state drifted mid-capture; the MIN floors mix FS regimes")
     if crept:
         print(f"FLOOR CREEP (> 1.3x, plan unchanged) on {len(crept)} gates —"
               " explain each before committing:")
