@@ -21,7 +21,24 @@ object Stats {
 
   /** Exact `quantile_cont(valCol, q)` per `keyCol` group for several
     * q's in ONE sort: returns one row per group with a column per
-    * requested quantile alias. */
+    * requested quantile alias.
+    *
+    * r19 optimization (guide §2.3, aggregate before the shuffle): the
+    * input is first reduced to (key, value, count) by a map-side-
+    * combinable hash aggregate, and the rank arithmetic runs over VALUE
+    * GROUPS (cumulative counts) instead of rows. The exchange + sort +
+    * window then carry |distinct (key, value)| rows instead of every
+    * input row — for discrete/enum-like numeric columns (integer
+    * quantities, prices on a cent grid) that is orders of magnitude
+    * less, and the low-parallelism window partitions (one per GROUP,
+    * however few groups there are) stop buffering the whole table. A
+    * truly continuous column degrades to the old shape (pre-agg passes
+    * through) at the cost of one extra map-side hash agg, never more.
+    * Rank r (1-based) lives in the value group with
+    * cum − c < r ≤ cum; the interpolated contribution per group is
+    * float-identical to the per-row form (a group holding both
+    * straddling ranks contributes v·(1−w) + v·w, exactly the two terms
+    * the row form summed — IEEE addition is commutative). */
   def quantilesCont(df: DataFrame, keyCol: String, valCol: String,
                     qs: Seq[(Double, String)]): DataFrame = {
     val byKey = Window.partitionBy(keyCol)
@@ -29,21 +46,28 @@ object Stats {
     // NULLs are excluded before ranking — SQL quantile_cont (and the
     // percentile aggregate this replaces) ignores NULL inputs; counting
     // them into __n would shift every rank position on nullable columns.
-    val ranked = df.select(col(keyCol), col(valCol).cast("double").as("__v"))
+    val grouped = df.select(col(keyCol), col(valCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-      .withColumn("__rn", row_number().over(ordered))
-      .withColumn("__n", count(lit(1)).over(byKey))
+      .groupBy(keyCol, "__v").agg(count(lit(1)).as("__c"))
+    val ranked = grouped
+      .withColumn("__cum", sum("__c").over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum("__c").over(byKey))
     // for each q: the two ranks straddling position (n-1)q (1-based),
-    // with the interpolation weight; a row can serve several q's
+    // with the interpolation weight; a value group can serve both ranks
     val parts: Seq[Column] = qs.map { case (q, alias) =>
       val pos = (col("__n") - 1) * q            // 0-based fractional pos
       val lo = floor(pos) + 1                   // 1-based lower rank
       val hi = ceil(pos) + 1
       val w = pos - floor(pos)                  // weight of the hi row
+      val hasLo = lo > col("__cum") - col("__c") && lo <= col("__cum")
+      val hasHi = hi > col("__cum") - col("__c") && hi <= col("__cum")
       sum(
-        when(col("__rn") === lo && col("__rn") === hi, col("__v"))
-          .when(col("__rn") === lo, col("__v") * (lit(1.0) - w))
-          .when(col("__rn") === hi, col("__v") * w)
+        when(hasLo && hasHi && lo === hi, col("__v"))
+          .when(hasLo && hasHi,
+            col("__v") * (lit(1.0) - w) + col("__v") * w)
+          .when(hasLo, col("__v") * (lit(1.0) - w))
+          .when(hasHi, col("__v") * w)
           .otherwise(lit(0.0))).as(alias)
     }
     val agg = ranked.groupBy(keyCol).agg(parts.head, parts.tail: _*)

@@ -354,13 +354,25 @@ object Relational {
     * suspecting the sketch. */
   def q33SketchBounds(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
+    // r19: count(DISTINCT) is SPLIT out of the sketch aggregate. Planned
+    // together, Catalyst keys the partial aggregate on (returnflag,
+    // partkey) to realize the distinct — and drags the 52-word HLL and
+    // percentile_approx buffers through that expansion, i.e. one sketch
+    // pair PER PART KEY merged across partitions (~20k ObjectHashAggregate
+    // sketch states at sf0.1 for a 3-group result). Separated, the
+    // sketches aggregate once per returnflag (3 object-agg states) and
+    // the exact distinct is a two-level hash agg on narrow columns with
+    // map-side combine — same rows out, same values.
     val sk = li.groupBy("l_returnflag").agg(
-      count_distinct(col("l_partkey")).as("n_distinct"),
       approx_count_distinct(col("l_partkey"), 0.05).as("__hll"),
       percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("__ga"))
+    val nd = li.select("l_returnflag", "l_partkey")
+      .filter(col("l_partkey").isNotNull) // count(DISTINCT x) skips NULLs
+      .distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_distinct"))
     val ex = graft.operators.Stats.quantilesCont(
       li, "l_returnflag", "l_quantity", Seq((0.5, "__med")))
-    sk.join(ex, Seq("l_returnflag"))
+    sk.join(nd, Seq("l_returnflag")).join(ex, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_distinct"),
         (abs(col("__hll") - col("n_distinct")) <= col("n_distinct") * 0.15).as("hll_ok"),
         round(col("__med"), 4).as("med_qty"),
