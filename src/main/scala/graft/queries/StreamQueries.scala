@@ -30,16 +30,25 @@ object StreamQueries {
     // read of the same path (footer-only, no data scan)
     val schema = spark.read.parquet(path).schema
     // the stream's basePath must be a DIRECTORY: stream the table dir
-    // with a glob filter selecting just this table's file(s)
-    val streamed = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).cast("long").as("n_chars"))
-    var last: Array[Row] = Array.empty
-    Streams.runAvailableNow(streamed, OutputMode.Complete()) { b =>
-      last = b.collect() // final Complete-mode state: |langs × sources| rows
+    // with a glob filter selecting just this table's file(s).
+    // 8 state partitions (r19): same StreamConfig bracket as the replay
+    // gates — the Complete-mode agg pays a per-partition state commit
+    // per micro-batch, and |langs × sources| keys never need 32 stores
+    // at gate scale (the knob and its 100 TB sizing guidance live on
+    // graft.streaming.StreamConfig)
+    val (streamed, last) = StreamConfig.withState(spark,
+      StreamConfig.Settings(statePartitions = Some(8))) {
+      val s = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+      var rows: Array[Row] = Array.empty
+      Streams.runAvailableNow(s, OutputMode.Complete()) { b =>
+        rows = b.collect() // final Complete-mode state: |langs × sources| rows
+      }
+      (s, rows)
     }
     spark.createDataFrame(
         spark.sparkContext.parallelize(last.toSeq),
@@ -75,13 +84,19 @@ object StreamQueries {
     // additive groupBy-count runs unchanged as streaming state) — one
     // definition, so the stream-built == batch-built invariant can't
     // drift between two hand copies
-    val cells = Sketches.cmsTable(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir),
-      "user_id", depth, width)
-    var last: Array[Row] = Array.empty
-    Streams.runAvailableNow(cells, OutputMode.Complete()) { b =>
-      last = b.collect() // ≤ depth·width rows: the sketch itself
+    // 8 state partitions (r19): the sketch state is ≤ depth·width keyed
+    // rows — same StreamConfig bracket + rationale as q27/q31
+    val (cells, last) = StreamConfig.withState(spark,
+      StreamConfig.Settings(statePartitions = Some(8))) {
+      val c = Sketches.cmsTable(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir),
+        "user_id", depth, width)
+      var rows: Array[Row] = Array.empty
+      Streams.runAvailableNow(c, OutputMode.Complete()) { b =>
+        rows = b.collect() // ≤ depth·width rows: the sketch itself
+      }
+      (c, rows)
     }
     val sketch = spark.createDataFrame(
       spark.sparkContext.parallelize(last.toSeq), cells.schema)
@@ -111,6 +126,44 @@ object StreamQueries {
     Files.createDirectories(Paths.get(path).getParent)
     Files.move(part.toPath, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
     new java.io.File(path).setLastModified(mtime)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  /** Stage N DISJOINT slices as `<dir>/<i>.parquet` micro-batch files
+    * (mtime `t0 + i·10 s`, the [[stageOneFile]] sequencing convention)
+    * in ONE Spark job instead of one write job per slice (r19, guide
+    * §1.2: the per-slice jobs — each a scan + coalesce(1) + parquet
+    * commit against the scratch FS — dominated the staging phase of
+    * every replay gate). The slices ride one union tagged with a
+    * literal `__batch`, shuffled by it (each batch value lands in one
+    * task → exactly one part file per partition dir; `partitionBy`
+    * keeps `__batch` out of the file payload, so the staged schema is
+    * the slice schema unchanged), then the files are renamed into the
+    * numbered layout. Row ORDER within a staged file changes vs the
+    * per-slice form — every consumer is a streaming agg / join / state
+    * machine over the batch as a SET, and the gates' outputs are
+    * explicitly ordered, so order inside a batch is not part of any
+    * gate's semantics. Slices must be non-empty (an empty slice writes
+    * no part file — same failure the per-slice form had). */
+  private[graft] def stageBatchFiles(slices: Seq[DataFrame], dir: String,
+                                     t0: Long): Unit = {
+    require(slices.nonEmpty, "stageBatchFiles needs at least one slice")
+    val tagged = slices.zipWithIndex
+      .map { case (df, i) => df.withColumn("__batch", lit(i)) }
+      .reduce(_ unionByName _)
+    val tmp = dir + ".stage"
+    tagged.repartition(col("__batch"))
+      .write.mode("overwrite").partitionBy("__batch").parquet(tmp)
+    Files.createDirectories(Paths.get(dir))
+    slices.indices.foreach { i =>
+      val pdir = new java.io.File(s"$tmp/__batch=$i")
+      val part = Option(pdir.listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for staged batch $i under $tmp"))
+      val dest = Paths.get(dir, s"$i.parquet")
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(t0 + i * 10000L)
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
@@ -152,8 +205,9 @@ object StreamQueries {
         ev.agg(min("ts"), max("ts")).head()
       val split = new java.sql.Timestamp((tMin.getTime + tMax.getTime) / 2)
       val t0 = System.currentTimeMillis() - 120000L
-      stageOneFile(ev.filter(col("ts") < lit(split)), s"$stage/in/0.parquet", t0)
-      stageOneFile(ev.filter(col("ts") >= lit(split)), s"$stage/in/1.parquet", t0 + 10000L)
+      stageBatchFiles(Seq(
+        ev.filter(col("ts") < lit(split)),
+        ev.filter(col("ts") >= lit(split))), s"$stage/in", t0)
     } finally ev.unpersist()
     val schema = ev.schema
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -234,10 +288,7 @@ object StreamQueries {
         lit(new java.sql.Timestamp(maxTs.getTime + 36000000L)).as("ts"),
         lit("__wm_flush").as("event_type"), lit(0.0).as("value"))
       val t0 = System.currentTimeMillis() - 120000L
-      stageOneFile(bulk, s"$stage/in/0.parquet", t0)
-      stageOneFile(advance, s"$stage/in/1.parquet", t0 + 10000L)
-      stageOneFile(late, s"$stage/in/2.parquet", t0 + 20000L)
-      stageOneFile(sentinel, s"$stage/in/3.parquet", t0 + 30000L)
+      stageBatchFiles(Seq(bulk, advance, late, sentinel), s"$stage/in", t0)
     } finally ev.unpersist()
     val schema = bulk.schema
     // 8 state partitions for the gate run, same rationale (and same
@@ -307,15 +358,15 @@ object StreamQueries {
       val t1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
       val t2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
       val m0 = System.currentTimeMillis() - 120000L
-      stageOneFile(ev.filter(col("ts") < lit(t1)), s"$stage/in/0.parquet", m0)
-      stageOneFile(ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2)),
-        s"$stage/in/1.parquet", m0 + 10000L)
-      stageOneFile(ev.filter(col("ts") >= lit(t2)), s"$stage/in/2.parquet", m0 + 20000L)
       // sentinel: one far-future event on a reserved key — closes every
       // real session via the watermark, never meets a real user's state
       import spark.implicits._
-      stageOneFile(Seq((-1L, new java.sql.Timestamp(hi + 365L * 86400000L)))
-        .toDF("user_id", "ts"), s"$stage/in/3.parquet", m0 + 30000L)
+      stageBatchFiles(Seq(
+        ev.filter(col("ts") < lit(t1)),
+        ev.filter(col("ts") >= lit(t1) && col("ts") < lit(t2)),
+        ev.filter(col("ts") >= lit(t2)),
+        Seq((-1L, new java.sql.Timestamp(hi + 365L * 86400000L)))
+          .toDF("user_id", "ts")), s"$stage/in", m0)
     } finally ev.unpersist()
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
     val out = try StreamConfig.withState(spark,
@@ -400,15 +451,16 @@ object StreamQueries {
     val fx = try {
       val f = lateSessionFixture(ev)
       val m0 = System.currentTimeMillis() - 120000L
-      stageOneFile(f.batch0, s"$stage/in/0.parquet", m0)
-      stageOneFile(f.batch1, s"$stage/in/1.parquet", m0 + 10000L)
       // sentinel: far enough past the range that wm = ts − delay clears
       // every real session's end + gap
       import spark.implicits._
-      stageOneFile(Seq((-1L,
-          new java.sql.Timestamp(f.hiMs + (f.hiMs - f.loMs) + 3600000L +
-            365L * 86400000L)))
-        .toDF("user_id", "ts"), s"$stage/in/2.parquet", m0 + 20000L)
+      stageBatchFiles(Seq(
+        f.batch0.select(col("user_id"), col("ts")),
+        f.batch1.select(col("user_id"), col("ts")),
+        Seq((-1L,
+            new java.sql.Timestamp(f.hiMs + (f.hiMs - f.loMs) + 3600000L +
+              365L * 86400000L)))
+          .toDF("user_id", "ts")), s"$stage/in", m0)
       f
     } finally ev.unpersist()
     val emitted = scala.collection.mutable.ArrayBuffer.empty[Row]
