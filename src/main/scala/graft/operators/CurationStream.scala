@@ -159,6 +159,33 @@ object CurationStream {
       .partitionBy(Epoch)
       .parquet(dir)
 
+  /** Schema memo for state-table reads (r19, guide §1.2 per-task →
+    * per-JOB overhead): every schema-less `spark.read.parquet` runs a
+    * footer-inference JOB (~0.2–0.4 s of serial driver+scheduler time
+    * on an idle host, worse on a churned scratch FS), and one ingest
+    * epoch reads 4+ state tables, a fold 7, the consolidation 7–14 —
+    * measured 20+ pure-inference jobs per gate run. The schema of a
+    * state-table DIRECTORY never changes after its first write, so the
+    * first inferred read's schema is reused for every later read of
+    * the same dir. Keyed by directory path; entries are dropped with
+    * the map when it outgrows the cap (temp state dirs accumulate keys
+    * across a long driver session — the cap bounds that, and a clear
+    * only costs re-inference). This memoizes METADATA only — no rows,
+    * no results — so bench/oracle runs still compute everything from
+    * the parquet inputs. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def readStateDir(spark: SparkSession, dir: String): DataFrame =
+    Option(schemaMemo.get(dir)) match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None =>
+        val df = spark.read.parquet(dir)
+        if (schemaMemo.size > 4096) schemaMemo.clear()
+        schemaMemo.put(dir, df.schema)
+        df
+    }
+
   /** The RECENT (not-yet-folded) epochs of one state table, raw from
     * its `__epoch=`-partitioned tree. None when the tree has no epoch
     * partitions (nothing written, or everything folded and retired). */
@@ -166,7 +193,7 @@ object CurationStream {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(s"$Epoch=")))
-      Some(spark.read.parquet(dir))
+      Some(readStateDir(spark, dir))
     else None
   }
 
@@ -195,7 +222,7 @@ object CurationStream {
     IndexGen.live(spark, s"$stateDir/$CompactedRoot").flatMap { gen =>
       val p = new org.apache.hadoop.fs.Path(s"$gen/$table")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      if (fs.exists(p)) Some(readStateDir(spark, p.toString)) else None
     }
 
   /** The accumulated state table STRICTLY BEFORE `epochId` — the
@@ -289,8 +316,26 @@ object CurationStream {
           s"if those epochs were genuinely empty")
     val gen = IndexGen.begin(spark, root)
     StateTables.foreach { case (t, keys) =>
-      val fresh = rawTable(spark, s"$stateDir/$t")
-        .map(_.filter(col(Epoch) >= w0 && col(Epoch) < uptoEpoch))
+      // presence IS non-emptiness (r19 — this replaces a per-table
+      // isEmpty ACTION per fold): a live `__epoch=N` partition dir only
+      // exists when epoch N committed ≥ 1 row (a zero-row dynamic
+      // overwrite writes no partition dir — the invariant writeEpoch's
+      // own docs rely on), and a compacted table is only written when
+      // non-empty (the guard below maintains it). So "any in-range
+      // epoch dir present" decides the fresh side from the listing
+      // already in hand, no job.
+      val tp = new org.apache.hadoop.fs.Path(s"$stateDir/$t")
+      val fs = tp.getFileSystem(hc)
+      val freshInRange = fs.exists(tp) &&
+        fs.listStatus(tp).exists { s =>
+          s.getPath.getName.startsWith(s"$Epoch=") &&
+            s.getPath.getName.stripPrefix(s"$Epoch=").toLongOption
+              .exists(e => e >= w0 && e < uptoEpoch)
+        }
+      val fresh =
+        if (!freshInRange) None
+        else rawTable(spark, s"$stateDir/$t")
+          .map(_.filter(col(Epoch) >= w0 && col(Epoch) < uptoEpoch))
       val all = (compactedTable(spark, stateDir, t), fresh) match {
         case (Some(c), Some(f)) =>
           Some(c.unionByName(f.select(c.columns.map(col).toSeq: _*)))
@@ -300,7 +345,7 @@ object CurationStream {
       // zero-row clustered overwrite would leave a footer-less dir
       // that bricks the read — the AnnIndex.vacuum lesson); readers
       // treat a missing table as the empty frame
-      all.filter(!_.isEmpty).foreach { df =>
+      all.foreach { df =>
         df.repartition(keys.map(col): _*)
           .sortWithinPartitions(keys.map(col): _*)
           .write.mode("overwrite").parquet(s"$gen/$t")
