@@ -81,6 +81,51 @@ object Layout {
       acc => acc.getField("d"))
   }
 
+  /** [[hilbert2]] as UNROLLED, CODEGEN'D per-level projections (r19,
+    * guide §4 "eliminate non-codegen expressions in the hot path"): the
+    * fold form's lambda is a HigherOrderFunction, which whole-stage
+    * codegen cannot compile — every row pays `order` INTERPRETED
+    * Catalyst evaluations plus a struct allocation per level (measured
+    * 7× slower than the identical-shape Morton projection on the same
+    * table). Naive unrolling of one Column is impossible (x/y
+    * substitute into themselves — 3^order tree, the reason the fold
+    * exists), but over a DATAFRAME each level can stage x/y/d/rx/ry as
+    * ATTRIBUTES: two chained projections per level, tree size linear in
+    * `order`, everything plain CASE/bit arithmetic inside one
+    * WholeStageCodegen span. CollapseProject keeps the stages because
+    * each staged alias is referenced more than once and is non-cheap
+    * (the [[graft.functions.Text.shinglesOf]] staging rule). Arithmetic
+    * is the fold's, level for level — LayoutSpec pins value equality
+    * against [[hilbert2]] and the q32 oracle pins it against DuckDB.
+    *
+    * Returns `df` with `keyName` appended; `__h`-prefixed scratch
+    * columns are dropped. */
+  def hilbert2Staged(df: DataFrame, x: Column, y: Column, keyName: String,
+                     order: Int = 16): DataFrame = {
+    require(order >= 1 && order <= 31, "hilbert2Staged: order must be in [1, 31]")
+    val keep = df.columns.map(col).toSeq
+    var cur = df.select(keep ++ Seq(
+      x.cast("long").as("__hx"), y.cast("long").as("__hy"),
+      lit(0L).as("__hd")): _*)
+    (order - 1 to 0 by -1).foreach { level =>
+      val s = lit(1L << level)
+      cur = cur.select(keep ++ Seq(
+        col("__hx"), col("__hy"), col("__hd"),
+        when(col("__hx").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L)).as("__rx"),
+        when(col("__hy").bitwiseAND(s) > 0, lit(1L)).otherwise(lit(0L)).as("__ry")): _*)
+      cur = cur.select(keep ++ Seq(
+        when(col("__ry") === 0,
+          when(col("__rx") === 1, s - 1 - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")).as("__hx"),
+        when(col("__ry") === 0,
+          when(col("__rx") === 1, s - 1 - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")).as("__hy"),
+        (col("__hd") + s * s * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+          .as("__hd")): _*)
+    }
+    cur.select(keep :+ col("__hd").as(keyName): _*)
+  }
+
   /** Write `df` CLUSTERED by a curve key — the read-side payoff of
     * [[zorder2]]/[[hilbert2]]: `repartitionByRange` on the key makes
     * files cover disjoint curve ranges, `sortWithinPartitions` makes

@@ -442,11 +442,14 @@ object Relational {
     * no Morton diagonal jumps); the oracle replays the 10 unrolled
     * reflect+swap stages in SQL. */
   def q32Hilbert(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).events
-      .select(col("event_id"),
-        (col("user_id") % 1024).cast("long").as("ub"),
-        hour(col("ts")).cast("long").as("hb"))
-      .select(col("event_id"), col("ub"), col("hb"),
-        graft.operators.Layout.hilbert2(col("ub"), col("hb"), order = 10).as("hkey"))
+    // hilbert2Staged, not the hilbert2 fold (r19): same arithmetic
+    // unrolled into codegen'd per-level projections — the fold's
+    // higher-order lambda is interpreted per row per level (guide §4)
+    graft.operators.Layout.hilbert2Staged(
+        Tables(spark, dir).events
+          .select(col("event_id"),
+            (col("user_id") % 1024).cast("long").as("ub"),
+            hour(col("ts")).cast("long").as("hb")),
+        col("ub"), col("hb"), "hkey", order = 10)
       .orderBy("hkey", "event_id")
 }

@@ -180,6 +180,34 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hilbert2Staged: value-equal to the hilbert2 fold, plan stays codegen projections") {
+    import graft.operators.Layout
+    // covers the full grid at order 3 AND scattered points at order 10
+    // (the q32 gate's order) — the staged unroll must match the fold
+    // bit for bit on every level path (reflect, swap, both, neither)
+    val order = 3; val n = 1 << order
+    val grid = (for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val both = Layout.hilbert2Staged(grid, col("x"), col("y"), "hs", order)
+      .select(col("x"), col("y"), col("hs"),
+        Layout.hilbert2(col("x"), col("y"), order).as("hf"))
+      .as[(Long, Long, Long, Long)].collect()
+    both.foreach { case (x, y, hs, hf) =>
+      assert(hs == hf, s"staged != fold at ($x,$y): $hs vs $hf") }
+    val scattered = spark.range(5000L).select(
+      (col("id") * 2654435761L % 1024).cast("long").as("x"),
+      ((col("id") * 40503L + 7L) % 1024).cast("long").as("y"))
+    val big = Layout.hilbert2Staged(scattered, col("x"), col("y"), "hs", 10)
+      .select(col("hs"), Layout.hilbert2(col("x"), col("y"), 10).as("hf"))
+      .as[(Long, Long)].collect()
+    big.foreach { case (hs, hf) => assert(hs == hf, s"order-10: $hs vs $hf") }
+    // the point of the staged form: no higher-order function anywhere
+    // in the plan (the fold is interpreted per row; projections codegen)
+    val plan = Layout.hilbert2Staged(scattered, col("x"), col("y"), "hs", 10)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("aggregate("), s"HOF survived in plan:\n$plan")
+  }
+
   test("writeClustered: a 2-D range predicate reads ≤ 1/4 the row groups of the unclustered twin") {
     import graft.operators.Layout
     val dir = java.nio.file.Files.createTempDirectory("graft-zcluster").toString
