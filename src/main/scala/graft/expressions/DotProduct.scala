@@ -238,7 +238,14 @@ object GraftFunctions {
     }),
     // fixture-backed BPE tokenizer (see GraftBpe; custom merge tables
     // construct the expression directly with their own BpeModel)
-    "graft_bpe" -> ((es: Seq[Expression]) => GraftBpe(es.head, BpeFixture.default)))
+    "graft_bpe" -> ((es: Seq[Expression]) => GraftBpe(es.head, BpeFixture.default)),
+    // longest equal-adjacent run in a string array (the codegen'd
+    // kernel behind Text.topFraction — see MaxRunLength)
+    "graft_max_run" -> ((es: Seq[Expression]) => {
+      if (es.length != 1) throw new IllegalArgumentException(
+        "graft_max_run(arr) expects exactly 1 array<string> argument")
+      MaxRunLength(es.head)
+    }))
 
   /** Idempotent imperative registration into the session's function
     * registry. Registers each function at most once per session — a
@@ -283,6 +290,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         else if (name.contains("pq_argmin")) classOf[PqArgmin].getName
         else if (name.contains("pq_adc")) classOf[PqAdc].getName
         else if (name.contains("bpe")) classOf[GraftBpe].getName
+        else if (name.contains("max_run")) classOf[MaxRunLength].getName
         else classOf[DotProduct].getName
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -96,24 +96,23 @@ object Text {
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
   /** Fraction of occurrences held by the most frequent element of an
-    * array column: sort, then longest equal-run via `aggregate` —
-    * O(n log n) per row, single pass, no distinct×filter rescan (the
-    * naive mode-by-filter form re-walks the array per distinct value).
-    * Gopher/C4-style repetition quality signal; one codegen'd
-    * projection at 100 TB, no explode, no shuffle. */
+    * array column: sort, then longest equal-run — O(n log n) per row,
+    * single pass, no distinct×filter rescan (the naive mode-by-filter
+    * form re-walks the array per distinct value). Gopher/C4-style
+    * repetition quality signal; one codegen'd projection at 100 TB, no
+    * explode, no shuffle.
+    *
+    * r19: the run counter is [[graft.expressions.MaxRunLength]]
+    * (native, codegen'd) instead of an `aggregate` higher-order fold —
+    * HOF lambdas are interpreted per element and carried a
+    * (prev, run, best) struct allocation each step (guide §4; same
+    * HOF→native move as [[graft.operators.Similarity.dot]]). Values
+    * are identical — MaxRunLength's scaladoc pins the contract and
+    * OperatorSpec pins equality against the fold on null/empty/dup
+    * shapes. */
   def topFraction(arr: Column): Column = {
-    val best = aggregate(
-      array_sort(arr),
-      struct(lit(null).cast("string").as("prev"),
-        lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(acc.getField("prev").isNotNull &&
-          x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    round(best / size(arr), 4)
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    round(call_function("graft_max_run", array_sort(arr)) / size(arr), 4)
   }
 
   /** Top-token occupancy of raw text. Convenience form — for wide scans

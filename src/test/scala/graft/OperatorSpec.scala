@@ -1280,4 +1280,51 @@ class OperatorSpec extends SparkSpec {
       case other => fail(s"expected streaming handle, got $other")
     }
   }
+
+  test("topFraction's MaxRunLength kernel: value-equal to the HOF fold on every shape") {
+    import graft.functions.Text
+    // the exact fold topFraction used before r19 — kept HERE as the
+    // semantic pin for the codegen'd graft_max_run kernel
+    def foldForm(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val best = aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"),
+          lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(acc.getField("prev").isNotNull &&
+            x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      round(best / size(arr), 4)
+    }
+    // no empty-array row: best/size is 0/0 there and ANSI integer
+    // division throws IDENTICALLY in both forms — and no caller can
+    // produce one (split(trim(x)) yields >= 1 element for any text)
+    val rows = Seq(
+      Seq("a", "b", "a", "a", "c"),          // clear mode
+      Seq("x"),                               // singleton
+      Seq("t", "t", "t"),                     // all-equal
+      Seq(null, null, "a", "a", null),        // null runs never extend
+      Seq("", "", "z")                        // empty strings are values
+    ).toDF("arr")
+    val got = rows.select(
+        Text.topFraction(col("arr")).as("native"), foldForm(col("arr")).as("fold"))
+      .collect()
+    got.foreach { r =>
+      val (n, f) = (r.get(0), r.get(1))
+      val same = (n, f) match {
+        case (a: java.lang.Double, b: java.lang.Double) =>
+          a.isNaN && b.isNaN || a == b
+        case _ => n == f
+      }
+      assert(same, s"native $n != fold $f")
+    }
+    // null array input
+    val nullRow = Seq(Tuple1[Seq[String]](null)).toDF("arr")
+      .select(Text.topFraction(col("arr")).as("native"), foldForm(col("arr")).as("fold"))
+      .head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
 }
