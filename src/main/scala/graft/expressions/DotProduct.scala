@@ -245,6 +245,13 @@ object GraftFunctions {
       if (es.length != 1) throw new IllegalArgumentException(
         "graft_max_run(arr) expects exactly 1 array<string> argument")
       MaxRunLength(es.head)
+    }),
+    // popcount-of-XOR over sign-bit signature words (the codegen'd
+    // kernel behind Similarity.hammingDist — see HammingDistance)
+    "graft_hamming" -> ((es: Seq[Expression]) => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        "graft_hamming(a, b) expects exactly 2 array<bigint> arguments")
+      HammingDistance(es(0), es(1))
     }))
 
   /** Idempotent imperative registration into the session's function
@@ -291,6 +298,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         else if (name.contains("pq_adc")) classOf[PqAdc].getName
         else if (name.contains("bpe")) classOf[GraftBpe].getName
         else if (name.contains("max_run")) classOf[MaxRunLength].getName
+        else if (name.contains("hamming")) classOf[HammingDistance].getName
         else classOf[DotProduct].getName
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -753,10 +753,16 @@ object Similarity {
   }
 
   /** Hamming distance between two [[signBits]] signatures (popcount of
-    * the XOR, summed over words). */
-  def hammingDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    * the XOR, summed over words). r19: the codegen'd
+    * [[graft.expressions.HammingDistance]] kernel instead of the
+    * interpreted `aggregate(zip_with(...))` fold — this expression sits
+    * in banded-join verify CONDITIONS and the s_hamming coarse scan, so
+    * it evaluates per candidate pair (guide §4; value contract pinned
+    * in the expression's scaladoc and OperatorSpec). */
+  def hammingDist(a: Column, b: Column): Column = {
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    call_function("graft_hamming", a, b)
+  }
 
   /** Binary-quantized ANN: coarse top-`shortlist` by Hamming distance
     * on sign-bit signatures, then exact-cosine refine of the shortlist

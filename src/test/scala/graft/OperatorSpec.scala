@@ -1327,4 +1327,27 @@ class OperatorSpec extends SparkSpec {
       .head()
     assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
   }
+
+  test("hammingDist's native kernel: value-equal to the HOF fold incl. null/ragged shapes") {
+    // the exact fold hammingDist used before r19 — the semantic pin
+    def foldForm(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val rows = Seq(
+      (Seq[java.lang.Long](0L, -1L), Seq[java.lang.Long](0L, 0L)),     // 64
+      (Seq[java.lang.Long](5L), Seq[java.lang.Long](3L)),              // popcount(6)=2
+      (Seq[java.lang.Long](7L, 1L), Seq[java.lang.Long](7L, 1L)),      // 0
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](1L, 1L)),    // null element
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L)),          // ragged
+      (null, Seq[java.lang.Long](1L))                                   // null array
+    ).toDF("a", "b")
+    val got = rows.select(
+      graft.operators.Similarity.hammingDist(col("a"), col("b")).as("native"),
+      foldForm(col("a"), col("b")).as("fold")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"native ${r.get(0)} != fold ${r.get(1)}")
+    }
+  }
 }
