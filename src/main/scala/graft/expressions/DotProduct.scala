@@ -252,6 +252,30 @@ object GraftFunctions {
       if (es.length != 2) throw new IllegalArgumentException(
         "graft_hamming(a, b) expects exactly 2 array<bigint> arguments")
       HammingDistance(es(0), es(1))
+    }),
+    // sign-bit signature packer (the codegen'd kernel behind
+    // Similarity.signBits — see SignBits). dim arrives as a foldable
+    // int literal, validated here like graft_winnow's sizes.
+    "graft_sign_bits" -> ((es: Seq[Expression]) => {
+      def contract = "graft_sign_bits(vec, dim) expects a positive literal int dim"
+      val dimOk = es.length == 2 && es(1).foldable && (es(1).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      if (!dimOk) throw new IllegalArgumentException(contract)
+      val dim = es(1).eval() match {
+        case null => throw new IllegalArgumentException(contract)
+        case n: Number => n.intValue()
+      }
+      if (dim <= 0) throw new IllegalArgumentException(contract)
+      SignBits(es(0), dim)
+    }),
+    // positional any-equal over band-signature arrays (the codegen'd
+    // kernel behind the first-matching-band guard — see BandMatch)
+    "graft_band_match" -> ((es: Seq[Expression]) => {
+      if (es.length != 2) throw new IllegalArgumentException(
+        "graft_band_match(a, b) expects exactly 2 array<string> arguments")
+      BandMatch(es(0), es(1))
     }))
 
   /** Idempotent imperative registration into the session's function
@@ -299,6 +323,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         else if (name.contains("bpe")) classOf[GraftBpe].getName
         else if (name.contains("max_run")) classOf[MaxRunLength].getName
         else if (name.contains("hamming")) classOf[HammingDistance].getName
+        else if (name.contains("sign_bits")) classOf[SignBits].getName
+        else if (name.contains("band_match")) classOf[BandMatch].getName
         else classOf[DotProduct].getName
       ext.injectFunction((
         FunctionIdentifier(name),

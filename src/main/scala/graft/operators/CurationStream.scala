@@ -637,8 +637,7 @@ object CurationStream {
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           when(col("b.own"), col("a.id") < col("b.id"))
             .otherwise(col("a.id") =!= col("b.id")) &&
-          !exists(zip_with(col("a.before"), col("b.before"), (x, y) => x === y),
-            matched => matched))
+          !Dedup.bandMatch(col("a.before"), col("b.before")))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b")))
     // verify shingles are RE-DERIVED from the candidate docs' staged

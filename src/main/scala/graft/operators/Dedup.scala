@@ -554,6 +554,21 @@ object Dedup {
     * `.distinct()` over the candidate stream, which at near-dup-heavy
     * scale is the operator's largest intermediate multiplied by the
     * band count. */
+  /** First-matching-band guard: TRUE iff any position of the two
+    * `before` band-signature arrays is equal — the exactly-once rule's
+    * predicate, shared verbatim by [[minhashLsh]] and the streaming
+    * curation text lane ([[CurationStream]]) whose batch==stream hash
+    * equality requires the identical guard. r19: the codegen'd
+    * [[graft.expressions.BandMatch]] kernel instead of the interpreted
+    * `exists(zip_with(...))` chain — this predicate sits in the
+    * band-bucket self-JOIN CONDITION, evaluated once per raw band
+    * collision (guide §4; value contract pinned in the expression's
+    * scaladoc and OperatorSpec). */
+  private[graft] def bandMatch(a: Column, b: Column): Column = {
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    call_function("graft_band_match", a, b)
+  }
+
   def minhashLsh(docs: DataFrame, threshold: Double, perms: Int = 16, bands: Int = 4,
                  n: Int = 3, textCol: String = "text", idCol: String = "doc_id",
                  materialize: Boolean = true): DataFrame = {
@@ -590,8 +605,7 @@ object Dedup {
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.id") < col("b.id") &&
-          !exists(zip_with(col("a.before"), col("b.before"), (x, y) => x === y),
-            matched => matched))
+          !bandMatch(col("a.before"), col("b.before")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // verify candidates with exact jaccard (reusing the persisted set)
     val sizes = s.groupBy("id").agg(count(lit(1)).as("n"))

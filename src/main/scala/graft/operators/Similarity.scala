@@ -738,18 +738,18 @@ object Similarity {
     * each coordinate survives dot-product geometry well enough that
     * Hamming distance on signatures approximates angular distance
     * (Charikar's hyperplane LSH with axis-aligned planes), at 1 bit
-    * per dim = 32x smaller than float32. */
+    * per dim = 32x smaller than float32.
+    *
+    * r19: the codegen'd [[graft.expressions.SignBits]] kernel instead
+    * of one interpreted `aggregate(zip_with(slice(...), sequence(...)))`
+    * fold PER WORD PER ROW — this runs once per corpus/query row in
+    * the s_hamming family, mm_neardup / mm_frames_neardup and both
+    * curation media lanes (guide §4; value contract pinned in the
+    * expression's scaladoc and OperatorSpec). */
   def signBits(vec: Column, dim: Int): Column = {
     require(dim > 0, "signBits: dim must be positive")
-    val words = (dim + 31) / 32
-    array((0 until words).map { w =>
-      val n = math.min(32, dim - w * 32)
-      aggregate(
-        zip_with(slice(vec, w * 32 + 1, n), sequence(lit(0), lit(n - 1)),
-          (x, i) => when(x > lit(0d),
-            call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-        lit(0L), (acc, x) => acc.bitwiseOR(x))
-    }: _*)
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    call_function("graft_sign_bits", vec, lit(dim))
   }
 
   /** Hamming distance between two [[signBits]] signatures (popcount of

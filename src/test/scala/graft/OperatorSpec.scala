@@ -1350,4 +1350,78 @@ class OperatorSpec extends SparkSpec {
         s"native ${r.get(0)} != fold ${r.get(1)}")
     }
   }
+
+  test("signBits' native kernel: value-equal to the per-word HOF folds on every shape") {
+    // the exact per-word fold signBits used before r19 round 1 — the
+    // semantic pin for the codegen'd graft_sign_bits kernel
+    def foldForm(vec: org.apache.spark.sql.Column, dim: Int): org.apache.spark.sql.Column = {
+      val words = (dim + 31) / 32
+      array((0 until words).map { w =>
+        val n = math.min(32, dim - w * 32)
+        aggregate(
+          zip_with(slice(vec, w * 32 + 1, n), sequence(lit(0), lit(n - 1)),
+            (x, i) => when(x > lit(0d),
+              call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc.bitwiseOR(x))
+      }: _*)
+    }
+    for (dim <- Seq(8, 32, 48, 64, 128)) {
+      val rows = Seq(
+        Seq.tabulate(dim)(i => java.lang.Double.valueOf(if (i % 3 == 0) 1.0 else -1.0)),
+        Seq.tabulate(dim)(i => java.lang.Double.valueOf(i - dim / 2.0)),    // mixed signs
+        Seq.tabulate(dim)(_ => java.lang.Double.valueOf(0.0)),              // all zero
+        Seq.tabulate(dim / 2)(i => java.lang.Double.valueOf(i + 1.0)),      // SHORT vector
+        Seq.tabulate(dim + 7)(i => java.lang.Double.valueOf(1.0)),          // LONG vector
+        Seq.tabulate(dim)(i =>                                              // null elements
+          if (i % 5 == 0) null else java.lang.Double.valueOf(1.0)),
+        Seq.tabulate(dim)(i => java.lang.Double.valueOf(Double.NaN))        // NaN: Spark total order -> bit SET
+      ).toDF("vec")
+      val got = rows.select(
+        graft.operators.Similarity.signBits(col("vec"), dim).as("native"),
+        foldForm(col("vec"), dim).as("fold")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+          s"dim=$dim native ${r.getSeq[Any](0)} != fold ${r.getSeq[Any](1)}")
+      }
+      // null vector: both forms yield an array of NULL words, not NULL
+      val nullRow = Seq(Tuple1[Seq[java.lang.Double]](null)).toDF("vec")
+        .select(graft.operators.Similarity.signBits(col("vec"), dim).as("native"),
+          foldForm(col("vec"), dim).as("fold"))
+        .head()
+      assert(!nullRow.isNullAt(0) && !nullRow.isNullAt(1) &&
+        nullRow.getSeq[Any](0) == nullRow.getSeq[Any](1))
+    }
+    // float input (the embeddings table's element type) widens like the
+    // HOF lambda's implicit cast
+    val frows = Seq(Seq(1.5f, -0.5f, 0.0f, 2.0f)).toDF("vec")
+      .select(graft.operators.Similarity.signBits(col("vec"), 4).as("native"),
+        foldForm(col("vec"), 4).as("fold")).head()
+    assert(frows.getSeq[Any](0) == frows.getSeq[Any](1))
+  }
+
+  test("bandMatch's native kernel: value-equal to exists(zip_with) incl. 3VL shapes") {
+    // the exact HOF chain the first-matching-band guard used before
+    // r19 round 1 — the semantic pin for graft_band_match
+    def hofForm(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      exists(zip_with(a, b, (x, y) => x === y), matched => matched)
+    val rows = Seq(
+      (Seq("a", "b"), Seq("a", "c")),          // match at 0 -> true
+      (Seq("a", "b"), Seq("c", "b")),          // match at 1 -> true
+      (Seq("a", "b"), Seq("c", "d")),          // no match -> false
+      (Seq[String](), Seq[String]()),          // both empty -> false
+      (Seq("a"), Seq("b", "a")),               // ragged: pad null -> null (no positional match)
+      (Seq("a", "x"), Seq("a")),               // ragged but true wins over null
+      (Seq(null, "b"), Seq("a", "b")),         // null element but true wins
+      (Seq(null, "b"), Seq("a", "c")),         // null element, no match -> null
+      (null, Seq("a"))                          // null array -> null
+    ).toDF("a", "b")
+    val got = rows.select(
+      graft.operators.Dedup.bandMatch(col("a"), col("b")).as("native"),
+      hofForm(col("a"), col("b")).as("hof")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getBoolean(0) == r.getBoolean(1)),
+        s"native ${r.get(0)} != hof ${r.get(1)}")
+    }
+  }
 }
