@@ -276,6 +276,24 @@ object GraftFunctions {
       if (es.length != 2) throw new IllegalArgumentException(
         "graft_band_match(a, b) expects exactly 2 array<string> arguments")
       BandMatch(es(0), es(1))
+    }),
+    // first-N-hex-digits-of-md5 as bigint (the codegen'd kernel behind
+    // the oracle-portable md5-prefix hash family — see Md5Prefix).
+    // nibbles arrives as a foldable int literal, validated here like
+    // graft_winnow's sizes.
+    "graft_md5_prefix" -> ((es: Seq[Expression]) => {
+      def contract = "graft_md5_prefix(str, nibbles) expects a literal int nibbles in 1..15"
+      val ok = es.length == 2 && es(1).foldable && (es(1).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      if (!ok) throw new IllegalArgumentException(contract)
+      val n = es(1).eval() match {
+        case null => throw new IllegalArgumentException(contract)
+        case v: Number => v.intValue()
+      }
+      if (n <= 0 || n > 15) throw new IllegalArgumentException(contract)
+      Md5Prefix(es(0), n)
     }))
 
   /** Idempotent imperative registration into the session's function
@@ -325,6 +343,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         else if (name.contains("hamming")) classOf[HammingDistance].getName
         else if (name.contains("sign_bits")) classOf[SignBits].getName
         else if (name.contains("band_match")) classOf[BandMatch].getName
+        else if (name.contains("md5_prefix")) classOf[Md5Prefix].getName
         else classOf[DotProduct].getName
       ext.injectFunction((
         FunctionIdentifier(name),

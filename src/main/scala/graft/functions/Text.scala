@@ -72,8 +72,21 @@ object Text {
     * Not xxhash64: the DuckDB oracles must reproduce the value
     * (`('0x' || substr(md5(sh), 1, 15))::bigint`), and md5 is the one
     * hash both engines compute identically. */
-  def shingleKey(sh: Column): Column =
-    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+  def shingleKey(sh: Column): Column = md5Prefix(sh, 15)
+
+  /** First `nibbles` hex digits of md5 as a bigint — ONE definition of
+    * the repo's oracle-portable hash primitive (shingle keys, minhash
+    * permutations, simhash token hashes, CMS cells, hash buckets,
+    * k-gram winnow prints all build on it). r19: the codegen'd
+    * [[graft.expressions.Md5Prefix]] kernel instead of
+    * `conv(substring(md5(x), 1, n), 16, 10).cast("long")` — same value
+    * from the digest bytes directly, no hex string, no base-16 parse
+    * (guide §4; value contract pinned in the expression's scaladoc and
+    * an OperatorSpec equality test). */
+  def md5Prefix(c: Column, nibbles: Int): Column = {
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    call_function("graft_md5_prefix", c, lit(nibbles))
+  }
 
   /** All word bigrams WITH multiplicity from an ALREADY-materialized
     * token array column — the repetition-signal primitive (unlike
@@ -290,7 +303,7 @@ object Text {
   def kgramHashes(t: Column, k: Int): Column =
     when(length(t) >= k,
       transform(sequence(lit(1), length(t) - k + 1),
-        i => conv(substring(md5(t.substr(i, lit(k))), 1, 15), 16, 10).cast("long")))
+        i => md5Prefix(t.substr(i, lit(k)), 15)))
       .otherwise(array().cast("array<bigint>"))
 
   /** Winnowing selection (Schleimer et al., SIGMOD'03) over a STAGED

@@ -510,8 +510,8 @@ object CurationStream {
     s.groupBy("id").agg(
       count(lit(1)).as("n"),
       (0 until cfg.minhashPerms).map(i =>
-        min(conv(substring(md5(concat(lit(s"$i|"), col("sh").cast("string"))), 1, 15), 16, 10)
-          .cast("long")).as(s"h$i")): _*)
+        min(Text.md5Prefix(concat(lit(s"$i|"), col("sh").cast("string")), 15))
+          .as(s"h$i")): _*)
   }
 
   /** The banded-row form of [[sigOf]]'s signatures — the `bands` state

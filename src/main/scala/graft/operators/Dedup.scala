@@ -528,8 +528,8 @@ object Dedup {
     // concat's implicit coercion
     val vocab = s.select("sh").distinct()
       .select(col("sh") +: (0 until perms).map(i =>
-        conv(substring(md5(concat(lit(s"$i|"), col("sh").cast("string"))), 1, 15), 16, 10)
-          .cast("long").as(s"x$i")): _*)
+        Text.md5Prefix(concat(lit(s"$i|"), col("sh").cast("string")), 15)
+          .as(s"x$i")): _*)
     val mins = (0 until perms).map(i => min(col(s"x$i")).as(s"h$i"))
     s.join(vocab, "sh").groupBy("id").agg(mins.head, mins.tail: _*)
   }
@@ -1137,7 +1137,7 @@ object Dedup {
     val tok = docs.select(col(idCol).as("id"),
       explode(Text.tokens(col(textCol))).as("t"))
     val hashed = tok.select(col("id"),
-      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
+      Text.md5Prefix(col("t"), 8).as("h"))
     val votes = (0 until 32).map(b =>
       sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"v$b"))
     hashed.groupBy("id").agg(votes.head, votes.tail: _*)

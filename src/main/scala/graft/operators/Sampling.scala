@@ -30,8 +30,8 @@ object Sampling {
     * sampling corpora with meaningful NULL-key populations should
     * coalesce to a real secondary key first. */
   def hashBucket(key: Column, buckets: Int = 100): Column =
-    (conv(substring(md5(coalesce(key.cast("string"), lit("\u0000graft_null"))), 1, 8), 16, 10)
-      .cast("long") % buckets).cast("int")
+    (graft.functions.Text.md5Prefix(
+      coalesce(key.cast("string"), lit("\u0000graft_null")), 8) % buckets).cast("int")
 
   /** Keep ~keepPct% of rows, deterministically by key. */
   def sampleByHash(df: DataFrame, keyCol: String, keepPct: Int,

@@ -66,8 +66,8 @@ object Sketches {
   }
 
   private def cmsCell(i: Column, key: Column, width: Int): Column =
-    conv(substring(md5(concat(i.cast("string"), lit("|"),
-      key.cast("string"))), 1, 15), 16, 10).cast("long") % width
+    graft.functions.Text.md5Prefix(concat(i.cast("string"), lit("|"),
+      key.cast("string")), 15) % width
 
   /** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as
     * a COUNTS TABLE: `depth` hash rows × `width` cells, one (i, cell,

@@ -1399,6 +1399,29 @@ class OperatorSpec extends SparkSpec {
     assert(frows.getSeq[Any](0) == frows.getSeq[Any](1))
   }
 
+  test("md5Prefix's native kernel: value-equal to conv(substring(md5)) on every shape") {
+    import graft.functions.Text
+    // the exact chain the md5-prefix hash family used before r19
+    // round 1 — the semantic pin for the codegen'd graft_md5_prefix
+    def chainForm(c: org.apache.spark.sql.Column, nibbles: Int) =
+      conv(substring(md5(c), 1, nibbles), 16, 10).cast("long")
+    val rows = (Seq(
+      "", "a", "the quick brown fox", "0|12345", "15|999999999999999",
+      " graft_null", "héllo wörld €ß", "日本語テキスト",
+      "x" * 10000, "line1\nline2\ttab", null
+    ) ++ (0 until 200).map(i => s"doc $i shingle ${i * 37}")).toDF("s")
+    for (nibbles <- Seq(1, 8, 15)) {
+      val got = rows.select(
+        Text.md5Prefix(col("s"), nibbles).as("native"),
+        chainForm(col("s"), nibbles).as("chain")).collect()
+      got.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1) &&
+          (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+          s"nibbles=$nibbles native ${r.get(0)} != chain ${r.get(1)}")
+      }
+    }
+  }
+
   test("bandMatch's native kernel: value-equal to exists(zip_with) incl. 3VL shapes") {
     // the exact HOF chain the first-matching-band guard used before
     // r19 round 1 — the semantic pin for graft_band_match
