@@ -645,11 +645,28 @@ object Bench {
     // BENCH_SELF.json), so per-query driver history covers the whole
     // corpus instead of shedding the fastest queries (r11 artifact
     // gap: 16 of 125 q_omitted). ~5 bytes/query: fits hundreds.
-    def lineQv = {
+    // r19 verdict #1: the driver could not join the positional qv array
+    // to gate names (PERF_r19 per_query came back empty), so the rung
+    // now carries a parallel "qn" name array WHEN IT FITS. Byte math for
+    // the full 131-gate corpus: the names sum to 1563 chars, so the qn
+    // array alone is 1957 bytes against the driver's 2000-byte capture
+    // window (proven: BENCH_r01-r04/r09 tails clip at exactly 2000 and
+    // parse null) — full names + values can never fit one line there.
+    // The ladder therefore tries qn+qv first and falls back to the bare
+    // qv rung (r19's shape, still joinable by zipping qv with the
+    // sorted gate names of CORRECTNESS_r{N}.json — qv_order says so);
+    // probe/filtered runs and smaller corpora get the named join for
+    // free. Additions only: every pre-existing field is unchanged.
+    def lineQvAt(withNames: Boolean) = {
       val vals = results.map { case (_, v) =>
         if (v < 0) "-1" else math.round(v * 10).toString }
-      f"""{"metric":"total","value":${jnum(total)},"unit":"sec"$cpuField,"log_errors":$logErrs,"q_omitted":0,"qv_unit":"ds","qv_order":"name-asc","qv":[${vals.mkString(",")}],"sf":"$sfName"}"""
+      val qn =
+        if (withNames)
+          "\"qn\":[" + results.map("\"" + _._1 + "\"").mkString(",") + "],"
+        else ""
+      f"""{"metric":"total","value":${jnum(total)},"unit":"sec"$cpuField,"log_errors":$logErrs,"q_omitted":0,$qn"qv_unit":"ds","qv_order":"name-asc","qv":[${vals.mkString(",")}],"sf":"$sfName"}"""
     }
+    def lineQv = lineQvAt(false)
     // ultimate rung: if even the positional array overflows, keep the
     // SLOWEST n queries — the ones a perf reader actually needs — and
     // say how many were dropped ("q_omitted"; the full map is always
@@ -662,7 +679,7 @@ object Bench {
       f"""{"metric":"total","value":${jnum(total)},"unit":"sec"$cpuField,"log_errors":$logErrs,"q_omitted":${results.size - n},"queries":$qs,"sf":"$sfName"}"""
     }
     val json = (Seq(lineAt(2, logFirstAt(80)), lineAt(1, logFirstAt(80)),
-        lineAt(1, ""), lineAt(0, ""), lineQv) ++
+        lineAt(1, ""), lineAt(0, ""), lineQvAt(true), lineQv) ++
         (results.size to 0 by -8).map(lineTopAt))
       .find(bytes(_) <= 1950).getOrElse(lineTopAt(0))
     // file copy first (reliable channel regardless of stdout state) —
