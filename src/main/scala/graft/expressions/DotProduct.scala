@@ -277,6 +277,15 @@ object GraftFunctions {
         "graft_band_match(a, b) expects exactly 2 array<string> arguments")
       BandMatch(es(0), es(1))
     }),
+    // hashing-trick bag-of-words weight sum over the committed
+    // QualityModel table (the codegen'd kernel behind
+    // Text.classifierScoreOf — see WeightBagSum; custom weight tables
+    // construct the expression directly)
+    "graft_weight_sum" -> ((es: Seq[Expression]) => {
+      if (es.length != 1) throw new IllegalArgumentException(
+        "graft_weight_sum(toks) expects exactly 1 array<string> argument")
+      WeightBagSum(es.head, graft.functions.QualityModel.weights)
+    }),
     // first-N-hex-digits-of-md5 as bigint (the codegen'd kernel behind
     // the oracle-portable md5-prefix hash family — see Md5Prefix).
     // nibbles arrives as a foldable int literal, validated here like
@@ -344,6 +353,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         else if (name.contains("sign_bits")) classOf[SignBits].getName
         else if (name.contains("band_match")) classOf[BandMatch].getName
         else if (name.contains("md5_prefix")) classOf[Md5Prefix].getName
+        else if (name.contains("weight_sum")) classOf[WeightBagSum].getName
         else classOf[DotProduct].getName
       ext.injectFunction((
         FunctionIdentifier(name),

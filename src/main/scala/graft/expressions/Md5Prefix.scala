@@ -40,7 +40,10 @@ case class Md5Prefix(child: Expression, nibbles: Int) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"graft_md5_prefix expects a string input, got $dt")
+      s"graft_md5_prefix expects a string input, got $dt — this kernel is " +
+        "deliberately stricter than the conv(substring(md5(x),...)) chain it " +
+        "replaces (md5 natively coerces e.g. BINARY); cast the argument to " +
+        "STRING explicitly so the digested bytes are unambiguous")
   }
 
   override protected def nullSafeEval(input: Any): Any = {

@@ -61,9 +61,15 @@ case class SignBits(child: Expression, dim: Int) extends UnaryExpression {
       s"graft_sign_bits expects array<float> or array<double>, got $dt")
   }
 
+  // shared all-null result for null input vectors (one per expression
+  // instance, ADVICE r19 #3): the value is constant and consumers never
+  // mutate returned ArrayData, so per-row allocation on null-heavy
+  // embedding columns is pure garbage
+  @transient private lazy val nullResult = new GenericArrayData(new Array[Any](words))
+
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return new GenericArrayData(new Array[Any](words))
+    if (v == null) return nullResult
     val arr = v.asInstanceOf[ArrayData]
     val n = math.min(dim, arr.numElements())
     val out = new Array[Long](words)
@@ -92,11 +98,16 @@ case class SignBits(child: Expression, dim: Int) extends UnaryExpression {
       if (elemIsDouble) s"java.lang.Double.compare($arr.getDouble($i), 0D) > 0"
       else s"java.lang.Float.compare($arr.getFloat($i), 0F) > 0"
     val nullGuard = if (elemContainsNull) s"!$arr.isNullAt($i) && " else ""
+    // hoisted all-null result (ADVICE r19 #3): constant per expression
+    // instance and never mutated by consumers — allocate once per
+    // operator, not once per null row
+    val nullArr = ctx.addMutableState(gad, "signBitsNullArr",
+      v => s"$v = new $gad(new Object[$words]);")
     val code = code"""
       ${childGen.code}
       ArrayData ${ev.value};
       if (${childGen.isNull}) {
-        ${ev.value} = new $gad(new Object[$words]);
+        ${ev.value} = $nullArr;
       } else {
         long[] $buf = new long[$words];
         int $n = java.lang.Math.min($dim, $arr.numElements());

@@ -251,17 +251,17 @@ object Text {
     * ([[graft.operators.Sampling.hashBucket]]) so the DuckDB oracle
     * reproduces the score from the same constants.
     *
-    * Scale: pure column expressions — one fold over the token array
-    * per row, the weight table a single plan literal (no broadcast, no
-    * shuffle, no UDF); this is the model-scoring shape that filters a
-    * 100 TB corpus in one codegen'd scan. */
+    * Scale: one native codegen'd loop over the token array per row
+    * ([[graft.expressions.WeightBagSum]], r20 — replaces the
+    * interpreted `aggregate` HOF fold, guide §4; bit-identical value
+    * contract pinned in the expression's scaladoc and by the
+    * OperatorSpec equality test against the original fold), weights
+    * shipped once per operator via the codegen reference array (no
+    * broadcast, no shuffle, no UDF); this is the model-scoring shape
+    * that filters a 100 TB corpus in one codegen'd scan. */
   def classifierScoreOf(toks: Column): Column = {
-    val w = typedlit(QualityModel.weights)
-    // THE corpus-standard bucket formula — one definition, not a copy
-    // (a drift between the two would silently break oracle parity)
-    val bucket = (t: Column) =>
-      graft.operators.Sampling.hashBucket(t, QualityModel.dim)
-    val s = aggregate(toks, lit(0.0), (acc, t) => acc + element_at(w, bucket(t) + 1))
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    val s = call_function("graft_weight_sum", toks)
     val z = lit(QualityModel.bias) + s / greatest(size(toks), lit(1))
     lit(1.0) / (lit(1.0) + exp(-z))
   }

@@ -146,6 +146,37 @@ object CurationStream {
     "img_sigs" -> Seq("band", "bv"), "img_losers" -> Seq("doc_id"),
     "aud_sigs" -> Seq("band", "bv"), "aud_losers" -> Seq("doc_id"))
 
+  /** Run independent state-lane thunks CONCURRENTLY from the driver
+    * (r20, guide §2.6 — overlap independent jobs): at micro-batch
+    * granularity the per-epoch wall is dominated by JOB COUNT — each
+    * tiny AQE stage pays serial driver/scheduler/commit latency, not
+    * task time (ProfCurStream r19: finalize ran 39 jobs for 2.7
+    * task-SECONDS) — so running the text/img/aud lanes (and the fold's
+    * per-table writes) through a small pool lets one lane's scheduling
+    * gaps be back-filled by another's tasks. FIFO scheduling keeps the
+    * back-fill behavior; results are unchanged because the thunks
+    * touch disjoint state tables. Failures propagate unwrapped so
+    * foreachBatch's replay contract sees the original exception. */
+  private def inParallel(work: Seq[() => Unit]): Unit =
+    if (work.size <= 1) work.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+      try {
+        val futs = work.map { w =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = w()
+          })
+        }
+        futs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      } finally pool.shutdown()
+    }
+
   private def writeEpoch(df: DataFrame, dir: String, epochId: Long): Unit =
     // coalesce: state tables are batch-sized (gated docs, dup-rate
     // edges, signature rows) — a handful of files per epoch keeps the
@@ -315,7 +346,11 @@ object CurationStream {
           s"epochs below the new watermark will be no-ops; only correct " +
           s"if those epochs were genuinely empty")
     val gen = IndexGen.begin(spark, root)
-    StateTables.foreach { case (t, keys) =>
+    // per-table fold writes run CONCURRENTLY (r20, guide §2.6 — same
+    // rationale as ingestEpoch's lanes): the 7 repartition+sort+write
+    // jobs read disjoint source trees and write disjoint staging dirs,
+    // and a fold's wall at micro-batch scale is job latency, not data
+    inParallel(StateTables.map { case (t, keys) => () => {
       // presence IS non-emptiness (r19 — this replaces a per-table
       // isEmpty ACTION per fold): a live `__epoch=N` partition dir only
       // exists when epoch N committed ≥ 1 row (a zero-row dynamic
@@ -350,7 +385,7 @@ object CurationStream {
           .sortWithinPartitions(keys.map(col): _*)
           .write.mode("overwrite").parquet(s"$gen/$t")
       }
-    }
+    } })
     // the watermark is part of the payload — it lands before promote,
     // so a reader never sees a generation without its fold bound
     val genFs = new org.apache.hadoop.fs.Path(gen).getFileSystem(hc)
@@ -587,101 +622,124 @@ object CurationStream {
     // below could not dedup against), so re-running it would double-add
     // — the [[AnnIndex.addEpoch]] folded-marks skip, single-watermark form
     if (epochId < foldWatermark(spark, stateDir)) return
+    // same contract as Dedup.minhashLsh's require: a non-divisible
+    // config would silently TRUNCATE permutations here while the batch
+    // path throws — breaking the batch==stream hash equality. Checked
+    // BEFORE any state write (fail fast, on the caller's thread).
+    require(cfg.minhashPerms % cfg.minhashBands == 0,
+      s"minhashPerms (${cfg.minhashPerms}) must divide into minhashBands (${cfg.minhashBands})")
     val gated = Stage.reuse(
       Curation.scalarGates(batch.select(col("doc_id"), col("text")), cfg)
         .withColumn("fp", Text.fingerprint(col("text"))))
+    // the gated write stays SERIAL: it materializes the shared
+    // checkpoint blocks every lane below consumes, so the lanes start
+    // from staged blocks instead of racing the first materialization
     writeEpoch(gated, s"$stateDir/gated", epochId)
 
-    // ---- exact-dup edges (equal fingerprint) ----
-    val batchCanon = gated.groupBy("fp").agg(min("doc_id").as("bmin"))
-    // within-batch: every member links to its batch-group min
-    val withinExact = gated.select("doc_id", "fp").join(batchCanon, "fp")
-      .filter(col("doc_id") =!= col("bmin"))
-      .select(least(col("bmin"), col("doc_id")).as("id_a"),
-        greatest(col("bmin"), col("doc_id")).as("id_b"))
-    // cross-epoch: the batch canonical links to the MIN matching prior
-    // id per fingerprint (one edge suffices — earlier same-fp docs are
-    // already transitively connected among themselves)
-    val accGated = accBefore(spark, stateDir, "gated", epochId)
-    val crossExact = accGated match {
-      case None => withinExact.limit(0)
-      case Some(acc) =>
-        batchCanon.join(acc.select(col("fp"), col("doc_id").as("prior")), "fp")
-          .groupBy("fp", "bmin").agg(min("prior").as("pmin"))
-          .select(least(col("bmin"), col("pmin")).as("id_a"),
-            greatest(col("bmin"), col("pmin")).as("id_b"))
+    // ---- text lane: exact-dup + near-dup (minhash-LSH) edges ----
+    def textLane(): Unit = {
+      // exact-dup edges (equal fingerprint)
+      val batchCanon = gated.groupBy("fp").agg(min("doc_id").as("bmin"))
+      // within-batch: every member links to its batch-group min
+      val withinExact = gated.select("doc_id", "fp").join(batchCanon, "fp")
+        .filter(col("doc_id") =!= col("bmin"))
+        .select(least(col("bmin"), col("doc_id")).as("id_a"),
+          greatest(col("bmin"), col("doc_id")).as("id_b"))
+      // cross-epoch: the batch canonical links to the MIN matching prior
+      // id per fingerprint (one edge suffices — earlier same-fp docs are
+      // already transitively connected among themselves)
+      val accGated = accBefore(spark, stateDir, "gated", epochId)
+      val crossExact = accGated match {
+        case None => withinExact.limit(0)
+        case Some(acc) =>
+          batchCanon.join(acc.select(col("fp"), col("doc_id").as("prior")), "fp")
+            .groupBy("fp", "bmin").agg(min("prior").as("pmin"))
+            .select(least(col("bmin"), col("pmin")).as("id_a"),
+              greatest(col("bmin"), col("pmin")).as("id_b"))
+      }
+
+      // near-dup edges (minhash-LSH, jaccard-verified)
+      val sig = sigOf(gated, cfg)
+      // banded rows carry the set size `n` so the accumulated bands
+      // table doubles as the sizes artifact (band 0 slice = (id, n)) —
+      // one table, one write, no separate sizes lineage
+      val banded = Stage.reuse(bandedOf(sig, cfg))
+      writeEpoch(banded, s"$stateDir/bands", epochId)
+      // ONE banded join of the batch against batch ∪ accumulated, both
+      // sides under the minhashLsh first-matching-band rule (exactly-
+      // once per pair, no distinct; both `before` slices have length =
+      // band): within-epoch pairs take id_a < id_b, cross-epoch pairs
+      // any order, normalized
+      val accBands = accBefore(spark, stateDir, "bands", epochId)
+      val own = banded.withColumn("own", lit(true))
+      val bandsAll = accBands.fold(own)(acc =>
+        own.unionByName(acc.withColumn("own", lit(false))))
+      val cand = Stage.reuse(banded.as("a").join(bandsAll.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            when(col("b.own"), col("a.id") < col("b.id"))
+              .otherwise(col("a.id") =!= col("b.id")) &&
+            !Dedup.bandMatch(col("a.before"), col("b.before")))
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b")))
+      // verify shingles are RE-DERIVED from the candidate docs' staged
+      // text instead of reading back a persisted shingle long form: the
+      // accumulated gated table must carry the text anyway (finalize
+      // emits it), candidates are dup-rate-sized, and shingleSet is a
+      // pure set function of the text — so persisting shingles would
+      // store the LARGEST state table (several × the text itself) to
+      // save re-deriving a tiny subset. (The batch steady-state
+      // BloomDedup.lshIndex makes the opposite call because that index
+      // deliberately does NOT carry text.) cand is staged: it feeds both
+      // the id set and the verify join.
+      val candIds = cand.select(col("id_a").as("cid"))
+        .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+      val textAll = accGated
+        .fold(gated.select(col("doc_id"), col("text")))(acc =>
+          gated.select(col("doc_id"), col("text"))
+            .unionByName(acc.select(col("doc_id"), col("text"))))
+      val shCand = Dedup.shingleSet(
+        textAll.join(candIds, textAll("doc_id") === candIds("cid"))
+          .select("doc_id", "text"),
+        "text", "doc_id", 3)
+      val sizes = sig.select(col("id"), col("n"))
+      val sizesAll = accBands.map(_.filter(col("band") === 0).select("id", "n"))
+        .fold(sizes)(a => sizes.unionByName(a))
+      // Dedup.verifyJaccard = minhashLsh's own verify tail (one copy of
+      // the intersection join + 4-decimal rounding)
+      val lshEdges = Dedup.verifyJaccard(cand, shCand, sizesAll, cfg.nearDupThreshold)
+        .select("id_a", "id_b")
+      writeEpoch(withinExact.unionByName(crossExact).unionByName(lshEdges),
+        s"$stateDir/edges", epochId)
     }
 
-    // ---- near-dup edges (minhash-LSH, jaccard-verified) ----
-    // same contract as Dedup.minhashLsh's require: a non-divisible
-    // config would silently TRUNCATE permutations here while the batch
-    // path throws — breaking the batch==stream hash equality
-    require(cfg.minhashPerms % cfg.minhashBands == 0,
-      s"minhashPerms (${cfg.minhashPerms}) must divide into minhashBands (${cfg.minhashBands})")
-    val sig = sigOf(gated, cfg)
-    // banded rows carry the set size `n` so the accumulated bands
-    // table doubles as the sizes artifact (band 0 slice = (id, n)) —
-    // one table, one write, no separate sizes lineage
-    val banded = Stage.reuse(bandedOf(sig, cfg))
-    writeEpoch(banded, s"$stateDir/bands", epochId)
-    // ONE banded join of the batch against batch ∪ accumulated, both
-    // sides under the minhashLsh first-matching-band rule (exactly-
-    // once per pair, no distinct; both `before` slices have length =
-    // band): within-epoch pairs take id_a < id_b, cross-epoch pairs
-    // any order, normalized
-    val accBands = accBefore(spark, stateDir, "bands", epochId)
-    val own = banded.withColumn("own", lit(true))
-    val bandsAll = accBands.fold(own)(acc =>
-      own.unionByName(acc.withColumn("own", lit(false))))
-    val cand = Stage.reuse(banded.as("a").join(bandsAll.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          when(col("b.own"), col("a.id") < col("b.id"))
-            .otherwise(col("a.id") =!= col("b.id")) &&
-          !Dedup.bandMatch(col("a.before"), col("b.before")))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b")))
-    // verify shingles are RE-DERIVED from the candidate docs' staged
-    // text instead of reading back a persisted shingle long form: the
-    // accumulated gated table must carry the text anyway (finalize
-    // emits it), candidates are dup-rate-sized, and shingleSet is a
-    // pure set function of the text — so persisting shingles would
-    // store the LARGEST state table (several × the text itself) to
-    // save re-deriving a tiny subset. (The batch steady-state
-    // BloomDedup.lshIndex makes the opposite call because that index
-    // deliberately does NOT carry text.) cand is staged: it feeds both
-    // the id set and the verify join.
-    val candIds = cand.select(col("id_a").as("cid"))
-      .unionByName(cand.select(col("id_b").as("cid"))).distinct()
-    val textAll = accGated
-      .fold(gated.select(col("doc_id"), col("text")))(acc =>
-        gated.select(col("doc_id"), col("text"))
-          .unionByName(acc.select(col("doc_id"), col("text"))))
-    val shCand = Dedup.shingleSet(
-      textAll.join(candIds, textAll("doc_id") === candIds("cid"))
-        .select("doc_id", "text"),
-      "text", "doc_id", 3)
-    val sizes = sig.select(col("id"), col("n"))
-    val sizesAll = accBands.map(_.filter(col("band") === 0).select("id", "n"))
-      .fold(sizes)(a => sizes.unionByName(a))
-    // Dedup.verifyJaccard = minhashLsh's own verify tail (one copy of
-    // the intersection join + 4-decimal rounding)
-    val lshEdges = Dedup.verifyJaccard(cand, shCand, sizesAll, cfg.nearDupThreshold)
-      .select("id_a", "id_b")
-    writeEpoch(withinExact.unionByName(crossExact).unionByName(lshEdges),
-      s"$stateDir/edges", epochId)
-
     // ---- media lanes (the MultiModalCurationExample settings) ----
-    val imgCentered = Stage.reuse(MultiModal.decodeFeatures(images, grid = 4)
-      .select(col("doc_id"),
-        transform(col("features"), f => f - lit(0.5)).as("fv")))
-    mediaLane(imgCentered, stateDir, "img", epochId,
-      dim = 48, bands = 6, maxHamming = 5)
-    val audMean = aggregate(col("features"), lit(0d), (a, b) => a + b) / lit(32d)
-    val audCentered = Stage.reuse(AudioModal.features(clips, windows = 32)
-      .select(col("doc_id"),
-        transform(col("features"), x => x - audMean).as("fv")))
-    mediaLane(audCentered, stateDir, "aud", epochId,
-      dim = 32, bands = 4, maxHamming = 0)
+    def imgLane(): Unit = {
+      val imgCentered = Stage.reuse(MultiModal.decodeFeatures(images, grid = 4)
+        .select(col("doc_id"),
+          transform(col("features"), f => f - lit(0.5)).as("fv")))
+      mediaLane(imgCentered, stateDir, "img", epochId,
+        dim = 48, bands = 6, maxHamming = 5)
+    }
+    def audLane(): Unit = {
+      val audMean = aggregate(col("features"), lit(0d), (a, b) => a + b) / lit(32d)
+      val audCentered = Stage.reuse(AudioModal.features(clips, windows = 32)
+        .select(col("doc_id"),
+          transform(col("features"), x => x - audMean).as("fv")))
+      mediaLane(audCentered, stateDir, "aud", epochId,
+        dim = 32, bands = 4, maxHamming = 0)
+    }
+    // the three lanes touch DISJOINT state tables and consume only the
+    // already-materialized gated blocks / prior-epoch state, so they
+    // run concurrently (see inParallel — the r20 jobs-per-epoch
+    // optimization). Within a lane, order is unchanged; written rows
+    // are byte-identical to the serial form. One caveat, documented:
+    // Dedup.shared's AQE-off planning window is per-session conf, so a
+    // query PLANNED in another lane during that window compiles its
+    // tiny exchanges without AQE coalescing — a bounded per-epoch
+    // plan-shape jitter on batch-sized data, never a semantics change
+    // (the conf windows are serialized by shared's own per-session
+    // lock; results are pinned by the oracle + replay spec either way).
+    inParallel(Seq(textLane _, imgLane _, audLane _))
     autoFold(spark, stateDir, epochId, foldEvery, foldLag)
   }
 

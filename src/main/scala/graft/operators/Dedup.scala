@@ -396,7 +396,27 @@ object Dedup {
   def jaccardJoinPrefix(docs: DataFrame, threshold: Double, n: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxDocFreq: Option[Long] = None,
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true): DataFrame =
+    ppjoinParts(docs, threshold, n, textCol, idCol, maxDocFreq, materialize)._3
+
+  /** Diagnostic stage counts for [[jaccardJoinPrefix]] (r20 probe):
+    * prefix-stream rows, candidate pairs admitted by the filter chain,
+    * verified pairs — one shared construction with the operator so the
+    * probe can never drift from the plan it measures. */
+  def ppjoinStats(docs: DataFrame, threshold: Double, n: Int = 3,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  maxDocFreq: Option[Long] = None): Seq[(String, Long)] = {
+    val (prefix, cand, out) =
+      ppjoinParts(docs, threshold, n, textCol, idCol, maxDocFreq, materialize = true)
+    Seq("prefix_rows" -> prefix.count(),
+      "candidate_pairs" -> cand.count(),
+      "verified_pairs" -> out.count())
+  }
+
+  private def ppjoinParts(docs: DataFrame, threshold: Double, n: Int,
+                          textCol: String, idCol: String,
+                          maxDocFreq: Option[Long],
+                          materialize: Boolean): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     // same capped shingle set as ngramJaccard: the cap applies before
@@ -446,10 +466,11 @@ object Dedup {
       .join(s.as("sa"), col("id_a") === col("sa.id"))
       .join(s.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
       .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("i"))
-    inter
+    val out = inter
       .select(col("id_a"), col("id_b"),
         round(col("i") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (prefix, cand, out)
   }
 
   /** Cross-table fuzzy linkage (record linkage / entity resolution):
@@ -534,6 +555,21 @@ object Dedup {
     s.join(vocab, "sh").groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** First-matching-band guard: TRUE iff any position of the two
+    * `before` band-signature arrays is equal — the exactly-once rule's
+    * predicate, shared verbatim by [[minhashLsh]] and the streaming
+    * curation text lane ([[CurationStream]]) whose batch==stream hash
+    * equality requires the identical guard. r19: the codegen'd
+    * [[graft.expressions.BandMatch]] kernel instead of the interpreted
+    * `exists(zip_with(...))` chain — this predicate sits in the
+    * band-bucket self-JOIN CONDITION, evaluated once per raw band
+    * collision (guide §4; value contract pinned in the expression's
+    * scaladoc and OperatorSpec). */
+  private[graft] def bandMatch(a: Column, b: Column): Column = {
+    graft.expressions.GraftFunctions.registerKnownSessions()
+    call_function("graft_band_match", a, b)
+  }
+
   /** MinHash + LSH near-dup candidates, verified by exact Jaccard.
     *
     * shingle → minhash (perms) → band (rows-per-band) → bucket-join:
@@ -554,21 +590,6 @@ object Dedup {
     * `.distinct()` over the candidate stream, which at near-dup-heavy
     * scale is the operator's largest intermediate multiplied by the
     * band count. */
-  /** First-matching-band guard: TRUE iff any position of the two
-    * `before` band-signature arrays is equal — the exactly-once rule's
-    * predicate, shared verbatim by [[minhashLsh]] and the streaming
-    * curation text lane ([[CurationStream]]) whose batch==stream hash
-    * equality requires the identical guard. r19: the codegen'd
-    * [[graft.expressions.BandMatch]] kernel instead of the interpreted
-    * `exists(zip_with(...))` chain — this predicate sits in the
-    * band-bucket self-JOIN CONDITION, evaluated once per raw band
-    * collision (guide §4; value contract pinned in the expression's
-    * scaladoc and OperatorSpec). */
-  private[graft] def bandMatch(a: Column, b: Column): Column = {
-    graft.expressions.GraftFunctions.registerKnownSessions()
-    call_function("graft_band_match", a, b)
-  }
-
   def minhashLsh(docs: DataFrame, threshold: Double, perms: Int = 16, bands: Int = 4,
                  n: Int = 3, textCol: String = "text", idCol: String = "doc_id",
                  materialize: Boolean = true): DataFrame = {

@@ -161,16 +161,22 @@ object Sketches {
     * test scale, so the estimate column genuinely exercises the min-
     * over-rows trimming rather than degenerating to the exact count.
     *
-    * The top-N window runs over the key-cardinality counts table (not
-    * the corpus), single-partition by construction — fine for profiling
-    * output sizes; cap the key space upstream if keys are unbounded. */
+    * Top-N is TWO-LEVEL (r20, guide §2.4): `orderBy(...).limit(topN)`
+    * plans as TakeOrderedAndProject — each partition of the counts
+    * table contributes its local top-N and only topN·partitions rows
+    * ever leave a partition — and the rank window then runs over the
+    * ≤ topN survivors (partitioned on a constant, so no unbounded
+    * single-partition WindowExec even when the key space is huge). The
+    * total order (cnt desc, key) is deterministic, so the selected
+    * rows and ranks equal the old global-window form exactly. */
   def cmsVerified(df: DataFrame, keyCol: String, topN: Int = 20,
                   depth: Int = 4, width: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val top = exact.withColumn("rnk",
-        row_number().over(Window.orderBy(col("cnt").desc, col(keyCol))).cast("long"))
-      .filter(col("rnk") <= topN)
+    val top = exact.orderBy(col("cnt").desc, col(keyCol)).limit(topN)
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("cnt").desc, col(keyCol))).cast("long"))
     // the exact leg already aggregates per key — build the sketch from
     // that counts table too (distinct-keys×depth digests) rather than
     // re-hashing every corpus row (rows×depth): identical cell counts,

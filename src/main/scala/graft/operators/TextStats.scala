@@ -385,23 +385,48 @@ object TextStats {
   def trigramLogProb(docs: DataFrame, lambda3: Double = 0.5,
                      lambda2: Double = 0.3, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame = {
+    // HIERARCHICAL rollup (r20, guide §2.1/§2.3): the r19 plan derived
+    // uni/big/trg EACH from the raw triple stream — 7 tokenize+explode
+    // passes over the corpus (one per LM table + contexts + the probe
+    // stream) and 34 exchanges. Every lower-order table is an exact
+    // integer roll-up of the trigram table (Σ over p2 of cnt3 = cnt2,
+    // Σ over p1 of cnt2 = cnt — the triple stream enumerates every
+    // token exactly once with both contexts), so the corpus is now
+    // tokenized TWICE (trg agg + probe side), everything else
+    // aggregates LM-sized tables. The per-trigram −ln(mixture) is
+    // computed ONCE per distinct trigram on the enriched table and
+    // joined back; the arithmetic is the same IEEE expression over the
+    // same values, so per-row terms are bit-identical to the r19 form
+    // (only the avg's summation order can differ, which the 4-decimal
+    // round absorbs exactly as it does across engines — oracle-pinned
+    // at sf0.01 and sf0.1).
+    // trg/big each feed several consumers; their references expand the
+    // tokenize+agg subtree in the PLAN TEXT (14 Generate nodes), but
+    // ReuseExchange dedupes the identical exchange subtrees at
+    // execution so the corpus is tokenized twice at runtime (trg agg +
+    // probe side — the bigram rung's deliberate trade). An explicit
+    // localCheckpoint stage of trg/big was A/B'd and REJECTED: the
+    // block write/read plus the checkpoint's AQE-off subtree cost more
+    // than the plan dedup saved (2.22 s → 2.57 s at sf0.1).
     val tri = trigramTriples(docs, textCol, idCol)
-    val uni = tri.groupBy("t").agg(count(lit(1)).as("cnt"))
-    val totals = uni.agg(sum("cnt").as("n_total"), count(lit(1)).as("n_vocab"))
-    val big = tri.groupBy("p1", "t").agg(count(lit(1)).as("cnt2"))
-    val ctx2 = big.groupBy("p1").agg(sum("cnt2").as("p1_tot"))
     val trg = tri.groupBy("p2", "p1", "t").agg(count(lit(1)).as("cnt3"))
     val ctx3 = trg.groupBy("p2", "p1").agg(sum("cnt3").as("p2_tot"))
-    tri.join(trg, Seq("p2", "p1", "t")).join(ctx3, Seq("p2", "p1"))
-      .join(big, Seq("p1", "t")).join(ctx2, Seq("p1"))
-      .join(uni, Seq("t"))
+    val big = trg.groupBy("p1", "t").agg(sum("cnt3").as("cnt2"))
+    val ctx2 = big.groupBy("p1").agg(sum("cnt2").as("p1_tot"))
+    val uni = big.groupBy("t").agg(sum("cnt2").as("cnt"))
+    val totals = uni.agg(sum("cnt").as("n_total"), count(lit(1)).as("n_vocab"))
+    val term = trg.join(ctx3, Seq("p2", "p1")).join(big, Seq("p1", "t"))
+      .join(ctx2, Seq("p1")).join(uni, Seq("t"))
       .crossJoin(broadcast(totals))
-      .groupBy("id")
-      .agg(round(avg(-log(
+      .select(col("p2"), col("p1"), col("t"),
+        (-log(
           lit(lambda3) * (col("cnt3") / col("p2_tot")) +
           lit(lambda2) * (col("cnt2") / col("p1_tot")) +
           lit(1 - lambda3 - lambda2) * ((col("cnt") + 1)
-            / (col("n_total") + col("n_vocab"))))), 4).as("mean_nll"),
+            / (col("n_total") + col("n_vocab"))))).as("nll"))
+    tri.join(term, Seq("p2", "p1", "t"))
+      .groupBy("id")
+      .agg(round(avg(col("nll")), 4).as("mean_nll"),
         count(lit(1)).as("n_tokens"))
   }
 

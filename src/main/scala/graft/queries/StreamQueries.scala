@@ -102,10 +102,16 @@ object StreamQueries {
       spark.sparkContext.parallelize(last.toSeq), cells.schema)
     val exact = graft.core.Tables(spark, dir).events
       .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-    val top = exact.withColumn("rnk",
+    // two-level top-k (r20, guide §2.4, same shape as Sketches.cmsVerified):
+    // TakeOrdered selects the 15 survivors distributed, the rank window
+    // then covers 15 rows (constant partition key → no unbounded
+    // single-partition WindowExec); order (cnt desc, user_id) is total,
+    // so rows and ranks are unchanged
+    val top = exact.orderBy(col("cnt").desc, col("user_id")).limit(15)
+      .withColumn("rnk",
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .orderBy(col("cnt").desc, col("user_id"))).cast("long"))
-      .filter(col("rnk") <= 15)
     top.join(Sketches.cmsEstimate(sketch, top, "user_id", depth, width),
         Seq("user_id"))
       .select(col("user_id"), col("rnk"), col("cnt"), col("cms_est"),

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (r20, verdict #4): d_ppjoin candidate-vs-verified counts —
+  * how many pair rows the prefix filter admits vs how many survive the
+  * exact-jaccard verify, plus the shingle/prefix stream sizes, so the
+  * positional-filter decision is made on numbers, not guesses.
+  * Usage: runMain graft.tools.ProfPpjoin [sfDir]
+  */
+object ProfPpjoin {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.core.Tables(spark, dir).documents
+    val stats = graft.operators.Dedup.ppjoinStats(docs, threshold = 0.7,
+      maxDocFreq = Some(100L))
+    stats.foreach { case (k, v) => System.err.println(f"[ppjoin] $k%-22s $v%,12d") }
+    spark.stop()
+  }
+}

@@ -1447,4 +1447,41 @@ class OperatorSpec extends SparkSpec {
         s"native ${r.get(0)} != hof ${r.get(1)}")
     }
   }
+
+  test("classifierScoreOf's WeightBagSum kernel: value-equal to the HOF fold on every shape") {
+    import graft.functions.{QualityModel, Text}
+    // the exact fold classifierScoreOf used before r20 - the semantic
+    // pin for the codegen'd graft_weight_sum kernel
+    def foldScore(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val w = typedlit(QualityModel.weights)
+      val bucket = (t: org.apache.spark.sql.Column) =>
+        graft.operators.Sampling.hashBucket(t, QualityModel.dim)
+      val s = aggregate(toks, lit(0.0), (acc, t) => acc + element_at(w, bucket(t) + 1))
+      val z = lit(QualityModel.bias) + s / greatest(size(toks), lit(1))
+      lit(1.0) / (lit(1.0) + exp(-z))
+    }
+    val rows = Seq(
+      Seq("the", "quick", "brown", "fox"),     // plain tokens
+      Seq("x"),                                 // singleton
+      Seq[String](),                            // empty array -> bias-only score
+      Seq("the", "the", "the"),                 // repeated token
+      Seq(null, "a", null),                     // null tokens hash the sentinel bucket
+      (0 until 500).map(i => s"tok$i")          // long doc, order-sensitive IEEE sum
+    ).toDF("toks")
+    val got = rows.select(
+        Text.classifierScoreOf(col("toks")).as("native"),
+        foldScore(col("toks")).as("fold"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.get(0)} != fold ${r.get(1)}")
+    }
+    // null token array: both forms propagate null through the score
+    val nullRow = Seq(Tuple1[Seq[String]](null)).toDF("toks")
+      .select(Text.classifierScoreOf(col("toks")).as("native"),
+        foldScore(col("toks")).as("fold"))
+      .head()
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
 }
