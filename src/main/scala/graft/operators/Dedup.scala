@@ -413,10 +413,10 @@ object Dedup {
       "verified_pairs" -> out.count())
   }
 
-  private def ppjoinParts(docs: DataFrame, threshold: Double, n: Int,
-                          textCol: String, idCol: String,
-                          maxDocFreq: Option[Long],
-                          materialize: Boolean): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def ppjoinParts(docs: DataFrame, threshold: Double, n: Int,
+                                 textCol: String, idCol: String,
+                                 maxDocFreq: Option[Long],
+                                 materialize: Boolean): (DataFrame, DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
     // same capped shingle set as ngramJaccard: the cap applies before
@@ -435,15 +435,26 @@ object Dedup {
     val nW = count(lit(1)).over(Window.partitionBy("id"))
     // `before` = the prefix shingles ORDERED BEFORE this row's shingle
     // in the same global (df, sh) order — the payload behind the
-    // exactly-once rule below. Same window spec as `rk`, so it rides
-    // the rank's sort for free (no extra exchange); average size is
-    // half the (short, rarest-~20%) prefix.
+    // exactly-once rule below. r20 (guide §2.3, shuffle/materialize
+    // fewer bytes): the list is collected AFTER the prefix filter, in a
+    // SECOND window pass over the surviving rows only — a prefix row's
+    // predecessors in the (df, sh) order all have smaller ranks, i.e.
+    // are themselves prefix rows, so the filtered collect builds the
+    // identical lists while touching ~1/6 of the rows with ~1/3 the
+    // average length (sf0.1: 500k rows × ~49-element lists → 81k rows ×
+    // ~15). The second WindowExec shares the first's partitioning AND
+    // ordering (the filter preserves both), so it adds no exchange and
+    // no sort; the row's own rank `rk` rides along for the positional
+    // filter (rank in the FULL order — row_number ran before the
+    // filter).
+    val ranked = s.join(dfreq, "sh")
+      .select(col("id"), col("sh"), col("df"), rk.as("rk"), nW.as("n"))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
     val before = collect_list(col("sh"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val prefix = s.join(dfreq, "sh")
-      .select(col("id"), col("sh"), rk.as("rk"), nW.as("n"), before.as("before"))
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select("sh", "id", "n", "before")
+    val prefix = ranked
+      .select(col("id"), col("sh"), col("rk"), col("n"), before.as("before"))
+      .select("sh", "id", "n", "rk", "before")
     // exactly-once BY CONSTRUCTION (the hammingBandedPairs trick): a
     // pair sharing k prefix shingles would be emitted k times by the
     // equi-join; it is kept ONLY at its FIRST common prefix shingle.
@@ -455,10 +466,30 @@ object Dedup {
     // `.distinct()`). The trade — carrying the seen-so-far slice
     // through the candidate join — is bounded by the prefix length,
     // while the shuffle it removes grows with the near-dup pair count.
+    // POSITIONAL filter (r20, the PPJoin refinement — Xiao et al.
+    // WWW'08 §3; guide §3): measured at sf0.1 the prefix+length chain
+    // admitted 104,475 candidate pairs for 256 verified (408:1), and
+    // the verify join's cost is candidates × set size. At the pair's
+    // FIRST common shingle (the only row the exactly-once rule keeps),
+    // every other common shingle ranks AFTER it in BOTH docs — the
+    // global (df, sh) order is one total order, so a common shingle
+    // earlier than the join shingle would be in both `before` lists and
+    // the row wouldn't be first-match. Hence |A∩B| ≤ 1 + min(|A|−pA,
+    // |B|−pB) with pX = x.rk, the join shingle's rank in X's FULL
+    // (df, sh) order. Jaccard ≥ θ needs |A∩B| ≥ θ(|A|+|B|)/(1+θ), so a
+    // first-match row whose upper bound misses that floor can be
+    // dropped LOSSLESSLY. The 1e-9 slack keeps the float product
+    // conservative (a qualifying integer overlap can never be excluded
+    // by the bound landing epsilon high); slack only ever ADMITS a
+    // candidate the verify re-checks exactly.
+    val posBound = lit(1) +
+      least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))) <=
             least(col("a.n"), col("b.n")) &&
+          posBound >= lit(threshold) / lit(1 + threshold) *
+            (col("a.n") + col("b.n")) - lit(1e-9) &&
           !arrays_overlap(col("a.before"), col("b.before")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))

@@ -23,9 +23,21 @@ object ProfPpjoin {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.core.Tables(spark, dir).documents
-    val stats = graft.operators.Dedup.ppjoinStats(docs, threshold = 0.7,
-      maxDocFreq = Some(100L))
-    stats.foreach { case (k, v) => System.err.println(f"[ppjoin] $k%-22s $v%,12d") }
+    // warm-up so the first stage doesn't pay codegen/classloading
+    docs.write.mode("overwrite").format("noop").save()
+    val (prefix, cand, out) = graft.operators.Dedup.ppjoinParts(docs,
+      threshold = 0.7, n = 3, textCol = "text", idCol = "doc_id",
+      maxDocFreq = Some(100L), materialize = true)
+    var prev = System.nanoTime()
+    def timed(name: String, v: => Long): Unit = {
+      val r = v
+      val now = System.nanoTime()
+      System.err.println(f"[ppjoin] $name%-22s $r%,12d  (+${(now - prev) / 1e9}%.2f s)")
+      prev = now
+    }
+    timed("prefix_rows", prefix.count())
+    timed("candidate_pairs", cand.count())
+    timed("verified_pairs", out.count())
     spark.stop()
   }
 }
