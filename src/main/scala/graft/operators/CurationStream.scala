@@ -157,14 +157,21 @@ object CurationStream {
     * back-fill behavior; results are unchanged because the thunks
     * touch disjoint state tables. Failures propagate unwrapped so
     * foreachBatch's replay contract sees the original exception. */
-  private def inParallel(work: Seq[() => Unit]): Unit =
-    if (work.size <= 1) work.foreach(_())
+  private def inParallel(work: Seq[(String, () => Unit)])
+                        (implicit spark: SparkSession): Unit =
+    if (work.size <= 1) work.foreach(_._2())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
       try {
-        val futs = work.map { w =>
+        val futs = work.map { case (label, w) =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
-            override def call(): Unit = w()
+            override def call(): Unit = {
+              // per-lane job label (thread-local — exactly why the
+              // guide §1.5 labels matter here: the UI/listeners can
+              // attribute each concurrent lane's jobs)
+              spark.sparkContext.setJobDescription(s"graft-cs:$label")
+              try w() finally spark.sparkContext.setJobDescription(null)
+            }
           })
         }
         futs.foreach { f =>
@@ -350,7 +357,7 @@ object CurationStream {
     // rationale as ingestEpoch's lanes): the 7 repartition+sort+write
     // jobs read disjoint source trees and write disjoint staging dirs,
     // and a fold's wall at micro-batch scale is job latency, not data
-    inParallel(StateTables.map { case (t, keys) => () => {
+    inParallel(StateTables.map { case (t, keys) => s"fold:$t" -> (() => {
       // presence IS non-emptiness (r19 — this replaces a per-table
       // isEmpty ACTION per fold): a live `__epoch=N` partition dir only
       // exists when epoch N committed ≥ 1 row (a zero-row dynamic
@@ -385,7 +392,7 @@ object CurationStream {
           .sortWithinPartitions(keys.map(col): _*)
           .write.mode("overwrite").parquet(s"$gen/$t")
       }
-    } })
+    }) })(spark)
     // the watermark is part of the payload — it lands before promote,
     // so a reader never sees a generation without its fold bound
     val genFs = new org.apache.hadoop.fs.Path(gen).getFileSystem(hc)
@@ -542,6 +549,12 @@ object CurationStream {
     * construction. */
   private def sigOf(gated: DataFrame, cfg: Curation.Config): DataFrame = {
     val s = Stage.reuse(Dedup.shingleSet(gated, "text", "doc_id", 3))
+    // r20 note: the vocab-distinct + join-back form (hash per DISTINCT
+    // shingle, Dedup.signaturesFrom's corpus shape) was A/B'd here and
+    // REJECTED on measurement — with the r19 graft_md5_prefix kernel
+    // the per-occurrence digests cost ~1-2 task-s/epoch, while the
+    // extra distinct+join exchanges added ~30 task-s/epoch (ProfCur
+    // warm rounds: 64/88/62 → 94/90/118). Per-occurrence stands.
     s.groupBy("id").agg(
       count(lit(1)).as("n"),
       (0 until cfg.minhashPerms).map(i =>
@@ -636,6 +649,15 @@ object CurationStream {
     // from staged blocks instead of racing the first materialization
     writeEpoch(gated, s"$stateDir/gated", epochId)
 
+    // dev-only phase timer (GRAFT_CS_PROF=1; used by ProfCurStream —
+    // zero cost when unset)
+    val csProf = sys.env.contains("GRAFT_CS_PROF")
+    def mark(label: String, t0: Long): Long = {
+      if (csProf) System.err.println(
+        f"[cs-prof] epoch $epochId $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      System.nanoTime()
+    }
+
     // ---- text lane: exact-dup + near-dup (minhash-LSH) edges ----
     def textLane(): Unit = {
       // exact-dup edges (equal fingerprint)
@@ -663,8 +685,10 @@ object CurationStream {
       // banded rows carry the set size `n` so the accumulated bands
       // table doubles as the sizes artifact (band 0 slice = (id, n)) —
       // one table, one write, no separate sizes lineage
+      var tT = System.nanoTime()
       val banded = Stage.reuse(bandedOf(sig, cfg))
       writeEpoch(banded, s"$stateDir/bands", epochId)
+      tT = mark("text:bands-write", tT)
       // ONE banded join of the batch against batch ∪ accumulated, both
       // sides under the minhashLsh first-matching-band rule (exactly-
       // once per pair, no distinct; both `before` slices have length =
@@ -693,6 +717,12 @@ object CurationStream {
       // the id set and the verify join.
       val candIds = cand.select(col("id_a").as("cid"))
         .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+      // r20 A/B note: feeding the batch side of this verify from the
+      // STAGED shingle set (join sBatch ⋈ candIds) was tried and
+      // REJECTED — the 163k-row shuffle join cost far more than
+      // re-deriving the candidate docs' shingles map-side with the
+      // graft kernels (ProfCur warm epochs: edges phase 2.8 → 5.5-6.6 s,
+      // text-lane task-s 534 → 891). Re-derivation from text stands.
       val textAll = accGated
         .fold(gated.select(col("doc_id"), col("text")))(acc =>
           gated.select(col("doc_id"), col("text"))
@@ -701,7 +731,10 @@ object CurationStream {
         textAll.join(candIds, textAll("doc_id") === candIds("cid"))
           .select("doc_id", "text"),
         "text", "doc_id", 3)
-      val sizes = sig.select(col("id"), col("n"))
+      // own-batch sizes from the checkpointed banded rows (band-0
+      // slice = (id, n) — the same artifact the accumulated side
+      // already uses) instead of re-running the signature agg (r20)
+      val sizes = banded.filter(col("band") === 0).select("id", "n")
       val sizesAll = accBands.map(_.filter(col("band") === 0).select("id", "n"))
         .fold(sizes)(a => sizes.unionByName(a))
       // Dedup.verifyJaccard = minhashLsh's own verify tail (one copy of
@@ -710,6 +743,7 @@ object CurationStream {
         .select("id_a", "id_b")
       writeEpoch(withinExact.unionByName(crossExact).unionByName(lshEdges),
         s"$stateDir/edges", epochId)
+      tT = mark("text:edges-write", tT)
     }
 
     // ---- media lanes (the MultiModalCurationExample settings) ----
@@ -739,7 +773,8 @@ object CurationStream {
     // plan-shape jitter on batch-sized data, never a semantics change
     // (the conf windows are serialized by shared's own per-session
     // lock; results are pinned by the oracle + replay spec either way).
-    inParallel(Seq(textLane _, imgLane _, audLane _))
+    inParallel(Seq("text" -> (textLane _), "img" -> (imgLane _),
+      "aud" -> (audLane _)))(spark)
     autoFold(spark, stateDir, epochId, foldEvery, foldLag)
   }
 

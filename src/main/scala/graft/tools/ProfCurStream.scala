@@ -32,6 +32,16 @@ object ProfCurStream {
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     val sites = java.util.Collections.synchronizedMap(
       new java.util.TreeMap[String, Integer]())
+    // per-lane attribution (r20): jobs launched from ingestEpoch's
+    // parallel lanes carry a graft-cs:<lane> description; aggregate
+    // job count + task-ms per label so the epoch's task time
+    // decomposes by lane
+    val laneJobs = java.util.Collections.synchronizedMap(
+      new java.util.TreeMap[String, Integer]())
+    val laneTaskMs = java.util.Collections.synchronizedMap(
+      new java.util.TreeMap[String, java.lang.Long]())
+    val stageLane = java.util.Collections.synchronizedMap(
+      new java.util.HashMap[Integer, String]())
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -40,11 +50,19 @@ object ProfCurStream {
           val site = Option(s.properties.getProperty("callSite.short"))
             .getOrElse("?")
           sites.merge(site, 1, (a, b) => a + b)
+          val lane = Option(s.properties.getProperty("spark.job.description"))
+            .filter(_.startsWith("graft-cs:")).getOrElse("other")
+          laneJobs.merge(lane, 1, (a, b) => a + b)
+          s.stageIds.foreach(id => stageLane.put(id, lane))
         }
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskMetrics != null)
+          if (t.taskMetrics != null) {
             taskMs.addAndGet(t.taskMetrics.executorRunTime)
+            val lane = Option(stageLane.get(t.stageId)).getOrElse("other")
+            laneTaskMs.merge(lane, t.taskMetrics.executorRunTime,
+              (a, b) => a + b)
+          }
       })
     def phase[T](name: String)(body: => T): T = {
       val (j0, m0, t0) = (jobs.get(), taskMs.get(), System.nanoTime())
@@ -99,6 +117,9 @@ object ProfCurStream {
     }
     System.err.println("== job call sites ==")
     sites.forEach((k, v) => System.err.println(f"[prof]   $v%5d  $k"))
+    System.err.println("== lane attribution (jobs / task-s, whole run) ==")
+    laneJobs.forEach((k, v) => System.err.println(
+      f"[prof]   $k%-18s jobs $v%5d  task-s ${laneTaskMs.getOrDefault(k, 0L) / 1e3}%8.1f"))
     spark.stop()
   }
 }

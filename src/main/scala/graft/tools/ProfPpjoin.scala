@@ -22,11 +22,32 @@ object ProfPpjoin {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val threshold = if (args.length > 1) args(1).toDouble else 0.7
+    val abNgram = args.length > 2 && args(2) == "ab"
     val docs = graft.core.Tables(spark, dir).documents
     // warm-up so the first stage doesn't pay codegen/classloading
     docs.write.mode("overwrite").format("noop").save()
+    if (abNgram) {
+      // back-to-back engine A/B at this threshold: same cap, same docs
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      (1 to 3).foreach { r =>
+        var t = System.nanoTime()
+        noop(graft.operators.Dedup.ngramJaccard(docs, threshold,
+          maxDocFreq = Some(100L)))
+        val tn = (System.nanoTime() - t) / 1e9
+        graft.core.SessionHygiene.flush(spark)
+        t = System.nanoTime()
+        noop(graft.operators.Dedup.jaccardJoinPrefix(docs, threshold,
+          maxDocFreq = Some(100L)))
+        val tp = (System.nanoTime() - t) / 1e9
+        graft.core.SessionHygiene.flush(spark)
+        System.err.println(f"[ppjoin] ab run $r theta=$threshold ngram $tn%.2f s  prefix $tp%.2f s")
+      }
+      spark.stop(); return
+    }
     val (prefix, cand, out) = graft.operators.Dedup.ppjoinParts(docs,
-      threshold = 0.7, n = 3, textCol = "text", idCol = "doc_id",
+      threshold = threshold, n = 3, textCol = "text", idCol = "doc_id",
       maxDocFreq = Some(100L), materialize = true)
     var prev = System.nanoTime()
     def timed(name: String, v: => Long): Unit = {

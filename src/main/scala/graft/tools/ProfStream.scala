@@ -34,6 +34,10 @@ object ProfStream {
     val tasks = new java.util.concurrent.atomic.AtomicInteger
     val sites = java.util.Collections.synchronizedMap(
       new java.util.TreeMap[String, Integer]())
+    // per-job trace of the last run: (jobId, site, startNs, endNs)
+    final case class JobRow(id: Int, site: String, var t0: Long, var t1: Long)
+    val trace = java.util.Collections.synchronizedMap(
+      new java.util.TreeMap[Integer, JobRow]())
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -42,6 +46,12 @@ object ProfStream {
           val site = Option(s.properties.getProperty("callSite.short"))
             .getOrElse("?")
           sites.merge(site, 1, (a, b) => a + b)
+          trace.put(s.jobId, JobRow(s.jobId, site, System.nanoTime(), -1L))
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val r = trace.get(e.jobId)
+          if (r != null) r.t1 = System.nanoTime()
         }
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -59,14 +69,22 @@ object ProfStream {
 
     names.foreach { name =>
       (1 to repeat).foreach { r =>
-        sites.clear()
+        sites.clear(); trace.clear()
         val (j0, m0, k0, t0) = (jobs.get(), taskMs.get(), tasks.get(), System.nanoTime())
         force(graft.SparkEntry.queries(name)(spark, dir))
         Thread.sleep(200) // drain trailing listener events
-        System.err.println(f"[prof] $name run $r: wall ${(System.nanoTime() - t0) / 1e9}%6.2f s  jobs ${jobs.get() - j0}%4d  tasks ${tasks.get() - k0}%5d  task-s ${(taskMs.get() - m0) / 1e3}%7.1f")
+        val wallEnd = System.nanoTime()
+        System.err.println(f"[prof] $name run $r: wall ${(wallEnd - t0) / 1e9}%6.2f s  jobs ${jobs.get() - j0}%4d  tasks ${tasks.get() - k0}%5d  task-s ${(taskMs.get() - m0) / 1e3}%7.1f")
         if (r == repeat) {
-          System.err.println(s"[prof] $name call sites (last run):")
-          sites.forEach((k, v) => System.err.println(f"[prof]   $v%5d  $k"))
+          System.err.println(s"[prof] $name job trace (last run; gap = idle driver time since previous job end):")
+          var prevEnd = t0
+          trace.forEach { (_, row) =>
+            val gap = (row.t0 - prevEnd) / 1e9
+            val dur = if (row.t1 > 0) (row.t1 - row.t0) / 1e9 else -1.0
+            System.err.println(f"[prof]   job ${row.id}%4d  gap $gap%6.2f s  dur $dur%6.2f s  ${row.site}")
+            if (row.t1 > 0) prevEnd = row.t1
+          }
+          System.err.println(f"[prof]   tail-gap ${(wallEnd - prevEnd) / 1e9}%6.2f s")
         }
         graft.core.SessionHygiene.flush(spark)
       }
